@@ -1,13 +1,177 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.VectorFunctions._
+import graft.operators.Ann.AnnRequest
+import graft.operators.{Ann, Restriction, RestrictionCompiler}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] is an operator from SURVEY.md §2 exercised on the
+  * driver-provided parquet fixtures; [[oracleSql]] holds the equivalent ANSI
+  * SQL the driver runs in DuckDB over the same tables.
+  *
+  * Float-parity conventions (so Spark and DuckDB hash-match):
+  *  - distance arithmetic is double-precision, accumulated in array order on
+  *    both sides; outputs rounded to 6 decimals;
+  *  - money aggregates go through DECIMAL(18,2) (exact, order-independent)
+  *    then round+cast to double;
+  *  - every top-k has a deterministic tiebreak on the key column.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("ann_euclidean")(spark, "/root/testdata/sf0.001")
+
+  // ---- ANN helpers ---------------------------------------------------------
+
+  /** Single-query exact ANN on the embeddings table; query vector = row
+    * vec_id=0, k=10, deterministic vec_id tiebreak, rounded distance. */
+  private def ann(space: Space, restrictions: Seq[Restriction] = Nil)(
+      s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0).select("embedding")
+      .head.getSeq[Float](0)
+    Ann.plan(emb, "embedding", Seq("vec_id"), space,
+        AnnRequest(qv, limit = 10, restrictions = restrictions, allowFiltering = true))
+      // `+ 0.0` normalizes IEEE -0.0 (cosine self-distance) to 0.0, matching
+      // the oracle expression.
+      .select(col("vec_id"), (round(col("distance"), 6) + lit(0.0)).as("distance"))
+  }
+
+  /** DuckDB equivalents of the distance expressions (element order preserved,
+    * double accumulation — mirrors VectorFunctions). */
+  private val duckL2 =
+    "list_sum(list_transform(list_zip(e.embedding, q.qv), x -> " +
+      "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
+      "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+  private val duckDot =
+    "list_sum(list_transform(list_zip(e.embedding, q.qv), x -> " +
+      "CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+  private val duckNormE =
+    "sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+  private val duckNormQ =
+    "sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+  private val duckHamming =
+    "CAST(list_sum(list_transform(list_zip(e.embedding, q.qv), x -> " +
+      "CASE WHEN (x[1] > 0) <> (x[2] > 0) THEN 1 ELSE 0 END)) AS DOUBLE)"
+
+  private def duckAnn(distExpr: String, where: String = ""): String =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |d AS (SELECT e.vec_id, $distExpr AS dist FROM embeddings e, q $where)
+       |SELECT vec_id, round(dist, 6) + 0.0 AS distance
+       |FROM d ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin
+  private val duckCosDist = s"1.0 - $duckDot / ($duckNormE * $duckNormQ)"
+
+  // ---- queries -------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1-ish: the classic pushdown-friendly aggregation.
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // Join + exact decimal money aggregation; dims broadcast.
+    "q_join_agg" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val o = t(s, dir, "orders")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double").as("revenue"))
+    }),
+
+    // T1-style global top-k with deterministic tiebreak.
+    "q_topk" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")),
+
+    // P1: scalar restriction forms In + Gt compiled to one pushed predicate.
+    "restr_forms" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      c.filter(RestrictionCompiler.compileAll(c.schema, Seq(
+          Restriction.In("c_nationkey", Seq(1, 5, 9)),
+          Restriction.Gt("c_acctbal", 1000.0))))
+        .select("c_custkey")
+    }),
+
+    // P1/P4: tuple (lexicographic) restriction forms via struct comparison.
+    "restr_tuple" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      c.filter(RestrictionCompiler.compileAll(c.schema, Seq(
+          Restriction.GtTuple(Seq("c_nationkey", "c_custkey"), Seq(12, 100L)),
+          Restriction.LteTuple(Seq("c_nationkey", "c_custkey"), Seq(20, 5000L)))))
+        .select("c_custkey", "c_nationkey")
+    }),
+
+    // T1: ANN top-k, one query vector, all four spaces (F1-F4).
+    "ann_euclidean" -> (ann(Euclidean) _),
+    "ann_cosine" -> (ann(Cosine) _),
+    "ann_dot" -> (ann(DotProduct) _),
+    "ann_hamming" -> (ann(Hamming) _),
+
+    // T2: filtered ANN — restriction evaluated before ranking (O1).
+    "ann_filtered" -> (ann(Euclidean, Seq(Restriction.In("label", Seq(3, 7)))) _),
+
+    // J1: batched multi-query ANN (broadcast query side, window top-k).
+    "ann_batch" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Ann.searchBatch(qs, emb, "embedding", Seq("vec_id"), Euclidean, k = 3)
+        .select(col("query_id"), col("vec_id"),
+          round(col("distance"), 6).as("distance"), col("rank"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      "SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY l_returnflag",
+
+    "q_join_agg" ->
+      """SELECT n_name, count(*) AS n_orders,
+        |CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q_topk" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10",
+
+    "restr_forms" ->
+      "SELECT c_custkey FROM customer WHERE c_nationkey IN (1, 5, 9) AND c_acctbal > 1000.0",
+
+    "restr_tuple" ->
+      """SELECT c_custkey, c_nationkey FROM customer
+        |WHERE (c_nationkey > 12 OR (c_nationkey = 12 AND c_custkey > 100))
+        |AND (c_nationkey < 20 OR (c_nationkey = 20 AND c_custkey <= 5000))""".stripMargin,
+
+    "ann_euclidean" -> duckAnn(duckL2),
+    "ann_cosine" -> duckAnn(duckCosDist),
+    "ann_dot" -> duckAnn(s"-$duckDot"),
+    "ann_hamming" -> duckAnn(duckHamming),
+    "ann_filtered" -> duckAnn(duckL2, "WHERE e.label IN (3, 7)"),
+
+    "ann_batch" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |d AS (SELECT q.query_id, e.vec_id, $duckL2 AS dist FROM embeddings e, q),
+         |r AS (SELECT query_id, vec_id, dist,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rank
+         |  FROM d)
+         |SELECT query_id, vec_id, round(dist, 6) AS distance, rank
+         |FROM r WHERE rank <= 3""".stripMargin,
+  )
 }
