@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.VectorFunctions._
 import graft.operators.Ann.AnnRequest
-import graft.operators.{Ann, Restriction, RestrictionCompiler}
+import graft.operators.{Ann, Lww, Restriction, RestrictionCompiler}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -135,6 +135,40 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"),
           round(col("distance"), 6).as("distance"), col("rank"))
     }),
+    // ST2/ST3: batch LWW compaction of a change stream (error ⇒ tombstone);
+    // ts is long nanos, event_id is the arrival sequence for tie-breaks.
+    "lww_state" -> ((s, dir) => {
+      // ts_us: DuckDB 1.0 reads TIMESTAMP(NANOS) parquet at µs precision, so
+      // the oracle comparison happens on µs-truncated writetimes.
+      val ev = t(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("op", when(col("event_type") === "error", "DELETE").otherwise("UPSERT"))
+      Lww.compactState(ev, pkCols = Seq("user_id"), tsCol = "ts_us",
+          opCol = Some("op"), seqCol = Some("event_id"))
+        .select("user_id", "event_type", "value", Lww.TombstoneCol, Lww.TsCol)
+    }),
+
+    // Live view after compaction (what the index serves).
+    "lww_live" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("op", when(col("event_type") === "error", "DELETE").otherwise("UPSERT"))
+      Lww.compactLive(ev, pkCols = Seq("user_id"), tsCol = "ts_us",
+          opCol = Some("op"), seqCol = Some("event_id"))
+        .select("user_id", "event_type", "value", Lww.TsCol)
+    }),
+
+    // Tumbling-window aggregation on the event stream (pure integer hour
+    // bucketing on nanos ⇒ exact cross-engine parity; decimal-exact sum).
+    "event_window_agg" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(
+          (expr("ts div 3600000000000") * 3600).as("hour_epoch_s"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,6)")), 4).cast("double").as("sum_value"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -164,6 +198,24 @@ object SparkEntry {
     "ann_dot" -> duckAnn(s"-$duckDot"),
     "ann_hamming" -> duckAnn(duckHamming),
     "ann_filtered" -> duckAnn(duckL2, "WHERE e.label IN (3, 7)"),
+
+    "lww_state" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsn, event_type, value FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY tsn DESC, event_id ASC) rn FROM e)
+        |SELECT user_id, event_type, value, (event_type = 'error') AS _tombstone, tsn AS _lww_ts
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    "lww_live" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsn, event_type, value FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY tsn DESC, event_id ASC) rn FROM e)
+        |SELECT user_id, event_type, value, tsn AS _lww_ts
+        |FROM r WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    "event_window_agg" ->
+      """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_epoch_s, event_type,
+        |count(*) AS n,
+        |CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY hour_epoch_s, event_type""".stripMargin,
 
     "ann_batch" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
