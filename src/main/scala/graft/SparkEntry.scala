@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.VectorFunctions._
 import graft.operators.Ann.AnnRequest
-import graft.operators.{Ann, Lww, Restriction, RestrictionCompiler}
+import graft.operators.{Ann, Bm25, Lww, Restriction, RestrictionCompiler}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -169,9 +169,49 @@ object SparkEntry {
           count(lit(1)).as("n"),
           round(sum(col("value").cast("decimal(18,6)")), 4).cast("double").as("sum_value"))
     }),
+    // T3/F10: BM25 top-k on the documents corpus, single- and multi-term
+    // (disjunctive). Ordered on round(score,4) so cross-engine float ulps in
+    // ln/sum cannot flip the k-boundary.
+    "bm25_single" -> (bm25("data") _),
+    "bm25_multi" -> (bm25("spark merge window") _),
   )
 
+  private def bm25(query: String)(s: SparkSession, dir: String): DataFrame = {
+    val idx = Bm25.buildIndex(t(s, dir, "documents"), "doc_id", "text")
+    Bm25.scoreAll(idx, query)
+      .withColumn("score", round(col("score"), 4))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
+  private val duckStop = Bm25.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+
+  private def duckBm25(terms: Seq[String]): String = {
+    val termList = terms.map(w => s"'$w'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, t AS term FROM (
+       |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+')) AS t
+       |    FROM documents)
+       |  WHERE len(t) > 0 AND t NOT IN ($duckStop)),
+       |dl AS (SELECT d.doc_id, (SELECT count(*) FROM toks WHERE toks.doc_id = d.doc_id) AS dl FROM documents d),
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       |       WHERE term IN ($termList) GROUP BY doc_id, term),
+       |dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    sum( ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) *
+       |         (tf.tf * (1.2 + 1.0)) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+       |  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id), stats s
+       |  GROUP BY tf.doc_id)
+       |SELECT doc_id, round(score, 4) AS score FROM scored
+       |ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "bm25_single" -> duckBm25(Bm25.tokenizeQuery("data")),
+    "bm25_multi" -> duckBm25(Bm25.tokenizeQuery("spark merge window")),
     "q1_agg" ->
       "SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY l_returnflag",
 

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 full-text search as declarative Spark plans (SURVEY §2 T3/A5/F10/F11).
+  *
+  * Reference: `crates/vector-store/src/fts_index/tantivy.rs` — analyzer =
+  * SimpleTokenizer + LowerCaser + English stopwords (tantivy.rs:162-169),
+  * postings `WithFreqsAndPositions` (172-175), search = QueryParser over
+  * `body` + `TopDocs::with_limit(k).order_by_score()` (237-274), scores are
+  * BM25 with the usual Lucene constants k1=1.2, b=0.75.
+  *
+  * Differences vs tantivy, by design:
+  *  - field-length norms are exact token counts (tantivy/Lucene quantize them
+  *    to 1 byte); scores are the textbook formula, rankings near-identical;
+  *  - multi-term queries are disjunctive term sums (tantivy QueryParser
+  *    default); phrase/boolean operators are not parsed yet.
+  *
+  * Scale design: [[buildIndex]] materializes the postings/doc-length tables
+  * once (the expensive tokenize+explode+shuffle); [[searchIndex]] then only
+  * touches `postings.filter(term IN queryTerms)` — a selective predicate that
+  * prunes to a handful of terms (partition/bucket postings by term at write
+  * time and the scan is surgical), followed by a broadcast of per-term DF
+  * stats and a TakeOrderedAndProject top-k. No full-corpus pass per query.
+  */
+object Bm25 {
+
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Tantivy's English stopword set (StopWordFilter::new(Language::English),
+    * tantivy.rs:163; behavior pinned by the reference test
+    * `tokenize_removes_english_stop_words`, tantivy.rs:864-870). */
+  val EnglishStopwords: Seq[String] = Seq(
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if", "in",
+    "into", "is", "it", "no", "not", "of", "on", "or", "such", "that", "the",
+    "their", "then", "there", "these", "they", "this", "to", "was", "will",
+    "with")
+
+  /** SimpleTokenizer + LowerCaser + stopword removal: split on runs of
+    * non-alphanumeric (unicode-aware, tantivy.rs:855-877 tests), drop empties
+    * and stopwords. Duplicates preserved (needed for term frequencies). */
+  def tokenize(text: Column): Column = {
+    val toks = split(lower(text), "[^\\p{L}\\p{N}]+")
+    filter(toks, t => length(t) > 0 && !t.isInCollection(EnglishStopwords))
+  }
+
+  /** Tokenize a query string on the driver with the same analyzer semantics
+    * (distinct terms — a disjunctive BM25 query scores each term once). */
+  def tokenizeQuery(query: String): Seq[String] =
+    query.toLowerCase.split("[^\\p{L}\\p{N}]+").toSeq
+      .filter(t => t.nonEmpty && !EnglishStopwords.contains(t)).distinct
+
+  /** The materialized FTS index: postings + per-doc lengths + corpus stats. */
+  final case class Index(
+      postings: DataFrame, // (doc_id, term, tf)
+      docLens: DataFrame, // (doc_id, dl)
+      idCol: String)
+
+  /** Build the index tables from a document DataFrame. */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String): Index = {
+    val toks = docs
+      .select(col(idCol), explode(tokenize(col(textCol))).as("term"))
+    val postings = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docLens = docs
+      .select(col(idCol), size(tokenize(col(textCol))).as("dl"))
+    Index(postings, docLens, idCol)
+  }
+
+  /** BM25 top-k over a built index.
+    *
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5));
+    * score(doc) = Σ_terms idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+    */
+  def searchIndex(index: Index, query: String, k: Int): DataFrame =
+    scoreAll(index, query)
+      .orderBy(col("score").desc, col(index.idCol).asc)
+      .limit(k)
+
+  /** All matching documents with their BM25 scores, unranked — callers pick
+    * their own ordering/rounding (the oracle queries order on rounded scores
+    * so cross-engine float ulps can't flip the k-boundary). */
+  def scoreAll(index: Index, query: String): DataFrame = {
+    val terms = tokenizeQuery(query)
+    if (terms.isEmpty)
+      return index.docLens.sparkSession.emptyDataFrame
+        .withColumn(index.idCol, lit(null).cast("long"))
+        .withColumn("score", lit(null).cast("double"))
+
+    // corpus stats: one tiny row, broadcast everywhere
+    val stats = index.docLens.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+
+    val matched = index.postings.filter(col("term").isInCollection(terms))
+    // per-term document frequency computed on the pruned postings only
+    val dfs = matched.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val tfNorm = (col("tf") * (K1 + 1.0)) /
+      (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
+
+    matched
+      .join(broadcast(dfs), "term")
+      .join(index.docLens, index.idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score", idf * tfNorm)
+      .groupBy(col(index.idCol))
+      .agg(sum(col("term_score")).as("score"))
+  }
+
+  /** One-shot convenience: build + search (what the HTTP bm25 route does
+    * end-to-end, httproutes.rs:906-1054). */
+  def search(docs: DataFrame, idCol: String, textCol: String,
+      query: String, k: Int): DataFrame =
+    searchIndex(buildIndex(docs, idCol, textCol), query, k)
+
+  /** FTS stats surface (A2): num_docs + total tokens. */
+  def stats(index: Index): DataFrame =
+    index.docLens.agg(
+      count(lit(1)).as("num_docs"),
+      sum(col("dl")).as("total_tokens"))
+}
