@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.VectorFunctions._
 import graft.operators.Ann.AnnRequest
-import graft.operators.{Ann, Bm25, Lww, Restriction, RestrictionCompiler}
+import graft.operators.{Ann, Bm25, Dedup, Lww, Restriction, RestrictionCompiler}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -169,6 +169,26 @@ object SparkEntry {
           count(lit(1)).as("n"),
           round(sum(col("value").cast("decimal(18,6)")), 4).cast("double").as("sum_value"))
     }),
+    // Dedup suite over the documents corpus (LLM-pipeline operators).
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", Seq("text"))),
+
+    "dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 5, threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))),
+
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 5, numHashes = 16, bands = 4, threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashFingerprints(t(s, dir, "documents"), "doc_id", "text")),
+
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+        .withColumn("cos_sim", round(col("cos_sim"), 6))),
+
     // T3/F10: BM25 top-k on the documents corpus, single- and multi-term
     // (disjunctive). Ordered on round(score,4) so cross-engine float ulps in
     // ln/sum cannot flip the k-boundary.
@@ -209,7 +229,77 @@ object SparkEntry {
        |ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10""".stripMargin
   }
 
+  /** DuckDB building blocks for the dedup oracles: 60-bit stable hash and
+    * 5-gram shingle CTEs mirroring Dedup.stableHash / Dedup.shingles. */
+  private def duckHash(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+  private val duckToks =
+    """toks AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), t -> len(t) > 0) AS ts
+      |  FROM documents)""".stripMargin
+  private def duckShingles(n: Int) =
+    s"""sh AS (SELECT DISTINCT doc_id, ${duckHash("sg")} AS h FROM (
+       |  SELECT doc_id, unnest(list_transform(range(len(ts) - ${n - 1}),
+       |    i -> array_to_string(ts[i + 1 : i + $n], ' '))) AS sg
+       |  FROM toks WHERE len(ts) >= $n))""".stripMargin
+  private val duckJaccardTail =
+    """sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      |  FROM sh a JOIN sh b USING (h) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
+
+    "dedup_jaccard" ->
+      s"""WITH $duckToks, ${duckShingles(5)}, $duckJaccardTail
+         |SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+         |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5""".stripMargin,
+
+    "dedup_minhash" -> {
+      val sigExprs = Dedup.minhashCoeffs(16).zipWithIndex.map { case ((a, b), i) =>
+        s"min((h31 * $a + $b) % ${Dedup.MinhashPrime}) AS sig_$i"
+      }.mkString(",\n  ")
+      val bandConds = (0 until 4).map { bIdx =>
+        (0 until 4).map(r => s"a.sig_${bIdx * 4 + r} = b.sig_${bIdx * 4 + r}")
+          .mkString("(", " AND ", ")")
+      }.mkString(" OR ")
+      s"""WITH $duckToks, ${duckShingles(5)},
+         |sigs AS (SELECT doc_id, $sigExprs
+         |  FROM (SELECT doc_id, h % ${Dedup.MinhashPrime} AS h31 FROM sh) GROUP BY doc_id),
+         |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sigs a JOIN sigs b
+         |  ON a.doc_id < b.doc_id AND ($bandConds)),
+         |$duckJaccardTail
+         |SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+         |FROM cand JOIN inter USING (id_a, id_b)
+         |JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5""".stripMargin
+    },
+
+    "dedup_simhash" ->
+      s"""WITH $duckToks,
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+         |  SELECT doc_id, unnest(ts) AS term FROM toks) GROUP BY doc_id, term),
+         |th AS (SELECT doc_id, tf, ${duckHash("term")} AS h FROM tf),
+         |bits AS (SELECT doc_id, bit,
+         |    sum(CASE WHEN (h >> bit) % 2 = 1 THEN tf ELSE -tf END) AS s
+         |  FROM th, (SELECT unnest(range(60)) AS bit) b GROUP BY doc_id, bit)
+         |SELECT doc_id,
+         |  CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS fingerprint
+         |FROM bits GROUP BY doc_id""".stripMargin,
+
+    "dedup_embedding" -> {
+      val dotAB = "list_sum(list_transform(list_zip(a.embedding, b.embedding), " +
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+      def nrm(t: String) =
+        s"sqrt(list_sum(list_transform($t.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+      s"""WITH p AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    $dotAB / (${nrm("a")} * ${nrm("b")}) AS cs
+         |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, round(cs, 6) AS cos_sim FROM p WHERE cs >= 0.4""".stripMargin
+    },
+
     "bm25_single" -> duckBm25(Bm25.tokenizeQuery("data")),
     "bm25_multi" -> duckBm25(Bm25.tokenizeQuery("spark merge window")),
     "q1_agg" ->

@@ -1,0 +1,230 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for large-scale training-data pipelines:
+  * exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+  *
+  * These extend the reference's surface (it has no dedup; the closest analog
+  * is its duplicate-event suppression, db_cdc/consumer.rs:219-225) with the
+  * standard near-duplicate stack used over web-scale corpora.
+  *
+  * Scale design notes (100 TB):
+  *  - every candidate-generation step is equi-join-on-token/bucket shaped —
+  *    shuffle keys are short hashes, never full documents;
+  *  - exact dedup shuffles a 128-bit digest per row, not the text;
+  *  - MinHash bands turn the O(n²) pair space into per-bucket joins; bucket
+  *    skew (a degenerate band value) is bounded by banding on 4-hash tuples;
+  *  - all hashes derive from md5 (deterministic, seed-free) so results are
+  *    reproducible across engines and runs — no Math.random, no
+  *    partition-order dependence.
+  */
+object Dedup {
+
+  /** 60-bit stable integer hash from the md5 hex prefix — identical
+    * cross-engine (DuckDB: `('0x' || substr(md5(s),1,15))::BIGINT`). */
+  def stableHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Raw tokens: lowercase, split on non-alphanumeric runs, no stopword
+    * removal (dedup wants verbatim content, unlike BM25). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+
+  private def keyDigest(keyCols: Seq[Column]): Column =
+    md5(concat_ws("", keyCols: _*))
+
+  // ---- exact ---------------------------------------------------------------
+
+  /** Exact dedup: one surviving (minimum) id per distinct key. Shuffles
+    * (digest, id) pairs only. */
+  def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    df.select(col(idCol), keyDigest(keyCols.map(col)).as("_k"))
+      .groupBy(col("_k"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+
+  /** Duplicate groups: digest, surviving id, group size (only size > 1). */
+  def exactGroups(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    df.select(col(idCol), keyDigest(keyCols.map(col)).as("key_digest"))
+      .groupBy(col("key_digest"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+
+  // ---- n-gram Jaccard ------------------------------------------------------
+
+  /** Distinct word n-gram shingles per document: (id, shingle-hash).
+    * Documents with fewer than n tokens produce no shingles. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("_ts"))
+      .filter(size(col("_ts")) >= n) // sequence(0, size-n) must not descend
+      .select(col(idCol), explode(
+        transform(sequence(lit(0), size(col("_ts")) - n),
+          i => concat_ws(" ", slice(col("_ts"), i + 1, lit(n))))).as("shingle"))
+      .select(col(idCol), stableHash(col("shingle")).as("sh"))
+      .distinct()
+
+  /** Near-duplicate pairs by exact n-gram Jaccard ≥ threshold.
+    * Candidates = docs sharing ≥1 shingle (equi-join on the shingle hash);
+    * |A∩B| counted on the join, |A∪B| = |A|+|B|−|A∩B|. */
+  def jaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col(idCol).as("id_a"), col("sh"))
+    val b = sh.select(col(idCol).as("id_b"), col("sh"))
+    a.join(b, "sh")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---- MinHash + LSH -------------------------------------------------------
+
+  /** Mersenne prime 2^31−1: keeps a·h+b < 2^62 (no 64-bit overflow). */
+  val MinhashPrime: Long = 2147483647L
+  /** Deterministic per-hash-function coefficients (seed-free, documented so
+    * the oracle can reproduce them). */
+  def minhashCoeffs(numHashes: Int): Seq[(Long, Long)] =
+    (1 to numHashes).map { i =>
+      val a = (1103515245L * i + 12345L) % MinhashPrime
+      val b = (1226210591L * i + 54321L) % MinhashPrime
+      (if (a == 0) 1L else a, b)
+    }
+
+  /** MinHash signatures: (id, sig_0 … sig_{k−1}) — one aggregation pass over
+    * the shingle set, k min-aggregates (partial aggregation map-side). */
+  def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int): DataFrame = {
+    val sh = shingles(df, idCol, textCol, shingleN)
+      .withColumn("h31", col("sh") % MinhashPrime)
+    val aggs = minhashCoeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min((col("h31") * a + b) % MinhashPrime).as(s"sig_$i")
+    }
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: signatures banded into `bands` groups of
+    * `numHashes/bands` rows; docs sharing any full band are candidates. */
+  def lshCandidates(
+      signatures: DataFrame, idCol: String,
+      numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val banded = signatures.select(
+      col(idCol),
+      posexplode(array((0 until bands).map { bIdx =>
+        struct((0 until rows).map(r =>
+          col(s"sig_${bIdx * rows + r}").as(s"r$r")): _*)
+      }: _*)).as(Seq("band", "bucket")))
+    val l = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+    val r = banded.select(col(idCol).as("id_b"), col("band"), col("bucket"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: LSH candidates, then exact Jaccard
+    * verification ≥ threshold (the two-stage approximate→exact shape of
+    * SURVEY §4 O12). */
+  def minhashNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
+    val cand = lshCandidates(sigs, idCol, numHashes, bands)
+    val sh = shingles(df, idCol, textCol, shingleN).cache()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    cand
+      .join(sh.select(col(idCol).as("id_a"), col("sh")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .filter(col("sh") === col("sh_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---- SimHash -------------------------------------------------------------
+
+  val SimhashBits = 60 // bits of the stable 60-bit token hash
+
+  /** 60-bit SimHash fingerprint per document: bit b is set iff
+    * Σ_tokens tf · (bit b of hash(token) ? +1 : −1) > 0. Integer arithmetic
+    * throughout — exactly reproducible cross-engine. */
+  def simhashFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val termTf = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("h", stableHash(col("term")))
+    termTf
+      .select(col(idCol), explode(sequence(lit(0), lit(SimhashBits - 1))).as("bit"),
+        col("h"), col("tf"))
+      // integer bit extraction — h is 60 bits, beyond double's 53-bit mantissa
+      .withColumn("bitset", expr("shiftright(h, bit) % 2"))
+      .withColumn("contrib", when(col("bitset") === 1, col("tf")).otherwise(-col("tf")))
+      .groupBy(col(idCol), col("bit"))
+      .agg(sum(col("contrib")).as("s"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("s") > 0,
+        pow(lit(2.0), col("bit").cast("double")).cast("long")).otherwise(0L))
+        .as("fingerprint"))
+  }
+
+  /** Near-dup pairs by SimHash: band the 60-bit fingerprint into `bands`
+    * chunks (pigeonhole: pairs within `bands−1` differing bits share ≥1
+    * chunk), join per chunk, verify exact Hamming ≤ maxHamming. */
+  def simhashPairs(
+      fingerprints: DataFrame, idCol: String, maxHamming: Int,
+      bands: Int = 4): DataFrame = {
+    val chunkBits = SimhashBits / bands
+    val chunks = fingerprints.select(
+      col(idCol), col("fingerprint"),
+      posexplode(array((0 until bands).map { b =>
+        shiftright(col("fingerprint"), b * chunkBits) % (1L << chunkBits)
+      }: _*)).as(Seq("chunk_idx", "chunk")))
+    val l = chunks.select(col(idCol).as("id_a"), col("fingerprint").as("fp_a"),
+      col("chunk_idx"), col("chunk"))
+    val r = chunks.select(col(idCol).as("id_b"), col("fingerprint").as("fp_b"),
+      col("chunk_idx"), col("chunk"))
+    l.join(r, Seq("chunk_idx", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "fp_a", "fp_b")
+      .distinct()
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // ---- embedding cosine near-dup -------------------------------------------
+
+  /** Pairs of embeddings with cosine similarity ≥ threshold. Exact O(n²)
+    * baseline (broadcast nested-loop on the smaller side); the LSH/IVF
+    * bucketed variant is the scale path. */
+  def embeddingNearDups(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos_sim",
+        graft.functions.VectorFunctions.dot(col("va"), col("vb")) /
+          (graft.functions.VectorFunctions.norm(col("va")) *
+            graft.functions.VectorFunctions.norm(col("vb"))))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
+}

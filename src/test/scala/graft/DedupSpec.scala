@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 0
+    (2L, "completely different content about spark query engines and scale"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 0
+    (4L, "tiny")) // shorter than any shingle
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per distinct text") {
+    val kept = Dedup.exact(docs, "doc_id", Seq("text")).as[Long].collect().toSet
+    assert(kept == Set(0L, 1L, 2L, 4L)) // 3 deduped into 0
+    val groups = Dedup.exactGroups(docs, "doc_id", Seq("text"))
+      .select("keep_id", "n").as[(Long, Long)].collect().toSet
+    assert(groups == Set((0L, 2L)))
+  }
+
+  test("shingles: distinct n-grams, short docs produce none") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", 5)
+    assert(sh.filter(col("doc_id") === 4L).count() == 0)
+    // doc 0: 13 tokens → 9 shingles, all distinct
+    assert(sh.filter(col("doc_id") === 0L).count() == 9)
+    // identical docs have identical shingle sets
+    val s0 = sh.filter(col("doc_id") === 0L).select("sh").as[Long].collect().toSet
+    val s3 = sh.filter(col("doc_id") === 3L).select("sh").as[Long].collect().toSet
+    assert(s0 == s3)
+  }
+
+  test("jaccard pairs: exact dup = 1.0, near-dup high, unrelated absent") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 5, 0.3)
+      .as[(Long, Long, Double)].collect().map(p => ((p._1, p._2), p._3)).toMap
+    assert(pairs((0L, 3L)) == 1.0)
+    assert(pairs((0L, 1L)) > 0.4 && pairs((0L, 1L)) < 1.0)
+    assert(pairs.contains((1L, 3L))) // near-dup via transitivity of content
+    assert(!pairs.keys.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("minhash signatures: identical shingle sets give identical signatures") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 5, 16)
+    assert(sigs.columns.count(_.startsWith("sig_")) == 16)
+    val rows = sigs.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(rows(0L) == rows(3L))
+    assert(rows(0L) != rows(2L))
+  }
+
+  test("lsh candidates include identical docs; minhash near-dups verified") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 5, 16)
+    val cand = Dedup.lshCandidates(sigs, "doc_id", 16, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(cand.contains((0L, 3L)))
+    val nd = Dedup.minhashNearDups(docs, "doc_id", "text", 5, 16, 4, 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(nd.exists(p => p._1 == 0L && p._2 == 3L && p._3 == 1.0))
+    assert(!nd.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("simhash: identical docs same fingerprint; near-dups close in hamming") {
+    val fps = Dedup.simhashFingerprints(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fps(0L) == fps(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fps(0L), fps(1L)) < ham(fps(0L), fps(2L)))
+    val pairs = Dedup.simhashPairs(
+      Dedup.simhashFingerprints(docs, "doc_id", "text"), "doc_id", maxHamming = 0)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.map(p => (p._1, p._2)).contains((0L, 3L)))
+  }
+
+  test("embedding near-dups by cosine threshold") {
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f)),
+      (1L, Seq(0.99f, 0.1f, 0f)), // ~cos 0.995 with 0
+      (2L, Seq(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L)))
+    assert(pairs.head._3 > 0.99)
+  }
+}
