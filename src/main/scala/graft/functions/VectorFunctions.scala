@@ -39,15 +39,25 @@ object VectorFunctions {
 
   private def d(c: Column): Column = c.cast("double")
 
-  /** dot(a, b) accumulated left-to-right in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0), _ + _)
+  /** dot(a, b) accumulated left-to-right in double (codegen'd native loop). */
+  def dot(a: Column, b: Column): Column = VectorDistanceExpr.dot(a, b)
 
   /** Squared L2 distance (the reference's "Euclidean" metric). */
-  def l2sq(a: Column, b: Column): Column =
+  def l2sq(a: Column, b: Column): Column = VectorDistanceExpr.l2sq(a, b)
+
+  /** Interpreted higher-order-function formulations: bit-identical to the
+    * native expressions (same accumulation order); kept as the executable
+    * spec the parity tests check the codegen'd loops against. */
+  private[graft] def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0), _ + _)
+  private[graft] def l2sqHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => (d(x) - d(y)) * (d(x) - d(y))),
       lit(0.0), _ + _)
+  private[graft] def hammingSignHof(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => when((x > 0.0f) =!= (y > 0.0f), 1).otherwise(0)),
+      lit(0), _ + _)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -62,9 +72,7 @@ object VectorFunctions {
     * Matches B1 quantization (bit set iff value > 0,
     * usearch.rs:1179-1205) followed by the Hamming metric. */
   def hammingSign(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => when((x > 0.0f) =!= (y > 0.0f), 1).otherwise(0)),
-      lit(0), _ + _)
+    VectorDistanceExpr.hammingSign(a, b).cast("int")
 
   /** Distance column for a space type. */
   def distance(space: Space, a: Column, b: Column): Column = space match {

@@ -217,13 +217,13 @@ object Dedup {
     * bucketed variant is the scale path. */
   def embeddingNearDups(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    import graft.functions.VectorFunctions.{dot, norm}
+    // norms computed once per vector (n rows), not once per pair (n²)
+    val withNorm = df.select(col(idCol), col(vecCol), norm(col(vecCol)).as("_n"))
+    val a = withNorm.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("_n").as("na"))
+    val b = withNorm.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("_n").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos_sim",
-        graft.functions.VectorFunctions.dot(col("va"), col("vb")) /
-          (graft.functions.VectorFunctions.norm(col("va")) *
-            graft.functions.VectorFunctions.norm(col("vb"))))
+      .withColumn("cos_sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
   }

@@ -54,6 +54,22 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(packed == Seq(0xD5.toByte, 0x01.toByte))
   }
 
+  test("native codegen distance expressions are bit-identical to HOF spec") {
+    val emb = spark.read.parquet(sf("embeddings")).limit(200)
+    val pairs = emb.select(col("vec_id").as("ia"), col("embedding").as("a"))
+      .crossJoin(emb.select(col("vec_id").as("ib"), col("embedding").as("b")))
+      .filter(col("ia") < col("ib")).limit(2000)
+    val diff = pairs.select(
+      (VectorFunctions.dot(col("a"), col("b")) =!=
+        VectorFunctions.dotHof(col("a"), col("b"))).as("d1"),
+      (VectorFunctions.l2sq(col("a"), col("b")) =!=
+        VectorFunctions.l2sqHof(col("a"), col("b"))).as("d2"),
+      (VectorFunctions.hammingSign(col("a"), col("b")) =!=
+        VectorFunctions.hammingSignHof(col("a"), col("b"))).as("d3"))
+      .filter(col("d1") || col("d2") || col("d3"))
+    assert(diff.count() == 0) // exact bit equality, not approximate
+  }
+
   test("hamming on packed bits == hamming on sign bits") {
     val a = Seq(1f, -2f, 3f, -4f, 5f, 6f, -7f, 8f, 9f, -10f)
     val b = Seq(1f, 2f, -3f, -4f, -5f, 6f, 7f, 8f, -9f, -10f)
