@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.VectorFunctions._
 import graft.operators.Ann.AnnRequest
-import graft.operators.{Ann, Bm25, Dedup, Lww, Restriction, RestrictionCompiler}
+import graft.operators.{Ann, Bm25, Dedup, Lww, Restriction, RestrictionCompiler, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -189,6 +189,27 @@ object SparkEntry {
       Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
         .withColumn("cos_sim", round(col("cos_sim"), 6))),
 
+    // Text analysis over documents (training-pipeline hygiene operators).
+    "text_stats" -> ((s, dir) =>
+      TextAnalysis.stats(t(s, dir, "documents"), "doc_id", "text")
+        .withColumn("alpha_ratio", round(col("alpha_ratio"), 6))
+        .withColumn("punct_ratio", round(col("punct_ratio"), 6))),
+
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.quality(t(s, dir, "documents"), "doc_id", "text")
+        .withColumn("stopword_ratio", round(col("stopword_ratio"), 6))
+        .withColumn("mean_word_len", round(col("mean_word_len"), 6))),
+
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text")
+        .withColumn("hit_ratio", round(col("hit_ratio"), 6))),
+
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text")),
+
+    "token_report" -> ((s, dir) =>
+      TextAnalysis.tokenReport(t(s, dir, "documents"), "source", "text")),
+
     // T3/F10: BM25 top-k on the documents corpus, single- and multi-term
     // (disjunctive). Ordered on round(score,4) so cross-engine float ulps in
     // ln/sum cannot flip the k-boundary.
@@ -299,6 +320,61 @@ object SparkEntry {
          |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
          |SELECT id_a, id_b, round(cs, 6) AS cos_sim FROM p WHERE cs >= 0.4""".stripMargin
     },
+
+    "text_stats" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        |len(list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0)) AS n_ws_tokens,
+        |len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpeish_tokens,
+        |round(CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE) / length(text), 6) AS alpha_ratio,
+        |round(CAST(length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio
+        |FROM documents""".stripMargin,
+
+    "text_quality" -> {
+      s"""WITH q AS (SELECT doc_id, length(text) AS n_chars,
+         |  list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0) AS ws,
+         |  list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), t -> len(t) > 0) AS al
+         |  FROM documents),
+         |m AS (SELECT doc_id, n_chars,
+         |  CAST(len(list_filter(al, t -> t IN ($duckStop))) AS DOUBLE) / greatest(len(al), 1) AS stopword_ratio,
+         |  CAST(list_sum(list_transform(ws, t -> len(t))) AS DOUBLE) / len(ws) AS mean_word_len
+         |  FROM q)
+         |SELECT doc_id, n_chars, round(stopword_ratio, 6) AS stopword_ratio,
+         |  round(mean_word_len, 6) AS mean_word_len,
+         |  (n_chars BETWEEN 50 AND 100000 AND stopword_ratio >= 0.01
+         |   AND mean_word_len <= 15.0) AS keep
+         |FROM m""".stripMargin
+    },
+
+    "text_langid" -> {
+      val structs = TextAnalysis.LangStopwords.zipWithIndex.map { case ((lang, words), i) =>
+        val list = words.map(w => s"'$w'").mkString(", ")
+        s"{'r': CAST(len(list_filter(al, t -> t IN ($list))) AS DOUBLE) / greatest(len(al), 1), " +
+          s"'pri': ${TextAnalysis.LangStopwords.length - i}, 'lang': '$lang'}"
+      }.mkString(", ")
+      s"""WITH q AS (SELECT doc_id,
+         |  list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), t -> len(t) > 0) AS al
+         |  FROM documents),
+         |b AS (SELECT doc_id, list_aggregate([$structs], 'max') AS best FROM q)
+         |SELECT doc_id, best.lang AS pred_lang, round(best.r, 6) AS hit_ratio FROM b""".stripMargin
+    },
+
+    "text_fingerprint" ->
+      s"""WITH q AS (SELECT doc_id,
+         |  list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), t -> len(t) > 0) AS al
+         |  FROM documents),
+         |h AS (SELECT doc_id, list_prepend(0::BIGINT,
+         |  list_transform(al, t -> ${duckHash("t")} % ${TextAnalysis.RollPrime})) AS hs
+         |  FROM q)
+         |SELECT doc_id, list_reduce(hs,
+         |  (acc, x) -> (acc * ${TextAnalysis.RollBase} + x) % ${TextAnalysis.RollPrime}) AS fingerprint
+         |FROM h""".stripMargin,
+
+    "token_report" ->
+      """SELECT source, count(*) AS n_docs,
+        |CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0))) AS BIGINT) AS ws_tokens,
+        |CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpeish_tokens,
+        |CAST(sum(length(text)) AS BIGINT) AS chars
+        |FROM documents GROUP BY source""".stripMargin,
 
     "bm25_single" -> duckBm25(Bm25.tokenizeQuery("data")),
     "bm25_multi" -> duckBm25(Bm25.tokenizeQuery("spark merge window")),

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, n-gram/stopword language ID, order-sensitive document
+  * fingerprinting. All integer/ratio arithmetic — exactly reproducible
+  * cross-engine (no model weights, no randomness).
+  *
+  * These extend the reference's surface (its only text machinery is the FTS
+  * analyzer, fts_index/tantivy.rs:162-169) with the corpus-hygiene operators
+  * a 100 TB ingest needs. Everything is a per-row projection or a single
+  * aggregation — embarrassingly parallel, no shuffles except final groupBys.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (empty-safe). */
+  def wsTokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish subword segmentation via regex: alphabetic runs, single digits,
+    * single punctuation marks — a deterministic stand-in for a learned BPE
+    * vocabulary with the same asymptotic count behavior. */
+  val BpeishPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpeishPattern), lit(0))
+
+  /** Per-document counting/ratio columns:
+    * n_chars, ws_tokens, bpeish_tokens, alpha_ratio, punct_ratio. */
+  def stats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      length(t).as("n_chars"),
+      size(wsTokens(t)).as("n_ws_tokens"),
+      size(bpeishTokens(t)).as("n_bpeish_tokens"),
+      (length(regexp_replace(t, "[^\\p{L}]", "")).cast("double") / length(t))
+        .as("alpha_ratio"),
+      (length(regexp_replace(t, "[\\p{L}\\p{N}\\s]", "")).cast("double") / length(t))
+        .as("punct_ratio"))
+  }
+
+  /** Quality signals: stopword ratio (fluency proxy), mean word length,
+    * and a composite keep/drop flag with the usual web-corpus thresholds. */
+  def quality(
+      df: DataFrame, idCol: String, textCol: String,
+      minChars: Int = 50, maxChars: Int = 100000,
+      minStopwordRatio: Double = 0.01, maxMeanWordLen: Double = 15.0): DataFrame = {
+    val allToks = wsTokens(col(textCol))
+    val nAll = size(allToks)
+    val stopCount = size(filter(
+      Dedup.tokens(col(textCol)),
+      t => t.isInCollection(Bm25.EnglishStopwords)))
+    val meanLen = aggregate(allToks, lit(0L), (acc, t) => acc + length(t))
+      .cast("double") / nAll
+    val stopRatio = stopCount.cast("double") / greatest(size(Dedup.tokens(col(textCol))), lit(1))
+    df.select(
+      col(idCol),
+      length(col(textCol)).as("n_chars"),
+      stopRatio.as("stopword_ratio"),
+      meanLen.as("mean_word_len"),
+      (length(col(textCol)).between(minChars, maxChars) &&
+        stopRatio >= minStopwordRatio &&
+        meanLen <= maxMeanWordLen).as("keep"))
+  }
+
+  /** Tiny per-language function-word lists (public, frequency-ordered). */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "in", "den", "von", "zu", "das", "mit", "sich"),
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "you", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "no"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "que"))
+
+  /** Stopword-hit-ratio language ID: predicted language = argmax over
+    * per-language function-word hit ratios; ties break alphabetically
+    * (deterministic). Emits the predicted code + its ratio. */
+  def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = Dedup.tokens(col(textCol))
+    val nToks = greatest(size(toks), lit(1))
+    // struct(ratio, priority, lang): greatest() picks max ratio, then the
+    // alphabetically-first language via descending priority
+    val scored = LangStopwords.zipWithIndex.map { case ((lang, words), i) =>
+      struct(
+        (size(filter(toks, t => t.isInCollection(words))).cast("double") / nToks).as("r"),
+        lit(LangStopwords.length - i).as("pri"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    df.select(
+      col(idCol),
+      best.getField("lang").as("pred_lang"),
+      best.getField("r").as("hit_ratio"))
+  }
+
+  /** Order-sensitive rolling polynomial fingerprint over token hashes:
+    * h ← (h·B + hash31(token)) mod P. Unlike SimHash (a bag-of-words sketch)
+    * this distinguishes permuted documents. */
+  val RollBase = 1000003L
+  val RollPrime: Long = Dedup.MinhashPrime // 2^31−1 keeps products < 2^62
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashes = transform(Dedup.tokens(col(textCol)),
+      t => Dedup.stableHash(t) % RollPrime)
+    df.select(
+      col(idCol),
+      aggregate(hashes, lit(0L),
+        (acc, h) => (acc * RollBase + h) % RollPrime).as("fingerprint"))
+  }
+
+  /** Corpus-level token accounting, grouped by a metadata column (the
+    * "how many tokens per source/language" pipeline report). */
+  def tokenReport(df: DataFrame, groupCol: String, textCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(wsTokens(col(textCol)))).as("ws_tokens"),
+        sum(size(bpeishTokens(col(textCol)))).as("bpeish_tokens"),
+        sum(length(col(textCol))).as("chars"))
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "The quick brown fox, and the lazy dog!"),
+    (1L, "el perro y el gato en la casa de los niños no se van"),
+    (2L, "x"),
+    (3L, "word word word other")) // repeated tokens, order matters
+    .toDF("doc_id", "text")
+
+  test("stats: chars, tokens, ratios") {
+    val r = TextAnalysis.stats(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    val d0 = r(0L)
+    assert(d0.getAs[Int]("n_chars") == 38)
+    assert(d0.getAs[Int]("n_ws_tokens") == 8)
+    // bpe-ish: 8 words + ',' + '!' = 10
+    assert(d0.getAs[Int]("n_bpeish_tokens") == 10)
+    assert(d0.getAs[Double]("punct_ratio") > 0 && d0.getAs[Double]("punct_ratio") < 0.1)
+    assert(r(2L).getAs[Double]("alpha_ratio") == 1.0)
+  }
+
+  test("quality: stopword-poor or too-short docs dropped") {
+    val q = TextAnalysis.quality(docs, "doc_id", "text", minChars = 10)
+      .collect().map(x => x.getLong(0) -> x.getAs[Boolean]("keep")).toMap
+    assert(q(0L)) // fluent English, long enough
+    assert(!q(2L)) // too short
+  }
+
+  test("language id: picks the right function-word profile") {
+    val langs = TextAnalysis.languageId(docs, "doc_id", "text")
+      .collect().map(x => (x.getLong(0), x.getString(1))).toMap
+    assert(langs(0L) == "en")
+    assert(langs(1L) == "es")
+    // no hits anywhere → all ratios 0 → alphabetical tiebreak
+    assert(langs(2L) == "de")
+  }
+
+  test("fingerprint is order-sensitive, unlike a bag-of-words sketch") {
+    val a = Seq((0L, "alpha beta gamma"), (1L, "gamma beta alpha"),
+      (2L, "alpha beta gamma")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(a, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fp(0L) == fp(2L))
+    assert(fp(0L) != fp(1L))
+  }
+
+  test("token report aggregates per group") {
+    val g = Seq((0L, "a", "one two"), (1L, "a", "three"), (2L, "b", "four five six"))
+      .toDF("doc_id", "src", "text")
+    val r = TextAnalysis.tokenReport(g, "src", "text")
+      .select("src", "n_docs", "ws_tokens")
+      .as[(String, Long, Long)].collect()
+      .map { case (k, v, w) => k -> ((v, w)) }.toMap
+    assert(r("a") == ((2L, 3L)) && r("b") == ((1L, 3L)))
+  }
+}
