@@ -2,7 +2,8 @@ package graft
 
 import graft.functions.VectorFunctions._
 import graft.operators.Ann.AnnRequest
-import graft.operators.{Ann, Bm25, Dedup, Lww, Restriction, RestrictionCompiler, TextAnalysis}
+import graft.operators.{Ann, Bm25, Catalog, Dedup, Engine, Lww, Restriction,
+  RestrictionCompiler, ResultFormat, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -169,6 +170,34 @@ object SparkEntry {
           count(lit(1)).as("n"),
           round(sum(col("value").cast("decimal(18,6)")), 4).cast("double").as("sum_value"))
     }),
+    // O2/O4: local (partitioned) index — routed through the Engine; the
+    // partition-key Eq is consumed by pruning, no ALLOW FILTERING needed.
+    "ann_local" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0)
+      val eng = new Engine
+      eng.addIndex(Catalog.IndexMetadata(
+        "vs", "ann_local", "embeddings", "embedding",
+        primaryKeyColumns = Seq("vec_id"),
+        partitioning = Catalog.Local(Seq("label")),
+        kind = Catalog.Vs(Catalog.IndexOptionsVs(qv.length, Euclidean))), emb)
+      eng.ann("vs", "ann_local", AnnRequest(qv, limit = 10,
+          restrictions = Seq(Restriction.Eq("label", 3)), allowFiltering = false))
+        .select(col("vec_id"), (round(col("distance"), 6) + lit(0.0)).as("distance"))
+    }),
+
+    // S8: columnar response transpose (rows-only check — array-of-double
+    // serialization differs across engines, covered by EngineSpec instead).
+    "ann_transposed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0)
+      ResultFormat.transpose(
+        Ann.plan(emb, "embedding", Seq("vec_id"), Euclidean, AnnRequest(qv, limit = 5)),
+        Seq("vec_id"))
+    }),
+
     // Dedup suite over the documents corpus (LLM-pipeline operators).
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", Seq("text"))),
@@ -404,6 +433,7 @@ object SparkEntry {
     "ann_dot" -> duckAnn(s"-$duckDot"),
     "ann_hamming" -> duckAnn(duckHamming),
     "ann_filtered" -> duckAnn(duckL2, "WHERE e.label IN (3, 7)"),
+    "ann_local" -> duckAnn(duckL2, "WHERE e.label = 3"),
 
     "lww_state" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsn, event_type, value FROM events),

@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.operators.Ann.AnnRequest
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The query-routing engine shell: catalog + registered index DataFrames +
+  * the reference's HTTP error taxonomy (SURVEY §3.1-3.2).
+  *
+  * Reference: httproutes.rs:741-813 (ANN route outcomes: NotFound→404,
+  * NotServing→503 with progress, NoGlobalIndex→400, residual filtering
+  * without allow_filtering→400), httproutes.rs:975-1009 (BM25 route),
+  * indexes.rs:360-431 (routing), vs_index/usearch.rs:815-864 (local-index
+  * partition pruning consuming Eq restrictions — O2/O4).
+  *
+  * The Spark analogue of "partition pruning": a local index's base DataFrame
+  * is expected to be written `partitionBy(partitionColumns…)`; the compiled
+  * Eq restriction on those columns then prunes at the file-source level
+  * (PartitionFilters in the scan), which is exactly the reference's
+  * "resolve the sub-index, drop those restrictions from the residual".
+  */
+final class QueryException(val status: Int, msg: String)
+  extends RuntimeException(msg)
+
+final class Engine {
+  import Catalog._
+
+  val catalog = new Catalog
+  private var frames: Map[IndexKey, DataFrame] = Map.empty
+
+  def addIndex(meta: IndexMetadata, df: DataFrame,
+      status: IndexStatus = Serving, progressPct: Double = 100.0): Unit = {
+    catalog.register(meta, status, progressPct)
+    frames = frames.updated(meta.key, df)
+  }
+
+  def setStatus(key: IndexKey, status: IndexStatus, progressPct: Double = 100.0): Unit =
+    catalog.setStatus(key, status, progressPct)
+
+  /** Routed, validated ANN search — the whole §3.1 lifecycle. */
+  def ann(keyspace: String, index: String, req: AnnRequest): DataFrame = {
+    val (eqCols, rangeCols) = RestrictionCompiler.splitColumns(req.restrictions)
+    catalog.bestIndex(IndexKey(keyspace, index), eqCols, rangeCols) match {
+      case NotFound =>
+        throw new QueryException(404, s"index $keyspace/$index not found")
+      case NotServing(progress) =>
+        throw new QueryException(503, f"index $keyspace/$index not serving (build $progress%.1f%%)")
+      case NoGlobalIndex =>
+        throw new QueryException(400,
+          "no serving candidate can answer a global query (local indexes need partition-key Eq restrictions)")
+      case ServingIndex(meta, needs) =>
+        needs match {
+          case YesFiltering(_) if !req.allowFiltering =>
+            throw new QueryException(400,
+              "query requires residual filtering; set allowFiltering=true")
+          case _ => ()
+        }
+        try Ann.search(frames(meta.key), meta, req)
+        catch {
+          case e: Ann.AnnValidationException => throw new QueryException(400, e.getMessage)
+        }
+    }
+  }
+
+  /** Routed BM25 search (no routing groups / no filters for FTS —
+    * httproutes.rs:975-1009). */
+  def bm25(keyspace: String, index: String, query: String, limit: Int): DataFrame = {
+    val key = IndexKey(keyspace, index)
+    catalog.get(key) match {
+      case None => throw new QueryException(404, s"index $keyspace/$index not found")
+      case Some(e) if e.status != Serving =>
+        throw new QueryException(503, f"index $keyspace/$index not serving (build ${e.progressPct}%.1f%%)")
+      case Some(e) =>
+        e.meta.kind match {
+          case Fts(_) =>
+            Bm25.search(frames(key), e.meta.primaryKeyColumns.head,
+              e.meta.targetColumn, query, limit)
+          case _ => throw new QueryException(400, s"index $keyspace/$index is not an FTS index")
+        }
+    }
+  }
+
+  /** Live row count of an index (A1; surfaced at httproutes.rs:437-456). */
+  def count(keyspace: String, index: String): Long = {
+    val key = IndexKey(keyspace, index)
+    val entry = catalog.get(key).getOrElse(
+      throw new QueryException(404, s"index $keyspace/$index not found"))
+    frames(key).filter(col(entry.meta.targetColumn).isNotNull).count()
+  }
+}
+
+/** Columnar response shaping (SURVEY §2 S8): pivot result rows into
+  * per-column arrays ordered by (distance, pk) — the reference's
+  * `primary_keys: {col → [values]}, distances, similarity_scores` JSON shape
+  * (httproutes.rs:1237-1269), with ±∞ saturated to ±f32::MAX
+  * (httpapi/src/lib.rs:397-409). */
+object ResultFormat {
+  val FloatMax: Double = java.lang.Float.MAX_VALUE.toDouble
+
+  def saturate(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    least(greatest(c, lit(-FloatMax)), lit(FloatMax))
+
+  /** One-row DataFrame with one array column per pk column plus `distances`
+    * and `similarity_scores`, element order = ascending (distance, pk…). */
+  def transpose(results: DataFrame, pkCols: Seq[String]): DataFrame = {
+    val ordered = sort_array(collect_list(struct(
+      col("distance") +: pkCols.map(col) :+ col("similarity"): _*)))
+    results
+      .agg(ordered.as("_rows"))
+      .select(
+        pkCols.map(c => transform(col("_rows"), r => r.getField(c)).as(s"pk_$c")) ++ Seq(
+          transform(col("_rows"), r => saturate(r.getField("distance"))).as("distances"),
+          transform(col("_rows"), r => saturate(r.getField("similarity"))).as("similarity_scores")): _*)
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import graft.functions.VectorFunctions._
+import graft.operators._
+import graft.operators.Ann.AnnRequest
+import graft.operators.Catalog._
+import org.apache.spark.sql.functions._
+
+/** End-to-end routing/error taxonomy vs httproutes.rs:741-813 / 975-1009. */
+class EngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vsMeta(index: String, partitioning: Partitioning = Global,
+      filtering: Seq[String] = Nil, version: Long = 0) =
+    IndexMetadata("ks", index, "items", "embedding",
+      primaryKeyColumns = Seq("pk"), partitioning = partitioning,
+      filteringColumns = filtering, version = version,
+      kind = Vs(IndexOptionsVs(dims = 2, space = Euclidean)))
+
+  private lazy val items = Seq(
+    (1, Seq(0f, 1f), 10, 100),
+    (2, Seq(1f, 0f), 10, 200),
+    (3, Seq(1f, 1f), 20, 100),
+    (4, Seq(0.9f, 0.9f), 20, 200))
+    .toDF("pk", "embedding", "part", "c1")
+
+  private def engine: Engine = {
+    val e = new Engine
+    e.addIndex(vsMeta("ann_g", filtering = Seq("c1")), items)
+    e.addIndex(vsMeta("ann_l", partitioning = Local(Seq("part"))), items)
+    e
+  }
+
+  test("404 for unknown index") {
+    val ex = intercept[QueryException] { engine.ann("ks", "nope", AnnRequest(Seq(0f, 1f))) }
+    assert(ex.status == 404)
+  }
+
+  test("503 with progress while building") {
+    val e = new Engine
+    e.addIndex(vsMeta("ann_g"), items, status = FullScanning, progressPct = 42.0)
+    val ex = intercept[QueryException] { e.ann("ks", "ann_g", AnnRequest(Seq(0f, 1f))) }
+    assert(ex.status == 503 && ex.getMessage.contains("42.0"))
+  }
+
+  test("NoGlobalIndex (400) wins over NotServing when a local candidate serves") {
+    val e = engine
+    e.setStatus(IndexKey("ks", "ann_g"), FullScanning, 42.0)
+    // ann_l still serving but cannot serve a global query → 400, not 503
+    val ex = intercept[QueryException] { e.ann("ks", "ann_g", AnnRequest(Seq(0f, 1f))) }
+    assert(ex.status == 400)
+  }
+
+  test("routing: query lands on the group member that can serve it") {
+    // ann_l is local-only; a query with part Eq routes to it even when
+    // addressed at ann_g… and vice versa: a filter on c1 routes to ann_g.
+    val viaL = engine.ann("ks", "ann_g",
+      AnnRequest(Seq(1f, 1f), limit = 2,
+        restrictions = Seq(Restriction.Eq("part", 20))))
+    assert(viaL.select("pk").as[Int].collect().toSeq == Seq(3, 4))
+    val viaG = engine.ann("ks", "ann_l",
+      AnnRequest(Seq(1f, 1f), limit = 1,
+        restrictions = Seq(Restriction.Eq("c1", 100)), allowFiltering = true))
+    assert(viaG.select("pk").as[Int].collect().toSeq == Seq(3))
+  }
+
+  test("local partition-Eq is consumed: no allowFiltering needed (O2/O4)") {
+    val res = engine.ann("ks", "ann_l",
+      AnnRequest(Seq(0f, 1f), limit = 5,
+        restrictions = Seq(Restriction.Eq("part", 10)), allowFiltering = false))
+    assert(res.select("pk").as[Int].collect().toSeq == Seq(1, 2))
+  }
+
+  test("400 when residual filtering without allowFiltering") {
+    val ex = intercept[QueryException] {
+      engine.ann("ks", "ann_g", AnnRequest(Seq(0f, 1f),
+        restrictions = Seq(Restriction.Eq("c1", 100)), allowFiltering = false))
+    }
+    assert(ex.status == 400)
+  }
+
+  test("400 when only local candidates and no partition Eq") {
+    val e = new Engine
+    e.addIndex(vsMeta("only_local", partitioning = Local(Seq("part"))), items)
+    val ex = intercept[QueryException] { e.ann("ks", "only_local", AnnRequest(Seq(0f, 1f))) }
+    assert(ex.status == 400)
+  }
+
+  test("version tiebreak picks newest serving index") {
+    val e = new Engine
+    e.addIndex(vsMeta("v1", version = 1), items.limit(2))
+    e.addIndex(vsMeta("v2", version = 2), items)
+    // both serve with NoFiltering; v2 (newer) wins → sees all 4 rows
+    val res = e.ann("ks", "v1", AnnRequest(Seq(0.9f, 0.9f), limit = 4))
+    assert(res.count() == 4)
+  }
+
+  test("bm25 route: 404 / kind mismatch / search") {
+    val e = new Engine
+    val ftsMeta = IndexMetadata("ks", "fts1", "docs", "body",
+      primaryKeyColumns = Seq("doc_id"), kind = Fts(IndexOptionsFts()))
+    e.addIndex(ftsMeta, Seq((1L, "spark engine"), (2L, "other text")).toDF("doc_id", "body"))
+    assert(e.bm25("ks", "fts1", "spark", 5).select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    assert(intercept[QueryException] { e.bm25("ks", "nope", "q", 1) }.status == 404)
+    val e2 = engine
+    assert(intercept[QueryException] { e2.bm25("ks", "ann_g", "q", 1) }.status == 400)
+  }
+
+  test("count: live (non-null target) rows (A1)") {
+    val e = new Engine
+    e.addIndex(vsMeta("cnt"), items.union(
+      Seq((9, null.asInstanceOf[Seq[Float]], 30, 1)).toDF("pk", "embedding", "part", "c1")))
+    assert(e.count("ks", "cnt") == 4)
+  }
+
+  test("result transpose: columnar arrays ordered by distance (S8)") {
+    val res = engine.ann("ks", "ann_g", AnnRequest(Seq(0f, 1f), limit = 3))
+    val row = ResultFormat.transpose(res, Seq("pk")).head()
+    assert(row.getSeq[Int](row.fieldIndex("pk_pk")).head == 1)
+    val dists = row.getSeq[Double](row.fieldIndex("distances")).toList
+    assert(dists == dists.sorted && dists.length == 3)
+    assert(row.getSeq[Double](row.fieldIndex("similarity_scores")).head == 1.0)
+  }
+}
