@@ -1,0 +1,166 @@
+package graft.streaming
+
+import graft.operators.Lww
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming ingest path (SURVEY §2.8, §3.3 step 4).
+  *
+  * Reference architecture being re-expressed:
+  *  - dual-cadence CDC readers with safety intervals (db_cdc/actor.rs:42-105)
+  *    → one stream with a watermark; the "wide reader" consistency pass is a
+  *    periodic batch reconciliation with [[Lww.applyChanges]] (idempotent);
+  *  - duplicate (pk,ts,op) suppression (db_cdc/consumer.rs:219-225)
+  *    → dropDuplicates within the watermark;
+  *  - per-key LWW state machine (table/mod.rs:887-1003)
+  *    → flatMapGroupsWithState emitting state transitions;
+  *  - CDC upsert enrichment re-read (db_cdc/consumer.rs:60-122)
+  *    → stream-static left join, missing base row ⇒ synthesized delete;
+  *  - FTS commit batching every 3 s (fts_index/tantivy.rs:129-130)
+  *    → Trigger.ProcessingTime + foreachBatch merge.
+  *
+  * Scale: state is per-key (pk digest), partitioned by Spark's state store —
+  * 1000 executors hold disjoint key ranges; nothing is driver-resident.
+  */
+object StreamingIngest {
+
+  /** Schema-generic change event: pk rendered to a stable key string, payload
+    * carried as JSON (parsed back with the table schema downstream). */
+  final case class KeyedEvent(
+      key: String,
+      ts: Long,
+      seq: Long,
+      tombstone: Boolean,
+      payload: Option[String])
+
+  final case class KeyState(
+      key: String,
+      ts: Long,
+      seq: Long,
+      tombstone: Boolean,
+      payload: Option[String])
+
+  /** Project an untyped change DataFrame into the typed event stream.
+    * `targetCol=null` (or op=DELETE) ⇒ tombstone, per table/mod.rs:912-915. */
+  def toKeyedEvents(
+      df: DataFrame,
+      pkCols: Seq[String],
+      tsCol: String,
+      seqCol: String,
+      opCol: Option[String],
+      targetCol: Option[String],
+      payloadCols: Seq[String]): Dataset[KeyedEvent] = {
+    import df.sparkSession.implicits._
+    val tomb = {
+      val opTomb = opCol.map(c => upper(col(c)) === "DELETE").getOrElse(lit(false))
+      val nullTomb = targetCol.map(c => col(c).isNull).getOrElse(lit(false))
+      opTomb || nullTomb
+    }
+    df.select(
+      to_json(struct(pkCols.map(col): _*)).as("key"),
+      col(tsCol).cast("long").as("ts"),
+      col(seqCol).cast("long").as("seq"),
+      tomb.as("tombstone"),
+      when(tomb, lit(null))
+        .otherwise(to_json(struct(payloadCols.map(col): _*))).as("payload"))
+      .as[KeyedEvent]
+  }
+
+  /** The per-key LWW transition (compare_timestamps + update_index,
+    * table/mod.rs:616-1003): newer ts wins; equal-ts later arrivals are
+    * no-ops; pure function so batch and streaming share it. */
+  def transition(cur: Option[KeyState], ev: KeyedEvent): Option[KeyState] = {
+    val accepted = cur match {
+      case None => true
+      case Some(st) => ev.ts > st.ts // equal ts: first arrival won (mod.rs:905-910)
+    }
+    if (accepted) Some(KeyState(ev.key, ev.ts, ev.seq, ev.tombstone, ev.payload))
+    else None
+  }
+
+  /** Continuous stateful LWW: emits one [[KeyState]] per accepted transition
+    * (Update-mode semantics). Events within a micro-batch are applied in
+    * (ts, seq) order so replays and reordering within the watermark are
+    * deterministic. */
+  def lwwStateStream(events: Dataset[KeyedEvent]): Dataset[KeyState] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[KeyedEvent], state: GroupState[KeyState]) =>
+          var cur = state.getOption
+          var changed = false
+          // arrival order within the batch = (ts asc, seq asc): the max-ts
+          // event with the smallest seq ends up winning, matching
+          // Lww.compactState's max_by((ts, -seq)).
+          it.toSeq.sortBy(e => (e.ts, e.seq)).foreach { ev =>
+            transition(cur, ev).foreach { next => cur = Some(next); changed = true }
+          }
+          cur.foreach(state.update)
+          if (changed) Iterator(cur.get) else Iterator.empty
+      }
+  }
+
+  /** Watermark + in-window duplicate suppression (ST1/ST3): duplicates are
+    * identical (key, ts, tombstone) deliveries — e.g. the wide reader
+    * re-delivering what the fine reader already sent. */
+  def withDedup(events: Dataset[KeyedEvent], watermarkDelay: String): Dataset[KeyedEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("event_time", timestamp_micros(col("ts")))
+      .withWatermark("event_time", watermarkDelay)
+      .dropDuplicates(Seq("key", "ts", "tombstone"))
+      .drop("event_time")
+      .as[KeyedEvent]
+  }
+
+  /** S4/J2 stream-static enrichment: a thin CDC event (pk + ts) re-reads the
+    * current base-table row; a missing row becomes a synthesized delete
+    * (db_cdc/consumer.rs:60-122). Works for both batch and streaming left
+    * sides (stream-static join re-evaluates the static side per micro-batch). */
+  def enrich(
+      events: DataFrame,
+      baseTable: DataFrame,
+      pkCols: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    val joined = events.join(baseTable.select((pkCols ++ valueCols).map(col): _*),
+      pkCols, "left")
+    joined.withColumn("op",
+      when(valueCols.map(c => col(c).isNull).reduce(_ && _), lit("DELETE"))
+        .otherwise(lit("UPSERT")))
+  }
+
+  /** foreachBatch merge: compact the micro-batch and LWW-merge it into the
+    * parquet snapshot at `statePath` (read-modify-write; the batch analogue
+    * of the reference's monitor_items merge loop). Returns the writer lambda
+    * for `.writeStream.foreachBatch(...)`. */
+  def mergeIntoSnapshot(
+      spark: SparkSession,
+      statePath: String,
+      pkCols: Seq[String],
+      tsCol: String,
+      opCol: Option[String],
+      targetCol: Option[String],
+      seqCol: Option[String]): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, _: Long) =>
+      val compacted = Lww.compactState(batch, pkCols, tsCol, opCol, targetCol, seqCol)
+      val merged =
+        if (new java.io.File(statePath).exists()) {
+          val base = spark.read.parquet(statePath)
+          Lww.applyChanges(base, batch, pkCols, tsCol, opCol, targetCol, seqCol)
+        } else compacted
+      // write-new-then-swap keeps readers consistent (no partial state dir)
+      val tmp = statePath + ".tmp"
+      merged.write.mode("overwrite").parquet(tmp)
+      val target = new java.io.File(statePath)
+      if (target.exists()) {
+        val old = new java.io.File(statePath + ".old")
+        if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
+        target.renameTo(old)
+      }
+      new java.io.File(tmp).renameTo(target)
+      ()
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import graft.operators.Lww
+import graft.streaming.StreamingIngest
+import graft.streaming.StreamingIngest.{KeyedEvent, KeyState}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming LWW vs batch compaction equivalence (SURVEY §2.8 ST1–ST4). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(key: String, ts: Long, seq: Long, tomb: Boolean = false,
+      payload: Option[String] = Some("{}")) =
+    KeyedEvent(key, ts, seq, tomb, if (tomb) None else payload)
+
+  private val events = Seq(
+    ev("a", 100, 0, payload = Some("""{"v":1}""")),
+    ev("a", 300, 1, payload = Some("""{"v":3}""")),
+    ev("a", 200, 2, payload = Some("""{"v":2}""")), // stale, ignored
+    ev("b", 100, 3, payload = Some("""{"v":9}""")),
+    ev("b", 150, 4, tomb = true), // delete b
+    ev("c", 100, 5, payload = Some("""{"v":7}""")),
+    ev("c", 100, 6, payload = Some("""{"v":8}"""))) // equal ts, later seq: ignored
+
+  private def runStream(batches: Seq[Seq[KeyedEvent]]): Map[String, KeyState] = {
+    val mem = MemoryStream[KeyedEvent](spark)
+    val q = StreamingIngest.lwwStateStream(mem.toDS())
+      .writeStream.format("memory").queryName(s"lww_out_${System.nanoTime()}")
+      .outputMode("update").start()
+    try {
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      spark.table(q.name).as[KeyState].collect()
+        .groupBy(_.key).map { case (k, vs) => k -> vs.maxBy(s => (s.ts, -s.seq)) }
+    } finally q.stop()
+  }
+
+  test("streaming LWW final state == batch compaction, any batch split") {
+    val batchDf = events.toDF()
+    val expected = Lww.compactState(batchDf, Seq("key"), "ts",
+        opCol = None, targetCol = Some("payload"), seqCol = Some("seq"))
+      .select(col("key"), col(Lww.TsCol).as("ts"), col(Lww.TombstoneCol).as("tombstone"))
+      .as[(String, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    for (split <- Seq(Seq(events), events.grouped(3).toSeq, events.map(Seq(_)))) {
+      val got = runStream(split)
+      assert(got.keySet == expected.keySet)
+      got.foreach { case (k, st) =>
+        assert((st.ts, st.tombstone) == expected(k), s"key $k split ${split.length}")
+      }
+    }
+  }
+
+  test("tombstone wins and stale delete is ignored") {
+    val got = runStream(Seq(Seq(
+      ev("x", 300, 0, payload = Some("""{"v":1}""")),
+      ev("x", 200, 1, tomb = true)))) // stale delete
+    assert(!got("x").tombstone)
+    val got2 = runStream(Seq(Seq(ev("y", 100, 0)), Seq(ev("y", 200, 1, tomb = true))))
+    assert(got2("y").tombstone)
+  }
+
+  test("duplicate deliveries within the watermark are suppressed (ST3)") {
+    val mem = MemoryStream[KeyedEvent](spark)
+    val deduped = StreamingIngest.withDedup(mem.toDS(), "10 seconds")
+    val q = StreamingIngest.lwwStateStream(deduped)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("update").start()
+    try {
+      val e = ev("k", 1000000, 0, payload = Some("""{"v":1}"""))
+      mem.addData(Seq(e)); q.processAllAvailable()
+      mem.addData(Seq(e.copy(seq = 1))); q.processAllAvailable() // wide-reader redelivery
+      val rows = spark.table("dedup_out").as[KeyState].collect()
+      assert(rows.length == 1) // second delivery produced no transition
+    } finally q.stop()
+  }
+
+  test("stream-static enrichment: missing base row becomes a delete (S4)") {
+    val cdc = Seq((1L, 100L), (2L, 200L)).toDF("pk", "ts")
+    val base = Seq((1L, "live-row")).toDF("pk", "body")
+    val enriched = StreamingIngest.enrich(cdc, base, Seq("pk"), Seq("body"))
+      .select("pk", "op").as[(Long, String)].collect().toMap
+    assert(enriched(1L) == "UPSERT" && enriched(2L) == "DELETE")
+  }
+
+  test("foreachBatch merge maintains a consistent parquet snapshot") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_state").toFile
+    val statePath = new java.io.File(dir, "state").getAbsolutePath
+    val mem = MemoryStream[KeyedEvent](spark)
+    val q = mem.toDS().toDF()
+      .writeStream
+      .foreachBatch(StreamingIngest.mergeIntoSnapshot(
+        spark, statePath, Seq("key"), "ts",
+        opCol = None, targetCol = Some("payload"), seqCol = Some("seq")))
+      .start()
+    try {
+      mem.addData(Seq(ev("a", 100, 0), ev("b", 100, 1)))
+      q.processAllAvailable()
+      mem.addData(Seq(ev("a", 200, 2, tomb = true), ev("c", 300, 3)))
+      q.processAllAvailable()
+      val live = spark.read.parquet(statePath)
+        .filter(!col(Lww.TombstoneCol)).select("key").as[String].collect().toSet
+      assert(live == Set("b", "c"))
+      // replaying batch 2 is a no-op (idempotent merge)
+      mem.addData(Seq(ev("a", 200, 4, tomb = true), ev("c", 300, 5)))
+      q.processAllAvailable()
+      val live2 = spark.read.parquet(statePath)
+        .filter(!col(Lww.TombstoneCol)).select("key").as[String].collect().toSet
+      assert(live2 == Set("b", "c"))
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+  }
+}
