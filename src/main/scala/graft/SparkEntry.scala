@@ -2,8 +2,8 @@ package graft
 
 import graft.functions.VectorFunctions._
 import graft.operators.Ann.AnnRequest
-import graft.operators.{Ann, Bm25, Catalog, Dedup, Engine, Lww, Restriction,
-  RestrictionCompiler, ResultFormat, TextAnalysis}
+import graft.operators.{Ann, ApproxAnn, Bm25, Catalog, Dedup, Engine, Lww,
+  Multimodal, Restriction, RestrictionCompiler, ResultFormat, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -197,6 +197,44 @@ object SparkEntry {
         Ann.plan(emb, "embedding", Seq("vec_id"), Euclidean, AnnRequest(qv, limit = 5)),
         Seq("vec_id"))
     }),
+
+    // O12: quantized two-stage rescoring and LSH multi-probe — approximate
+    // paths, validated against the exact plan in ApproxAnnSpec (rows-only
+    // driver check; approximation is not SQL-oracle-able economically).
+    "ann_rescored" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0)
+      ApproxAnn.searchRescored(emb, "embedding", Seq("vec_id"), Euclidean,
+          AnnRequest(qv, limit = 10), oversample = 5.0)
+        .select(col("vec_id"), (round(col("distance"), 6) + lit(0.0)).as("distance"))
+    }),
+
+    "ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0)
+      val idx = ApproxAnn.buildLshIndex(emb, "embedding", nbits = 8, dims = qv.length)
+      ApproxAnn.searchLsh(idx, "embedding", Seq("vec_id"), Euclidean,
+          AnnRequest(qv, limit = 10), nbits = 8, radius = 2)
+        .select(col("vec_id"), (round(col("distance"), 6) + lit(0.0)).as("distance"))
+    }),
+
+    // Multimodal plumbing: deterministic stub decode (no media libs in this
+    // container) over a synthesized media table — features exploded to
+    // scalars for exact oracle comparison.
+    "multimodal_features" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(t(s, dir, "documents"), "doc_id", "text")
+      media.select(col("media_id"),
+          posexplode(Multimodal.pseudoFeatures(col("payload"), 4)))
+        .select(col("media_id"), col("pos").as("idx"),
+          round(col("col"), 6).as("feature"))
+    }),
+
+    "frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.syntheticMedia(t(s, dir, "documents"), "doc_id", "text"),
+        everyMs = 50)),
 
     // Dedup suite over the documents corpus (LLM-pipeline operators).
     "dedup_exact" -> ((s, dir) =>
@@ -434,6 +472,18 @@ object SparkEntry {
     "ann_hamming" -> duckAnn(duckHamming),
     "ann_filtered" -> duckAnn(duckL2, "WHERE e.label IN (3, 7)"),
     "ann_local" -> duckAnn(duckL2, "WHERE e.label = 3"),
+
+    "multimodal_features" ->
+      s"""SELECT doc_id AS media_id, i.idx,
+         |round(CAST(${duckHash("text || ':' || i.idx")} % ${Dedup.MinhashPrime} AS DOUBLE)
+         |      / ${Dedup.MinhashPrime}.0, 6) AS feature
+         |FROM documents, (SELECT unnest(range(4)) AS idx) i""".stripMargin,
+
+    "frame_sample" ->
+      """SELECT doc_id AS media_id,
+        |unnest(range(0, greatest(length(text) * 10 - 1, 0) + 1, 50)) AS t_ms,
+        |CAST(unnest(range(0, greatest(length(text) * 10 - 1, 0) + 1, 50)) / 50 AS INT) AS frame_idx
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
 
     "lww_state" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsn, event_type, value FROM events),

@@ -88,7 +88,8 @@ object Ann {
       pkCols: Seq[String],
       space: Space,
       req: AnnRequest,
-      tieBreak: Boolean = true): DataFrame = {
+      tieBreak: Boolean = true,
+      carryCols: Seq[String] = Nil): DataFrame = {
     val dims = req.vector.length
     val pred = RestrictionCompiler.compileAll(df.schema, req.restrictions)
     val distCol = VectorFunctions.distance(space, col(embeddingCol), typedlit(req.vector))
@@ -100,7 +101,8 @@ object Ann {
       .orderBy(ordering: _*)
       .limit(req.limit)
       .withColumn("similarity", VectorFunctions.similarity(space, col("distance"), dims))
-      .select(pkCols.map(col) :+ col("distance") :+ col("similarity"): _*)
+      .select(pkCols.map(col) ++ carryCols.map(col) :+
+        col("distance") :+ col("similarity"): _*)
   }
 
   /** Batched multi-query ANN: one small query set against a large vector

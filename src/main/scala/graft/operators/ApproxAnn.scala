@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.functions.{Quantization, VectorFunctions}
+import graft.functions.VectorFunctions.Space
+import graft.operators.Ann.AnnRequest
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate two-stage ANN — the 100 TB scale path (SURVEY §7.2 step 9,
+  * §4 O12 oversampling/rescoring shape).
+  *
+  * The reference delegates approximate search to an HNSW graph inside one
+  * process (usearch.rs). A graph walk doesn't distribute; the Spark-native
+  * equivalents are partition-pruning indexes:
+  *
+  *  - **LSH (random hyperplane)**: deterministic seed-free hyperplanes
+  *    derived from md5, signature = sign bits of the projections. Bucket
+  *    column is written `partitionBy(bucket)` so a probe reads only
+  *    matching partitions (multi-probe = flip low-confidence bits).
+  *  - **IVF**: nearest-of-k-centroids assignment (centroids from any
+  *    training step, e.g. a deterministic sample); probe the nprobe nearest
+  *    centroids at query time.
+  *  - **Quantized rescoring**: stage 1 ranks k·oversample candidates on the
+  *    lossy (i8) representation, stage 2 re-scores exactly — mirroring the
+  *    reference's oversampling/rescoring options
+  *    (validator/src/quantization_and_rescoring.rs:91-347).
+  *
+  * All stages are plain DataFrame plans: scan-prune → distance → top-k.
+  */
+object ApproxAnn {
+
+  /** Deterministic hyperplane weight for (projection j, dim i) in [-1, 1] —
+    * md5-derived, reproducible anywhere. */
+  private def planeWeight(j: Int, i: Int): Double = {
+    val h = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s"graft:$j:$i").substring(0, 15), 16)
+    (h.toDouble / Dedup.MinhashPrime.toDouble % 1.0) * 2.0 - 1.0
+  }
+
+  /** Hyperplane matrix for `nbits` projections over `dims` dimensions. */
+  def hyperplanes(nbits: Int, dims: Int): Array[Array[Double]] =
+    Array.tabulate(nbits, dims)((j, i) => planeWeight(j, i))
+
+  /** Signature bucket (0 .. 2^nbits-1) of a vector column. */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (w, j) =>
+      val proj = aggregate(
+        zip_with(vec, typedlit(w.toSeq), (x, y) => x.cast("double") * y),
+        lit(0.0), _ + _)
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Index build: base DataFrame + `_bucket` column. Write the result
+    * `partitionBy("_bucket")` and probes become partition-pruned scans. */
+  def buildLshIndex(df: DataFrame, vecCol: String, nbits: Int, dims: Int): DataFrame =
+    df.withColumn("_bucket", lshBucket(col(vecCol), hyperplanes(nbits, dims)))
+
+  /** Query-side probe set: the query's bucket plus all buckets within
+    * Hamming distance `radius` (multi-probe). */
+  def probeBuckets(queryVec: Seq[Float], nbits: Int, radius: Int): Seq[Long] = {
+    val planes = hyperplanes(nbits, queryVec.length)
+    val base = planes.zipWithIndex.map { case (w, j) =>
+      val proj = queryVec.zip(w).map { case (x, y) => x.toDouble * y }.sum
+      if (proj > 0) 1L << j else 0L
+    }.sum
+    def flips(b: Long, startBit: Int, r: Int): Seq[Long] =
+      if (r == 0) Seq(b)
+      else (startBit until nbits).flatMap(j => flips(b ^ (1L << j), j + 1, r - 1)) :+ b
+    flips(base, 0, radius).distinct
+  }
+
+  /** Two-stage LSH search: prune to probe buckets, exact distance, top-k. */
+  def searchLsh(
+      indexed: DataFrame, vecCol: String, pkCols: Seq[String],
+      space: Space, req: AnnRequest, nbits: Int, radius: Int = 1): DataFrame = {
+    val probes = probeBuckets(req.vector, nbits, radius)
+    Ann.plan(
+      indexed.filter(col("_bucket").isin(probes: _*)),
+      vecCol, pkCols, space, req)
+  }
+
+  /** IVF assignment: nearest centroid id per vector (centroids broadcast). */
+  def assignToCentroids(
+      df: DataFrame, vecCol: String,
+      centroids: Seq[(Int, Seq[Float])]): DataFrame = {
+    val cands = centroids.map { case (cid, cvec) =>
+      struct(
+        VectorFunctions.l2sq(col(vecCol), typedlit(cvec)).as("d"),
+        lit(cid).as("cid"))
+    }
+    df.withColumn("_centroid", least(cands: _*).getField("cid"))
+  }
+
+  /** Two-stage IVF search: probe the `nprobe` nearest centroids, exact
+    * distance within them, top-k. */
+  def searchIvf(
+      assigned: DataFrame, vecCol: String, pkCols: Seq[String],
+      space: Space, req: AnnRequest,
+      centroids: Seq[(Int, Seq[Float])], nprobe: Int): DataFrame = {
+    val probeIds = centroids
+      .map { case (cid, cvec) =>
+        val d = cvec.zip(req.vector).map { case (c, q) =>
+          (c.toDouble - q.toDouble) * (c.toDouble - q.toDouble)
+        }.sum
+        (d, cid)
+      }
+      .sortBy(identity).take(nprobe).map(_._2)
+    Ann.plan(
+      assigned.filter(col("_centroid").isin(probeIds: _*)),
+      vecCol, pkCols, space, req)
+  }
+
+  /** Quantized two-stage rescoring (O12): stage 1 takes k·oversample by
+    * distance on the i8-dequantized vectors; stage 2 re-scores those
+    * candidates at full precision and returns the exact-ordered top-k. */
+  def searchRescored(
+      df: DataFrame, vecCol: String, pkCols: Seq[String],
+      space: Space, req: AnnRequest, oversample: Double = 5.0): DataFrame = {
+    val quantized = df.withColumn("_q", Quantization.i8(col(vecCol)))
+      .withColumn("_vq", Quantization.i8Dequant(col("_q")))
+    val stage1K = math.max(req.limit, (req.limit * oversample).toInt)
+    val stage1 = Ann.plan(quantized, "_vq", pkCols, space,
+      req.copy(limit = stage1K), carryCols = Seq(vecCol))
+    // stage 2: exact re-score of the candidate set only (restrictions were
+    // already applied in stage 1)
+    Ann.plan(
+      stage1.select((pkCols :+ vecCol).map(col): _*),
+      vecCol, pkCols, space, req.copy(restrictions = Nil))
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.functions.{Quantization, VectorFunctions}
+import graft.functions.VectorFunctions.Euclidean
+import graft.operators.{Ann, ApproxAnn}
+import graft.operators.Ann.AnnRequest
+import org.apache.spark.sql.functions._
+
+/** Approximate two-stage ANN: recall against the exact plan (the quality
+  * bar the reference measures as recall@k, benchmark/src/main.rs:608-634). */
+class ApproxAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(sf("embeddings")).cache()
+  private lazy val qv: Seq[Float] =
+    emb.filter(col("vec_id") === 1).select("embedding").head.getSeq[Float](0)
+
+  private def exactIds(k: Int): Seq[Long] =
+    Ann.plan(emb, "embedding", Seq("vec_id"), Euclidean, AnnRequest(qv, k))
+      .select("vec_id").as[Long].collect().toSeq
+
+  test("lsh buckets are deterministic and partition the data") {
+    val idx = ApproxAnn.buildLshIndex(emb, "embedding", nbits = 8, dims = qv.length)
+    val idx2 = ApproxAnn.buildLshIndex(emb, "embedding", nbits = 8, dims = qv.length)
+    assert(idx.select("vec_id", "_bucket").collect().toSet ==
+      idx2.select("vec_id", "_bucket").collect().toSet)
+    val nBuckets = idx.select("_bucket").distinct().count()
+    assert(nBuckets > 10 && nBuckets <= 256)
+  }
+
+  test("lsh multi-probe search reaches reasonable recall@10") {
+    val idx = ApproxAnn.buildLshIndex(emb, "embedding", nbits = 8, dims = qv.length)
+    val approx = ApproxAnn.searchLsh(idx, "embedding", Seq("vec_id"),
+      Euclidean, AnnRequest(qv, 10), nbits = 8, radius = 2)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = exactIds(10).count(approx.contains) / 10.0
+    assert(recall >= 0.5, s"recall $recall") // random hyperplanes, r=2 probe
+    // probe set actually prunes: strictly fewer rows scanned than the table
+    val probes = ApproxAnn.probeBuckets(qv, 8, 2)
+    val scanned = idx.filter(col("_bucket").isin(probes: _*)).count()
+    assert(scanned < emb.count())
+  }
+
+  test("ivf probe search: candidates only from nearest centroids; recall sane") {
+    val centroids = emb.filter(col("vec_id") < 16)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      .zipWithIndex.map { case ((_, v), i) => (i, v) }.toSeq
+    val assigned = ApproxAnn.assignToCentroids(emb, "embedding", centroids)
+    assert(assigned.select("_centroid").distinct().count() <= 16)
+    val approx = ApproxAnn.searchIvf(assigned, "embedding", Seq("vec_id"),
+      Euclidean, AnnRequest(qv, 10), centroids, nprobe = 8)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = exactIds(10).count(approx.contains) / 10.0
+    assert(recall >= 0.4, s"recall $recall")
+  }
+
+  test("quantized rescoring: stage-2 exact rerank fixes stage-1 ordering (O12)") {
+    val rescored = ApproxAnn.searchRescored(emb, "embedding", Seq("vec_id"),
+      Euclidean, AnnRequest(qv, 10), oversample = 5.0)
+      .select("vec_id").as[Long].collect().toSeq
+    val recall = exactIds(10).count(rescored.contains) / 10.0
+    assert(recall >= 0.9, s"recall $recall") // i8 is a mild quantization
+    // distances in the output are full-precision (match exact for shared ids)
+    val exactD = Ann.plan(emb, "embedding", Seq("vec_id"), Euclidean, AnnRequest(qv, 10))
+      .select("vec_id", "distance").as[(Long, Double)].collect().toMap
+    val rescoredD = ApproxAnn.searchRescored(emb, "embedding", Seq("vec_id"),
+      Euclidean, AnnRequest(qv, 10), oversample = 5.0)
+      .select("vec_id", "distance").as[(Long, Double)].collect().toMap
+    rescoredD.foreach { case (id, d) =>
+      exactD.get(id).foreach(ed => assert(ed == d)) }
+  }
+
+  test("i8 quantization round-trip error is bounded by scale/2") {
+    val v = Seq(Tuple1(Seq(1.0f, -0.5f, 0.25f, 127.0f, -127.0f)))
+      .toDF("v")
+      .withColumn("q", Quantization.i8(col("v")))
+      .withColumn("back", Quantization.i8Dequant(col("q")))
+    val (orig, back) = v.select("v", "back")
+      .as[(Seq[Float], Seq[Float])].head()
+    val scale = 127.0f / 127.0f
+    orig.zip(back).foreach { case (o, b) =>
+      assert(math.abs(o - b) <= scale / 2 + 1e-6) }
+  }
+
+  test("f16/bf16 simulation: coarser mantissa, order preserved") {
+    val v = Seq(Tuple1(Seq(0.1f, 0.2f, 0.3f, 1000.5f)))
+      .toDF("v")
+      .select(Quantization.f16(col("v")).as("h"), Quantization.bf16(col("v")).as("b"))
+      .as[(Seq[Float], Seq[Float])].head()
+    v._1.zip(Seq(0.1f, 0.2f, 0.3f, 1000.5f)).foreach { case (q, o) =>
+      assert(math.abs(q - o) <= math.abs(o) / 512 + 1e-6) } // ≥10-bit mantissa
+    v._2.zip(Seq(0.1f, 0.2f, 0.3f, 1000.5f)).foreach { case (q, o) =>
+      assert(math.abs(q - o) <= math.abs(o) / 64 + 1e-6) } // ≥7-bit mantissa
+  }
+}
