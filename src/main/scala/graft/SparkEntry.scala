@@ -282,6 +282,15 @@ object SparkEntry {
     // ln/sum cannot flip the k-boundary.
     "bm25_single" -> (bm25("data") _),
     "bm25_multi" -> (bm25("spark merge window") _),
+
+    // F11: exact phrase query over positional postings.
+    "bm25_phrase" -> ((s, dir) => {
+      val pidx = Bm25.buildPositionalIndex(t(s, dir, "documents"), "doc_id", "text")
+      Bm25.searchPhrase(pidx, "table hash", Int.MaxValue)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(10)
+    }),
   )
 
   private def bm25(query: String)(s: SparkSession, dir: String): DataFrame = {
@@ -445,6 +454,26 @@ object SparkEntry {
 
     "bm25_single" -> duckBm25(Bm25.tokenizeQuery("data")),
     "bm25_multi" -> duckBm25(Bm25.tokenizeQuery("spark merge window")),
+
+    "bm25_phrase" ->
+      s"""WITH toks0 AS (SELECT doc_id,
+         |  list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'),
+         |              t -> len(t) > 0 AND t NOT IN ($duckStop)) AS al
+         |  FROM documents),
+         |t AS (SELECT doc_id, unnest(al) AS term, unnest(range(len(al))) AS pos FROM toks0),
+         |dl AS (SELECT doc_id, len(al) AS dl FROM toks0),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |m AS (SELECT a.doc_id, count(*) AS ptf
+         |  FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |  WHERE a.term = 'table' AND b.term = 'hash' GROUP BY a.doc_id),
+         |dfp AS (SELECT CAST(count(*) AS DOUBLE) AS df FROM m),
+         |scored AS (SELECT m.doc_id,
+         |    ln(1.0 + (s.n_docs - dfp.df + 0.5) / (dfp.df + 0.5)) *
+         |    (m.ptf * (1.2 + 1.0)) / (m.ptf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS score
+         |  FROM m JOIN dl ON dl.doc_id = m.doc_id, dfp, stats s)
+         |SELECT doc_id, round(score, 4) AS score FROM scored
+         |ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10""".stripMargin,
     "q1_agg" ->
       "SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY l_returnflag",
 

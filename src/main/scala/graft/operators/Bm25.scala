@@ -111,6 +111,87 @@ object Bm25 {
       .agg(sum(col("term_score")).as("score"))
   }
 
+  // ---- phrase queries (F11) ------------------------------------------------
+
+  /** Positional postings (tantivy indexes WithFreqsAndPositions,
+    * tantivy.rs:172-175): (id, term, tf, positions sorted asc). */
+  final case class PosIndex(postings: DataFrame, docLens: DataFrame, idCol: String)
+
+  def buildPositionalIndex(docs: DataFrame, idCol: String, textCol: String): PosIndex = {
+    val toks = docs.select(col(idCol),
+      posexplode(tokenize(col(textCol))).as(Seq("pos", "term")))
+    val postings = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("pos"))).as("positions"))
+    val docLens = docs.select(col(idCol), size(tokenize(col(textCol))).as("dl"))
+    PosIndex(postings, docLens, idCol)
+  }
+
+  /** Exact phrase search: documents where the phrase terms occur at
+    * consecutive positions. Scored like tantivy's PhraseQuery — BM25 with
+    * tf = phrase frequency (number of aligned starts) and df = number of
+    * documents containing the phrase. */
+  def searchPhrase(index: PosIndex, phrase: String, k: Int): DataFrame = {
+    val terms = phrase.toLowerCase.split("[^\\p{L}\\p{N}]+").toSeq
+      .filter(t => t.nonEmpty && !EnglishStopwords.contains(t))
+    require(terms.nonEmpty, "phrase has no indexable terms")
+
+    // per term i: positions shifted by -i; phrase starts = intersection
+    val aligned = terms.zipWithIndex.map { case (t, i) =>
+      index.postings.filter(col("term") === t)
+        .select(col(index.idCol),
+          transform(col("positions"), p => p - i).as(s"_p$i"))
+    }.reduce((a, b) => a.join(b, index.idCol))
+    val starts = (0 until terms.length).map(i => col(s"_p$i"))
+      .reduce((a, b) => array_intersect(a, b))
+    val matches = aligned
+      .withColumn("ptf", size(starts))
+      .filter(col("ptf") > 0)
+      .select(col(index.idCol), col("ptf"))
+
+    val stats = index.docLens.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val dfPhrase = matches.agg(count(lit(1)).cast("double").as("df"))
+
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val tfNorm = (col("ptf") * (K1 + 1.0)) /
+      (col("ptf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
+    matches
+      .join(index.docLens, index.idCol)
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(dfPhrase))
+      .withColumn("score", idf * tfNorm)
+      .select(col(index.idCol), col("score"))
+      .orderBy(col("score").desc, col(index.idCol).asc)
+      .limit(k)
+  }
+
+  /** Minimal QueryParser (tantivy QueryParser subset, tantivy.rs:237-246):
+    * double-quoted segments are phrases, bare words are disjunctive terms;
+    * total score = sum of term and phrase scores per document. */
+  def searchParsed(docs: DataFrame, idCol: String, textCol: String,
+      query: String, k: Int): DataFrame = {
+    val phraseRe = "\"([^\"]+)\"".r
+    val phrases = phraseRe.findAllMatchIn(query).map(_.group(1)).toSeq
+    val remainder = phraseRe.replaceAllIn(query, " ")
+    val scores = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    if (tokenizeQuery(remainder).nonEmpty) {
+      val idx = buildIndex(docs, idCol, textCol)
+      scores += scoreAll(idx, remainder).select(col(idCol), col("score"))
+    }
+    if (phrases.nonEmpty) {
+      val pidx = buildPositionalIndex(docs, idCol, textCol)
+      phrases.foreach { p =>
+        scores += searchPhrase(pidx, p, Int.MaxValue).select(col(idCol), col("score"))
+      }
+    }
+    require(scores.nonEmpty, "query has no indexable terms")
+    scores.reduce(_ unionByName _)
+      .groupBy(col(idCol)).agg(sum(col("score")).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** One-shot convenience: build + search (what the HTTP bm25 route does
     * end-to-end, httproutes.rs:906-1054). */
   def search(docs: DataFrame, idCol: String, textCol: String,
