@@ -11,7 +11,15 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm the session (codegen, parquet footers, file listing) so per-query
+    // numbers measure steady-state compute, not first-job JVM overheads
+    Tables.names.foreach { n =>
+      try Tables.load(spark, sfDir, n).count() catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // operators cache intermediates (shingle sets etc.) scoped to their own
+      // query; release before timing so queries don't inherit GC pressure
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

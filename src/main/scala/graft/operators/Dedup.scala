@@ -104,13 +104,19 @@ object Dedup {
     * the shingle set, k min-aggregates (partial aggregation map-side). */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, numHashes: Int): DataFrame = {
-    val sh = shingles(df, idCol, textCol, shingleN)
-      .withColumn("h31", col("sh") % MinhashPrime)
+      shingleN: Int, numHashes: Int): DataFrame =
+    minhashSignaturesFromShingles(
+      shingles(df, idCol, textCol, shingleN), idCol, numHashes)
+
+  /** Same, over an existing (id, sh) shingle DataFrame — lets callers reuse
+    * one cached shingle pass for signatures AND verification. */
+  def minhashSignaturesFromShingles(
+      sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val h31 = sh.withColumn("h31", col("sh") % MinhashPrime)
     val aggs = minhashCoeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
       min((col("h31") * a + b) % MinhashPrime).as(s"sig_$i")
     }
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    h31.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH candidate pairs: signatures banded into `bands` groups of
@@ -140,9 +146,9 @@ object Dedup {
   def minhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
-    val cand = lshCandidates(sigs, idCol, numHashes, bands)
     val sh = shingles(df, idCol, textCol, shingleN).cache()
+    val sigs = minhashSignaturesFromShingles(sh, idCol, numHashes)
+    val cand = lshCandidates(sigs, idCol, numHashes, bands)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     cand
       .join(sh.select(col(idCol).as("id_a"), col("sh")), "id_a")
