@@ -135,6 +135,11 @@ final class Catalog {
 
   def get(key: IndexKey): Option[Entry] = entries.get(key)
   def list: Seq[Entry] = entries.values.toSeq
+  def remove(key: IndexKey): Boolean = {
+    val existed = entries.contains(key)
+    entries = entries.removed(key)
+    existed
+  }
 
   /** `best_index` (`indexes.rs:360-431`): route to the best serving index in
     * the requested index's routing group. */
