@@ -118,11 +118,57 @@ object SparkEntry {
         .select("c_custkey", "c_nationkey")
     }),
 
+    // P1: Eq + bounded range on one column.
+    "restr_eq_range" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      c.filter(RestrictionCompiler.compileAll(c.schema, Seq(
+          Restriction.Eq("c_mktsegment", "BUILDING"),
+          Restriction.Gte("c_acctbal", 0.0),
+          Restriction.Lte("c_acctbal", 5000.0))))
+        .select("c_custkey", "c_acctbal")
+    }),
+
+    // P1: InTuple (disjunction of tuple equalities, mixed types).
+    "restr_in_tuple" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      c.filter(RestrictionCompiler.compileAll(c.schema, Seq(
+          Restriction.InTuple(Seq("c_nationkey", "c_mktsegment"),
+            Seq(Seq(1, "BUILDING"), Seq(5, "AUTOMOBILE"), Seq(9, "MACHINERY"))))))
+        .select("c_custkey", "c_nationkey", "c_mktsegment")
+    }),
+
     // T1: ANN top-k, one query vector, all four spaces (F1-F4).
     "ann_euclidean" -> (ann(Euclidean) _),
     "ann_cosine" -> (ann(Cosine) _),
     "ann_dot" -> (ann(DotProduct) _),
     "ann_hamming" -> (ann(Hamming) _),
+
+    // T1 at the limit extremes: k=1 (request default) and k=100.
+    "ann_k1" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 7).select("embedding")
+        .head.getSeq[Float](0)
+      Ann.plan(emb, "embedding", Seq("vec_id"), Euclidean, AnnRequest(qv))
+        .select(col("vec_id"), (round(col("distance"), 6) + lit(0.0)).as("distance"))
+    }),
+    "ann_k100" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0)
+      Ann.plan(emb, "embedding", Seq("vec_id"), Euclidean, AnnRequest(qv, limit = 100))
+        .select(col("vec_id"), (round(col("distance"), 6) + lit(0.0)).as("distance"))
+    }),
+
+    // F5: similarity score mapping surfaced alongside the distance.
+    "ann_similarity" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0)
+      Ann.plan(emb, "embedding", Seq("vec_id"), Cosine, AnnRequest(qv, limit = 10))
+        .select(col("vec_id"),
+          (round(col("distance"), 6) + lit(0.0)).as("distance"),
+          (round(col("similarity"), 6) + lit(0.0)).as("similarity"))
+    }),
 
     // T2: filtered ANN — restriction evaluated before ranking (O1).
     "ann_filtered" -> (ann(Euclidean, Seq(Restriction.In("label", Seq(3, 7)))) _),
@@ -494,6 +540,35 @@ object SparkEntry {
       """SELECT c_custkey, c_nationkey FROM customer
         |WHERE (c_nationkey > 12 OR (c_nationkey = 12 AND c_custkey > 100))
         |AND (c_nationkey < 20 OR (c_nationkey = 20 AND c_custkey <= 5000))""".stripMargin,
+
+    "restr_eq_range" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND c_acctbal >= 0.0 AND c_acctbal <= 5000.0""".stripMargin,
+
+    "restr_in_tuple" ->
+      """SELECT c_custkey, c_nationkey, c_mktsegment FROM customer
+        |WHERE (c_nationkey = 1 AND c_mktsegment = 'BUILDING')
+        |   OR (c_nationkey = 5 AND c_mktsegment = 'AUTOMOBILE')
+        |   OR (c_nationkey = 9 AND c_mktsegment = 'MACHINERY')""".stripMargin,
+
+    "ann_k1" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+         |d AS (SELECT e.vec_id, $duckL2 AS dist FROM embeddings e, q)
+         |SELECT vec_id, round(dist, 6) + 0.0 AS distance
+         |FROM d ORDER BY dist ASC, vec_id ASC LIMIT 1""".stripMargin,
+
+    "ann_k100" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |d AS (SELECT e.vec_id, $duckL2 AS dist FROM embeddings e, q)
+         |SELECT vec_id, round(dist, 6) + 0.0 AS distance
+         |FROM d ORDER BY dist ASC, vec_id ASC LIMIT 100""".stripMargin,
+
+    "ann_similarity" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |d AS (SELECT e.vec_id, $duckCosDist AS dist FROM embeddings e, q)
+         |SELECT vec_id, round(dist, 6) + 0.0 AS distance,
+         |       round((2.0 - dist) / 2.0, 6) + 0.0 AS similarity
+         |FROM d ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
 
     "ann_euclidean" -> duckAnn(duckL2),
     "ann_cosine" -> duckAnn(duckCosDist),
