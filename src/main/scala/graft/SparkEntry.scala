@@ -205,6 +205,24 @@ object SparkEntry {
         .select("user_id", "event_type", "value", Lww.TsCol)
     }),
 
+    // A1: live (indexable) row count per group — the index count surface.
+    "index_count" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .filter(col("embedding").isNotNull)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"))),
+
+    // A3: per-partition sizes of the live compacted state (empty partitions
+    // disappear — partition removal).
+    "partition_sizes" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("op", when(col("event_type") === "error", "DELETE").otherwise("UPSERT"))
+      val live = Lww.compactLive(ev, pkCols = Seq("user_id"), tsCol = "ts_us",
+        opCol = Some("op"), seqCol = Some("event_id"))
+      Lww.partitionSizes(live, Seq("event_type"))
+    }),
+
     // Tumbling-window aggregation on the event stream (pure integer hour
     // bucketing on nanos ⇒ exact cross-engine parity; decimal-exact sum).
     "event_window_agg" -> ((s, dir) => {
@@ -600,6 +618,15 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY tsn DESC, event_id ASC) rn FROM e)
         |SELECT user_id, event_type, value, tsn AS _lww_ts
         |FROM r WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    "index_count" ->
+      "SELECT label, count(*) AS n FROM embeddings WHERE embedding IS NOT NULL GROUP BY label",
+
+    "partition_sizes" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsn, event_type FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY tsn DESC, event_id ASC) rn FROM e)
+        |SELECT event_type, count(*) AS size
+        |FROM r WHERE rn = 1 AND event_type <> 'error' GROUP BY event_type""".stripMargin,
 
     "event_window_agg" ->
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_epoch_s, event_type,
