@@ -65,13 +65,29 @@ object Dedup {
       .select(col(idCol), stableHash(col("shingle")).as("sh"))
       .distinct()
 
+  /** Skew guard for candidate self-joins: drop shingles present in more
+    * than `maxDf` documents. A boilerplate shingle shared by millions of
+    * docs would otherwise create a quadratic join bucket; ultra-frequent
+    * shingles carry no near-dup signal (standard web-dedup practice).
+    * NOTE: changes results for docs whose only overlap is boilerplate —
+    * that's the point; keep None for oracle-exact comparisons. */
+  def capShingleDf(sh: DataFrame, idCol: String, maxDf: Option[Int]): DataFrame =
+    maxDf match {
+      case None => sh
+      case Some(cap) =>
+        val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("sh")
+        sh.join(hot, Seq("sh"), "left_anti")
+    }
+
   /** Near-duplicate pairs by exact n-gram Jaccard ≥ threshold.
     * Candidates = docs sharing ≥1 shingle (equi-join on the shingle hash);
     * |A∩B| counted on the join, |A∪B| = |A|+|B|−|A∩B|. */
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n).cache()
+      n: Int, threshold: Double,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    val sh = capShingleDf(shingles(df, idCol, textCol, n), idCol, maxShingleDf).cache()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.select(col(idCol).as("id_a"), col("sh"))
     val b = sh.select(col(idCol).as("id_b"), col("sh"))
