@@ -93,6 +93,16 @@ object SparkEntry {
             .cast("double").as("revenue"))
     }),
 
+    // Timestamp-typed predicate pushdown + exact decimal aggregation.
+    "q_date_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1995-07-01")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")), 4).cast("double").as("revenue"))),
+
     // T1-style global top-k with deterministic tiebreak.
     "q_topk" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -550,6 +560,12 @@ object SparkEntry {
 
     "q_topk" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10",
+
+    "q_date_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))), 4) AS DOUBLE) AS revenue
+        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-07-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "restr_forms" ->
       "SELECT c_custkey FROM customer WHERE c_nationkey IN (1, 5, 9) AND c_acctbal > 1000.0",
