@@ -40,8 +40,12 @@ object Bm25 {
 
   /** SimpleTokenizer + LowerCaser + stopword removal: split on runs of
     * non-alphanumeric (unicode-aware, tantivy.rs:855-877 tests), drop empties
-    * and stopwords. Duplicates preserved (needed for term frequencies). */
-  def tokenize(text: Column): Column = {
+    * and stopwords. Duplicates preserved (needed for term frequencies).
+    * Native single-pass expression; regex formulation kept as its spec. */
+  def tokenize(text: Column): Column =
+    graft.functions.TokenizeExpr.tokens(text, EnglishStopwords)
+
+  private[graft] def tokenizeRegex(text: Column): Column = {
     val toks = split(lower(text), "[^\\p{L}\\p{N}]+")
     filter(toks, t => length(t) > 0 && !t.isInCollection(EnglishStopwords))
   }

@@ -28,8 +28,13 @@ object Dedup {
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Raw tokens: lowercase, split on non-alphanumeric runs, no stopword
-    * removal (dedup wants verbatim content, unlike BM25). */
+    * removal (dedup wants verbatim content, unlike BM25). Native
+    * single-pass expression; the regex formulation below is its executable
+    * spec (exact-equality pinned in TokenizeParitySpec). */
   def tokens(text: Column): Column =
+    graft.functions.TokenizeExpr.tokens(text)
+
+  private[graft] def tokensRegex(text: Column): Column =
     filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
 
   private def keyDigest(keyCols: Seq[Column]): Column =
@@ -150,6 +155,9 @@ object Dedup {
       }: _*)).as(Seq("band", "bucket")))
     val l = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
     val r = banded.select(col(idCol).as("id_b"), col("band"), col("bucket"))
+    // cache: both sides of the self-join would otherwise recompute the
+    // signature aggregation (measured 2× the candidate-stage cost)
+    banded.cache()
     l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
