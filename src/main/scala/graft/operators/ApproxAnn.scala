@@ -81,6 +81,34 @@ object ApproxAnn {
       vecCol, pkCols, space, req)
   }
 
+  /** Train IVF centroids with MLlib k-means (the "batch vector index build
+    * via MLlib/DataFrame" path): one distributed training job, deterministic
+    * under a fixed seed, centroids come back to the driver (k · dims floats —
+    * tiny) to be broadcast into assignment/probing. */
+  def trainIvfCentroids(
+      df: DataFrame, vecCol: String, k: Int, seed: Long = 42L,
+      maxIter: Int = 20): Seq[(Int, Seq[Float])] = {
+    val toVec = udf((a: Seq[Float]) =>
+      org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble).toArray))
+    val train = df.filter(col(vecCol).isNotNull)
+      .select(toVec(col(vecCol)).as("features"))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(k).setSeed(seed).setMaxIter(maxIter)
+      .fit(train)
+    model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat).toSeq)
+    }.toSeq
+  }
+
+  /** Full IVF build: train centroids, assign every vector. Write the result
+    * `partitionBy("_centroid")` (IndexStorage) and probes prune partitions. */
+  def buildIvfIndex(
+      df: DataFrame, vecCol: String, k: Int, seed: Long = 42L)
+      : (DataFrame, Seq[(Int, Seq[Float])]) = {
+    val centroids = trainIvfCentroids(df, vecCol, k, seed)
+    (assignToCentroids(df, vecCol, centroids), centroids)
+  }
+
   /** IVF assignment: nearest centroid id per vector (centroids broadcast). */
   def assignToCentroids(
       df: DataFrame, vecCol: String,

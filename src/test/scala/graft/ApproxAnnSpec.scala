@@ -54,6 +54,19 @@ class ApproxAnnSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall $recall")
   }
 
+  test("mllib-trained IVF: better recall than arbitrary centroids at same nprobe") {
+    val (assigned, centroids) = ApproxAnn.buildIvfIndex(emb, "embedding", k = 16)
+    assert(centroids.length == 16)
+    val approx = ApproxAnn.searchIvf(assigned, "embedding", Seq("vec_id"),
+      Euclidean, AnnRequest(qv, 10), centroids, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = exactIds(10).count(approx.contains) / 10.0
+    assert(recall >= 0.5, s"recall $recall")
+    // deterministic under the fixed seed
+    val (_, centroids2) = ApproxAnn.buildIvfIndex(emb, "embedding", k = 16)
+    assert(centroids == centroids2)
+  }
+
   test("quantized rescoring: stage-2 exact rerank fixes stage-1 ordering (O12)") {
     val rescored = ApproxAnn.searchRescored(emb, "embedding", Seq("vec_id"),
       Euclidean, AnnRequest(qv, 10), oversample = 5.0)
