@@ -196,6 +196,48 @@ object Bm25 {
       .limit(k)
   }
 
+  /** Batched multi-query BM25: a whole query set evaluated in one plan —
+    * the postings are touched once for the union of all query terms; per
+    * (query, doc) scores aggregate map-side; top-k per query goes through
+    * the WindowGroupLimit partial-top-k optimization (same shape as batched
+    * ANN). At corpus scale this beats issuing queries one at a time by the
+    * number of queries.
+    *
+    * @param queries (query_id, query_text) — the small side, broadcast */
+  def searchIndexBatch(index: Index, queries: Seq[(Long, String)], k: Int): DataFrame = {
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    val queryTerms = queries
+      .flatMap { case (qid, q) => tokenizeQuery(q).map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val allTerms = queryTerms.select("term").distinct()
+
+    val stats = index.docLens.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val matched = index.postings.join(broadcast(allTerms), "term")
+    val dfs = matched.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val tfNorm = (col("tf") * (K1 + 1.0)) /
+      (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(index.idCol).asc)
+    matched
+      .join(broadcast(queryTerms), "term") // fan out to the queries wanting each term
+      .join(broadcast(dfs), "term")
+      .join(index.docLens, index.idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score", idf * tfNorm)
+      .groupBy(col("query_id"), col(index.idCol))
+      .agg(sum(col("term_score")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(index.idCol), col("score"), col("rank"))
+  }
+
   /** One-shot convenience: build + search (what the HTTP bm25 route does
     * end-to-end, httproutes.rs:906-1054). */
   def search(docs: DataFrame, idCol: String, textCol: String,

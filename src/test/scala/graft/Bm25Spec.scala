@@ -73,6 +73,19 @@ class Bm25Spec extends SparkSpec {
     assert(res.count() == 2)
   }
 
+  test("batched multi-query search equals per-query search") {
+    val idx = Bm25.buildIndex(docs, "doc_id", "text")
+    val queries = Seq((0L, "spark"), (1L, "index merge"), (2L, "nonexistent"))
+    val batch = Bm25.searchIndexBatch(idx, queries, k = 5)
+      .as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toSeq).toMap
+    queries.foreach { case (qid, q) =>
+      val single = Bm25.searchIndex(idx, q, 5)
+        .as[(Long, Double)].collect().toSeq
+      assert(batch.getOrElse(qid, Seq.empty) == single, s"query $qid '$q'")
+    }
+  }
+
   test("stats: num_docs and total tokens") {
     val idx = Bm25.buildIndex(docs, "doc_id", "text")
     val (n, total) = Bm25.stats(idx).as[(Long, Long)].head()
