@@ -9,6 +9,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // NOTE: don't shrink spark.sql.files.maxPartitionBytes here — the
+      // fixture tables are single-row-group files, so smaller splits only
+      // add empty partitions and overhead (measured +25% total)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the session (codegen, parquet footers, file listing) so per-query

@@ -3,7 +3,8 @@ package graft
 import graft.functions.VectorFunctions._
 import graft.operators.Ann.AnnRequest
 import graft.operators.{Ann, ApproxAnn, Bm25, Catalog, Dedup, Engine, Lww,
-  Multimodal, Restriction, RestrictionCompiler, ResultFormat, TextAnalysis}
+  Multimodal, Restriction, RestrictionCompiler, ResultFormat, Sessionize,
+  TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -232,6 +233,13 @@ object SparkEntry {
         opCol = Some("op"), seqCol = Some("event_id"))
       Lww.partitionSizes(live, Seq("event_type"))
     }),
+
+    // Sessionization: gaps-and-islands per user with a 1-hour gap.
+    "event_sessions" -> ((s, dir) =>
+      Sessionize.sessions(
+        t(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+        keyCol = "user_id", tsCol = "ts_us", gapMicros = 3600L * 1000000L,
+        seqCol = "event_id", valueCol = Some("value"))),
 
     // Tumbling-window aggregation on the event stream (pure integer hour
     // bucketing on nanos ⇒ exact cross-engine parity; decimal-exact sum).
@@ -643,6 +651,18 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY tsn DESC, event_id ASC) rn FROM e)
         |SELECT event_type, count(*) AS size
         |FROM r WHERE rn = 1 AND event_type <> 'error' GROUP BY event_type""".stripMargin,
+
+    "event_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+        |s AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |                       OR ts_us - lag(ts_us) OVER w > 3600000000 THEN 1 ELSE 0 END AS st
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |i AS (SELECT *, CAST(sum(st) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                              ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id FROM s)
+        |SELECT user_id, session_id, min(ts_us) AS session_start, max(ts_us) AS session_end,
+        |       count(*) AS n_events,
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+        |FROM i GROUP BY user_id, session_id""".stripMargin,
 
     "event_window_agg" ->
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_epoch_s, event_type,
