@@ -61,6 +61,13 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Unit-normalize a vector (zero vectors pass through unchanged) — the
+    * standard pre-step before cosine/IP indexing. */
+  def unitNormalize(a: Column): Column = {
+    val n = norm(a)
+    when(n === 0.0, a).otherwise(transform(a, x => (x / n).cast("float")))
+  }
+
   /** Cosine distance = 1 - cosine similarity, range [0, 2]. */
   def cosineDistance(a: Column, b: Column): Column =
     lit(1.0) - dot(a, b) / (norm(a) * norm(b))

@@ -44,6 +44,14 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(s(Hamming, 1.0, 4) == 0.75)      // 1 - d/dims
   }
 
+  test("unitNormalize: unit norm, zero vector unchanged") {
+    val df = Seq(Tuple1(Seq(3f, 4f)), Tuple1(Seq(0f, 0f))).toDF("v")
+      .select(VectorFunctions.unitNormalize(col("v")).as("u"))
+    val rows = df.as[Seq[Float]].collect()
+    assert(rows(0) == Seq(0.6f, 0.8f))
+    assert(rows(1) == Seq(0f, 0f))
+  }
+
   test("b1 pack: bit i set iff v[i] > 0, little-endian within byte") {
     // reference example shape: usearch.rs:1622-1664
     val v = Seq(1f, -1f, 2f, 0f, 0.5f, -3f, 4f, 5f, /*byte 2*/ 1f)
