@@ -194,25 +194,28 @@ object Dedup {
 
   /** 60-bit SimHash fingerprint per document: bit b is set iff
     * Σ_tokens tf · (bit b of hash(token) ? +1 : −1) > 0. Integer arithmetic
-    * throughout — exactly reproducible cross-engine. */
+    * throughout — exactly reproducible cross-engine.
+    *
+    * One aggregation with 60 conditional-sum columns instead of exploding
+    * 60 bit-rows per term: rows stay at (doc × distinct-term), the shuffle
+    * carries 60 longs per doc per map task (partial aggregation). */
   def simhashFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val termTf = df
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("h", stableHash(col("term")))
+    val bitSums = (0 until SimhashBits).map { b =>
+      sum(when(shiftright(col("h"), b) % 2 === 1, col("tf")).otherwise(-col("tf")))
+        .as(s"s$b")
+    }
     termTf
-      .select(col(idCol), explode(sequence(lit(0), lit(SimhashBits - 1))).as("bit"),
-        col("h"), col("tf"))
-      // integer bit extraction — h is 60 bits, beyond double's 53-bit mantissa
-      .withColumn("bitset", expr("shiftright(h, bit) % 2"))
-      .withColumn("contrib", when(col("bitset") === 1, col("tf")).otherwise(-col("tf")))
-      .groupBy(col(idCol), col("bit"))
-      .agg(sum(col("contrib")).as("s"))
       .groupBy(col(idCol))
-      .agg(sum(when(col("s") > 0,
-        pow(lit(2.0), col("bit").cast("double")).cast("long")).otherwise(0L))
-        .as("fingerprint"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until SimhashBits).map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("fingerprint"))
   }
 
   /** Near-dup pairs by SimHash: band the 60-bit fingerprint into `bands`
