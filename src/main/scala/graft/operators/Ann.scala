@@ -105,6 +105,28 @@ object Ann {
         col("distance") :+ col("similarity"): _*)
   }
 
+  /** All-pairs kNN self-join: for every vector, its k nearest neighbors
+    * (excluding itself) — the bulk variant of similarity search used for
+    * graph building / near-dup candidate generation. Exact O(n²) baseline;
+    * at scale, bucket both sides with ApproxAnn's LSH/IVF assignment and
+    * join within buckets. */
+  def knnJoin(
+      df: DataFrame,
+      embeddingCol: String,
+      idCol: String,
+      space: Space,
+      k: Int): DataFrame = {
+    val queries = df.filter(col(embeddingCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(embeddingCol).as("query_vec"))
+    // k+1 then drop self (self may NOT be rank 1 under id tiebreak when an
+    // identical vector with a smaller id exists), then re-rank
+    val raw = searchBatch(queries, df, embeddingCol, Seq(idCol), space, k + 1)
+      .filter(col("query_id") =!= col(idCol))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("distance").asc, col(idCol).asc)
+    raw.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Batched multi-query ANN: one small query set against a large vector
     * table. The query side is broadcast (no shuffle of the big side); top-k
     * per query via a window over the crossJoin.

@@ -83,6 +83,17 @@ class AnnSpec extends SparkSpec {
     assert(res == Set((0L, 1, 1), (0L, 2, 2), (1L, 3, 1), (1L, 4, 2)))
   }
 
+  test("knn self-join: k nearest per vector, self excluded") {
+    val knn = Ann.knnJoin(df, "embedding", "pk", Euclidean, k = 2)
+      .select("query_id", "pk", "rank").as[(Int, Int, Int)].collect()
+    // 4 live vectors (null embedding excluded both sides)
+    assert(knn.length == 8)
+    assert(knn.forall { case (q, n, _) => q != n })
+    val for3 = knn.filter(_._1 == 3).sortBy(_._3).map(_._2).toSeq
+    // (1,0,0): nearest (1,1,0)=4 @d1; then tie @d2 between pk1/pk2 → id asc
+    assert(for3 == Seq(4, 1))
+  }
+
   test("exact plan matches brute-force oracle on fixture data") {
     val emb = spark.read.parquet(sf("embeddings"))
     val qv = emb.filter(col("vec_id") === 7).select("embedding").head.getSeq[Float](0)
