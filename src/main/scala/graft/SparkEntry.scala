@@ -292,6 +292,9 @@ object SparkEntry {
         .select(col("vec_id"), (round(col("distance"), 6) + lit(0.0)).as("distance"))
     }),
 
+    // Oracle-checked even though approximate: the hyperplanes are
+    // deterministic literals and multi-probe(radius) ≡ hamming(bucket,
+    // query_bucket) ≤ radius, so DuckDB can replay the bucketing exactly.
     "ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val qv = emb.filter(col("vec_id") === 0).select("embedding")
@@ -611,6 +614,25 @@ object SparkEntry {
          |SELECT vec_id, round(dist, 6) + 0.0 AS distance,
          |       round((2.0 - dist) / 2.0, 6) + 0.0 AS similarity
          |FROM d ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "ann_lsh" -> {
+      // same hyperplane weights the Spark side uses (full round-trip repr)
+      val planes = ApproxAnn.hyperplanes(8, 64)
+      def bucketExpr(vec: String): String =
+        planes.zipWithIndex.map { case (w, j) =>
+          val lits = w.map(_.toString).mkString("[", ", ", "]")
+          val proj = s"list_sum(list_transform(list_zip($vec, $lits), " +
+            "x -> CAST(x[1] AS DOUBLE) * x[2]))"
+          s"(CASE WHEN $proj > 0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString("(", " + ", ")")
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |qb AS (SELECT ${bucketExpr("qv")} AS qbucket FROM q),
+         |d AS (SELECT e.vec_id, $duckL2 AS dist, ${bucketExpr("e.embedding")} AS bucket
+         |      FROM embeddings e, q)
+         |SELECT vec_id, round(dist, 6) + 0.0 AS distance
+         |FROM d, qb WHERE bit_count(xor(bucket, qbucket)) <= 2
+         |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin
+    },
 
     "ann_euclidean" -> duckAnn(duckL2),
     "ann_cosine" -> duckAnn(duckCosDist),
