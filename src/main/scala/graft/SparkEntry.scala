@@ -615,6 +615,28 @@ object SparkEntry {
          |       round((2.0 - dist) / 2.0, 6) + 0.0 AS similarity
          |FROM d ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
 
+    "ann_rescored" -> {
+      // mirror Quantization.i8 -> dequant -> stage1 top-50 on quantized
+      // distance -> stage2 exact top-10, all arithmetic double as in Spark
+      val scaled =
+        "CASE WHEN list_max(list_transform(e.embedding, x -> abs(x))) = 0 THEN 1.0 " +
+          "ELSE CAST(list_max(list_transform(e.embedding, x -> abs(x))) AS DOUBLE) / 127.0 END"
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |vq AS (SELECT e.vec_id, q.qv,
+         |  list_transform(e.embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) / ($scaled)) * ($scaled) AS FLOAT)) AS emb_q
+         |  FROM embeddings e, q),
+         |s1 AS (SELECT vec_id, qv,
+         |  list_sum(list_transform(list_zip(emb_q, qv), x ->
+         |    (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) *
+         |    (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS dq
+         |  FROM vq ORDER BY dq ASC, vec_id ASC LIMIT 50),
+         |s2 AS (SELECT s1.vec_id, $duckL2 AS dist
+         |  FROM s1 JOIN embeddings e ON e.vec_id = s1.vec_id, q)
+         |SELECT vec_id, round(dist, 6) + 0.0 AS distance
+         |FROM s2 ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin
+    },
+
     "ann_lsh" -> {
       // same hyperplane weights the Spark side uses (full round-trip repr)
       val planes = ApproxAnn.hyperplanes(8, 64)

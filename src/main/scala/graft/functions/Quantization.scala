@@ -52,20 +52,25 @@ object Quantization {
     })
 
   /** Symmetric int8 quantization with a per-vector scale (max-abs / 127),
-    * returned as (scale, ARRAY<TINYINT>) struct. */
+    * returned as (scale, ARRAY<TINYINT>) struct. All arithmetic explicitly
+    * double-precision so the oracle can reproduce it bit-for-bit. */
   def i8(v: Column): Column = {
     val maxAbs = array_max(transform(v, abs(_)))
-    val scale = when(maxAbs === 0.0f, lit(1.0f)).otherwise(maxAbs / 127.0f)
+    val scale = when(maxAbs === 0.0f, lit(1.0))
+      .otherwise(maxAbs.cast("double") / 127.0)
     struct(
       scale.as("scale"),
-      transform(v, x => round((x / scale).cast("double")).cast("int")
-        .cast("byte")).as("values"))
+      transform(v, x => {
+        val q = round(x.cast("double") / scale).cast("int")
+        // two's-complement-safe byte (range is ±127 by construction)
+        q.cast("byte")
+      }).as("values"))
   }
 
   /** Dequantize an [[i8]] struct back to float. */
   def i8Dequant(q: Column): Column =
     transform(q.getField("values"),
-      x => (x.cast("float") * q.getField("scale")).cast("float"))
+      x => (x.cast("double") * q.getField("scale")).cast("float"))
 
   /** B1: sign-bit packing — see [[VectorFunctions.b1Pack]]; kept here for
     * discoverability alongside the other kinds. */
