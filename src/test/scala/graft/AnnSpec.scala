@@ -83,6 +83,10 @@ class AnnSpec extends SparkSpec {
     assert(res == Set((0L, 1, 1), (0L, 2, 2), (1L, 3, 1), (1L, 4, 2)))
   }
 
+  test("driver smoke contract: SparkEntry.entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("knn self-join: k nearest per vector, self excluded") {
     val knn = Ann.knnJoin(df, "embedding", "pk", Euclidean, k = 2)
       .select("query_id", "pk", "rank").as[(Int, Int, Int)].collect()
