@@ -9,6 +9,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // direct task commits: halves the per-directory rename cost of
+      // partitionBy index materialization (local FS, no job-abort risk)
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       // NOTE: don't shrink spark.sql.files.maxPartitionBytes here — the
       // fixture tables are single-row-group files, so smaller splits only
       // add empty partitions and overhead (measured +25% total)
@@ -19,7 +22,11 @@ object Bench {
     Tables.names.foreach { n =>
       try Tables.load(spark, sfDir, n).count() catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local dev aid: SPARK_GRAFT_ONLY=comma,separated,names times a subset
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       // operators cache intermediates (shingle sets etc.) scoped to their own
       // query; release before timing so queries don't inherit GC pressure
       spark.catalog.clearCache()

@@ -26,6 +26,11 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** Scratch location for materialized index stores (per scale factor, so
+    * sf0.01 and sf0.1 runs never read each other's indexes). */
+  private def indexDir(dir: String, name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-indexes/${new java.io.File(dir).getName}/$name"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("ann_euclidean")(spark, "/root/testdata/sf0.001")
@@ -269,37 +274,54 @@ object SparkEntry {
         .select(col("vec_id"), (round(col("distance"), 6) + lit(0.0)).as("distance"))
     }),
 
-    // S8: columnar response transpose (rows-only check — array-of-double
-    // serialization differs across engines, covered by EngineSpec instead).
+    // S8: columnar response transpose, exploded back to one scalar row per
+    // array position so the oracle can hash-compare (the array columns
+    // themselves are covered by EngineSpec; `pos` proves element order).
     "ann_transposed" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val qv = emb.filter(col("vec_id") === 0).select("embedding")
         .head.getSeq[Float](0)
       ResultFormat.transpose(
-        Ann.plan(emb, "embedding", Seq("vec_id"), Euclidean, AnnRequest(qv, limit = 5)),
-        Seq("vec_id"))
+          Ann.plan(emb, "embedding", Seq("vec_id"), Euclidean, AnnRequest(qv, limit = 5)),
+          Seq("vec_id"))
+        .select(posexplode(arrays_zip(
+          col("pk_vec_id"), col("distances"), col("similarity_scores"))))
+        .select(col("pos").cast("long").as("pos"),
+          col("col.pk_vec_id").as("vec_id"),
+          (round(col("col.distances"), 6) + lit(0.0)).as("distance"),
+          (round(col("col.similarity_scores"), 6) + lit(0.0)).as("similarity"))
     }),
 
-    // O12: quantized two-stage rescoring and LSH multi-probe — approximate
-    // paths, validated against the exact plan in ApproxAnnSpec (rows-only
-    // driver check; approximation is not SQL-oracle-able economically).
+    // O12: quantized two-stage rescoring over a MATERIALIZED (vec_id, _q)
+    // store — the i8 column is an index artifact built once at write time;
+    // stage 1 scans only the narrow quantized columns, stage 2 joins the
+    // candidate pks back to the base table for exact rescoring.
     "ann_rescored" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val qv = emb.filter(col("vec_id") === 0).select("embedding")
         .head.getSeq[Float](0)
-      ApproxAnn.searchRescored(emb, "embedding", Seq("vec_id"), Euclidean,
-          AnnRequest(qv, limit = 10), oversample = 5.0)
+      val qidx = graft.sources.IndexStorage.materializeCached(
+          s, s"$dir/embeddings.parquet", indexDir(dir, "q8"), Nil) {
+        ApproxAnn.quantizedProjection(emb, "embedding", Seq("vec_id"))
+      }
+      ApproxAnn.searchRescoredIndexed(qidx, emb, "embedding", Seq("vec_id"),
+          Euclidean, AnnRequest(qv, limit = 10), oversample = 5.0)
         .select(col("vec_id"), (round(col("distance"), 6) + lit(0.0)).as("distance"))
     }),
 
     // Oracle-checked even though approximate: the hyperplanes are
     // deterministic literals and multi-probe(radius) ≡ hamming(bucket,
     // query_bucket) ≤ radius, so DuckDB can replay the bucketing exactly.
+    // The index is MATERIALIZED partitionBy(_bucket): the probe is a
+    // partition-pruned scan of the probed bucket directories only.
     "ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val qv = emb.filter(col("vec_id") === 0).select("embedding")
         .head.getSeq[Float](0)
-      val idx = ApproxAnn.buildLshIndex(emb, "embedding", nbits = 8, dims = qv.length)
+      val idx = graft.sources.IndexStorage.materializeCached(
+          s, s"$dir/embeddings.parquet", indexDir(dir, "lsh8"), Seq("_bucket")) {
+        ApproxAnn.buildLshIndex(emb, "embedding", nbits = 8, dims = qv.length)
+      }
       ApproxAnn.searchLsh(idx, "embedding", Seq("vec_id"), Euclidean,
           AnnRequest(qv, limit = 10), nbits = 8, radius = 2)
         .select(col("vec_id"), (round(col("distance"), 6) + lit(0.0)).as("distance"))
@@ -325,20 +347,33 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", Seq("text"))),
 
+    // maxShingleDf = None: the oracle replays the UNcapped semantics; the
+    // serving default caps boilerplate shingles (Dedup.DefaultMaxShingleDf).
     "dedup_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 5, threshold = 0.5)
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 5,
+          threshold = 0.5, maxShingleDf = None)
         .withColumn("jaccard", round(col("jaccard"), 6))),
 
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
-          shingleN = 5, numHashes = 16, bands = 4, threshold = 0.5)
+          shingleN = 5, numHashes = 16, bands = 4, threshold = 0.5,
+          maxShingleDf = None)
         .withColumn("jaccard", round(col("jaccard"), 6))),
 
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashFingerprints(t(s, dir, "documents"), "doc_id", "text")),
 
+    // exact all-pairs form — the oracle baseline for the LSH default below
     "dedup_embedding" -> ((s, dir) =>
-      Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+      Dedup.embeddingNearDupsExact(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+        .withColumn("cos_sim", round(col("cos_sim"), 6))),
+
+    // serving default: LSH-bucketed candidates (equi-join on bucket ^ mask),
+    // exact cosine verification; the oracle replays the deterministic
+    // bucketing so the approximate result is still hash-checked exactly.
+    "dedup_embedding_lsh" -> ((s, dir) =>
+      Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4, nbits = 8, radius = 2)
         .withColumn("cos_sim", round(col("cos_sim"), 6))),
 
     // Text analysis over documents (training-pipeline hygiene operators).
@@ -368,6 +403,13 @@ object SparkEntry {
     "bm25_single" -> (bm25("data") _),
     "bm25_multi" -> (bm25("spark merge window") _),
 
+    // F11: boolean query operators (tantivy QueryParser semantics — validator
+    // fts.rs:248-315,561-599): AND joins, OR unions, NOT anti-joins, groups.
+    "bm25_bool_and" -> (bm25Bool("spark AND data") _),
+    "bm25_bool_or" -> (bm25Bool("merge OR window") _),
+    "bm25_bool_not" -> (bm25Bool("data NOT spark") _),
+    "bm25_bool_grouped" -> (bm25Bool("(merge OR window) AND data") _),
+
     // F11: exact phrase query over positional postings.
     "bm25_phrase" -> ((s, dir) => {
       val pidx = Bm25.buildPositionalIndex(t(s, dir, "documents"), "doc_id", "text")
@@ -386,7 +428,38 @@ object SparkEntry {
       .limit(10)
   }
 
+  private def bm25Bool(query: String)(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val idx = Bm25.buildIndex(docs, "doc_id", "text")
+    Bm25.scoreBoolean(idx, () => Bm25.buildPositionalIndex(docs, "doc_id", "text"), query)
+      .withColumn("score", round(col("score"), 4))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
   private val duckStop = Bm25.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Per-(doc, term) BM25 scores CTE chain mirroring Bm25.termScores — the
+    * boolean oracle queries compose joins/anti-joins over `ts`. */
+  private def duckTermScores(terms: Seq[String]): String = {
+    val termList = terms.map(w => s"'$w'").mkString(", ")
+    s"""toksq AS (
+       |  SELECT doc_id, t AS term FROM (
+       |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+')) AS t
+       |    FROM documents)
+       |  WHERE len(t) > 0 AND t NOT IN ($duckStop)),
+       |dl AS (SELECT d.doc_id, (SELECT count(*) FROM toksq WHERE toksq.doc_id = d.doc_id) AS dl FROM documents d),
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toksq
+       |       WHERE term IN ($termList) GROUP BY doc_id, term),
+       |dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+       |ts AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) *
+       |    (tf.tf * (1.2 + 1.0)) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS s
+       |  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id), stats s)""".stripMargin
+  }
 
   private def duckBm25(terms: Seq[String]): String = {
     val termList = terms.map(w => s"'$w'").mkString(", ")
@@ -410,6 +483,17 @@ object SparkEntry {
        |SELECT doc_id, round(score, 4) AS score FROM scored
        |ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10""".stripMargin
   }
+
+  /** DuckDB replay of ApproxAnn.lshBucket for the 8-bit/64-dim hyperplanes
+    * the driver queries use (same md5-derived weights, same projection and
+    * sign arithmetic — full round-trip literal repr). */
+  private def duckLshBucket(vec: String): String =
+    ApproxAnn.hyperplanes(8, 64).zipWithIndex.map { case (w, j) =>
+      val lits = w.map(_.toString).mkString("[", ", ", "]")
+      val proj = s"list_sum(list_transform(list_zip($vec, $lits), " +
+        "x -> CAST(x[1] AS DOUBLE) * x[2]))"
+      s"(CASE WHEN $proj > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 
   /** DuckDB building blocks for the dedup oracles: 60-bit stable hash and
     * 5-gram shingle CTEs mirroring Dedup.stableHash / Dedup.shingles. */
@@ -540,6 +624,36 @@ object SparkEntry {
     "bm25_single" -> duckBm25(Bm25.tokenizeQuery("data")),
     "bm25_multi" -> duckBm25(Bm25.tokenizeQuery("spark merge window")),
 
+    "bm25_bool_and" ->
+      s"""WITH ${duckTermScores(Seq("spark", "data"))},
+         |a AS (SELECT doc_id, s FROM ts WHERE term = 'spark'),
+         |b AS (SELECT doc_id, s FROM ts WHERE term = 'data')
+         |SELECT a.doc_id, round(a.s + b.s, 4) AS score
+         |FROM a JOIN b USING (doc_id)
+         |ORDER BY round(a.s + b.s, 4) DESC, a.doc_id ASC LIMIT 10""".stripMargin,
+
+    "bm25_bool_or" ->
+      s"""WITH ${duckTermScores(Seq("merge", "window"))},
+         |u AS (SELECT doc_id, sum(s) AS score FROM ts GROUP BY doc_id)
+         |SELECT doc_id, round(score, 4) AS score FROM u
+         |ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10""".stripMargin,
+
+    "bm25_bool_not" ->
+      s"""WITH ${duckTermScores(Seq("data", "spark"))},
+         |a AS (SELECT doc_id, s FROM ts WHERE term = 'data')
+         |SELECT doc_id, round(s, 4) AS score FROM a
+         |WHERE doc_id NOT IN (SELECT doc_id FROM ts WHERE term = 'spark')
+         |ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 10""".stripMargin,
+
+    "bm25_bool_grouped" ->
+      s"""WITH ${duckTermScores(Seq("merge", "window", "data"))},
+         |o AS (SELECT doc_id, sum(s) AS score FROM ts
+         |      WHERE term IN ('merge', 'window') GROUP BY doc_id),
+         |a AS (SELECT doc_id, s FROM ts WHERE term = 'data')
+         |SELECT o.doc_id, round(o.score + a.s, 4) AS score
+         |FROM o JOIN a USING (doc_id)
+         |ORDER BY round(o.score + a.s, 4) DESC, o.doc_id ASC LIMIT 10""".stripMargin,
+
     "bm25_phrase" ->
       s"""WITH toks0 AS (SELECT doc_id,
          |  list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'),
@@ -637,24 +751,37 @@ object SparkEntry {
          |FROM s2 ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin
     },
 
-    "ann_lsh" -> {
-      // same hyperplane weights the Spark side uses (full round-trip repr)
-      val planes = ApproxAnn.hyperplanes(8, 64)
-      def bucketExpr(vec: String): String =
-        planes.zipWithIndex.map { case (w, j) =>
-          val lits = w.map(_.toString).mkString("[", ", ", "]")
-          val proj = s"list_sum(list_transform(list_zip($vec, $lits), " +
-            "x -> CAST(x[1] AS DOUBLE) * x[2]))"
-          s"(CASE WHEN $proj > 0 THEN ${1L << j} ELSE 0 END)"
-        }.mkString("(", " + ", ")")
+    "ann_lsh" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         |qb AS (SELECT ${bucketExpr("qv")} AS qbucket FROM q),
-         |d AS (SELECT e.vec_id, $duckL2 AS dist, ${bucketExpr("e.embedding")} AS bucket
+         |qb AS (SELECT ${duckLshBucket("qv")} AS qbucket FROM q),
+         |d AS (SELECT e.vec_id, $duckL2 AS dist, ${duckLshBucket("e.embedding")} AS bucket
          |      FROM embeddings e, q)
          |SELECT vec_id, round(dist, 6) + 0.0 AS distance
          |FROM d, qb WHERE bit_count(xor(bucket, qbucket)) <= 2
-         |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin
+         |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "dedup_embedding_lsh" -> {
+      val dotAB = "list_sum(list_transform(list_zip(a.embedding, b.embedding), " +
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+      def nrm(t: String) =
+        s"sqrt(list_sum(list_transform($t.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+      s"""WITH d AS (SELECT vec_id, embedding, ${duckLshBucket("embedding")} AS bkt
+         |           FROM embeddings),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |        $dotAB / (${nrm("a")} * ${nrm("b")}) AS cs
+         |      FROM d a, d b
+         |      WHERE a.vec_id < b.vec_id AND bit_count(xor(a.bkt, b.bkt)) <= 2)
+         |SELECT id_a, id_b, round(cs, 6) AS cos_sim FROM p WHERE cs >= 0.4""".stripMargin
     },
+
+    "ann_transposed" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |d AS (SELECT e.vec_id, $duckL2 AS dist FROM embeddings e, q),
+         |r AS (SELECT vec_id, dist,
+         |        row_number() OVER (ORDER BY dist ASC, vec_id ASC) - 1 AS pos
+         |      FROM d ORDER BY dist ASC, vec_id ASC LIMIT 5)
+         |SELECT pos, vec_id, round(dist, 6) + 0.0 AS distance,
+         |       round(1.0 / (1.0 + dist), 6) + 0.0 AS similarity FROM r""".stripMargin,
 
     "ann_euclidean" -> duckAnn(duckL2),
     "ann_cosine" -> duckAnn(duckCosDist),

@@ -15,17 +15,19 @@ import org.apache.spark.sql.functions._
   */
 object Quantization {
 
-  /** f32 → IEEE half-precision → f32 (round-to-nearest-even via the JDK's
-    * float16 conversions, which Spark also uses for its FLOAT16 codecs). */
+  /** f32 → ~half-precision → f32. APPROXIMATION, not IEEE fp16: keeps 10
+    * mantissa bits via log2-bucketed round() (half-up, so it can differ from
+    * IEEE round-to-nearest-even on exact ties), and below 2^-14 it keeps 10
+    * *relative* mantissa bits where real fp16 subnormals have a fixed 2^-24
+    * ulp. Precision loss is the same order as fp16, which is all the
+    * two-stage rescoring plan (O12) needs from the lossy first pass. */
   def f16(v: Column): Column =
     transform(v, x => float16RoundTrip(x))
 
   private def float16RoundTrip(x: Column): Column = {
-    // emulate fp16: clamp to ±65504, then keep 10 mantissa bits by scaling
-    // trick: reinterpret via cast to float after bit masking is not
-    // expressible with built-ins, so use the documented approximation:
-    // round(x · 2^k)/2^k with k chosen from the exponent — implemented as a
-    // UDF-free two-step using log2 magnitude bucketing.
+    // clamp to ±65504, then keep 10 mantissa bits as round(x · 2^k)/2^k with
+    // k from the log2 magnitude — bit masking isn't expressible with
+    // built-ins and the JDK gets Float.floatToFloat16 only in Java 20+.
     val absx = abs(x)
     val exp = floor(log2(absx))
     val scale = pow(lit(2.0), lit(10.0) - exp)

@@ -51,9 +51,11 @@ object Bm25 {
   }
 
   /** Tokenize a query string on the driver with the same analyzer semantics
-    * (distinct terms — a disjunctive BM25 query scores each term once). */
+    * (distinct terms — a disjunctive BM25 query scores each term once).
+    * Locale.ROOT so driver-side analysis matches the executor-side tokenizer
+    * (UTF8String.toLowerCase is locale-independent). */
   def tokenizeQuery(query: String): Seq[String] =
-    query.toLowerCase.split("[^\\p{L}\\p{N}]+").toSeq
+    query.toLowerCase(java.util.Locale.ROOT).split("[^\\p{L}\\p{N}]+").toSeq
       .filter(t => t.nonEmpty && !EnglishStopwords.contains(t)).distinct
 
   /** The materialized FTS index: postings + per-doc lengths + corpus stats. */
@@ -89,10 +91,20 @@ object Bm25 {
   def scoreAll(index: Index, query: String): DataFrame = {
     val terms = tokenizeQuery(query)
     if (terms.isEmpty)
-      return index.docLens.sparkSession.emptyDataFrame
-        .withColumn(index.idCol, lit(null).cast("long"))
+      // empty result with the SAME schema as the non-empty path (the id
+      // column keeps whatever type the index carries)
+      return index.docLens.select(col(index.idCol)).limit(0)
         .withColumn("score", lit(null).cast("double"))
 
+    termScores(index, terms)
+      .groupBy(col(index.idCol))
+      .agg(sum(col("term_score")).as("score"))
+  }
+
+  /** Per-(doc, term) BM25 partial scores for a pruned term set — the shared
+    * kernel of [[scoreAll]] and the boolean evaluator. Returns
+    * (idCol, term, term_score); postings are touched once for the whole set. */
+  private[graft] def termScores(index: Index, terms: Seq[String]): DataFrame = {
     // corpus stats: one tiny row, broadcast everywhere
     val stats = index.docLens.agg(
       count(lit(1)).cast("double").as("n_docs"),
@@ -111,8 +123,7 @@ object Bm25 {
       .join(index.docLens, index.idCol)
       .crossJoin(broadcast(stats))
       .withColumn("term_score", idf * tfNorm)
-      .groupBy(col(index.idCol))
-      .agg(sum(col("term_score")).as("score"))
+      .select(col(index.idCol), col("term"), col("term_score"))
   }
 
   // ---- phrase queries (F11) ------------------------------------------------
@@ -135,7 +146,7 @@ object Bm25 {
     * tf = phrase frequency (number of aligned starts) and df = number of
     * documents containing the phrase. */
   def searchPhrase(index: PosIndex, phrase: String, k: Int): DataFrame = {
-    val terms = phrase.toLowerCase.split("[^\\p{L}\\p{N}]+").toSeq
+    val terms = phrase.toLowerCase(java.util.Locale.ROOT).split("[^\\p{L}\\p{N}]+").toSeq
       .filter(t => t.nonEmpty && !EnglishStopwords.contains(t))
     require(terms.nonEmpty, "phrase has no indexable terms")
 
@@ -170,31 +181,253 @@ object Bm25 {
       .limit(k)
   }
 
-  /** Minimal QueryParser (tantivy QueryParser subset, tantivy.rs:237-246):
-    * double-quoted segments are phrases, bare words are disjunctive terms;
-    * total score = sum of term and phrase scores per document. */
-  def searchParsed(docs: DataFrame, idCol: String, textCol: String,
-      query: String, k: Int): DataFrame = {
-    val phraseRe = "\"([^\"]+)\"".r
-    val phrases = phraseRe.findAllMatchIn(query).map(_.group(1)).toSeq
-    val remainder = phraseRe.replaceAllIn(query, " ")
-    val scores = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    if (tokenizeQuery(remainder).nonEmpty) {
-      val idx = buildIndex(docs, idCol, textCol)
-      scores += scoreAll(idx, remainder).select(col(idCol), col("score"))
-    }
-    if (phrases.nonEmpty) {
-      val pidx = buildPositionalIndex(docs, idCol, textCol)
-      phrases.foreach { p =>
-        scores += searchPhrase(pidx, p, Int.MaxValue).select(col(idCol), col("score"))
+  // ---- boolean query language (F11) ----------------------------------------
+
+  /** Parsed query AST — the tantivy QueryParser subset the reference's
+    * validator pins (fts.rs:248-315 and 561-599: bare terms, "phrases",
+    * AND / OR / NOT, parenthesised groups). */
+  sealed trait QueryNode
+  object QueryNode {
+    final case class Term(term: String) extends QueryNode
+    final case class Phrase(terms: Seq[String]) extends QueryNode
+    final case class And(clauses: Seq[QueryNode]) extends QueryNode
+    final case class Or(clauses: Seq[QueryNode]) extends QueryNode
+    final case class Not(clause: QueryNode) extends QueryNode
+  }
+
+  /** Parse a query string into a [[QueryNode]].
+    *
+    * Grammar (operators must be upper-case, as in tantivy):
+    * {{{
+    *   or    := and ((OR | <adjacency>) and)*       // bare adjacency = OR,
+    *   and   := unary ((AND | NOT) unary)*          // tantivy's default
+    *   unary := NOT unary | primary                 // a NOT b == a AND NOT b
+    *   primary := '(' or ')' | '"' words '"' | word
+    * }}}
+    * Terms are analyzed with the index analyzer (lowercase + stopword drop);
+    * clauses that analyze to nothing vanish, as tantivy's analyzer chain does.
+    * Reference: fts_index/tantivy.rs:237-246 (QueryParser::for_index over the
+    * body field; tantivy's default conjunction is OR).
+    */
+  def parseQuery(query: String): Option[QueryNode] = {
+    val tokens = tokenizeQueryString(query)
+    if (tokens.isEmpty) return None
+    val p = new BoolParser(tokens)
+    val node = p.parseOr()
+    require(p.exhausted, s"trailing input in query: $query")
+    prune(node)
+  }
+
+  private sealed trait Tok
+  private case object LParen extends Tok
+  private case object RParen extends Tok
+  private case object AndTok extends Tok
+  private case object OrTok extends Tok
+  private case object NotTok extends Tok
+  private final case class PhraseTok(body: String) extends Tok
+  private final case class WordTok(w: String) extends Tok
+
+  private def tokenizeQueryString(q: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    while (i < q.length) {
+      q.charAt(i) match {
+        case c if c.isWhitespace => i += 1
+        case '(' => out += LParen; i += 1
+        case ')' => out += RParen; i += 1
+        case '"' =>
+          val end = q.indexOf('"', i + 1)
+          require(end > 0, s"unterminated phrase in query: $q")
+          out += PhraseTok(q.substring(i + 1, end)); i = end + 1
+        case _ =>
+          var j = i
+          while (j < q.length && !q.charAt(j).isWhitespace &&
+            q.charAt(j) != '(' && q.charAt(j) != ')' && q.charAt(j) != '"') j += 1
+          q.substring(i, j) match {
+            case "AND" => out += AndTok
+            case "OR" => out += OrTok
+            case "NOT" => out += NotTok
+            case w => out += WordTok(w)
+          }
+          i = j
       }
     }
-    require(scores.nonEmpty, "query has no indexable terms")
-    scores.reduce(_ unionByName _)
-      .groupBy(col(idCol)).agg(sum(col("score")).as("score"))
-      .orderBy(col("score").desc, col(idCol).asc)
-      .limit(k)
+    out.result()
   }
+
+  private final class BoolParser(tokens: Vector[Tok]) {
+    private var pos = 0
+    def exhausted: Boolean = pos == tokens.length
+    private def peek: Option[Tok] = if (exhausted) None else Some(tokens(pos))
+    private def startsPrimary(t: Tok): Boolean = t match {
+      case LParen | NotTok | PhraseTok(_) | WordTok(_) => true
+      case _ => false
+    }
+
+    def parseOr(): QueryNode = {
+      val clauses = Vector.newBuilder[QueryNode]
+      clauses += parseAnd()
+      var more = true
+      while (more) peek match {
+        case Some(OrTok) => pos += 1; clauses += parseAnd()
+        case Some(t) if startsPrimary(t) => clauses += parseAnd() // adjacency
+        case _ => more = false
+      }
+      clauses.result() match {
+        case Vector(one) => one
+        case many => QueryNode.Or(many)
+      }
+    }
+
+    private def parseAnd(): QueryNode = {
+      val clauses = Vector.newBuilder[QueryNode]
+      clauses += parseUnary()
+      var more = true
+      while (more) peek match {
+        case Some(AndTok) => pos += 1; clauses += parseUnary()
+        case Some(NotTok) => pos += 1; clauses += QueryNode.Not(parseUnary())
+        case _ => more = false
+      }
+      clauses.result() match {
+        case Vector(one) => one
+        case many => QueryNode.And(many)
+      }
+    }
+
+    private def parseUnary(): QueryNode = peek match {
+      case Some(NotTok) => pos += 1; QueryNode.Not(parseUnary())
+      case _ => parsePrimary()
+    }
+
+    private def parsePrimary(): QueryNode = peek match {
+      case Some(LParen) =>
+        pos += 1
+        val inner = parseOr()
+        require(peek.contains(RParen), "unbalanced parentheses in query")
+        pos += 1
+        inner
+      case Some(PhraseTok(body)) =>
+        pos += 1
+        QueryNode.Phrase(body.toLowerCase(java.util.Locale.ROOT)
+          .split("[^\\p{L}\\p{N}]+").toSeq
+          .filter(t => t.nonEmpty && !EnglishStopwords.contains(t)))
+      case Some(WordTok(w)) =>
+        pos += 1
+        QueryNode.Term(tokenizeQuery(w).headOption.getOrElse(""))
+      case other =>
+        throw new IllegalArgumentException(s"unexpected token $other in query")
+    }
+  }
+
+  /** Drop clauses the analyzer emptied (stopword-only terms/phrases), the way
+    * tantivy's analyzer chain silently drops them. */
+  private def prune(n: QueryNode): Option[QueryNode] = n match {
+    case QueryNode.Term("") => None
+    case t: QueryNode.Term => Some(t)
+    case QueryNode.Phrase(Nil) => None
+    case QueryNode.Phrase(Seq(one)) => Some(QueryNode.Term(one))
+    case p: QueryNode.Phrase => Some(p)
+    case QueryNode.Not(c) => prune(c).map(QueryNode.Not)
+    case QueryNode.And(cs) =>
+      val kept = cs.flatMap(prune)
+      if (kept.isEmpty) None
+      else if (kept.length == 1) Some(kept.head)
+      else Some(QueryNode.And(kept))
+    case QueryNode.Or(cs) =>
+      val kept = cs.flatMap(prune)
+      if (kept.isEmpty) None
+      else if (kept.length == 1) Some(kept.head)
+      else Some(QueryNode.Or(kept))
+  }
+
+  private def collectTerms(n: QueryNode): Seq[String] = n match {
+    case QueryNode.Term(t) => Seq(t)
+    case QueryNode.Phrase(_) => Nil // phrases go through the positional index
+    case QueryNode.And(cs) => cs.flatMap(collectTerms)
+    case QueryNode.Or(cs) => cs.flatMap(collectTerms)
+    case QueryNode.Not(c) => collectTerms(c)
+  }
+
+  private def hasPhrase(n: QueryNode): Boolean = n match {
+    case QueryNode.Phrase(_) => true
+    case QueryNode.And(cs) => cs.exists(hasPhrase)
+    case QueryNode.Or(cs) => cs.exists(hasPhrase)
+    case QueryNode.Not(c) => hasPhrase(c)
+    case _ => false
+  }
+
+  /** Evaluate a parsed boolean query to per-doc scores (unranked), tantivy
+    * BooleanQuery semantics: a doc matches an AND if it matches every
+    * positive clause and no NOT clause; an OR if it matches any clause;
+    * score = sum of the matched positive clauses' BM25 scores (MustNot
+    * clauses never contribute score). NOT under OR cannot match on its own
+    * and is dropped; a query with no positive clause matches nothing.
+    *
+    * All term leaves share ONE pruned postings pass ([[termScores]]); the
+    * boolean structure is joins/anti-joins on the doc id — no per-clause
+    * corpus rescans, so the plan stays a handful of hash joins over the
+    * pruned term rows at any corpus size. */
+  def scoreBoolean(index: Index, posIndex: () => PosIndex, query: String): DataFrame = {
+    val idCol = index.idCol
+    val emptyResult = index.docLens.select(col(idCol)).limit(0)
+      .withColumn("score", lit(null).cast("double"))
+    val root = parseQuery(query).getOrElse(return emptyResult)
+
+    val terms = collectTerms(root).distinct
+    val ts = if (terms.nonEmpty) termScores(index, terms) else null
+    lazy val pidx = posIndex()
+
+    def eval(n: QueryNode): DataFrame = n match {
+      case QueryNode.Term(t) =>
+        ts.filter(col("term") === t).select(col(idCol), col("term_score").as("score"))
+      case QueryNode.Phrase(ps) =>
+        searchPhrase(pidx, ps.mkString(" "), Int.MaxValue)
+          .select(col(idCol), col("score"))
+      case QueryNode.Or(cs) =>
+        val pos = cs.filterNot(_.isInstanceOf[QueryNode.Not])
+        if (pos.isEmpty) emptyResult
+        else pos.map(eval).reduce(_ unionByName _)
+          .groupBy(col(idCol)).agg(sum(col("score")).as("score"))
+      case QueryNode.And(cs) =>
+        val (neg, pos) = cs.partition(_.isInstanceOf[QueryNode.Not])
+        if (pos.isEmpty) emptyResult
+        else {
+          val joined = pos.map(eval).reduce { (a, b) =>
+            a.join(b.withColumnRenamed("score", "_rhs_score"), idCol)
+              .withColumn("score", col("score") + col("_rhs_score"))
+              .drop("_rhs_score")
+          }
+          neg.foldLeft(joined) { (acc, nn) =>
+            val QueryNode.Not(c) = nn: @unchecked
+            acc.join(eval(c).select(col(idCol)), Seq(idCol), "left_anti")
+          }
+        }
+      case QueryNode.Not(_) => emptyResult // bare NOT matches nothing
+    }
+    eval(root)
+  }
+
+  /** Parsed query search over prebuilt indexes: boolean operators, phrases,
+    * bare disjunctive terms. Top-k by score with id tiebreak. */
+  def searchParsed(index: Index, posIndex: () => PosIndex,
+      query: String, k: Int): DataFrame =
+    scoreBoolean(index, posIndex, query)
+      .orderBy(col("score").desc, col(index.idCol).asc)
+      .limit(k)
+
+  /** One-shot convenience over a raw document table (builds the positional
+    * index only when the query actually contains a phrase). */
+  def searchParsed(docs: DataFrame, idCol: String, textCol: String,
+      query: String, k: Int): DataFrame =
+    if (parseQuery(query).exists(hasPhrase)) {
+      // one tokenize pass: the positional postings double as the tf postings
+      val pidx = buildPositionalIndex(docs, idCol, textCol)
+      val idx = Index(pidx.postings.select(col(idCol), col("term"), col("tf")),
+        pidx.docLens, idCol)
+      searchParsed(idx, () => pidx, query, k)
+    } else
+      searchParsed(buildIndex(docs, idCol, textCol),
+        () => buildPositionalIndex(docs, idCol, textCol), query, k)
 
   /** Batched multi-query BM25: a whole query set evaluated in one plan —
     * the postings are touched once for the union of all query terms; per

@@ -70,12 +70,17 @@ object Dedup {
       .select(col(idCol), stableHash(col("shingle")).as("sh"))
       .distinct()
 
+  /** Serving-default document-frequency cap: a 5-gram shared by more than
+    * this many documents is boilerplate, not near-dup signal. Oracle-exact
+    * callers pass None explicitly. */
+  val DefaultMaxShingleDf = 1000
+
   /** Skew guard for candidate self-joins: drop shingles present in more
     * than `maxDf` documents. A boilerplate shingle shared by millions of
     * docs would otherwise create a quadratic join bucket; ultra-frequent
     * shingles carry no near-dup signal (standard web-dedup practice).
     * NOTE: changes results for docs whose only overlap is boilerplate —
-    * that's the point; keep None for oracle-exact comparisons. */
+    * that's the point; pass None for oracle-exact comparisons. */
   def capShingleDf(sh: DataFrame, idCol: String, maxDf: Option[Int]): DataFrame =
     maxDf match {
       case None => sh
@@ -91,7 +96,7 @@ object Dedup {
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double,
-      maxShingleDf: Option[Int] = None): DataFrame = {
+      maxShingleDf: Option[Int] = Some(DefaultMaxShingleDf)): DataFrame = {
     val sh = capShingleDf(shingles(df, idCol, textCol, n), idCol, maxShingleDf).cache()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.select(col(idCol).as("id_a"), col("sh"))
@@ -141,7 +146,13 @@ object Dedup {
   }
 
   /** LSH candidate pairs: signatures banded into `bands` groups of
-    * `numHashes/bands` rows; docs sharing any full band are candidates. */
+    * `numHashes/bands` rows; docs sharing any full band are candidates.
+    *
+    * The band tuple is collapsed to ONE long (xxhash64 over band index +
+    * member signatures) before the self-join, so the shuffle carries
+    * (id, bucket) instead of (id, band, struct-of-k-longs) — the VERDICT r1
+    * shuffle-width fix. A 64-bit collision can only ADD a candidate pair,
+    * which the exact-Jaccard verification stage then filters. */
   def lshCandidates(
       signatures: DataFrame, idCol: String,
       numHashes: Int, bands: Int): DataFrame = {
@@ -149,16 +160,16 @@ object Dedup {
     val rows = numHashes / bands
     val banded = signatures.select(
       col(idCol),
-      posexplode(array((0 until bands).map { bIdx =>
-        struct((0 until rows).map(r =>
-          col(s"sig_${bIdx * rows + r}").as(s"r$r")): _*)
-      }: _*)).as(Seq("band", "bucket")))
-    val l = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
-    val r = banded.select(col(idCol).as("id_b"), col("band"), col("bucket"))
+      explode(array((0 until bands).map { bIdx =>
+        xxhash64(lit(bIdx) +: (0 until rows).map(r =>
+          col(s"sig_${bIdx * rows + r}")): _*)
+      }: _*)).as("bucket"))
+    val l = banded.select(col(idCol).as("id_a"), col("bucket"))
+    val r = banded.select(col(idCol).as("id_b"), col("bucket"))
     // cache: both sides of the self-join would otherwise recompute the
     // signature aggregation (measured 2× the candidate-stage cost)
     banded.cache()
-    l.join(r, Seq("band", "bucket"))
+    l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
@@ -169,15 +180,18 @@ object Dedup {
     * SURVEY §4 O12). */
   def minhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
-    val sh = shingles(df, idCol, textCol, shingleN).cache()
+      shingleN: Int, numHashes: Int, bands: Int, threshold: Double,
+      maxShingleDf: Option[Int] = Some(DefaultMaxShingleDf)): DataFrame = {
+    val sh = capShingleDf(
+      shingles(df, idCol, textCol, shingleN), idCol, maxShingleDf).cache()
     val sigs = minhashSignaturesFromShingles(sh, idCol, numHashes)
     val cand = lshCandidates(sigs, idCol, numHashes, bands)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     cand
       .join(sh.select(col(idCol).as("id_a"), col("sh")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
-      .filter(col("sh") === col("sh_b"))
+      // composite (id_b, sh) key: the join IS the set intersection — never
+      // materializes the |A|×|B| per-pair cross of shingle rows
+      .join(sh.select(col(idCol).as("id_b"), col("sh")), Seq("id_b", "sh"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
       .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
@@ -245,10 +259,46 @@ object Dedup {
 
   // ---- embedding cosine near-dup -------------------------------------------
 
-  /** Pairs of embeddings with cosine similarity ≥ threshold. Exact O(n²)
-    * baseline (broadcast nested-loop on the smaller side); the LSH/IVF
-    * bucketed variant is the scale path. */
+  /** Pairs within Hamming radius of each other's LSH bucket, verified by
+    * exact cosine ≥ threshold — the SERVING DEFAULT. The bucket equi-join
+    * replaces the all-pairs cross product: side A explodes to its Hamming-
+    * neighborhood buckets (one row per XOR mask, so every qualifying pair
+    * joins on exactly one mask — no dedup pass needed), side B keeps its
+    * exact bucket. Shuffle keys are single longs; candidate volume is
+    * per-bucket, not O(n²).
+    *
+    * Approximate by design: pairs whose buckets differ in more than `radius`
+    * sign bits are not candidates. Recall rises with `radius` (and falls
+    * with `nbits`); results ⊆ [[embeddingNearDupsExact]]. */
   def embeddingNearDups(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      nbits: Int = 8, radius: Int = 2): DataFrame = {
+    import graft.functions.VectorFunctions.{dot, norm}
+    val dims = df.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).head.getInt(0)
+    val planes = ApproxAnn.hyperplanes(nbits, dims)
+    val base = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol),
+        ApproxAnn.lshBucket(col(vecCol), planes).as("_b"),
+        norm(col(vecCol)).as("_n"))
+      .cache() // buckets + norms computed once, read by both join sides
+    val masks = ApproxAnn.hammingMasks(nbits, radius)
+    val a = base.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      col("_n").as("na"),
+      explode(array(masks.map(m => col("_b").bitwiseXOR(lit(m))): _*)).as("_b"))
+    val b = base.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      col("_n").as("nb"), col("_b"))
+    a.join(b, "_b")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
+
+  /** Exact all-pairs cosine near-dup — O(n²) BroadcastNestedLoopJoin. The
+    * oracle baseline ONLY; use [[embeddingNearDups]] (LSH-bucketed) as the
+    * serving path. */
+  def embeddingNearDupsExact(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
     import graft.functions.VectorFunctions.{dot, norm}
     // norms computed once per vector (n rows), not once per pair (n²)

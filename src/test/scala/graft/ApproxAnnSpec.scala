@@ -83,6 +83,38 @@ class ApproxAnnSpec extends SparkSpec {
       exactD.get(id).foreach(ed => assert(ed == d)) }
   }
 
+  test("materialized LSH store: probe is partition-pruned and result-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mat_lsh").toFile
+    try {
+      val idx = ApproxAnn.materializeLshIndex(
+        emb, "embedding", nbits = 8, dims = qv.length, dir.getAbsolutePath)
+      val probe = ApproxAnn.searchLsh(idx, "embedding", Seq("vec_id"),
+        Euclidean, AnnRequest(qv, 10), nbits = 8, radius = 2)
+      assert(graft.sources.IndexStorage.prunesPartitions(probe),
+        probe.queryExecution.executedPlan.toString)
+      val inMem = ApproxAnn.searchLsh(
+        ApproxAnn.buildLshIndex(emb, "embedding", nbits = 8, dims = qv.length),
+        "embedding", Seq("vec_id"), Euclidean, AnnRequest(qv, 10), nbits = 8, radius = 2)
+      assert(probe.select("vec_id").as[Long].collect().toSeq ==
+        inMem.select("vec_id").as[Long].collect().toSeq)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  test("materialized quantized store: narrow stage-1 scan, same results as inline") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mat_q").toFile
+    try {
+      val qidx = ApproxAnn.materializeQuantizedIndex(
+        emb, "embedding", Seq("vec_id"), dir.getAbsolutePath)
+      assert(qidx.columns.toSet == Set("vec_id", "_q")) // floats never stored
+      val indexed = ApproxAnn.searchRescoredIndexed(qidx, emb, "embedding",
+        Seq("vec_id"), Euclidean, AnnRequest(qv, 10), oversample = 5.0)
+      val inline = ApproxAnn.searchRescored(emb, "embedding", Seq("vec_id"),
+        Euclidean, AnnRequest(qv, 10), oversample = 5.0)
+      assert(indexed.select("vec_id", "distance").as[(Long, Double)].collect().toSeq ==
+        inline.select("vec_id", "distance").as[(Long, Double)].collect().toSeq)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("i8 quantization round-trip error is bounded by scale/2") {
     val v = Seq(Tuple1(Seq(1.0f, -0.5f, 0.25f, 127.0f, -127.0f)))
       .toDF("v")

@@ -84,4 +84,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L)))
     assert(pairs.head._3 > 0.99)
   }
+
+  test("LSH near-dups ⊆ exact near-dups, identical cos_sim on shared pairs") {
+    val emb = (0L until 24L).map { i =>
+      val base = Array.tabulate(8)(d => math.sin(i * 1.7 + d).toFloat)
+      (i, base.toSeq)
+    }.toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDupsExact(emb, "vec_id", "embedding", 0.7)
+      .as[(Long, Long, Double)].collect().map(p => ((p._1, p._2), p._3)).toMap
+    val lsh = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.7)
+      .as[(Long, Long, Double)].collect().map(p => ((p._1, p._2), p._3)).toMap
+    assert(lsh.keySet.subsetOf(exact.keySet))
+    lsh.foreach { case (k, v) => assert(v == exact(k)) }
+  }
+
+  test("LSH near-dup plan is equi-join shaped (no BroadcastNestedLoopJoin)") {
+    val emb = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val plan = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
