@@ -35,6 +35,11 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("ann_euclidean")(spark, "/root/testdata/sf0.001")
 
+  /** Queries backed by a build-once materialized index store
+    * ([[graft.sources.IndexStorage.materializeCached]]). Bench warms these
+    * before its timed loop so probe cost is measured, not build cost. */
+  val indexBackedQueries: Seq[String] = Seq("ann_lsh", "ann_rescored")
+
   // ---- ANN helpers ---------------------------------------------------------
 
   /** Single-query exact ANN on the embeddings table; query vector = row
@@ -409,6 +414,13 @@ object SparkEntry {
     "bm25_bool_or" -> (bm25Bool("merge OR window") _),
     "bm25_bool_not" -> (bm25Bool("data NOT spark") _),
     "bm25_bool_grouped" -> (bm25Bool("(merge OR window) AND data") _),
+    // NOT inside an OR lifts to a MustNot on the enclosing boolean (tantivy
+    // QueryParser): docs containing "data" are excluded even if they match
+    // merge/window.
+    "bm25_or_not" -> (bm25Bool("merge OR window OR NOT data") _),
+    // a bare hyphenated word analyzes to >1 token ⇒ phrase query (tantivy
+    // default); identical result set to the explicit "table hash" phrase
+    "bm25_hyphen" -> (bm25Bool("table-hash") _),
 
     // F11: exact phrase query over positional postings.
     "bm25_phrase" -> ((s, dir) => {
@@ -653,6 +665,34 @@ object SparkEntry {
          |SELECT o.doc_id, round(o.score + a.s, 4) AS score
          |FROM o JOIN a USING (doc_id)
          |ORDER BY round(o.score + a.s, 4) DESC, o.doc_id ASC LIMIT 10""".stripMargin,
+
+    "bm25_or_not" ->
+      s"""WITH ${duckTermScores(Seq("merge", "window", "data"))},
+         |u AS (SELECT doc_id, sum(s) AS score FROM ts
+         |      WHERE term IN ('merge', 'window') GROUP BY doc_id)
+         |SELECT doc_id, round(score, 4) AS score FROM u
+         |WHERE doc_id NOT IN (SELECT doc_id FROM ts WHERE term = 'data')
+         |ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10""".stripMargin,
+
+    "bm25_hyphen" ->
+      s"""WITH toks0 AS (SELECT doc_id,
+         |  list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'),
+         |              t -> len(t) > 0 AND t NOT IN ($duckStop)) AS al
+         |  FROM documents),
+         |t AS (SELECT doc_id, unnest(al) AS term, unnest(range(len(al))) AS pos FROM toks0),
+         |dl AS (SELECT doc_id, len(al) AS dl FROM toks0),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |m AS (SELECT a.doc_id, count(*) AS ptf
+         |  FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |  WHERE a.term = 'table' AND b.term = 'hash' GROUP BY a.doc_id),
+         |dfp AS (SELECT CAST(count(*) AS DOUBLE) AS df FROM m),
+         |scored AS (SELECT m.doc_id,
+         |    ln(1.0 + (s.n_docs - dfp.df + 0.5) / (dfp.df + 0.5)) *
+         |    (m.ptf * (1.2 + 1.0)) / (m.ptf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS score
+         |  FROM m JOIN dl ON dl.doc_id = m.doc_id, dfp, stats s)
+         |SELECT doc_id, round(score, 4) AS score FROM scored
+         |ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10""".stripMargin,
 
     "bm25_phrase" ->
       s"""WITH toks0 AS (SELECT doc_id,

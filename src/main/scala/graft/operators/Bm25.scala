@@ -255,6 +255,13 @@ object Bm25 {
     out.result()
   }
 
+  /** Analyzer chain for query text: lowercase, split, drop stopwords —
+    * token order and repeats preserved (phrases need positions). */
+  private def analyze(body: String): Seq[String] =
+    body.toLowerCase(java.util.Locale.ROOT)
+      .split("[^\\p{L}\\p{N}]+").toSeq
+      .filter(t => t.nonEmpty && !EnglishStopwords.contains(t))
+
   private final class BoolParser(tokens: Vector[Tok]) {
     private var pos = 0
     def exhausted: Boolean = pos == tokens.length
@@ -308,12 +315,17 @@ object Bm25 {
         inner
       case Some(PhraseTok(body)) =>
         pos += 1
-        QueryNode.Phrase(body.toLowerCase(java.util.Locale.ROOT)
-          .split("[^\\p{L}\\p{N}]+").toSeq
-          .filter(t => t.nonEmpty && !EnglishStopwords.contains(t)))
+        QueryNode.Phrase(analyze(body))
       case Some(WordTok(w)) =>
         pos += 1
-        QueryNode.Term(tokenizeQuery(w).headOption.getOrElse(""))
+        // A bare word that analyzes to multiple tokens (e.g. "foo-bar")
+        // becomes a phrase query, tantivy QueryParser's default for
+        // multi-token terms; 0 tokens → empty Term, dropped by prune.
+        analyze(w) match {
+          case Seq() => QueryNode.Term("")
+          case Seq(one) => QueryNode.Term(one)
+          case many => QueryNode.Phrase(many)
+        }
       case other =>
         throw new IllegalArgumentException(s"unexpected token $other in query")
     }
@@ -360,8 +372,10 @@ object Bm25 {
     * BooleanQuery semantics: a doc matches an AND if it matches every
     * positive clause and no NOT clause; an OR if it matches any clause;
     * score = sum of the matched positive clauses' BM25 scores (MustNot
-    * clauses never contribute score). NOT under OR cannot match on its own
-    * and is dropped; a query with no positive clause matches nothing.
+    * clauses never contribute score). A NOT under an OR is lifted to a
+    * MustNot on the enclosing boolean (tantivy QueryParser behavior), so
+    * "turtle OR NOT fox" excludes every doc containing fox; a query with
+    * no positive clause matches nothing.
     *
     * All term leaves share ONE pruned postings pass ([[termScores]]); the
     * boolean structure is joins/anti-joins on the doc id — no per-clause
@@ -384,10 +398,19 @@ object Bm25 {
         searchPhrase(pidx, ps.mkString(" "), Int.MaxValue)
           .select(col(idCol), col("score"))
       case QueryNode.Or(cs) =>
-        val pos = cs.filterNot(_.isInstanceOf[QueryNode.Not])
+        val (neg, pos) = cs.partition(_.isInstanceOf[QueryNode.Not])
         if (pos.isEmpty) emptyResult
-        else pos.map(eval).reduce(_ unionByName _)
-          .groupBy(col(idCol)).agg(sum(col("score")).as("score"))
+        else {
+          val unioned = pos.map(eval).reduce(_ unionByName _)
+            .groupBy(col(idCol)).agg(sum(col("score")).as("score"))
+          // tantivy's QueryParser lifts a NOT inside an OR to a MustNot on
+          // the enclosing boolean: "turtle OR NOT fox" excludes any doc
+          // containing fox, even if it also contains turtle.
+          neg.foldLeft(unioned) { (acc, nn) =>
+            val QueryNode.Not(c) = nn: @unchecked
+            acc.join(eval(c).select(col(idCol)), Seq(idCol), "left_anti")
+          }
+        }
       case QueryNode.And(cs) =>
         val (neg, pos) = cs.partition(_.isInstanceOf[QueryNode.Not])
         if (pos.isEmpty) emptyResult

@@ -274,14 +274,21 @@ object Dedup {
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
       nbits: Int = 8, radius: Int = 2): DataFrame = {
     import graft.functions.VectorFunctions.{dot, norm}
-    val dims = df.filter(col(vecCol).isNotNull)
-      .select(size(col(vecCol))).head.getInt(0)
+    val dimsOpt = df.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).limit(1).collect().headOption.map(_.getInt(0))
+    val dims = dimsOpt.getOrElse(
+      // no non-null vectors at all: no pairs, by definition (schema matches
+      // the non-empty path, id columns keep the source id type)
+      return df.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
+        lit(0.0).as("cos_sim")).limit(0))
     val planes = ApproxAnn.hyperplanes(nbits, dims)
+    // NOT cached: bucket + norm are a handful of codegen'd dot products per
+    // row, cheaper to recompute per join side than to pin the full vector
+    // column in block storage (which at 100 TB would evict everything else).
     val base = df.filter(col(vecCol).isNotNull)
       .select(col(idCol), col(vecCol),
         ApproxAnn.lshBucket(col(vecCol), planes).as("_b"),
         norm(col(vecCol)).as("_n"))
-      .cache() // buckets + norms computed once, read by both join sides
     val masks = ApproxAnn.hammingMasks(nbits, radius)
     val a = base.select(col(idCol).as("id_a"), col(vecCol).as("va"),
       col("_n").as("na"),

@@ -49,6 +49,10 @@ object IndexStorage {
       writePartitioned(build, path, partitionCols)
       java.nio.file.Files.write(marker.toPath, fp.getBytes("UTF-8"))
     }
+    // stderr so harnesses parsing stdout JSON are unaffected; lets a bench
+    // run prove whether probe timings included a build
+    System.err.println(
+      s"[graft] index store ${if (fresh) "reused" else "rebuilt"}: $path")
     read(spark, path)
   }
 

@@ -84,9 +84,27 @@ class BoolQuerySpec extends SparkSpec {
     assert(!r.contains(1L))
   }
 
-  test("bare NOT matches nothing; NOT under OR cannot match alone") {
+  test("bare NOT matches nothing") {
     assert(pks(docs, "NOT fox").isEmpty)
+  }
+
+  test("NOT under OR lifts to MustNot on the enclosing boolean (tantivy)") {
+    // doc 4 contains BOTH turtle and fox: tantivy's QueryParser lifts the
+    // NOT to a MustNot on the whole boolean, so it is excluded even though
+    // its turtle clause matches.
+    val withBoth = docs.union(Seq((4L, "a turtle raced a fox")).toDF("doc_id", "text"))
+    assert(pks(withBoth, "turtle OR NOT fox") == Seq(2L))
     assert(pks(docs, "turtle OR NOT fox") == Seq(2L))
+  }
+
+  test("bare word analyzing to multiple tokens becomes a phrase (tantivy)") {
+    assert(Bm25.parseQuery("quick-brown") ==
+      Some(Phrase(Seq("quick", "brown"))))
+    // matches only the doc where the tokens are adjacent in order
+    assert(pks(docs, "quick-brown") == Seq(1L))
+    assert(pks(docs, "brown-quick").isEmpty)
+    // and composes with boolean structure
+    assert(pks(docs, "quick-brown OR turtle").toSet == Set(1L, 2L))
   }
 
   test("phrases participate in boolean structure") {

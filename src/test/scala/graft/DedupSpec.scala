@@ -98,6 +98,16 @@ class DedupSpec extends SparkSpec {
     lsh.foreach { case (k, v) => assert(v == exact(k)) }
   }
 
+  test("embedding near-dups on empty / all-null-vector input is empty, not a crash") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Dedup.embeddingNearDups(empty, "vec_id", "embedding", 0.9).count() == 0)
+    val allNull = Seq((0L, null.asInstanceOf[Seq[Float]]), (1L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val r = Dedup.embeddingNearDups(allNull, "vec_id", "embedding", 0.9)
+    assert(r.count() == 0)
+    assert(r.columns.toSeq == Seq("id_a", "id_b", "cos_sim"))
+  }
+
   test("LSH near-dup plan is equi-join shaped (no BroadcastNestedLoopJoin)") {
     val emb = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))).toDF("vec_id", "embedding")
     val plan = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.5)
