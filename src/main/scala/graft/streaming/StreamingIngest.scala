@@ -132,10 +132,28 @@ object StreamingIngest {
         .otherwise(lit("UPSERT")))
   }
 
+  /** Partition column holding the pk-hash bucket in the state snapshot. */
+  val BucketCol = "_bkt"
+
   /** foreachBatch merge: compact the micro-batch and LWW-merge it into the
-    * parquet snapshot at `statePath` (read-modify-write; the batch analogue
-    * of the reference's monitor_items merge loop). Returns the writer lambda
-    * for `.writeStream.foreachBatch(...)`. */
+    * parquet snapshot at `statePath` (the batch analogue of the reference's
+    * per-key monitor_items merge loop, table/mod.rs:887-1003). Returns the
+    * writer lambda for `.writeStream.foreachBatch(...)`.
+    *
+    * INCREMENTAL: the snapshot is directory-partitioned by a pk-hash bucket
+    * ([[BucketCol]] = pmod(xxhash64(pk), nBuckets)). Each micro-batch
+    *  1. computes the set of buckets its keys touch (≤ nBuckets ints),
+    *  2. reads ONLY those bucket directories (partition-pruned scan),
+    *  3. LWW-merges the batch into them, and
+    *  4. rewrites ONLY those directories (dynamic partition overwrite).
+    * Untouched bucket files are never read or rewritten, so per-batch cost is
+    * O(touched state), not O(total state) — the property that keeps a 100 TB
+    * snapshot serviceable by a trickle of CDC events. The reference gets the
+    * same effect with per-key in-place updates; directory granularity is the
+    * Spark-native equivalent.
+    *
+    * @param nBuckets bucket count — size so one bucket ≈ a comfortable task
+    *                 read (state_bytes / nBuckets well under executor memory) */
   def mergeIntoSnapshot(
       spark: SparkSession,
       statePath: String,
@@ -143,24 +161,29 @@ object StreamingIngest {
       tsCol: String,
       opCol: Option[String],
       targetCol: Option[String],
-      seqCol: Option[String]): (DataFrame, Long) => Unit = {
+      seqCol: Option[String],
+      nBuckets: Int = 64): (DataFrame, Long) => Unit = {
     (batch: DataFrame, _: Long) =>
-      val compacted = Lww.compactState(batch, pkCols, tsCol, opCol, targetCol, seqCol)
+      val bucket = pmod(xxhash64(pkCols.map(col): _*), lit(nBuckets.toLong)).cast("int")
       val merged =
         if (new java.io.File(statePath).exists()) {
+          val touched = batch.select(bucket.as(BucketCol)).distinct()
+            .collect().map(_.getInt(0)).toSeq
           val base = spark.read.parquet(statePath)
+            .filter(col(BucketCol).isin(touched: _*)) // PartitionFilters prune
           Lww.applyChanges(base, batch, pkCols, tsCol, opCol, targetCol, seqCol)
-        } else compacted
-      // write-new-then-swap keeps readers consistent (no partial state dir)
-      val tmp = statePath + ".tmp"
-      merged.write.mode("overwrite").parquet(tmp)
-      val target = new java.io.File(statePath)
-      if (target.exists()) {
-        val old = new java.io.File(statePath + ".old")
-        if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
-        target.renameTo(old)
-      }
-      new java.io.File(tmp).renameTo(target)
+        } else Lww.compactState(batch, pkCols, tsCol, opCol, targetCol, seqCol)
+      // localCheckpoint cuts lineage to the state files about to be replaced
+      // (read-modify-write on one path); only the touched buckets' rows are
+      // materialized, and clustering by bucket gives one writer per directory
+      val out = merged.withColumn(BucketCol, bucket)
+        .repartition(col(BucketCol))
+        .localCheckpoint(true)
+      out.write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BucketCol)
+        .parquet(statePath)
       ()
   }
 }

@@ -113,4 +113,47 @@ class StreamingSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(dir)
     }
   }
+
+  test("incremental merge rewrites only touched bucket directories") {
+    import org.apache.commons.io.FileUtils
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bktstate").toFile
+    val statePath = new java.io.File(dir, "state").getAbsolutePath
+    val merge = StreamingIngest.mergeIntoSnapshot(
+      spark, statePath, Seq("key"), "ts",
+      opCol = None, targetCol = Some("payload"), seqCol = Some("seq"))
+
+    def bkt(k: String): Int = spark.range(1)
+      .select(pmod(xxhash64(lit(k)), lit(64L)).cast("int")).head.getInt(0)
+    // the two keys must land in different buckets for the assertion to mean
+    // anything (deterministic hash — these two do; swap keys if ever changed)
+    assert(bkt("a") != bkt("b"), "pick keys hashing to different buckets")
+
+    def parquetCrcs(): Map[String, Long] =
+      FileUtils.listFiles(new java.io.File(statePath), Array("parquet"), true)
+        .asScala.map(f => f.getAbsolutePath -> FileUtils.checksumCRC32(f)).toMap
+
+    try {
+      merge(Seq(ev("a", 100, 0), ev("b", 100, 1)).toDF(), 0L)
+      val before = parquetCrcs()
+      val bBucketDir = s"${StreamingIngest.BucketCol}=${bkt("b")}"
+      assert(before.keys.exists(_.contains(bBucketDir)))
+
+      // batch 2 touches only key "a": b's bucket files must stay byte-identical
+      merge(Seq(ev("a", 200, 2)).toDF(), 1L)
+      val after = parquetCrcs()
+      val bBefore = before.filter(_._1.contains(bBucketDir))
+      val bAfter = after.filter(_._1.contains(bBucketDir))
+      assert(bAfter == bBefore, "untouched bucket was rewritten")
+      // a's bucket WAS rewritten (different file set or bytes)
+      val aBucketDir = s"${StreamingIngest.BucketCol}=${bkt("a")}"
+      assert(after.filter(_._1.contains(aBucketDir)) !=
+        before.filter(_._1.contains(aBucketDir)))
+      // and the merged state is correct
+      val state = spark.read.parquet(statePath)
+        .select(col("key"), col(Lww.TsCol).as("ts"))
+        .as[(String, Long)].collect().toMap
+      assert(state == Map("a" -> 200L, "b" -> 100L))
+    } finally FileUtils.deleteDirectory(dir)
+  }
 }
