@@ -279,6 +279,34 @@ object SparkEntry {
         .select(col("vec_id"), (round(col("distance"), 6) + lit(0.0)).as("distance"))
     }),
 
+    // S7/F14 end-to-end: the embeddings table re-encoded into Alternator's
+    // `:attrs` map<text,blob> shape (even ids tag-5 big-endian binary, odd
+    // ids tag-4 DynamoDB JSON — db_index_backend.rs:22-62, vector.rs:62-129),
+    // decoded by the scan projection and routed through the Engine. Both
+    // encodings round-trip f32 exactly, so the oracle is the plain L2 ANN
+    // over the original embeddings.
+    "ann_alternator" -> ((s, dir) => {
+      import graft.sources.Alternator
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0)
+      val encodeBin = udf((v: Seq[Float]) => Alternator.encodeBinary(v))
+      val encodeJson = udf((v: Seq[Float]) => Alternator.encodeJson(v))
+      val attrsTable = emb.select(col("vec_id"),
+        map(lit("embedding"),
+          when(col("vec_id") % 2 === 0, encodeBin(col("embedding")))
+            .otherwise(encodeJson(col("embedding")))).as(":attrs"))
+      val decoded = attrsTable.select(col("vec_id"),
+        Alternator.scanProjection(col(":attrs"), "embedding").as("embedding"))
+      val eng = new Engine
+      eng.addIndex(Catalog.IndexMetadata(
+        "alternator_ks", "ann_alt", "tbl", "embedding",
+        primaryKeyColumns = Seq("vec_id"),
+        kind = Catalog.Vs(Catalog.IndexOptionsVs(qv.length, Euclidean))), decoded)
+      eng.ann("alternator_ks", "ann_alt", AnnRequest(qv, limit = 10))
+        .select(col("vec_id"), (round(col("distance"), 6) + lit(0.0)).as("distance"))
+    }),
+
     // S8: columnar response transpose, exploded back to one scalar row per
     // array position so the oracle can hash-compare (the array columns
     // themselves are covered by EngineSpec; `pos` proves element order).
@@ -829,6 +857,9 @@ object SparkEntry {
     "ann_hamming" -> duckAnn(duckHamming),
     "ann_filtered" -> duckAnn(duckL2, "WHERE e.label IN (3, 7)"),
     "ann_local" -> duckAnn(duckL2, "WHERE e.label = 3"),
+    // encode→decode through the :attrs map is lossless on f32, so the
+    // alternator-routed query must equal the plain L2 ANN
+    "ann_alternator" -> duckAnn(duckL2),
 
     "multimodal_features" ->
       s"""SELECT doc_id AS media_id, i.idx,
