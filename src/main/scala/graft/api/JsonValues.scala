@@ -73,8 +73,12 @@ object JsonValues {
       catch { case e: Exception => fail(s"Failed to parse Time from string '$s': $e") }
     case (s: String, TimestampT) =>
       // CQL allows '2024-01-01 00:00:00Z'; normalize the space only at the
-      // date-time boundary (httproutes.rs:1358-1366)
-      val normalized = CqlTimestampSpace.replaceFirstIn(s, "$1T")
+      // date-time boundary (httproutes.rs:1358-1366). A date-only value is a
+      // valid CQL timestamp meaning midnight UTC — VECTOR-593 regression
+      // (validator/src/filtering.rs local_ann_with_timestamp_gte_filter).
+      val dated =
+        if (s.matches("^\\d{4}-\\d{2}-\\d{2}$")) s + "T00:00:00.000Z" else s
+      val normalized = CqlTimestampSpace.replaceFirstIn(dated, "$1T")
       try java.sql.Timestamp.from(OffsetDateTime.parse(normalized).toInstant)
       catch { case e: Exception => fail(s"Failed to parse Timestamp from string '$s': $e") }
     case (s: String, BlobT) =>
