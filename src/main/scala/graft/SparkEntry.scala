@@ -279,6 +279,24 @@ object SparkEntry {
         .select(col("vec_id"), (round(col("distance"), 6) + lit(0.0)).as("distance"))
     }),
 
+    // S10 metrics-lite: per-index gauges (live/total rows, status, progress)
+    // as one DataFrame — the volatile gauges (est_size_bytes, queries_total)
+    // are part of the surface but excluded here so the oracle stays exact.
+    "index_metrics" -> ((s, dir) => {
+      val eng = new Engine
+      eng.addIndex(Catalog.IndexMetadata(
+        "vs", "emb_idx", "embeddings", "embedding",
+        primaryKeyColumns = Seq("vec_id"),
+        // dims is not consulted by the metrics scrape
+        kind = Catalog.Vs(Catalog.IndexOptionsVs(0, Euclidean))), t(s, dir, "embeddings"))
+      eng.addIndex(Catalog.IndexMetadata(
+        "fts", "doc_idx", "documents", "text",
+        primaryKeyColumns = Seq("doc_id"),
+        kind = Catalog.Fts(Catalog.IndexOptionsFts())), t(s, dir, "documents"))
+      eng.metrics().select("keyspace", "index_name", "kind", "status",
+        "progress_pct", "live_rows", "total_rows")
+    }),
+
     // S7/F14 end-to-end: the embeddings table re-encoded into Alternator's
     // `:attrs` map<text,blob> shape (even ids tag-5 big-endian binary, odd
     // ids tag-4 DynamoDB JSON — db_index_backend.rs:22-62, vector.rs:62-129),
@@ -860,6 +878,14 @@ object SparkEntry {
     // encode→decode through the :attrs map is lossless on f32, so the
     // alternator-routed query must equal the plain L2 ANN
     "ann_alternator" -> duckAnn(duckL2),
+
+    "index_metrics" ->
+      """SELECT 'fts' AS keyspace, 'doc_idx' AS index_name, 'fulltext' AS kind,
+        |       'Serving' AS status, CAST(100.0 AS DOUBLE) AS progress_pct,
+        |       count(text) AS live_rows, count(*) AS total_rows FROM documents
+        |UNION ALL
+        |SELECT 'vs', 'emb_idx', 'vector', 'Serving', CAST(100.0 AS DOUBLE),
+        |       count(embedding), count(*) FROM embeddings""".stripMargin,
 
     "multimodal_features" ->
       s"""SELECT doc_id AS media_id, i.idx,

@@ -27,6 +27,10 @@ final class Engine {
 
   val catalog = new Catalog
   private var frames: Map[IndexKey, DataFrame] = Map.empty
+  private var queryCounts: Map[IndexKey, Long] = Map.empty.withDefaultValue(0L)
+
+  private def recordQuery(key: IndexKey): Unit =
+    synchronized { queryCounts = queryCounts.updated(key, queryCounts(key) + 1L) }
 
   def addIndex(meta: IndexMetadata, df: DataFrame,
       status: IndexStatus = Serving, progressPct: Double = 100.0): Unit = {
@@ -55,6 +59,7 @@ final class Engine {
               "query requires residual filtering; set allowFiltering=true")
           case _ => ()
         }
+        recordQuery(meta.key)
         try Ann.search(frames(meta.key), meta, req)
         catch {
           case e: Ann.AnnValidationException => throw new QueryException(400, e.getMessage)
@@ -73,11 +78,49 @@ final class Engine {
       case Some(e) =>
         e.meta.kind match {
           case Fts(_) =>
+            recordQuery(key)
             Bm25.search(frames(key), e.meta.primaryKeyColumns.head,
               e.meta.targetColumn, query, limit)
           case _ => throw new QueryException(400, s"index $keyspace/$index is not an FTS index")
         }
     }
+  }
+
+  /** Metrics-lite surface (S10): one row per registered index with the
+    * gauges the reference exports per (keyspace, index) label pair —
+    * `size` (live rows, refresh_index_metrics at httproutes.rs:528-566),
+    * build status/progress, an estimated byte size (the `fts_index_size_
+    * bytes` analogue, from the optimizer's scan statistics — no job), and
+    * `queries_total` (the count component of the `latency` histogram,
+    * metrics.rs:57-65). One aggregate job per index per scrape; the unions
+    * are independent single-row aggregates, so the whole frame is one
+    * collect of #indexes rows. */
+  def metrics(): DataFrame = {
+    val entries = catalog.list.sortBy(e => (e.meta.keyspace, e.meta.index))
+    require(entries.nonEmpty, "no indexes registered")
+    entries.map { e =>
+      val df = frames(e.meta.key)
+      val kindStr = e.meta.kind match {
+        case Vs(_) => "vector"
+        case Fts(_) => "fulltext"
+      }
+      val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        .min(BigInt(Long.MaxValue)).toLong
+      // Engine.count shadows functions.count
+      val cnt = (c: org.apache.spark.sql.Column) => org.apache.spark.sql.functions.count(c)
+      df.agg(
+          cnt(when(col(e.meta.targetColumn).isNotNull, lit(1))).as("live_rows"),
+          cnt(lit(1)).as("total_rows"))
+        .select(
+          lit(e.meta.keyspace).as("keyspace"),
+          lit(e.meta.index).as("index_name"),
+          lit(kindStr).as("kind"),
+          lit(e.status.toString).as("status"),
+          lit(e.progressPct).as("progress_pct"),
+          col("live_rows"), col("total_rows"),
+          lit(estBytes).as("est_size_bytes"),
+          lit(queryCounts(e.meta.key)).as("queries_total"))
+    }.reduce(_ unionByName _)
   }
 
   /** Live row count of an index (A1; surfaced at httproutes.rs:437-456). */

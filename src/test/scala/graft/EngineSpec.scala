@@ -113,6 +113,29 @@ class EngineSpec extends SparkSpec {
     assert(e.count("ks", "cnt") == 4)
   }
 
+  test("metrics-lite: per-index gauges mirror the reference export (S10)") {
+    val e = new Engine
+    e.addIndex(vsMeta("ann_g"), items.union(
+      Seq((9, null.asInstanceOf[Seq[Float]], 30, 1)).toDF("pk", "embedding", "part", "c1")))
+    e.addIndex(vsMeta("ann_b"), items, status = FullScanning, progressPct = 42.5)
+    val before = e.metrics().collect()
+      .map(r => r.getString(1) -> r).toMap
+    // live vs total rows: the null-embedding row is indexed but not live
+    assert(before("ann_g").getLong(before("ann_g").fieldIndex("live_rows")) == 4)
+    assert(before("ann_g").getLong(before("ann_g").fieldIndex("total_rows")) == 5)
+    assert(before("ann_g").getString(3) == "Serving")
+    // a building index reports its status + progress
+    assert(before("ann_b").getString(3) == "FullScanning")
+    assert(before("ann_b").getDouble(before("ann_b").fieldIndex("progress_pct")) == 42.5)
+    // size estimate is a positive driver-side stat (no job)
+    assert(before("ann_g").getLong(before("ann_g").fieldIndex("est_size_bytes")) > 0)
+    // queries_total counts served queries
+    assert(before("ann_g").getLong(before("ann_g").fieldIndex("queries_total")) == 0)
+    e.ann("ks", "ann_g", AnnRequest(Seq(0f, 1f), limit = 1)).collect()
+    val after = e.metrics().collect().map(r => r.getString(1) -> r).toMap
+    assert(after("ann_g").getLong(after("ann_g").fieldIndex("queries_total")) == 1)
+  }
+
   test("result transpose: columnar arrays ordered by distance (S8)") {
     val res = engine.ann("ks", "ann_g", AnnRequest(Seq(0f, 1f), limit = 3))
     val row = ResultFormat.transpose(res, Seq("pk")).head()
