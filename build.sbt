@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8g caused old-gen GC thrash ~35 queries into a local[32] bench run
+  // (lww_live 25s vs 1.5s; whole run 75s vs 42s) — the single-JVM local
+  // mode holds driver + all executor state in one heap, so size it for
+  // both. Override with SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -38,7 +38,7 @@ object SparkEntry {
   /** Queries backed by a build-once materialized index store
     * ([[graft.sources.IndexStorage.materializeCached]]). Bench warms these
     * before its timed loop so probe cost is measured, not build cost. */
-  val indexBackedQueries: Seq[String] = Seq("ann_lsh", "ann_rescored")
+  val indexBackedQueries: Seq[String] = Seq("ann_lsh", "ann_rescored", "bm25_single")
 
   // ---- ANN helpers ---------------------------------------------------------
 
@@ -470,7 +470,7 @@ object SparkEntry {
 
     // F11: exact phrase query over positional postings.
     "bm25_phrase" -> ((s, dir) => {
-      val pidx = Bm25.buildPositionalIndex(t(s, dir, "documents"), "doc_id", "text")
+      val pidx = bm25Stores(s, dir)._2()
       Bm25.searchPhrase(pidx, "table hash", Int.MaxValue)
         .withColumn("score", round(col("score"), 4))
         .orderBy(col("score").desc, col("doc_id").asc)
@@ -478,8 +478,28 @@ object SparkEntry {
     }),
   )
 
+  /** FTS index stores materialized at "ingest" — the reference builds its
+    * tantivy index once and serves every query from it
+    * (fts_index/tantivy.rs:129-175); re-tokenizing the corpus per query
+    * would be the analogue of rebuilding tantivy per search. The positional
+    * postings double as the tf postings (one store serves terms AND
+    * phrases); doc lengths are a second, tiny store. */
+  private def bm25Stores(
+      s: SparkSession, dir: String): (Bm25.Index, () => Bm25.PosIndex) = {
+    import graft.sources.IndexStorage
+    val base = s"$dir/documents.parquet"
+    val post = IndexStorage.materializeCached(s, base, indexDir(dir, "bm25_pos"), Nil) {
+      Bm25.buildPositionalIndex(t(s, dir, "documents"), "doc_id", "text").postings
+    }
+    val lens = IndexStorage.materializeCached(s, base, indexDir(dir, "bm25_len"), Nil) {
+      Bm25.buildPositionalIndex(t(s, dir, "documents"), "doc_id", "text").docLens
+    }
+    val idx = Bm25.Index(post.select("doc_id", "term", "tf"), lens, "doc_id")
+    (idx, () => Bm25.PosIndex(post, lens, "doc_id"))
+  }
+
   private def bm25(query: String)(s: SparkSession, dir: String): DataFrame = {
-    val idx = Bm25.buildIndex(t(s, dir, "documents"), "doc_id", "text")
+    val (idx, _) = bm25Stores(s, dir)
     Bm25.scoreAll(idx, query)
       .withColumn("score", round(col("score"), 4))
       .orderBy(col("score").desc, col("doc_id").asc)
@@ -487,9 +507,8 @@ object SparkEntry {
   }
 
   private def bm25Bool(query: String)(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val idx = Bm25.buildIndex(docs, "doc_id", "text")
-    Bm25.scoreBoolean(idx, () => Bm25.buildPositionalIndex(docs, "doc_id", "text"), query)
+    val (idx, pidx) = bm25Stores(s, dir)
+    Bm25.scoreBoolean(idx, pidx, query)
       .withColumn("score", round(col("score"), 4))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(10)
