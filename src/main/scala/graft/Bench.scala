@@ -22,6 +22,20 @@ object Bench {
     Tables.names.foreach { n =>
       try Tables.load(spark, sfDir, n).count() catch { case _: Throwable => () }
     }
+    // One-time JVM init of collation-aware string ops: the first upper()/
+    // lower() anywhere triggers CollationAwareUTF8String.<clinit>, which
+    // loads ICU case-mapping + CJK break dictionaries from the jars —
+    // measured 13-38s of wall (mostly jar I/O) when it lands inside a timed
+    // query mid-bench. Pay it here, once, like codegen warmup.
+    locally {
+      import org.apache.spark.sql.functions.{upper, lower, lit, concat, col}
+      // concat with a non-foldable column defeats constant folding, collect()
+      // defeats column pruning — the upper/lower MUST execute in a task
+      spark.range(1)
+        .select(upper(concat(lit("首尔 ölçü İI"), col("id").cast("string"))).as("u"),
+          lower(concat(lit("İI"), col("id").cast("string"))).as("l"))
+        .collect()
+    }
     // warm the build-once index stores (LSH buckets, quantized projection) so
     // the timed loop measures probe cost only — the reference builds indexes
     // at ingest, not per query; IndexStorage logs rebuilt vs reused to stderr
@@ -38,6 +52,7 @@ object Bench {
       // operators cache intermediates (shingle sets etc.) scoped to their own
       // query; release before timing so queries don't inherit GC pressure
       spark.catalog.clearCache()
+      System.err.println(s"[graft] bench start: $name")
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

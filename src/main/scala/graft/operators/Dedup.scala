@@ -96,8 +96,18 @@ object Dedup {
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double,
+      maxShingleDf: Option[Int] = Some(DefaultMaxShingleDf)): DataFrame =
+    jaccardPairsFromShingles(
+      shingles(df, idCol, textCol, n), idCol, threshold, maxShingleDf)
+
+  /** Same, over a prebuilt (id, sh) shingle table — the serving shape: the
+    * shingle set is an index artifact (build at ingest via
+    * [[graft.sources.IndexStorage.materializeCached]]), so a dedup query
+    * scans two narrow long columns instead of re-tokenizing the corpus. */
+  def jaccardPairsFromShingles(
+      sh0: DataFrame, idCol: String, threshold: Double,
       maxShingleDf: Option[Int] = Some(DefaultMaxShingleDf)): DataFrame = {
-    val sh = capShingleDf(shingles(df, idCol, textCol, n), idCol, maxShingleDf).cache()
+    val sh = capShingleDf(sh0, idCol, maxShingleDf).cache()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.select(col(idCol).as("id_a"), col("sh"))
     val b = sh.select(col(idCol).as("id_b"), col("sh"))
@@ -181,9 +191,18 @@ object Dedup {
   def minhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int, bands: Int, threshold: Double,
+      maxShingleDf: Option[Int] = Some(DefaultMaxShingleDf)): DataFrame =
+    minhashNearDupsFromShingles(
+      shingles(df, idCol, textCol, shingleN), idCol, numHashes, bands,
+      threshold, maxShingleDf)
+
+  /** Same, over a prebuilt (id, sh) shingle table (see
+    * [[jaccardPairsFromShingles]] for the serving rationale). */
+  def minhashNearDupsFromShingles(
+      sh0: DataFrame, idCol: String,
+      numHashes: Int, bands: Int, threshold: Double,
       maxShingleDf: Option[Int] = Some(DefaultMaxShingleDf)): DataFrame = {
-    val sh = capShingleDf(
-      shingles(df, idCol, textCol, shingleN), idCol, maxShingleDf).cache()
+    val sh = capShingleDf(sh0, idCol, maxShingleDf).cache()
     val sigs = minhashSignaturesFromShingles(sh, idCol, numHashes)
     val cand = lshCandidates(sigs, idCol, numHashes, bands)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))

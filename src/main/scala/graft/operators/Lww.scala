@@ -32,6 +32,12 @@ object Lww {
 
   /** Compact a change-event DataFrame to one row per primary key.
     *
+    * PERF: project `events` down to the columns you actually need FIRST —
+    * the payload struct inside `max_by` is opaque to Catalyst column
+    * pruning, so every column present rides through every comparison.
+    * Carrying an unused fat text column through the aggregate measured
+    * 10-20× on the events fixture (GC churn, not compute).
+    *
     * @param events    change events
     * @param pkCols    primary-key columns
     * @param tsCol     writetime column (bigger = newer)
