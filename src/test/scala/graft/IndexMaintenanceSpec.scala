@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.Bm25
+import graft.streaming.IndexMaintenance
+import org.apache.spark.sql.functions._
+
+/** Incremental FTS index maintenance (ST6): per-batch searchability,
+  * upsert-as-replace / delete semantics, equality with a full rebuild,
+  * and touched-bucket-only rewrites. */
+class IndexMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tfIndex(p: Bm25.PosIndex): Bm25.Index =
+    Bm25.Index(p.postings.select("doc_id", "term", "tf"), p.docLens, "doc_id")
+
+  private def hits(p: Bm25.PosIndex, term: String): Set[Long] =
+    Bm25.scoreAll(tfIndex(p), term).select("doc_id").as[Long].collect().toSet
+
+  test("incremental FTS maintenance: searchable per batch, == full rebuild, bucket-scoped rewrites") {
+    import org.apache.commons.io.FileUtils
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fts_inc").toFile
+    val pPath = new java.io.File(dir, "postings").getAbsolutePath
+    val lPath = new java.io.File(dir, "doclens").getAbsolutePath
+    val merge = IndexMaintenance.mergeFtsBatch(
+      spark, pPath, lPath, "doc_id", "text", opCol = Some("op"))
+
+    def bkt(id: Long): Int = spark.range(1)
+      .select(pmod(xxhash64(lit(id)), lit(64L)).cast("int")).head.getInt(0)
+    def crcs(path: String): Map[String, Long] =
+      FileUtils.listFiles(new java.io.File(path), Array("parquet"), true)
+        .asScala.map(f => f.getAbsolutePath -> FileUtils.checksumCRC32(f)).toMap
+
+    try {
+      // batch 1: three docs, immediately searchable (commit batching)
+      merge(Seq(
+        (1L, "the quick brown fox", "UPSERT"),
+        (2L, "a slow turtle walks", "UPSERT"),
+        (3L, "spark merges windows", "UPSERT")).toDF("doc_id", "text", "op"), 0L)
+      val idx1 = IndexMaintenance.readFtsIndex(spark, pPath, lPath, "doc_id")
+      assert(hits(idx1, "turtle") == Set(2L))
+      assert(hits(idx1, "spark") == Set(3L))
+      val before = crcs(pPath)
+
+      // batch 2: update doc 2 (replace, not append), delete doc 3
+      merge(Seq(
+        (2L, "a fast turtle runs", "UPSERT"),
+        (3L, null.asInstanceOf[String], "DELETE")).toDF("doc_id", "text", "op"), 1L)
+      val idx2 = IndexMaintenance.readFtsIndex(spark, pPath, lPath, "doc_id")
+      assert(hits(idx2, "fast") == Set(2L))
+      assert(hits(idx2, "slow").isEmpty, "stale postings of an updated doc must be gone")
+      assert(hits(idx2, "spark").isEmpty, "deleted doc must leave the index")
+      assert(hits(idx2, "fox") == Set(1L), "untouched doc unaffected")
+
+      // doc 1's bucket was not touched by batch 2 → files byte-identical
+      assert(bkt(1L) != bkt(2L) && bkt(1L) != bkt(3L),
+        "fixture ids must hash to distinct buckets for the rewrite assertion")
+      val after = crcs(pPath)
+      val b1 = s"${IndexMaintenance.BucketCol}=${bkt(1L)}"
+      assert(after.filter(_._1.contains(b1)) == before.filter(_._1.contains(b1)),
+        "untouched bucket was rewritten")
+
+      // the maintained store equals a from-scratch rebuild of the live corpus
+      val rebuilt = Bm25.buildPositionalIndex(Seq(
+        (1L, "the quick brown fox"),
+        (2L, "a fast turtle runs")).toDF("doc_id", "text"), "doc_id", "text")
+      def postRows(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), col("term"), col("tf").cast("long"),
+          col("positions").cast("array<int>"))
+        .collect().map(_.toSeq).toSet
+      assert(postRows(idx2.postings) == postRows(rebuilt.postings))
+      def lenRows(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), col("dl").cast("long")).collect().map(_.toSeq).toSet
+      assert(lenRows(idx2.docLens) == lenRows(rebuilt.docLens))
+    } finally FileUtils.deleteDirectory(dir)
+  }
+}
