@@ -440,6 +440,14 @@ object SparkEntry {
           threshold = 0.4, nbits = 8, radius = 2)
         .withColumn("cos_sim", round(col("cos_sim"), 6))),
 
+    // Bulk kNN self-join over LSH buckets (every vector's k nearest within
+    // hamming radius 2 of its bucket) — deterministic hyperplanes, so the
+    // oracle replays the bucketing exactly like ann_lsh does.
+    "knn_join_lsh" -> ((s, dir) =>
+      ApproxAnn.knnJoinLsh(t(s, dir, "embeddings"), "embedding", "vec_id",
+          Euclidean, k = 3, nbits = 8, radius = 2)
+        .withColumn("distance", round(col("distance"), 6) + lit(0.0))),
+
     // Text analysis over documents (training-pipeline hygiene operators).
     "text_stats" -> ((s, dir) =>
       TextAnalysis.stats(t(s, dir, "documents"), "doc_id", "text")
@@ -885,6 +893,21 @@ object SparkEntry {
          |SELECT vec_id, round(dist, 6) + 0.0 AS distance
          |FROM d, qb WHERE bit_count(xor(bucket, qbucket)) <= 2
          |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "knn_join_lsh" -> {
+      val l2AB = "list_sum(list_transform(list_zip(a.embedding, b.embedding), " +
+        "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
+        "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+      s"""WITH d AS (SELECT vec_id, embedding, ${duckLshBucket("embedding")} AS bkt
+         |           FROM embeddings),
+         |p AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id, $l2AB AS dist
+         |      FROM d a, d b
+         |      WHERE a.vec_id <> b.vec_id AND bit_count(xor(a.bkt, b.bkt)) <= 2),
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rn FROM p)
+         |SELECT query_id, vec_id, round(dist, 6) + 0.0 AS distance, CAST(rn AS INT) AS rank
+         |FROM r WHERE rn <= 3""".stripMargin
+    },
 
     "dedup_embedding_lsh" -> {
       val dotAB = "list_sum(list_transform(list_zip(a.embedding, b.embedding), " +

@@ -201,6 +201,43 @@ object ApproxAnn {
       vecCol, pkCols, space, req.copy(restrictions = Nil))
   }
 
+  /** Bulk kNN self-join via LSH buckets — the 100 TB path for "every
+    * vector's k nearest neighbors" (graph building, near-dup candidates).
+    * [[Ann.knnJoin]] is the exact O(n²) baseline; here each query row
+    * explodes to its Hamming-`radius` probe buckets (one row per XOR mask,
+    * so a candidate pair joins on exactly one mask — no dedup pass), the
+    * candidate side keeps its exact bucket, and the equi-join on a single
+    * long replaces the cross product. Per-query ranking is a window with
+    * rank ≤ k ⇒ WindowGroupLimit pushes partial top-k before the shuffle.
+    *
+    * Approximate by design: neighbors whose buckets differ in more than
+    * `radius` sign bits are missed; distances of returned rows are exact. */
+  def knnJoinLsh(
+      df: DataFrame, vecCol: String, idCol: String, space: Space, k: Int,
+      nbits: Int = 8, radius: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dimsOpt = df.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).limit(1).collect().headOption.map(_.getInt(0))
+    val dims = dimsOpt.getOrElse(
+      return df.select(col(idCol).as("query_id"), col(idCol).as("vec_id"),
+        lit(0.0).as("distance"), lit(0).as("rank")).limit(0))
+    val planes = hyperplanes(nbits, dims)
+    val base = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol), lshBucket(col(vecCol), planes).as("_b"))
+    val masks = hammingMasks(nbits, radius)
+    val q = base.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+      explode(array(masks.map(m => col("_b").bitwiseXOR(lit(m))): _*)).as("_b"))
+    val cand = base.select(col(idCol).as("vec_id"), col(vecCol).as("_cv"), col("_b"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("distance").asc, col("vec_id").asc)
+    q.join(cand, "_b")
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("distance", VectorFunctions.distance(space, col("_cv"), col("_qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "distance", "rank")
+  }
+
   /** Two-stage rescoring over a prebuilt quantized store: stage 1 scans ONLY
     * the narrow (pk, _q) columns (check ReadSchema in the plan — no float
     * vectors move until stage 2), stage 2 joins the k·oversample candidate

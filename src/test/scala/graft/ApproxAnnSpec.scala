@@ -127,6 +127,30 @@ class ApproxAnnSpec extends SparkSpec {
       assert(math.abs(o - b) <= scale / 2 + 1e-6) }
   }
 
+  test("knnJoinLsh: exact distances, ≤k per query, no cartesian product") {
+    val emb = (0L until 24L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 1.7 + d).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val lsh = ApproxAnn.knnJoinLsh(emb, "embedding", "vec_id", Euclidean, 3)
+      .select(col("query_id"), col("vec_id"), col("distance"))
+      .as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    assert(lsh.groupBy(_._1).values.forall(_.length <= 3))
+    assert(lsh.forall { case (q, v, _) => q != v })
+    // every returned distance equals the exact pairwise computation
+    val all = Ann.searchBatch(
+        emb.select(col("vec_id").as("query_id"), col("embedding").as("query_vec")),
+        emb, "embedding", Seq("vec_id"), Euclidean, 24)
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("distance"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    lsh.foreach { case (q, v, d) => assert(all((q, v)) == d) }
+    val plan = ApproxAnn.knnJoinLsh(emb, "embedding", "vec_id", Euclidean, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("f16/bf16 simulation: coarser mantissa, order preserved") {
     val v = Seq(Tuple1(Seq(0.1f, 0.2f, 0.3f, 1000.5f)))
       .toDF("v")
