@@ -289,6 +289,15 @@ object SparkEntry {
         .select(col("vec_id"), (round(col("distance"), 6) + lit(0.0)).as("distance"))
     }),
 
+    // S2: per-column writetime projection over the canonical items fixture —
+    // the reference scans SELECT pk, ck, target, WRITETIME(target),
+    // WRITETIME(filter_col) at bootstrap (db_index.rs:439-490). Writetimes
+    // are md5-derived, so DuckDB replays them exactly.
+    "writetime_projection" -> ((s, dir) =>
+      Fixtures.items(s, dir)
+        .select("pk", "ck", "_wt_embedding", "_wt_c1")
+        .filter(col("_wt_embedding") > col("_wt_c1"))),
+
     // S10 metrics-lite: per-index gauges (live/total rows, status, progress)
     // as one DataFrame — the volatile gauges (est_size_bytes, queries_total)
     // are part of the surface but excluded here so the oracle stays exact.
@@ -941,6 +950,14 @@ object SparkEntry {
     // encode→decode through the :attrs map is lossless on f32, so the
     // alternator-routed query must equal the plain L2 ANN
     "ann_alternator" -> duckAnn(duckL2),
+
+    "writetime_projection" ->
+      s"""WITH i AS (SELECT CAST(c_custkey % 97 AS INT) AS pk, c_custkey AS ck,
+         |  1700000000000000 + (${duckHash("CAST(c_custkey AS VARCHAR) || ':e'")} % 1000000000) AS _wt_embedding,
+         |  1700000000000000 + (${duckHash("CAST(c_custkey AS VARCHAR) || ':c'")} % 1000000000) AS _wt_c1
+         |  FROM customer)
+         |SELECT pk, ck, _wt_embedding, _wt_c1 FROM i
+         |WHERE _wt_embedding > _wt_c1""".stripMargin,
 
     "index_metrics" ->
       """SELECT 'fts' AS keyspace, 'doc_idx' AS index_name, 'fulltext' AS kind,

@@ -66,6 +66,83 @@ object IndexMaintenance {
       spark.read.parquet(docLensPath).drop(BucketCol),
       idCol)
 
+  /** foreachBatch writer for a materialized LSH vector index
+    * ([[graft.operators.ApproxAnn.materializeLshIndex]] layout: rows
+    * partitioned by the semantic `_bucket` directory). The reference's
+    * usearch index applies CDC upserts/deletes in place
+    * (db_index.rs / vs_index/usearch.rs add+remove per key); here:
+    *
+    * A changed vector may MOVE between buckets, and its old bucket is not
+    * derivable from the id — so the index keeps a narrow (id, _bucket)
+    * sidecar partitioned by pk-hash. Each batch:
+    *  1. looks up the old buckets of its ids in the sidecar (pk-hash-pruned),
+    *  2. computes new buckets for upserted vectors,
+    *  3. rewrites only old ∪ new bucket directories of the vector store
+    *     (drop all rows of touched ids, union fresh rows), and
+    *  4. updates the sidecar (pk-hash-bucket rewrite, same as FTS).
+    * Per-batch cost is O(changed vectors + their buckets), not O(index).
+    *
+    * @param dims vector dimensionality (index metadata, fixed per index) */
+  def mergeVsBatch(
+      spark: SparkSession,
+      indexPath: String,
+      sidecarPath: String,
+      idCol: String,
+      vecCol: String,
+      opCol: Option[String],
+      dims: Int,
+      nbits: Int = 8,
+      nBuckets: Int = 64): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, _: Long) =>
+      import graft.operators.ApproxAnn
+      val isDelete = {
+        val op = opCol.map(c => upper(col(c)) === "DELETE").getOrElse(lit(false))
+        op || col(vecCol).isNull
+      }
+      val planes = ApproxAnn.hyperplanes(nbits, dims)
+      val fresh = batch.filter(!isDelete)
+        .select(col(idCol), col(vecCol),
+          ApproxAnn.lshBucket(col(vecCol), planes).as("_bucket"))
+      val pkBucket = pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)).cast("int")
+      val touchedIds = batch.select(col(idCol)).distinct()
+
+      // 1. old semantic buckets of the touched ids, via the pruned sidecar
+      val oldBuckets: Seq[Long] =
+        if (new java.io.File(sidecarPath).exists()) {
+          val touchedPk = touchedIds.select(pkBucket.as(BucketCol)).distinct()
+            .collect().map(_.getInt(0)).toSeq
+          spark.read.parquet(sidecarPath)
+            .filter(col(BucketCol).isin(touchedPk: _*))
+            .join(touchedIds, Seq(idCol), "left_semi")
+            .select(col("_bucket").cast("long")).distinct()
+            .collect().map(_.getLong(0)).toSeq
+        } else Nil
+      val newBuckets = fresh.select(col("_bucket")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val touched = (oldBuckets ++ newBuckets).distinct
+
+      // 2-3. rewrite only the touched semantic bucket directories
+      val merged =
+        if (new java.io.File(indexPath).exists())
+          spark.read.parquet(indexPath)
+            .filter(col("_bucket").isin(touched: _*)) // prune on the raw partition col
+            .select(col(idCol), col(vecCol), col("_bucket").cast("long"))
+            .join(touchedIds, Seq(idCol), "left_anti")
+            .unionByName(fresh)
+        else fresh
+      overwriteBuckets(indexPath, "_bucket", merged, touched)
+
+      // 4. sidecar: replace (id → _bucket) rows, pk-hash partitioned
+      mergeKeyed(spark, sidecarPath, idCol, touchedIds,
+        fresh.select(col(idCol), col("_bucket")), pkBucket, nBuckets)
+  }
+
+  /** Read the maintained vector index back (the [[ApproxAnn.searchLsh]]
+    * input shape: id, vector, _bucket). */
+  def readVsIndex(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read.parquet(indexPath)
+      .withColumn("_bucket", col("_bucket").cast("long"))
+
   /** Replace all rows keyed by `touchedIds` with `fresh` rows, rewriting
     * only the bucket directories those keys live in. Shared shape with
     * [[StreamingIngest.mergeIntoSnapshot]] (LWW row state); here the value
@@ -91,25 +168,30 @@ object IndexMaintenance {
           .join(touchedIds, Seq(idCol), "left_anti") // upsert = replace
           .unionByName(fresh)
       else fresh
-    // localCheckpoint cuts lineage to the files being replaced; clustering
-    // by bucket gives one writer per directory
-    val out = merged.withColumn(BucketCol, bucket)
-      .repartition(col(BucketCol))
-      .localCheckpoint(true)
+    overwriteBuckets(path, BucketCol, merged.withColumn(BucketCol, bucket), touched)
+  }
+
+  /** Dynamic-partition-overwrite `merged` into `path` clustered by
+    * `bucketCol`, then clear touched buckets that ended up EMPTY — dynamic
+    * overwrite only replaces partitions present in the written data, so a
+    * bucket whose rows were all deleted would otherwise keep a stale
+    * directory. localCheckpoint cuts lineage to the files being replaced
+    * (read-modify-write on one path); clustering by bucket gives one writer
+    * per directory. */
+  private def overwriteBuckets(
+      path: String, bucketCol: String, merged: DataFrame, touched: Seq[Any]): Unit = {
+    val out = merged.repartition(col(bucketCol)).localCheckpoint(true)
     out.write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(BucketCol)
+      .partitionBy(bucketCol)
       .parquet(path)
-    // dynamic overwrite only replaces partitions PRESENT in the written
-    // data — a touched bucket whose docs were all deleted would keep its
-    // stale directory. Clear those explicitly (delete-only buckets).
     if (touched.nonEmpty) {
-      val present = out.select(col(BucketCol)).distinct()
-        .collect().map(_.getInt(0)).toSet
+      val present = out.select(col(bucketCol)).distinct()
+        .collect().map(_.get(0)).toSet
       (touched.toSet -- present).foreach { b =>
         org.apache.commons.io.FileUtils.deleteDirectory(
-          new java.io.File(path, s"$BucketCol=$b"))
+          new java.io.File(path, s"$bucketCol=$b"))
       }
     }
   }

@@ -74,4 +74,52 @@ class IndexMaintenanceSpec extends SparkSpec {
       assert(lenRows(idx2.docLens) == lenRows(rebuilt.docLens))
     } finally FileUtils.deleteDirectory(dir)
   }
+
+  test("incremental LSH vector index: bucket moves, deletes, == full rebuild") {
+    import graft.operators.ApproxAnn
+    import org.apache.commons.io.FileUtils
+    val dir = java.nio.file.Files.createTempDirectory("graft_vs_inc").toFile
+    val iPath = new java.io.File(dir, "lsh").getAbsolutePath
+    val sPath = new java.io.File(dir, "sidecar").getAbsolutePath
+    val dims = 8
+    val merge = IndexMaintenance.mergeVsBatch(
+      spark, iPath, sPath, "vec_id", "embedding", opCol = Some("op"), dims = dims)
+
+    def vec(seed: Long, sign: Float = 1f): Seq[Float] =
+      Array.tabulate(dims)(d => sign * math.sin(seed * 1.7 + d).toFloat).toSeq
+    def indexRows(p: String): Set[(Long, Seq[Float], Long)] =
+      IndexMaintenance.readVsIndex(spark, p)
+        .select(col("vec_id"), col("embedding"), col("_bucket"))
+        .as[(Long, Seq[Float], Long)].collect().toSet
+
+    try {
+      merge(Seq(
+        (1L, vec(1), "UPSERT"), (2L, vec(2), "UPSERT"), (3L, vec(3), "UPSERT"))
+        .toDF("vec_id", "embedding", "op"), 0L)
+      assert(indexRows(iPath).map(_._1) == Set(1L, 2L, 3L))
+
+      // negating v2 flips every projection sign ⇒ it must move buckets;
+      // delete v3 entirely
+      merge(Seq(
+        (2L, vec(2, -1f), "UPSERT"),
+        (3L, null.asInstanceOf[Seq[Float]], "DELETE"))
+        .toDF("vec_id", "embedding", "op"), 1L)
+
+      val live = Seq((1L, vec(1)), (2L, vec(2, -1f))).toDF("vec_id", "embedding")
+      val rebuilt = ApproxAnn.buildLshIndex(live, "embedding", nbits = 8, dims = dims)
+        .select(col("vec_id"), col("embedding"), col("_bucket"))
+        .as[(Long, Seq[Float], Long)].collect().toSet
+      assert(indexRows(iPath) == rebuilt,
+        "maintained index must equal a from-scratch rebuild of the live rows")
+
+      // exactly one row per id in the index (the old-bucket copy is gone)
+      val perId = indexRows(iPath).groupBy(_._1).view.mapValues(_.size).toMap
+      assert(perId == Map(1L -> 1, 2L -> 1))
+      // and the sidecar agrees with the index
+      val side = spark.read.parquet(sPath)
+        .select(col("vec_id"), col("_bucket").cast("long"))
+        .as[(Long, Long)].collect().toMap
+      assert(side == indexRows(iPath).map(r => r._1 -> r._3).toMap)
+    } finally FileUtils.deleteDirectory(dir)
+  }
 }
