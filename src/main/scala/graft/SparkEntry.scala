@@ -131,6 +131,27 @@ object SparkEntry {
         .select("c_custkey")
     }),
 
+    // P2/P3: typed comparisons across the native-type fixture (itemsTyped,
+    // table/column.rs:30-50) — tinyint/boolean/text/varint/timestamp/time
+    // restrictions compiled through the same strict-cast path; the timestamp
+    // literal goes through the JSON boundary (F7 space-separated form).
+    "restr_typed" -> ((s, dir) => {
+      val t4 = Fixtures.itemsTyped(s, dir)
+      val cutoff = graft.api.JsonValues.fromJson(
+        "2024-01-01 00:10:00.000Z", graft.api.JsonValues.TimestampT)
+      t4.filter(RestrictionCompiler.compileAll(t4.schema, Seq(
+          Restriction.Gt("c_tinyint", 25),
+          Restriction.Eq("c_boolean", true),
+          Restriction.Lt("c_text", "m"),
+          Restriction.Lte("c_varint", BigDecimal(100000)),
+          Restriction.Gte("c_timestamp", cutoff),
+          Restriction.Gt("c_time", 900L * 1000000000L))))
+        .select(col("pk"), col("c_text"), col("c_tinyint").cast("int").as("c_tinyint"),
+          col("c_smallint").cast("int").as("c_smallint"), col("c_bigint"),
+          col("c_varint").cast("long").as("c_varint"), col("c_boolean"),
+          col("c_inet"), col("c_time"), col("c_timestamp"))
+    }),
+
     // P1/P4: tuple (lexicographic) restriction forms via struct comparison.
     "restr_tuple" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -842,6 +863,25 @@ object SparkEntry {
       """SELECT c_custkey, c_nationkey FROM customer
         |WHERE (c_nationkey > 12 OR (c_nationkey = 12 AND c_custkey > 100))
         |AND (c_nationkey < 20 OR (c_nationkey = 20 AND c_custkey <= 5000))""".stripMargin,
+
+    "restr_typed" ->
+      """WITH t AS (SELECT p_partkey AS pk,
+        |  CAST(p_name AS VARCHAR) AS c_text,
+        |  CAST(p_size AS INT) AS c_tinyint,
+        |  CAST(p_size * 100 AS INT) AS c_smallint,
+        |  CAST(p_partkey AS BIGINT) AS c_bigint,
+        |  CAST(p_partkey AS BIGINT) AS c_varint,
+        |  (p_partkey % 2 = 0) AS c_boolean,
+        |  '10.0.' || CAST(p_partkey % 256 AS VARCHAR) || '.1' AS c_inet,
+        |  (p_partkey % 86400) * 1000000000 AS c_time,
+        |  TIMESTAMP '2024-01-01 00:00:00' + p_partkey * INTERVAL 1 SECOND AS c_timestamp
+        |  FROM part)
+        |SELECT pk, c_text, c_tinyint, c_smallint, c_bigint, c_varint, c_boolean,
+        |       c_inet, c_time, c_timestamp
+        |FROM t
+        |WHERE c_tinyint > 25 AND c_boolean AND c_text < 'm' AND c_varint <= 100000
+        |  AND c_timestamp >= TIMESTAMP '2024-01-01 00:10:00'
+        |  AND c_time > CAST(900 AS BIGINT) * 1000000000""".stripMargin,
 
     "restr_eq_range" ->
       """SELECT c_custkey, c_acctbal FROM customer
