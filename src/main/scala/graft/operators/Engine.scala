@@ -41,6 +41,14 @@ final class Engine {
   def setStatus(key: IndexKey, status: IndexStatus, progressPct: Double = 100.0): Unit =
     catalog.setStatus(key, status, progressPct)
 
+  /** Drop an index (DROP INDEX analogue — frees the frame and the catalog
+    * entry; subsequent queries 404, routing.rs:329-381). */
+  def dropIndex(keyspace: String, index: String): Boolean = {
+    val key = IndexKey(keyspace, index)
+    frames = frames.removed(key)
+    catalog.remove(key)
+  }
+
   /** Routed, validated ANN search — the whole §3.1 lifecycle. */
   def ann(keyspace: String, index: String, req: AnnRequest): DataFrame = {
     val (eqCols, rangeCols) = RestrictionCompiler.splitColumns(req.restrictions)
