@@ -76,6 +76,24 @@ object AlternatorItems {
     Lww.compactState(events, Seq(pkCol), TsCol,
       opCol = Some(OpCol), targetCol = Some(AttrsCol), seqCol = Some(SeqCol))
 
+  /** Decode a DynamoDB numeric (N) attribute stored as UTF-8 decimal text. */
+  def numericAttr(attrsCol: org.apache.spark.sql.Column, name: String): org.apache.spark.sql.Column =
+    element_at(attrsCol, name).cast("string").cast("double")
+
+  /** TTL expiration (alternator/ttl.rs:59-113): items whose TTL attribute
+    * holds an epoch ≤ `nowEpochS` become tombstone events — the analogue of
+    * DynamoDB's reaper emitting CDC tombstones that the index consumes.
+    * Items without the attribute never expire. */
+  def expireTtl(
+      state: DataFrame, pkCol: String, ttlAttr: String,
+      nowEpochS: Long, ts: Long): DataFrame = {
+    val ttl = numericAttr(col(AttrsCol), ttlAttr)
+    val expired = state
+      .filter(!col(Lww.TombstoneCol) && ttl.isNotNull && ttl <= nowEpochS)
+      .select(col(pkCol))
+    merge(state, deleteEvents(expired, pkCol, ts), pkCol)
+  }
+
   /** The vector-index projection of the item state: live rows with the
     * target attribute decoded (malformed blobs decode to null and are
     * dropped by the ANN null filter — the reference's per-row error

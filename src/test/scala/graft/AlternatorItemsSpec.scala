@@ -142,6 +142,21 @@ class AlternatorItemsSpec extends SparkSpec {
     assert(annPks(st, Seq(0f, 0f, 0f)) == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("ttl_expiration_removes_vector (ttl.rs:59)") {
+    def n(epoch: Long) = epoch.toString.getBytes("UTF-8")
+    var st = put(None, ts = 1,
+      1L -> Map("embedding" -> bin(vec(1))),
+      2L -> Map("embedding" -> bin(vec(2))),
+      3L -> Map("embedding" -> bin(vec(3)), "ttl_expiry" -> n(1000L)))
+    // before the TTL horizon: all three indexed
+    assert(annPks(st, vec(0)).toSet == Set(1L, 2L, 3L))
+    st = AI.expireTtl(st, "pk", "ttl_expiry", nowEpochS = 2000L, ts = 2)
+    assert(annPks(st, vec(0)).toSet == Set(1L, 2L),
+      "expired item leaves the index; permanent items survive")
+    // the expiry is a tombstone, not a physical drop (LWW semantics hold)
+    assert(st.filter(col(Lww.TombstoneCol)).count() == 1)
+  }
+
   test("query_with_select_count (query.rs:476)") {
     var st = put(None, ts = 1,
       1L -> Map("embedding" -> bin(vec(1))),
