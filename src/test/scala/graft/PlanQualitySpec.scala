@@ -1,0 +1,66 @@
+package graft
+
+/** Physical-plan regression gate (SURVEY §4): the plans that make these
+  * operators scale are asserted, not assumed — a refactor that silently
+  * turns a broadcast into a shuffle, drops a pushdown, or introduces a
+  * cartesian product fails here, at sf0.001 cost. */
+class PlanQualitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    // other suites may have cached fixture tables (InMemoryTableScan would
+    // mask the parquet pushdown evidence); serving plans read the source
+    spark.catalog.clearCache()
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString()
+  }
+
+  test("exact ANN: pushed filters + TakeOrderedAndProject, no shuffle join") {
+    val p = plan("ann_euclidean")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("PushedFilters: [IsNotNull(embedding)"), p.take(2000))
+  }
+
+  test("filtered ANN: restriction reaches the scan") {
+    val p = plan("ann_filtered")
+    assert(p.contains("TakeOrderedAndProject"))
+    // the label restriction is pushed to the parquet source, not evaluated
+    // post-scan only
+    assert(p.contains("PushedFilters") && p.contains("label"), p.take(2000))
+  }
+
+  test("batched ANN: partial top-k via WindowGroupLimit before the exchange") {
+    val p = plan("ann_batch")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert(p.contains("BroadcastExchange"), "query side must broadcast")
+  }
+
+  test("join+agg analytics: dimensions broadcast, aggregates partial") {
+    for (q <- Seq("q_join_agg", "q3_shipping", "q5_region_revenue")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: ${p.take(1500)}")
+      assert(p.contains("HashAggregate"), s"$q: ${p.take(1500)}")
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("dedup candidate generation: equi-join shaped, never a cross product") {
+    for (q <- Seq("dedup_minhash", "dedup_jaccard", "dedup_embedding_lsh", "knn_join_lsh")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), q)
+    }
+  }
+
+  test("LWW compaction: aggregate (partial-capable), not a window") {
+    val p = plan("lww_state")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p.take(1500))
+    assert(!p.contains("Window"), "a window plan would shuffle every event")
+  }
+
+  test("materialized index probes scan narrow columns") {
+    // quantized stage 1 must read (vec_id, _q), not the float vectors
+    val p = plan("ann_rescored")
+    assert(p.contains("_q"), p.take(2000))
+  }
+}
