@@ -1,0 +1,118 @@
+package graft
+
+import graft.functions.VectorFunctions._
+import graft.operators.{Ann, Bm25}
+import graft.operators.Ann.AnnRequest
+import graft.streaming.{IndexMaintenance, StreamingIngest}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The reference's full continuous-ingest story, end-to-end on Structured
+  * Streaming (SURVEY §3.3): one CDC stream drives, per micro-batch,
+  *  - the LWW row snapshot (bucketed incremental merge),
+  *  - the FTS postings/doc-length stores, and
+  *  - the LSH vector index (+ pk→bucket sidecar),
+  * and after every commit the row state, BM25 search, and ANN search all
+  * reflect exactly the live data — the Spark analogue of engine.rs wiring
+  * db_cdc → Table cache → usearch/tantivy with per-batch commits. */
+class ContinuousIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** One indexed-table change event: text + embedding targets together. */
+  case class DocEvent(doc_id: Long, text: String, embedding: Seq[Float],
+      op: String, ts: Long, seq: Long)
+
+  test("one CDC stream maintains snapshot + FTS + vector index per commit") {
+    import org.apache.commons.io.FileUtils
+    val dir = java.nio.file.Files.createTempDirectory("graft_e2e").toFile
+    def p(n: String) = new java.io.File(dir, n).getAbsolutePath
+    val dims = 4
+
+    val mergeRows = StreamingIngest.mergeIntoSnapshot(
+      spark, p("state"), Seq("doc_id"), "ts",
+      opCol = Some("op"), targetCol = Some("embedding"), seqCol = Some("seq"))
+    val mergeFts = IndexMaintenance.mergeFtsBatch(
+      spark, p("postings"), p("doclens"), "doc_id", "text", opCol = Some("op"))
+    val mergeVs = IndexMaintenance.mergeVsBatch(
+      spark, p("lsh"), p("sidecar"), "doc_id", "embedding",
+      opCol = Some("op"), dims = dims)
+
+    val mem = MemoryStream[DocEvent](spark)
+    val q = mem.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // reference architecture (table/mod.rs → vs/fts backends): the LWW
+        // snapshot is the Table cache and decides winners — including
+        // cross-batch staleness — then the indexes follow the cache's
+        // authoritative rows for the touched keys
+        mergeRows(batch, id)
+        val touched = batch.select(col("doc_id")).distinct()
+        val tomb = col(graft.operators.Lww.TombstoneCol)
+        val cur = spark.read.parquet(p("state"))
+          .join(touched, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"),
+            when(tomb, lit(null)).otherwise(col("text")).as("text"),
+            when(tomb, lit(null)).otherwise(col("embedding")).as("embedding"),
+            when(tomb, lit("DELETE")).otherwise(lit("UPSERT")).as("op"))
+        mergeFts(cur, id)
+        mergeVs(cur, id)
+      }
+      .start()
+
+    def liveIds(): Set[Long] =
+      spark.read.parquet(p("state"))
+        .filter(!col(graft.operators.Lww.TombstoneCol))
+        .select("doc_id").as[Long].collect().toSet
+    def ftsHits(term: String): Set[Long] = {
+      val pos = IndexMaintenance.readFtsIndex(spark, p("postings"), p("doclens"), "doc_id")
+      Bm25.scoreAll(Bm25.Index(pos.postings.select("doc_id", "term", "tf"), pos.docLens, "doc_id"), term)
+        .select("doc_id").as[Long].collect().toSet
+    }
+    def annTop(qv: Seq[Float]): Long =
+      Ann.plan(IndexMaintenance.readVsIndex(spark, p("lsh")), "embedding",
+          Seq("doc_id"), Euclidean, AnnRequest(qv, limit = 1))
+        .select("doc_id").as[Long].head()
+
+    def ev(id: Long, text: String, vec: Seq[Float], op: String, ts: Long, seq: Long) =
+      DocEvent(id, text, vec, op, ts, seq)
+
+    try {
+      // batch 1: three live docs
+      mem.addData(Seq(
+        ev(1L, "the quick brown fox", Seq(1f, 0f, 0f, 0f), "UPSERT", 100, 0),
+        ev(2L, "a slow green turtle", Seq(0f, 1f, 0f, 0f), "UPSERT", 100, 1),
+        ev(3L, "spark streaming merge", Seq(0f, 0f, 1f, 0f), "UPSERT", 100, 2)))
+      q.processAllAvailable()
+      assert(liveIds() == Set(1L, 2L, 3L))
+      assert(ftsHits("turtle") == Set(2L))
+      assert(annTop(Seq(0f, 0f, 0.9f, 0f)) == 3L)
+
+      // batch 2: update doc 2 (new text AND new vector), delete doc 3,
+      // plus a STALE update of doc 1 that LWW must ignore
+      mem.addData(Seq(
+        ev(2L, "a fast purple turtle", Seq(0f, 0f, 0f, 1f), "UPSERT", 200, 3),
+        ev(3L, null, null, "DELETE", 200, 4),
+        ev(1L, "stale fox rewrite", Seq(9f, 9f, 9f, 9f), "UPSERT", 50, 5)))
+      q.processAllAvailable()
+      assert(liveIds() == Set(1L, 2L), "delete applied; stale update ignored for state")
+      assert(ftsHits("fast") == Set(2L))
+      assert(ftsHits("slow").isEmpty, "replaced text deindexed")
+      assert(ftsHits("spark").isEmpty, "deleted doc deindexed")
+      assert(ftsHits("fox") == Set(1L))
+      assert(ftsHits("stale").isEmpty && ftsHits("rewrite").isEmpty,
+        "the stale (older writetime) rewrite of doc 1 must not reach the index")
+      assert(annTop(Seq(0f, 0f, 0f, 0.9f)) == 2L, "moved vector found in its new bucket")
+
+      // batch 3: replay batch 2 (CDC redelivery) — idempotent everywhere
+      mem.addData(Seq(
+        ev(2L, "a fast purple turtle", Seq(0f, 0f, 0f, 1f), "UPSERT", 200, 6),
+        ev(3L, null, null, "DELETE", 200, 7)))
+      q.processAllAvailable()
+      assert(liveIds() == Set(1L, 2L))
+      assert(ftsHits("fast") == Set(2L) && ftsHits("spark").isEmpty)
+      assert(annTop(Seq(0f, 0f, 0f, 0.9f)) == 2L)
+    } finally {
+      q.stop()
+      FileUtils.deleteDirectory(dir)
+    }
+  }
+}
