@@ -455,6 +455,31 @@ object SparkEntry {
         .select(col("vec_id"), (round(col("distance"), 6) + lit(0.0)).as("distance"))
     }),
 
+    // T2 at scale: adaptive filtered LSH — the filtered-serving path. One
+    // narrow decision scan picks the smallest probe radius with enough
+    // matching candidates AND enough coverage of the matching rows; the
+    // ranking scan is partition-pruned at that radius, and when no radius
+    // qualifies (the selective-filter regime) the plan falls back to the
+    // exact scan (the reference keeps recall under selective predicates by
+    // filtering in-traversal, usearch.rs:224-248). The escalation decision
+    // is a deterministic function of the data, so the oracle replays it:
+    // per-radius match counts → same radius choice → same result set.
+    "ann_lsh_filtered" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0)
+      val idx = graft.sources.IndexStorage.materializeCached(
+          s, s"$dir/embeddings.parquet", indexDir(dir, "lsh8"), Seq("_bucket")) {
+        ApproxAnn.buildLshIndex(emb, "embedding", nbits = 8, dims = qv.length)
+      }
+      ApproxAnn.searchLshAdaptive(idx, emb, "embedding", Seq("vec_id"), Euclidean,
+          AnnRequest(qv, limit = 10,
+            restrictions = Seq(Restriction.In("label", Seq(3, 7))),
+            allowFiltering = true),
+          nbits = 8)
+        .select(col("vec_id"), (round(col("distance"), 6) + lit(0.0)).as("distance"))
+    }),
+
     // Multimodal plumbing: deterministic stub decode (no media libs in this
     // container) over a synthesized media table — features exploded to
     // scalars for exact oracle comparison.
@@ -1003,6 +1028,33 @@ object SparkEntry {
          |SELECT vec_id, round(dist, 6) + 0.0 AS distance
          |FROM d, qb WHERE bit_count(xor(bucket, qbucket)) <= 2
          |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // Replays searchLshAdaptive's escalation: per-radius matching counts
+    // within the Hamming neighborhood of the query bucket; the first radius
+    // with ≥ 20 (= k·oversample) matches AND ≥ 0.9 coverage of all matching
+    // rows wins, else radius 8 ≡ the exact-scan fallback (max Hamming
+    // distance on 8 bits).
+    "ann_lsh_filtered" -> {
+      val cnts = (1 to 4).map(r =>
+        s"sum(CASE WHEN bit_count(xor(bucket, qbucket)) <= $r THEN 1 ELSE 0 END) AS c$r")
+        .mkString(",\n|        ")
+      val pick = (1 to 4).map(r =>
+        s"WHEN c$r >= 20 AND CAST(c$r AS DOUBLE) >= 0.9 * total THEN $r")
+        .mkString(" ")
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |qb AS (SELECT ${duckLshBucket("qv")} AS qbucket FROM q),
+         |d AS (SELECT e.vec_id, $duckL2 AS dist, ${duckLshBucket("e.embedding")} AS bucket
+         |      FROM embeddings e, q
+         |      WHERE e.label IN (3, 7) AND e.embedding IS NOT NULL),
+         |c AS (SELECT
+         |        $cnts,
+         |        count(*) AS total
+         |      FROM d, qb),
+         |sel AS (SELECT CASE $pick ELSE 8 END AS r FROM c)
+         |SELECT vec_id, round(dist, 6) + 0.0 AS distance
+         |FROM d, qb, sel WHERE bit_count(xor(bucket, qbucket)) <= sel.r
+         |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin
+    },
 
     "knn_join_lsh" -> {
       val l2AB = "list_sum(list_transform(list_zip(a.embedding, b.embedding), " +

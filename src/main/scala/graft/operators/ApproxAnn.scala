@@ -120,6 +120,91 @@ object ApproxAnn {
       vecCol, pkCols, space, req)
   }
 
+  /** Pick the probe radius for an adaptive filtered LSH search, or None for
+    * the exact-scan fallback.
+    *
+    * ONE narrow decision scan (bucket + filter columns only — no vectors
+    * move) computes, for every candidate radius, the number of matching rows
+    * within that Hamming neighborhood of the query bucket, plus the total
+    * matching count. A radius qualifies when it holds
+    *  - at least `limit * oversample` matching rows (enough candidates to
+    *    rank), AND
+    *  - at least `minCoverage` of ALL matching rows (rank quality: recall@k
+    *    is bounded below by probe coverage when probe membership is
+    *    uncorrelated with rank, and probe buckets are distance-biased toward
+    *    the query, so real recall sits above the bound — the default 0.9
+    *    certifies recall@k >= 0.9 under the uncorrelated bound).
+    *
+    * On near-orthogonal (random) vectors no radius concentrates the matching
+    * rows and every filtered query falls back to exact — the honest outcome,
+    * since sign-LSH carries no signal there. On clustered embeddings (the
+    * production regime) the matching rows of a correlated predicate sit in
+    * few buckets and a small radius qualifies, keeping the ranking scan
+    * partition-pruned.
+    * The first qualifying radius wins; if none qualifies the caller must
+    * fall back to the exact scan.
+    */
+  def chooseLshRadius(
+      indexed: DataFrame, vecCol: String, req: AnnRequest, nbits: Int,
+      radii: Seq[Int] = DefaultAdaptiveRadii, oversample: Double = 2.0,
+      minCoverage: Double = 0.9): Option[Int] = {
+    val need = math.max(req.limit.toLong, math.ceil(req.limit * oversample).toLong)
+    val pred = RestrictionCompiler.compileAll(indexed.schema, req.restrictions)
+    val qb = probeBuckets(req.vector, nbits, 0).head
+    val hd = expr(s"bit_count(_bucket ^ ${qb}L)")
+    val aggs = radii.map(r =>
+      coalesce(sum(when(hd <= r, 1L).otherwise(0L)), lit(0L)).as(s"m$r")) :+
+      count(lit(1)).as("total")
+    val row = indexed
+      .filter(col(vecCol).isNotNull && pred)
+      .agg(aggs.head, aggs.tail: _*)
+      .head()
+    val total = row.getLong(radii.length)
+    radii.zipWithIndex.collectFirst {
+      case (r, i) if row.getLong(i) >= need &&
+        row.getLong(i).toDouble >= minCoverage * total => r
+    }
+  }
+
+  /** Default escalation ladder: radius 4 on 8 bits reaches 163/256 buckets —
+    * past that the exact scan is the honest plan. */
+  val DefaultAdaptiveRadii: Seq[Int] = Seq(1, 2, 3, 4)
+
+  /** Adaptive filtered LSH search — the serving path for ANN under a
+    * residual predicate.
+    *
+    * The reference keeps recall under selective filters by filtering
+    * IN-traversal (`vs_index/usearch.rs:224-248`): the graph walk keeps
+    * expanding until k *matching* candidates are ranked, and its benchmark
+    * grades recall@k across selectivity buckets [50..0.1]%
+    * (`crates/benchmark/src/main.rs:45-49,188-190`). A fixed-radius bucket
+    * probe has no such compensation: at 0.1% selectivity the probed buckets
+    * may hold far fewer than k matching rows while the exact path returns k,
+    * and even with enough candidates the true top-k can live outside the
+    * probed neighborhood.
+    *
+    * Two-phase partition-pruned analogue: [[chooseLshRadius]] runs one
+    * narrow decision scan (no vector bytes) and picks the smallest radius
+    * with enough matching candidates AND enough coverage of the matching
+    * rows; the expensive ranking scan (vector column + distance) then runs
+    * partition-pruned at that radius. When no radius qualifies — the
+    * selective-filter regime — the fallback is the exact scan over `base`:
+    * recall 1.0 by construction, and cheap precisely when it triggers,
+    * because the pushed predicate leaves few rows to rank.
+    *
+    * The escalation decision is a deterministic function of the data, so an
+    * external oracle can replay it exactly (see SparkEntry `ann_lsh_filtered`).
+    */
+  def searchLshAdaptive(
+      indexed: DataFrame, base: DataFrame, vecCol: String, pkCols: Seq[String],
+      space: Space, req: AnnRequest, nbits: Int,
+      radii: Seq[Int] = DefaultAdaptiveRadii, oversample: Double = 2.0,
+      minCoverage: Double = 0.9): DataFrame =
+    chooseLshRadius(indexed, vecCol, req, nbits, radii, oversample, minCoverage) match {
+      case Some(r) => searchLsh(indexed, vecCol, pkCols, space, req, nbits, r)
+      case None => Ann.plan(base, vecCol, pkCols, space, req)
+    }
+
   /** Train IVF centroids with MLlib k-means (the "batch vector index build
     * via MLlib/DataFrame" path): one distributed training job, deterministic
     * under a fixed seed, centroids come back to the driver (k · dims floats —
