@@ -29,6 +29,18 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 8g caused old-gen GC thrash ~35 queries into a local[32] bench run
   // (lww_live 25s vs 1.5s; whole run 75s vs 42s) — the single-JVM local
   // mode holds driver + all executor state in one heap, so size it for
-  // both. Override with SPARK_DRIVER_MEM.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // both. Default adapts to physical RAM (half of it, clamped to [8g, 24g])
+  // so a smaller dev machine degrades to GC pressure instead of OS
+  // swap/OOM-kill. Override with SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
 )
+
+def defaultHeap: String = {
+  val physGb =
+    try {
+      val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    (os.getTotalMemorySize / (1L << 30)).toInt
+    } catch { case _: Throwable => 32 }
+  s"${math.max(8, math.min(24, physGb / 2))}g"
+}

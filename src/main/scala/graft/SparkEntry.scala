@@ -604,8 +604,17 @@ object SparkEntry {
     val post = IndexStorage.materializeCached(s, base, indexDir(dir, "bm25_pos"), Nil) {
       Bm25.buildPositionalIndex(t(s, dir, "documents"), "doc_id", "text").postings
     }
+    // doc lengths derive from the postings store (dl = Σ tf — tokenize drops
+    // stopwords before positions are assigned, so the sums match
+    // size(tokenize(text)) exactly) instead of re-tokenizing the corpus a
+    // second time; docs whose text yields zero surviving tokens have no
+    // postings rows, so the id set comes from the corpus and missing sums
+    // fill as 0.
     val lens = IndexStorage.materializeCached(s, base, indexDir(dir, "bm25_len"), Nil) {
-      Bm25.buildPositionalIndex(t(s, dir, "documents"), "doc_id", "text").docLens
+      t(s, dir, "documents").select(col("doc_id"))
+        .join(post.groupBy("doc_id").agg(sum(col("tf")).cast("int").as("dl")),
+          Seq("doc_id"), "left")
+        .na.fill(0, Seq("dl"))
     }
     val idx = Bm25.Index(post.select("doc_id", "term", "tf"), lens, "doc_id")
     (idx, () => Bm25.PosIndex(post, lens, "doc_id"))

@@ -1,8 +1,9 @@
 package graft.operators
 
 import graft.operators.Ann.AnnRequest
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructField}
 
 /** The query-routing engine shell: catalog + registered index DataFrames +
   * the reference's HTTP error taxonomy (SURVEY §3.1-3.2).
@@ -28,6 +29,9 @@ final class Engine {
   val catalog = new Catalog
   private var frames: Map[IndexKey, DataFrame] = Map.empty
   private var queryCounts: Map[IndexKey, Long] = Map.empty.withDefaultValue(0L)
+
+  private def f(name: String, t: String): StructField =
+    StructField(name, DataType.fromDDL(t))
 
   private def recordQuery(key: IndexKey): Unit =
     synchronized { queryCounts = queryCounts.updated(key, queryCounts(key) + 1L) }
@@ -105,7 +109,19 @@ final class Engine {
     * collect of #indexes rows. */
   def metrics(): DataFrame = {
     val entries = catalog.list.sortBy(e => (e.meta.keyspace, e.meta.index))
-    require(entries.nonEmpty, "no indexes registered")
+    // an empty engine scrapes to an empty frame with the metrics schema —
+    // the reference export simply emits no series; erroring would kill a
+    // scrape loop that polls before the first index registers
+    if (entries.isEmpty) {
+      val spark = SparkSession.active
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          f("keyspace", "string"), f("index_name", "string"), f("kind", "string"),
+          f("status", "string"), f("progress_pct", "double"),
+          f("live_rows", "bigint"), f("total_rows", "bigint"),
+          f("est_size_bytes", "bigint"), f("queries_total", "bigint"))))
+    }
     entries.map { e =>
       val df = frames(e.meta.key)
       val kindStr = e.meta.kind match {

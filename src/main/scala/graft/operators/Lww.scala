@@ -58,7 +58,10 @@ object Lww {
       seqCol: Option[String] = None): DataFrame = {
     val payloadCols = events.columns.toSeq
     val tombstone: Column = {
-      val opTomb = opCol.map(c => upper(col(c)) === "DELETE").getOrElse(lit(false))
+      // coalesce: a NULL op must not three-valued-null the predicate — an
+      // event with a missing op but a live payload is an upsert, not a delete
+      val opTomb = opCol.map(c => coalesce(upper(col(c)) === "DELETE", lit(false)))
+        .getOrElse(lit(false))
       val nullTomb = targetCol.map(c => col(c).isNull).getOrElse(lit(false))
       opTomb || nullTomb
     }

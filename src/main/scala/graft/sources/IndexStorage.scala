@@ -56,6 +56,24 @@ object IndexStorage {
     read(spark, path)
   }
 
+  /** Hadoop-FS existence probe. State/index paths live on HDFS/S3 in a real
+    * deployment, where `java.io.File` silently answers false — which would
+    * make every maintenance batch re-bootstrap instead of merging. All
+    * maintenance-path existence checks go through here. */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Hadoop-FS recursive delete (no-op when absent) — same rationale as
+    * [[exists]]: bucket-directory cleanup must work on HDFS/S3, not only on
+    * the local filesystem. */
+  def deleteRecursive(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
   /** True when the physical plan prunes partitions for the given scan —
     * test/diagnostic hook: a probe query whose plan does NOT show partition
     * filters is reading the whole index. */

@@ -45,7 +45,10 @@ object IndexMaintenance {
     (batch: DataFrame, _: Long) =>
       val bucket = pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)).cast("int")
       val isDelete = {
-        val op = opCol.map(c => upper(col(c)) === "DELETE").getOrElse(lit(false))
+        // coalesce: a NULL op must not three-valued-null the predicate — an
+        // event with a missing op but live text is an upsert, not a delete
+        val op = opCol.map(c => coalesce(upper(col(c)) === "DELETE", lit(false)))
+          .getOrElse(lit(false))
         op || col(textCol).isNull
       }
       val upserts = batch.filter(!isDelete)
@@ -96,7 +99,9 @@ object IndexMaintenance {
     (batch: DataFrame, _: Long) =>
       import graft.operators.ApproxAnn
       val isDelete = {
-        val op = opCol.map(c => upper(col(c)) === "DELETE").getOrElse(lit(false))
+        // coalesce: see mergeFtsBatch — a NULL op with a live vector upserts
+        val op = opCol.map(c => coalesce(upper(col(c)) === "DELETE", lit(false)))
+          .getOrElse(lit(false))
         op || col(vecCol).isNull
       }
       val planes = ApproxAnn.hyperplanes(nbits, dims)
@@ -108,7 +113,7 @@ object IndexMaintenance {
 
       // 1. old semantic buckets of the touched ids, via the pruned sidecar
       val oldBuckets: Seq[Long] =
-        if (new java.io.File(sidecarPath).exists()) {
+        if (graft.sources.IndexStorage.exists(spark, sidecarPath)) {
           val touchedPk = touchedIds.select(pkBucket.as(BucketCol)).distinct()
             .collect().map(_.getInt(0)).toSeq
           spark.read.parquet(sidecarPath)
@@ -123,7 +128,7 @@ object IndexMaintenance {
 
       // 2-3. rewrite only the touched semantic bucket directories
       val merged =
-        if (new java.io.File(indexPath).exists())
+        if (graft.sources.IndexStorage.exists(spark, indexPath))
           spark.read.parquet(indexPath)
             .filter(col("_bucket").isin(touched: _*)) // prune on the raw partition col
             .select(col(idCol), col(vecCol), col("_bucket").cast("long"))
@@ -155,7 +160,7 @@ object IndexMaintenance {
       fresh: DataFrame,
       bucket: org.apache.spark.sql.Column,
       nBuckets: Int): Unit = {
-    val exists = new java.io.File(path).exists()
+    val exists = graft.sources.IndexStorage.exists(spark, path)
     val touched: Seq[Int] =
       if (exists) touchedIds.select(bucket.as(BucketCol)).distinct()
         .collect().map(_.getInt(0)).toSeq
@@ -177,7 +182,13 @@ object IndexMaintenance {
     * bucket whose rows were all deleted would otherwise keep a stale
     * directory. localCheckpoint cuts lineage to the files being replaced
     * (read-modify-write on one path); clustering by bucket gives one writer
-    * per directory. */
+    * per directory.
+    *
+    * COMMIT VISIBILITY CONTRACT (same as StreamingIngest.mergeIntoSnapshot):
+    * touched bucket directories are replaced in place and emptied buckets
+    * are deleted outside any commit protocol, so serving reads must plan
+    * against a quiesced store — between micro-batches, or through a
+    * snapshot-isolating table layer. */
   private def overwriteBuckets(
       path: String, bucketCol: String, merged: DataFrame, touched: Seq[Any]): Unit = {
     val out = merged.repartition(col(bucketCol)).localCheckpoint(true)
@@ -190,8 +201,8 @@ object IndexMaintenance {
       val present = out.select(col(bucketCol)).distinct()
         .collect().map(_.get(0)).toSet
       (touched.toSet -- present).foreach { b =>
-        org.apache.commons.io.FileUtils.deleteDirectory(
-          new java.io.File(path, s"$bucketCol=$b"))
+        graft.sources.IndexStorage.deleteRecursive(
+          merged.sparkSession, s"$path/$bucketCol=$b")
       }
     }
   }

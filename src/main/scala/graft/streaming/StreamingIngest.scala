@@ -53,7 +53,10 @@ object StreamingIngest {
       payloadCols: Seq[String]): Dataset[KeyedEvent] = {
     import df.sparkSession.implicits._
     val tomb = {
-      val opTomb = opCol.map(c => upper(col(c)) === "DELETE").getOrElse(lit(false))
+      // coalesce: a NULL op must not three-valued-null the predicate — an
+      // event with a missing op but a live payload is an upsert, not a delete
+      val opTomb = opCol.map(c => coalesce(upper(col(c)) === "DELETE", lit(false)))
+        .getOrElse(lit(false))
       val nullTomb = targetCol.map(c => col(c).isNull).getOrElse(lit(false))
       opTomb || nullTomb
     }
@@ -152,6 +155,15 @@ object StreamingIngest {
     * same effect with per-key in-place updates; directory granularity is the
     * Spark-native equivalent.
     *
+    * COMMIT VISIBILITY CONTRACT: the touched bucket directories are rewritten
+    * in place (dynamic partition overwrite), so a reader that PLANS a scan
+    * while a commit replaces files can hit FileNotFoundException or observe a
+    * half-rewritten bucket. Serving reads must start from a quiesced snapshot:
+    * either schedule reads between micro-batches (the foreachBatch cadence
+    * makes commits discrete), or read through a snapshot-isolating table
+    * layer. Per-commit queryability in ContinuousIngestSpec re-plans after
+    * each batch completes, which is the supported pattern.
+    *
     * @param nBuckets bucket count — size so one bucket ≈ a comfortable task
     *                 read (state_bytes / nBuckets well under executor memory) */
   def mergeIntoSnapshot(
@@ -166,7 +178,7 @@ object StreamingIngest {
     (batch: DataFrame, _: Long) =>
       val bucket = pmod(xxhash64(pkCols.map(col): _*), lit(nBuckets.toLong)).cast("int")
       val merged =
-        if (new java.io.File(statePath).exists()) {
+        if (graft.sources.IndexStorage.exists(spark, statePath)) {
           val touched = batch.select(bucket.as(BucketCol)).distinct()
             .collect().map(_.getInt(0)).toSeq
           val base = spark.read.parquet(statePath)

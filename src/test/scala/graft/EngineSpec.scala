@@ -144,4 +144,11 @@ class EngineSpec extends SparkSpec {
     assert(dists == dists.sorted && dists.length == 3)
     assert(row.getSeq[Double](row.fieldIndex("similarity_scores")).head == 1.0)
   }
+
+  test("metrics on an empty engine: empty frame with the metrics schema, not an error") {
+    val empty = new Engine().metrics()
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("keyspace", "index_name", "kind", "status",
+      "progress_pct", "live_rows", "total_rows", "est_size_bytes", "queries_total"))
+  }
 }

@@ -121,4 +121,16 @@ class LwwSpec extends SparkSpec {
     val twice = apply1(once)
     assert(twice.orderBy("pk").collect().toSeq == once.orderBy("pk").collect().toSeq)
   }
+
+  test("null op with a live payload is an upsert, not a delete (three-valued-null guard)") {
+    val ev = Seq(
+      (Option("UPSERT"), 1, Option(Seq(1f)), 100L, 0L),
+      (Option.empty[String], 1, Option(Seq(2f)), 200L, 1L), // null op, newer: must UPSERT
+      (Option.empty[String], 2, Option(Seq(3f)), 100L, 2L)) // null op only ever seen
+      .toDF("op", "pk", "embedding", "ts", "seq")
+    val state = Lww.compactState(ev, Seq("pk"), "ts", Some("op"), Some("embedding"), Some("seq"))
+    val live = state.filter(!col(Lww.TombstoneCol))
+      .select("pk", "embedding").as[(Int, Seq[Float])].collect().toSet
+    assert(live == Set((1, Seq(2f)), (2, Seq(3f))))
+  }
 }
