@@ -103,7 +103,15 @@ object Bm25 {
 
   /** Per-(doc, term) BM25 partial scores for a pruned term set — the shared
     * kernel of [[scoreAll]] and the boolean evaluator. Returns
-    * (idCol, term, term_score); postings are touched once for the whole set. */
+    * (idCol, term, term_score); the SERVED plan touches the postings exactly
+    * once for the whole set.
+    *
+    * Per-term document frequency is index METADATA — tantivy reads df from
+    * the term dictionary, not by rescanning postings per query
+    * (fts_index/tantivy.rs term dictionary lookups). The Spark-native
+    * equivalent: one narrow pruned aggregate at query-build time (reads only
+    * the term column of the matching rows), embedded as a literal map so the
+    * scoring plan carries no second postings subtree. */
   private[graft] def termScores(index: Index, terms: Seq[String]): DataFrame = {
     // corpus stats: one tiny row, broadcast everywhere
     val stats = index.docLens.agg(
@@ -111,15 +119,23 @@ object Bm25 {
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
 
     val matched = index.postings.filter(col("term").isInCollection(terms))
-    // per-term document frequency computed on the pruned postings only
-    val dfs = matched.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val dfMap: Map[String, Double] = matched
+      .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val present = terms.filter(dfMap.contains)
+    if (present.isEmpty)
+      return index.docLens.select(col(index.idCol)).limit(0)
+        .withColumn("term", lit(null).cast("string"))
+        .withColumn("term_score", lit(null).cast("double"))
+    val dfLit = map(present.flatMap(t =>
+      Seq(lit(t), lit(dfMap(t)))): _*)
 
     val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
     val tfNorm = (col("tf") * (K1 + 1.0)) /
       (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
 
     matched
-      .join(broadcast(dfs), "term")
+      .withColumn("df", dfLit.getItem(col("term")))
       .join(index.docLens, index.idCol)
       .crossJoin(broadcast(stats))
       .withColumn("term_score", idf * tfNorm)
@@ -360,6 +376,14 @@ object Bm25 {
     case QueryNode.Not(c) => collectTerms(c)
   }
 
+  private def collectPhrases(n: QueryNode): Seq[Seq[String]] = n match {
+    case QueryNode.Phrase(ps) => Seq(ps)
+    case QueryNode.And(cs) => cs.flatMap(collectPhrases)
+    case QueryNode.Or(cs) => cs.flatMap(collectPhrases)
+    case QueryNode.Not(c) => collectPhrases(c)
+    case _ => Nil
+  }
+
   private def hasPhrase(n: QueryNode): Boolean = n match {
     case QueryNode.Phrase(_) => true
     case QueryNode.And(cs) => cs.exists(hasPhrase)
@@ -377,10 +401,13 @@ object Bm25 {
     * "turtle OR NOT fox" excludes every doc containing fox; a query with
     * no positive clause matches nothing.
     *
-    * All term leaves share ONE pruned postings pass ([[termScores]]); the
-    * boolean structure is joins/anti-joins on the doc id — no per-clause
-    * corpus rescans, so the plan stays a handful of hash joins over the
-    * pruned term rows at any corpus size. */
+    * All term leaves share ONE pruned postings pass ([[termScores]]),
+    * pivoted to one row per candidate doc (`map<term, score>`); the whole
+    * boolean structure then compiles to a single (match, score) EXPRESSION
+    * over that row — an n-clause query is one scan + one aggregate + one
+    * projection, not n postings subtrees. Phrase leaves are the only extra
+    * frames: each distinct phrase runs once against the positional index and
+    * full-outer-joins into the candidate row. */
   def scoreBoolean(index: Index, posIndex: () => PosIndex, query: String): DataFrame = {
     val idCol = index.idCol
     val emptyResult = index.docLens.select(col(idCol)).limit(0)
@@ -388,46 +415,74 @@ object Bm25 {
     val root = parseQuery(query).getOrElse(return emptyResult)
 
     val terms = collectTerms(root).distinct
-    val ts = if (terms.nonEmpty) termScores(index, terms) else null
-    lazy val pidx = posIndex()
+    // ONE pruned postings pass, pivoted: (id, _m: map<term, term_score>).
+    // Candidate docs = docs containing any query term (negated terms
+    // included — the match expression needs to SEE them to exclude).
+    val termDoc: Option[DataFrame] =
+      if (terms.isEmpty) None
+      else Some(termScores(index, terms)
+        .groupBy(col(idCol))
+        .agg(map_from_entries(collect_list(struct(col("term"), col("term_score"))))
+          .as("_m")))
 
-    def eval(n: QueryNode): DataFrame = n match {
+    // each DISTINCT phrase evaluated once against the positional index
+    lazy val pidx = posIndex()
+    val phrases = collectPhrases(root).distinct
+    val phraseCol = phrases.zipWithIndex.map { case (p, i) => p -> s"_p$i" }.toMap
+    val phraseFrames = phrases.map { p =>
+      searchPhrase(pidx, p.mkString(" "), Int.MaxValue)
+        .select(col(idCol), col("score").as(phraseCol(p)))
+    }
+
+    val frames = termDoc.toSeq ++ phraseFrames
+    if (frames.isEmpty) return emptyResult
+    val candidates = frames.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+
+    // compile the AST to (matches, score) column expressions; tantivy
+    // BooleanQuery semantics: a doc matches an AND if it matches every
+    // positive clause and no NOT clause, an OR if it matches any positive
+    // clause and no (lifted) NOT clause; score = sum of matched positive
+    // clauses' scores, MustNot clauses never contribute score.
+    def eval(n: QueryNode): (Column, Column) = n match {
       case QueryNode.Term(t) =>
-        ts.filter(col("term") === t).select(col(idCol), col("term_score").as("score"))
+        val s = col("_m").getItem(t)
+        (s.isNotNull, coalesce(s, lit(0.0)))
       case QueryNode.Phrase(ps) =>
-        searchPhrase(pidx, ps.mkString(" "), Int.MaxValue)
-          .select(col(idCol), col("score"))
+        val s = col(phraseCol(ps))
+        (s.isNotNull, coalesce(s, lit(0.0)))
       case QueryNode.Or(cs) =>
         val (neg, pos) = cs.partition(_.isInstanceOf[QueryNode.Not])
-        if (pos.isEmpty) emptyResult
+        if (pos.isEmpty) (lit(false), lit(0.0))
         else {
-          val unioned = pos.map(eval).reduce(_ unionByName _)
-            .groupBy(col(idCol)).agg(sum(col("score")).as("score"))
+          val evs = pos.map(eval)
           // tantivy's QueryParser lifts a NOT inside an OR to a MustNot on
           // the enclosing boolean: "turtle OR NOT fox" excludes any doc
           // containing fox, even if it also contains turtle.
-          neg.foldLeft(unioned) { (acc, nn) =>
+          val negs = neg.map { nn =>
             val QueryNode.Not(c) = nn: @unchecked
-            acc.join(eval(c).select(col(idCol)), Seq(idCol), "left_anti")
+            eval(c)._1
           }
+          val matches = negs.foldLeft(evs.map(_._1).reduce(_ || _))(_ && !_)
+          val score = evs.map { case (m, s) => when(m, s).otherwise(lit(0.0)) }
+            .reduce(_ + _)
+          (matches, score)
         }
       case QueryNode.And(cs) =>
         val (neg, pos) = cs.partition(_.isInstanceOf[QueryNode.Not])
-        if (pos.isEmpty) emptyResult
+        if (pos.isEmpty) (lit(false), lit(0.0))
         else {
-          val joined = pos.map(eval).reduce { (a, b) =>
-            a.join(b.withColumnRenamed("score", "_rhs_score"), idCol)
-              .withColumn("score", col("score") + col("_rhs_score"))
-              .drop("_rhs_score")
-          }
-          neg.foldLeft(joined) { (acc, nn) =>
+          val evs = pos.map(eval)
+          val negs = neg.map { nn =>
             val QueryNode.Not(c) = nn: @unchecked
-            acc.join(eval(c).select(col(idCol)), Seq(idCol), "left_anti")
+            eval(c)._1
           }
+          val matches = negs.foldLeft(evs.map(_._1).reduce(_ && _))(_ && !_)
+          (matches, evs.map(_._2).reduce(_ + _))
         }
-      case QueryNode.Not(_) => emptyResult // bare NOT matches nothing
+      case QueryNode.Not(_) => (lit(false), lit(0.0)) // bare NOT matches nothing
     }
-    eval(root)
+    val (matches, score) = eval(root)
+    candidates.filter(matches).select(col(idCol), score.as("score"))
   }
 
   /** Parsed query search over prebuilt indexes: boolean operators, phrases,

@@ -58,6 +58,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Window"), "a window plan would shuffle every event")
   }
 
+  test("boolean FTS: an n-clause query scans the postings store exactly once") {
+    // scoreBoolean pivots the one pruned postings pass into a per-doc
+    // term->score map and compiles the boolean structure to an expression —
+    // a grouped 3-term query must not plan 3 postings subtrees
+    val p = plan("bm25_bool_grouped")
+    val postingsScans = "bm25_pos".r.findAllIn(p).length
+    assert(postingsScans == 1, s"expected 1 postings scan, saw $postingsScans:\n${p.take(3000)}")
+  }
+
   test("materialized index probes scan narrow columns") {
     // quantized stage 1 must read (vec_id, _q), not the float vectors
     val p = plan("ann_rescored")
