@@ -480,6 +480,27 @@ object SparkEntry {
         .select(col("vec_id"), (round(col("distance"), 6) + lit(0.0)).as("distance"))
     }),
 
+    // IVF probe path, oracle-checked end-to-end: assignment (nearest of k
+    // centroids, (distance, cid) tiebreak) + nprobe pruning + exact ranking
+    // inside the probed cells. Centroids here are a deterministic SELECTION
+    // (vec_id < 16) rather than MLlib k-means, because k-means' float
+    // iterations are not replayable in ANSI SQL — the TRAINED path runs the
+    // same assignToCentroids/searchIvf operators and is pinned separately
+    // (ApproxAnnSpec: fixed-seed determinism + recall).
+    "ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0)
+      val centroids = emb.filter(col("vec_id") < 16 && col("embedding").isNotNull)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
+        .sortBy(_._1).toSeq
+      val assigned = ApproxAnn.assignToCentroids(emb, "embedding", centroids)
+      ApproxAnn.searchIvf(assigned, "embedding", Seq("vec_id"), Euclidean,
+          AnnRequest(qv, limit = 10), centroids, nprobe = 4)
+        .select(col("vec_id"), (round(col("distance"), 6) + lit(0.0)).as("distance"))
+    }),
+
     // Multimodal plumbing: deterministic stub decode (no media libs in this
     // container) over a synthesized media table — features exploded to
     // scalars for exact oracle comparison.
@@ -1063,6 +1084,33 @@ object SparkEntry {
          |SELECT vec_id, round(dist, 6) + 0.0 AS distance
          |FROM d, qb, sel WHERE bit_count(xor(bucket, qbucket)) <= sel.r
          |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin
+    },
+
+    // Replays IVF assignment + probe: same (distance, cid) argmin per row,
+    // same 4 nearest probe cells, exact ranking within them.
+    "ann_ivf" -> {
+      val distCQ = "list_sum(list_transform(list_zip(c.cv, q.qv), x -> " +
+        "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
+        "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+      val distCE = "list_sum(list_transform(list_zip(c.cv, e.embedding), x -> " +
+        "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
+        "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+      val distSQ = "list_sum(list_transform(list_zip(s.embedding, q.qv), x -> " +
+        "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
+        "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+         |      WHERE vec_id < 16 AND embedding IS NOT NULL),
+         |probes AS (SELECT cid FROM c, q ORDER BY $distCQ ASC, cid ASC LIMIT 4),
+         |ad0 AS (SELECT e.vec_id, e.embedding, c.cid, $distCE AS d
+         |        FROM embeddings e, c WHERE e.embedding IS NOT NULL),
+         |ad AS (SELECT *, row_number() OVER
+         |         (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn FROM ad0),
+         |sel AS (SELECT a.vec_id, a.embedding FROM ad a
+         |        JOIN probes p ON a.cid = p.cid WHERE a.rn = 1),
+         |dd AS (SELECT s.vec_id, $distSQ AS dist FROM sel s, q)
+         |SELECT vec_id, round(dist, 6) + 0.0 AS distance
+         |FROM dd ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin
     },
 
     "knn_join_lsh" -> {
