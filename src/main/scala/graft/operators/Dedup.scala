@@ -103,18 +103,50 @@ object Dedup {
   /** Same, over a prebuilt (id, sh) shingle table — the serving shape: the
     * shingle set is an index artifact (build at ingest via
     * [[graft.sources.IndexStorage.materializeCached]]), so a dedup query
-    * scans two narrow long columns instead of re-tokenizing the corpus. */
+    * scans two narrow long columns instead of re-tokenizing the corpus.
+    *
+    * NO-CACHE-LEAK CONTRACT: when the shingle set needs a df-cap transform,
+    * it is cached only for the duration of this call — the result is
+    * materialized eagerly (localCheckpoint; blocks are lineage-free and
+    * reclaimed by the ContextCleaner once the result is unreferenced) and
+    * the cache entry is dropped before returning, so a long-lived serving
+    * session does not accumulate CacheManager blocks per query. The uncapped
+    * path stays fully lazy (the store scan is cheap; nothing to cache). */
   def jaccardPairsFromShingles(
       sh0: DataFrame, idCol: String, threshold: Double,
-      maxShingleDf: Option[Int] = Some(DefaultMaxShingleDf)): DataFrame = {
-    val sh = capShingleDf(sh0, idCol, maxShingleDf).cache()
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val a = sh.select(col(idCol).as("id_a"), col("sh"))
-    val b = sh.select(col(idCol).as("id_b"), col("sh"))
-    a.join(b, "sh")
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
+      maxShingleDf: Option[Int] = Some(DefaultMaxShingleDf)): DataFrame =
+    maxShingleDf match {
+      case None => jaccardVerify(sh0, sh0, idCol, threshold)
+      case some =>
+        val sh = capShingleDf(sh0, idCol, some).cache()
+        try jaccardVerify(sh, sh, idCol, threshold).localCheckpoint(true)
+        finally { sh.unpersist(false); () }
+    }
+
+  /** Exact-Jaccard tail shared by the exact and MinHash pipelines: intersect
+    * via the shingle equi-join (`candFilter` restricts the pair space),
+    * |A∪B| = |A|+|B|−|A∩B|, keep pairs ≥ threshold. */
+  private def jaccardVerify(
+      sh: DataFrame, shSizes: DataFrame, idCol: String, threshold: Double,
+      candidates: Option[DataFrame] = None): DataFrame = {
+    val sizes = shSizes.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = candidates match {
+      case None =>
+        val a = sh.select(col(idCol).as("id_a"), col("sh"))
+        val b = sh.select(col(idCol).as("id_b"), col("sh"))
+        a.join(b, "sh").filter(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("inter"))
+      case Some(cand) =>
+        cand
+          .join(sh.select(col(idCol).as("id_a"), col("sh")), "id_a")
+          // composite (id_b, sh) key: the join IS the set intersection —
+          // never materializes the |A|×|B| per-pair cross of shingle rows
+          .join(sh.select(col(idCol).as("id_b"), col("sh")), Seq("id_b", "sh"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("inter"))
+    }
+    inter
       .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
       .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
       .withColumn("jaccard",
@@ -163,6 +195,11 @@ object Dedup {
     * (id, bucket) instead of (id, band, struct-of-k-longs) — the VERDICT r1
     * shuffle-width fix. A 64-bit collision can only ADD a candidate pair,
     * which the exact-Jaccard verification stage then filters. */
+  /** NOTE: both sides of the self-join recompute `signatures` — pass either
+    * a materialized signature store (a cheap scan; see
+    * [[minhashNearDupsFromStores]]) or a cached frame the CALLER owns and
+    * unpersists (see [[minhashNearDupsFromShingles]]); this function itself
+    * holds no cache, per the no-cache-leak serving contract. */
   def lshCandidates(
       signatures: DataFrame, idCol: String,
       numHashes: Int, bands: Int): DataFrame = {
@@ -176,9 +213,6 @@ object Dedup {
       }: _*)).as("bucket"))
     val l = banded.select(col(idCol).as("id_a"), col("bucket"))
     val r = banded.select(col(idCol).as("id_b"), col("bucket"))
-    // cache: both sides of the self-join would otherwise recompute the
-    // signature aggregation (measured 2× the candidate-stage cost)
-    banded.cache()
     l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
@@ -197,28 +231,39 @@ object Dedup {
       threshold, maxShingleDf)
 
   /** Same, over a prebuilt (id, sh) shingle table (see
-    * [[jaccardPairsFromShingles]] for the serving rationale). */
+    * [[jaccardPairsFromShingles]] for the serving rationale). One-shot
+    * shape: the capped shingle set and the signature aggregate are cached
+    * for the duration of THIS call only, the result is materialized eagerly
+    * and both caches drop before returning (no-cache-leak contract). The
+    * serving path is [[minhashNearDupsFromStores]], where the signatures
+    * are an index artifact and nothing needs caching at all. */
   def minhashNearDupsFromShingles(
       sh0: DataFrame, idCol: String,
       numHashes: Int, bands: Int, threshold: Double,
       maxShingleDf: Option[Int] = Some(DefaultMaxShingleDf)): DataFrame = {
     val sh = capShingleDf(sh0, idCol, maxShingleDf).cache()
-    val sigs = minhashSignaturesFromShingles(sh, idCol, numHashes)
+    val sigs = minhashSignaturesFromShingles(sh, idCol, numHashes).cache()
+    try {
+      val cand = lshCandidates(sigs, idCol, numHashes, bands)
+      jaccardVerify(sh, sh, idCol, threshold, Some(cand)).localCheckpoint(true)
+    } finally { sigs.unpersist(false); sh.unpersist(false); () }
+  }
+
+  /** MinHash near-dup SERVING path: shingles AND signatures are both
+    * materialized index artifacts (built once at ingest — signatures are as
+    * much an index as the LSH buckets or the FTS postings), so a probe is
+    * banding over a narrow signature scan + the composite-key intersection
+    * join, with no per-query signature aggregation and no caching.
+    * `sigs` must have been built from `capShingleDf(sh0, maxShingleDf)`
+    * with the SAME cap passed here (bake the serving cap in at ingest). */
+  def minhashNearDupsFromStores(
+      sh0: DataFrame, sigs: DataFrame, idCol: String,
+      bands: Int, threshold: Double,
+      maxShingleDf: Option[Int] = Some(DefaultMaxShingleDf)): DataFrame = {
+    val numHashes = sigs.columns.count(_.startsWith("sig_"))
+    val sh = capShingleDf(sh0, idCol, maxShingleDf)
     val cand = lshCandidates(sigs, idCol, numHashes, bands)
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    cand
-      .join(sh.select(col(idCol).as("id_a"), col("sh")), "id_a")
-      // composite (id_b, sh) key: the join IS the set intersection — never
-      // materializes the |A|×|B| per-pair cross of shingle rows
-      .join(sh.select(col(idCol).as("id_b"), col("sh")), Seq("id_b", "sh"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    jaccardVerify(sh, sh, idCol, threshold, Some(cand))
   }
 
   // ---- SimHash -------------------------------------------------------------

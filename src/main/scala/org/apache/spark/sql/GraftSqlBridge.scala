@@ -10,4 +10,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** True when no DataFrame/Dataset cache entries are registered — the
+    * no-cache-leak serving contract asserted by DedupSpec (a long-lived
+    * serving session must not accumulate blocks per query). */
+  def cacheManagerEmpty(spark: SparkSession): Boolean =
+    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
 }

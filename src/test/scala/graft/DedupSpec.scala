@@ -115,4 +115,25 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("store-served minhash equals one-shot; no cache entries survive a serving call") {
+    // start from a clean CacheManager: other suites' lazy cached fixtures
+    // (shared session) would otherwise mask what THIS call leaks
+    spark.catalog.clearCache()
+    val sh = Dedup.shingles(docs, "doc_id", "text", 5)
+    val sigs = Dedup.minhashSignaturesFromShingles(sh, "doc_id", 16)
+    val fromStores = Dedup.minhashNearDupsFromStores(sh, sigs, "doc_id",
+        bands = 4, threshold = 0.9, maxShingleDf = None)
+      .as[(Long, Long, Double)].collect().toSet
+    val oneShot = Dedup.minhashNearDups(docs, "doc_id", "text", 5, 16, 4, 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fromStores == oneShot)
+    // no-cache-leak serving contract: the one-shot path cached sh+sigs
+    // internally and must have dropped both; the store path never caches
+    assert(org.apache.spark.sql.GraftSqlBridge.cacheManagerEmpty(spark),
+      "Dedup serving call leaked CacheManager entries")
+    // capped jaccard path (the other internally-caching call) also cleans up
+    Dedup.jaccardPairsFromShingles(sh, "doc_id", 0.3, maxShingleDf = Some(2)).collect()
+    assert(org.apache.spark.sql.GraftSqlBridge.cacheManagerEmpty(spark))
+  }
 }
