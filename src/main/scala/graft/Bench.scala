@@ -44,23 +44,39 @@ object Bench {
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
     }
-    // local dev aid: SPARK_GRAFT_ONLY=comma,separated,names times a subset
+    // local dev aid: SPARK_GRAFT_ONLY=comma,separated,names times a subset;
+    // SPARK_GRAFT_RUNS overrides the per-query repeat count
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    // median-of-N (plus min) per query: a single recorded run cannot be
+    // trusted on a shared host — the r3 bench burned ~30s of host contention
+    // in one alphabetical window and briefly looked like four regressions.
+    // median≈min on a quiet machine; median>>min flags contention, not code.
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-      // operators cache intermediates (shingle sets etc.) scoped to their own
-      // query; release before timing so queries don't inherit GC pressure
-      spark.catalog.clearCache()
-      System.err.println(s"[graft] bench start: $name")
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+        val rebuildsBefore = graft.sources.IndexStorage.rebuilds.get()
+        val times = (1 to runs).map { i =>
+          // operators may materialize eager intermediates scoped to their own
+          // query; release before timing so queries don't inherit GC pressure
+          spark.catalog.clearCache()
+          System.err.println(s"[graft] bench start: $name run $i/$runs")
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        val rebuilt = graft.sources.IndexStorage.rebuilds.get() > rebuildsBefore
+        (name, times(times.length / 2), times.head, rebuilt)
+      }
+    def jmap(f: ((String, Double, Double, Boolean)) => String): String =
+      results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+    val qs = jmap(_._2.toString) // median — the headline per-query number
+    val qsMin = jmap(_._3.toString)
+    val qsRebuilt = jmap(_._4.toString)
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""queries_min":$qsMin,"queries_store_rebuilt":$qsRebuilt,""" +
+      s""""runs_per_query":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

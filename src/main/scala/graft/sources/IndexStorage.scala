@@ -48,6 +48,7 @@ object IndexStorage {
     if (!fresh) {
       writePartitioned(build, path, partitionCols)
       java.nio.file.Files.write(marker.toPath, fp.getBytes("UTF-8"))
+      rebuilds.incrementAndGet()
     }
     // stderr so harnesses parsing stdout JSON are unaffected; lets a bench
     // run prove whether probe timings included a build
@@ -55,6 +56,11 @@ object IndexStorage {
       s"[graft] index store ${if (fresh) "reused" else "rebuilt"}: $path")
     read(spark, path)
   }
+
+  /** Monotonic count of store (re)builds this JVM — lets a bench run prove
+    * per-query whether a timing included a build instead of eyeballing the
+    * stderr markers. */
+  val rebuilds = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Hadoop-FS existence probe. State/index paths live on HDFS/S3 in a real
     * deployment, where `java.io.File` silently answers false — which would
