@@ -32,6 +32,15 @@ object Fixtures {
     lit(1700000000000000L) + pmod(Dedup.stableHash(
       concat(key.cast("string"), lit(salt))), lit(1000000000L))
 
+  /** 32-hex digest formatted as a dashed (8-4-4-4-12) UUID string — the
+    * canonical form `java.util.UUID.fromString` (the F7 uuid conversion)
+    * accepts, so uuid restrictions round-trip the JSON boundary. */
+  private def uuidish(hex32: Column): Column = {
+    val h = lower(hex32)
+    concat_ws("-", substring(h, 1, 8), substring(h, 9, 4),
+      substring(h, 13, 4), substring(h, 17, 4), substring(h, 21, 12))
+  }
+
   /** F1: canonical vector table (vs_index.rs:65-175). */
   def items(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "customer").select(
@@ -75,11 +84,12 @@ object Fixtures {
         .otherwise(col("p_retailprice").cast("decimal(38,18)")).as("c_decimal"),
       col("p_partkey").cast("decimal(38,0)").as("c_varint"),
       (pmod(col("p_partkey"), lit(2)) === 0).as("c_boolean"),
-      to_date(lit("2024-01-01")).as("c_date"),
+      date_add(to_date(lit("2024-01-01")),
+        pmod(col("p_partkey"), lit(365)).cast("int")).as("c_date"),
       (pmod(col("p_partkey"), lit(86400)) * 1000000000L).as("c_time"), // nanos-of-day
       timestamp_micros(lit(1704067200000000L) + col("p_partkey") * 1000000L)
         .as("c_timestamp"),
-      lower(md5(col("p_partkey").cast("string"))).as("c_uuidish"),
+      uuidish(md5(col("p_partkey").cast("string"))).as("c_uuidish"),
       col("p_name").cast("binary").as("c_blob"),
       concat(lit("10.0."), pmod(col("p_partkey"), lit(256)).cast("string"),
         lit(".1")).as("c_inet"),

@@ -190,6 +190,48 @@ object SparkEntry {
           col("c_inet"), col("c_time"), col("c_timestamp"))
     }),
 
+    // P2/F7 part two: the remaining native types end-to-end — blob (0x hex),
+    // date, decimal (semantic compare across scales), inet, uuid — every
+    // literal routed through the JSON boundary conversion
+    // (httproutes.rs:1327-1477 try_from_json).
+    "restr_typed2" -> ((s, dir) => {
+      import graft.api.JsonValues
+      val t4 = Fixtures.itemsTyped(s, dir)
+      val dateLit = JsonValues.fromJson("2024-03-01", JsonValues.DateT)
+      val blobLit = JsonValues.fromJson("0x6d", JsonValues.BlobT) // "m"
+      val decLit = JsonValues.fromJson("950.0", JsonValues.DecimalT)
+      val inetLits = (0 until 8).map(i => s"10.0.${i * 30 + 7}.1")
+        .map(JsonValues.fromJson(_, JsonValues.InetT))
+      t4.filter(RestrictionCompiler.compileAll(t4.schema, Seq(
+          Restriction.Gte("c_date", dateLit),
+          Restriction.Lt("c_blob", blobLit),
+          Restriction.Gt("c_decimal", decLit),
+          Restriction.In("c_inet", inetLits))))
+        .select(col("pk"), col("c_int"),
+          date_format(col("c_date"), "yyyy-MM-dd").as("c_date_s"),
+          hex(col("c_blob")).as("c_blob_hex"),
+          col("c_decimal").cast("double").as("c_decimal_d"),
+          col("c_inet"), col("c_uuidish"))
+    }),
+
+    // F7 uuid conversion end-to-end: the dashed literal goes through
+    // java.util.UUID parsing (canonical form) and selects exactly the rows
+    // whose derived uuid matches — uuid equality is representation-exact.
+    "restr_uuid" -> ((s, dir) => {
+      import graft.api.JsonValues
+      val t4 = Fixtures.itemsTyped(s, dir)
+      def dashed(seed: String): String = {
+        val h = org.apache.commons.codec.digest.DigestUtils.md5Hex(seed)
+        s"${h.substring(0, 8)}-${h.substring(8, 12)}-${h.substring(12, 16)}-" +
+          s"${h.substring(16, 20)}-${h.substring(20, 32)}"
+      }
+      val uuids = Seq("1", "7", "42").map(seedHex =>
+        JsonValues.fromJson(dashed(seedHex), JsonValues.UuidT))
+      t4.filter(RestrictionCompiler.compileAll(t4.schema, Seq(
+          Restriction.In("c_uuidish", uuids))))
+        .select("pk", "c_uuidish")
+    }),
+
     // P1/P4: tuple (lexicographic) restriction forms via struct comparison.
     "restr_tuple" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -1011,6 +1053,40 @@ object SparkEntry {
         |WHERE c_tinyint > 25 AND c_boolean AND c_text < 'm' AND c_varint <= 100000
         |  AND c_timestamp >= TIMESTAMP '2024-01-01 00:10:00'
         |  AND c_time > CAST(900 AS BIGINT) * 1000000000""".stripMargin,
+
+    "restr_typed2" ->
+      """WITH t AS (SELECT p_partkey AS pk,
+        |  CAST(p_size AS INT) AS c_int,
+        |  DATE '2024-01-01' + CAST(p_partkey % 365 AS INT) AS c_date,
+        |  CAST(p_name AS BLOB) AS c_blob,
+        |  CASE WHEN p_partkey % 2 = 0
+        |       THEN CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DECIMAL(38,18))
+        |       ELSE CAST(p_retailprice AS DECIMAL(38,18)) END AS c_decimal,
+        |  '10.0.' || CAST(p_partkey % 256 AS VARCHAR) || '.1' AS c_inet,
+        |  lower(md5(CAST(p_partkey AS VARCHAR))) AS h
+        |  FROM part)
+        |SELECT pk, c_int, strftime(c_date, '%Y-%m-%d') AS c_date_s,
+        |  hex(c_blob) AS c_blob_hex,
+        |  CAST(c_decimal AS DOUBLE) AS c_decimal_d,
+        |  c_inet,
+        |  substr(h,1,8) || '-' || substr(h,9,4) || '-' || substr(h,13,4) || '-' ||
+        |    substr(h,17,4) || '-' || substr(h,21,12) AS c_uuidish
+        |FROM t
+        |WHERE c_date >= DATE '2024-03-01' AND c_blob < encode('m')
+        |  AND c_decimal > 950.0
+        |  AND c_inet IN ('10.0.7.1', '10.0.37.1', '10.0.67.1', '10.0.97.1', '10.0.127.1', '10.0.157.1', '10.0.187.1', '10.0.217.1')""".stripMargin,
+
+    "restr_uuid" ->
+      """WITH t AS (SELECT p_partkey AS pk,
+        |  lower(md5(CAST(p_partkey AS VARCHAR))) AS h FROM part),
+        |u AS (SELECT pk,
+        |  substr(h,1,8) || '-' || substr(h,9,4) || '-' || substr(h,13,4) || '-' ||
+        |    substr(h,17,4) || '-' || substr(h,21,12) AS c_uuidish FROM t),
+        |lits AS (SELECT lower(md5(s)) AS h FROM (VALUES ('1'), ('7'), ('42')) v(s))
+        |SELECT pk, c_uuidish FROM u
+        |WHERE c_uuidish IN (SELECT
+        |  substr(h,1,8) || '-' || substr(h,9,4) || '-' || substr(h,13,4) || '-' ||
+        |    substr(h,17,4) || '-' || substr(h,21,12) FROM lits)""".stripMargin,
 
     "restr_eq_range" ->
       """SELECT c_custkey, c_acctbal FROM customer

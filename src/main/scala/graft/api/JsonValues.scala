@@ -87,6 +87,21 @@ object JsonValues {
       if (hex.length % 2 != 0 || !hex.forall(c => Character.digit(c, 16) >= 0))
         fail(s"Invalid hex in blob value: $s")
       hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    case (s: String, InetT) =>
+      // strict literal parse, never a DNS lookup (httproutes.rs inet
+      // conversion): dotted-quad IPv4 validated octet-by-octet; IPv6 only
+      // when the string cannot be a hostname (hex digits + colons)
+      val ipv4 = "^(\\d{1,3})\\.(\\d{1,3})\\.(\\d{1,3})\\.(\\d{1,3})$".r
+      s match {
+        case ipv4(a, b, c, d) =>
+          val parts = Seq(a, b, c, d).map(_.toInt)
+          if (parts.forall(p => p <= 255)) parts.mkString(".")
+          else fail(s"Failed to parse inet from string '$s': octet out of range")
+        case _ if s.contains(":") && s.matches("^[0-9a-fA-F:]+$") =>
+          try java.net.InetAddress.getByName(s).getHostAddress
+          catch { case e: Exception => fail(s"Failed to parse inet from string '$s': $e") }
+        case _ => fail(s"Failed to parse inet from string '$s'")
+      }
     case (s: String, VarintT) =>
       try BigDecimal(BigInt(s))
       catch { case e: Exception => fail(s"Failed to parse Varint from string '$s': $e") }

@@ -53,7 +53,10 @@ class TypedRestrictionsSpec extends SparkSpec {
   }
 
   test("temporal: date/time/timestamp ranges") {
-    assert(count(Eq("c_date", java.sql.Date.valueOf("2024-01-01"))) == df.count())
+    assert(count(Gte("c_date", java.sql.Date.valueOf("2024-01-01"))) == df.count())
+    val mid = java.sql.Date.valueOf("2024-06-01")
+    assert(count(Gte("c_date", mid)) == countWhere(col("c_date") >= mid))
+    assert(count(Gte("c_date", mid)) > 0 && count(Gte("c_date", mid)) < df.count())
     // c_time is nanos-of-day (LongType per SURVEY §1.2)
     val noonNanos = 12L * 3600 * 1000000000L
     assert(count(Lt("c_time", noonNanos)) == countWhere(col("c_time") < noonNanos))
