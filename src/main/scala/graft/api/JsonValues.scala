@@ -149,11 +149,15 @@ object JsonValues {
         if (l < Byte.MinValue || l > Byte.MaxValue) fail(s"Expected i8 for tinyint: $l out of range")
         l.toByte
       case VarintT =>
-        // integer only; reject fractional numbers (httproutes.rs:1455-1462)
+        // integer only; reject fractional numbers (httproutes.rs:1455-1462).
+        // CQL varint is ARBITRARY precision — values beyond i64 (the
+        // serde.rs varint filter uses -98765432109876543210) must not be
+        // squeezed through a long.
         n match {
           case d: java.lang.Double if d != math.floor(d) => fail("Varint is always an integer")
-          case bd: java.math.BigDecimal if bd.stripTrailingZeros.scale > 0 =>
-            fail("Varint is always an integer")
+          case bd: java.math.BigDecimal =>
+            if (bd.stripTrailingZeros.scale > 0) fail("Varint is always an integer")
+            else BigDecimal(new java.math.BigDecimal(bd.toBigIntegerExact))
           case _ => BigDecimal(asLongExact)
         }
       case DecimalT => BigDecimal(n.toString)
