@@ -1,0 +1,191 @@
+package graft.api
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import graft.operators.{Catalog, Engine, QueryException}
+import org.apache.spark.sql.types._
+
+/** The reference's route surface bound to an [[graft.operators.Engine]] —
+  * everything `httproutes.rs` does between the HTTP listener and the index
+  * engine, as a pure dispatcher any server shell (or test) can host.
+  *
+  * Routes (httproutes.rs:160-182):
+  *  - `GET  /api/v1/indexes`                      → IndexInfo[]
+  *  - `GET  /api/v1/indexes/{ks}/{idx}`           → IndexInfo | 404
+  *  - `GET  /api/v1/indexes/{ks}/{idx}/status`    → {status, count,
+  *    build_progress} (IndexStatusResponse, lib.rs:192-214) | 404
+  *  - `POST /api/v1/indexes/{ks}/{idx}/ann`       → PostIndexAnnResponse |
+  *    400 | 404 | 503 (IndexNotReadyReason body, lib.rs:216-231)
+  *  - `POST /api/v1/indexes/{ks}/{idx}/bm25`      → PostIndexBm25Response |
+  *    errors as above
+  *  - `GET  /api/v1/info`                         → {engine, service, version}
+  *  - `GET  /api/v1/status`                       → NodeStatus
+  *
+  * Node lifecycle note: the reference's node walks
+  * Initializing→ConnectingToDb→Bootstrapping→Serving while it owns its own
+  * process (node_state.rs:21-43); on Spark the cluster manager owns process
+  * lifecycle, so a constructed engine reports SERVING and per-index
+  * readiness carries the build progress (the INDEX_BUILDING 503 reason).
+  * Error bodies are JSON `{status, message}` throughout (the reference's
+  * 404s are plain text — normalized here, documented deviation).
+  *
+  * Column types for value conversion derive from the registered frame's
+  * Spark schema — the analogue of the reference reading table column
+  * metadata from the database (httproutes.rs:1077).
+  */
+object Routes {
+
+  final case class Response(status: Int, body: String)
+
+  val Service = "graft-vector-store"
+  val Version = "0.1.0"
+
+  private val mapper = new ObjectMapper
+
+  /** Spark column type → JSON-boundary native type (schema discovery). */
+  def nativeTypeOf(dt: DataType): Option[JsonValues.NativeType] = dt match {
+    case StringType => Some(JsonValues.Text)
+    case ByteType => Some(JsonValues.TinyIntT)
+    case ShortType => Some(JsonValues.SmallIntT)
+    case IntegerType => Some(JsonValues.IntT)
+    case LongType => Some(JsonValues.BigIntT)
+    case FloatType => Some(JsonValues.FloatT)
+    case DoubleType => Some(JsonValues.DoubleT)
+    case BooleanType => Some(JsonValues.BooleanT)
+    case DateType => Some(JsonValues.DateT)
+    case _: TimestampType => Some(JsonValues.TimestampT)
+    case BinaryType => Some(JsonValues.BlobT)
+    case d: DecimalType if d.scale == 0 => Some(JsonValues.VarintT)
+    case _: DecimalType => Some(JsonValues.DecimalT)
+    case _ => None // vectors/maps/arrays never appear in restrictions
+  }
+
+  private def columnTypes(engine: Engine, ks: String, idx: String)
+      : Map[String, JsonValues.NativeType] =
+    engine.indexFrame(ks, idx).map(_.schema.fields.flatMap(f =>
+      nativeTypeOf(f.dataType).map(f.name -> _)).toMap).getOrElse(Map.empty)
+
+  private def statusName(s: Catalog.IndexStatus): String = s match {
+    case Catalog.Initializing => "INITIALIZING"
+    case Catalog.FullScanning => "BOOTSTRAPPING" // wire name, lib.rs:133-140
+    case Catalog.Serving => "SERVING"
+  }
+
+  private def spaceName(s: graft.functions.VectorFunctions.Space): String = {
+    import graft.functions.VectorFunctions._
+    s match {
+      case Euclidean => "EUCLIDEAN"
+      case Cosine => "COSINE"
+      case DotProduct => "DOT_PRODUCT"
+      case Hamming => "HAMMING"
+    }
+  }
+
+  private def quantName(q: Catalog.Quantization): String = q match {
+    case Catalog.F32 => "F32"
+    case Catalog.F16 => "F16"
+    case Catalog.BF16 => "BF16"
+    case Catalog.I8 => "I8"
+    case Catalog.B1 => "B1"
+  }
+
+  /** IndexInfo body (lib.rs:86-90 + tagged IndexOptions). */
+  private def indexInfoNode(e: Catalog.Entry): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("keyspace", e.meta.keyspace)
+    n.put("index", e.meta.index)
+    val opts = n.putObject("options")
+    e.meta.kind match {
+      case Catalog.Vs(o) =>
+        opts.put("type", "vector")
+        opts.put("dimensions", o.dims)
+        opts.put("maximum_node_connections", o.connectivity)
+        opts.put("construction_beam_width", o.expansionAdd)
+        opts.put("search_beam_width", o.expansionSearch)
+        opts.put("similarity_function", spaceName(o.space))
+        opts.put("quantization", quantName(o.quantization))
+      case Catalog.Fts(_) =>
+        opts.put("type", "fulltext")
+        opts.put("analyzer", "lowercase+stopwords") // Bm25.tokenize chain
+        opts.put("positions", true) // positional postings (phrase queries)
+    }
+    n
+  }
+
+  private def error(status: Int, message: String): Response =
+    Response(status, Wire.errorJson(new QueryException(status, message)))
+
+  /** The ANN/BM25 503 body: IndexNotReadyReason (lib.rs:216-231). A running
+    * engine is past bootstrap, so the reason is always INDEX_BUILDING with
+    * the progress message the engine raised. */
+  private def notReady(message: String): Response = {
+    val n = mapper.createObjectNode()
+    n.put("reason", "INDEX_BUILDING")
+    n.put("message", message)
+    Response(503, mapper.writeValueAsString(n))
+  }
+
+  /** Dispatch one request. `path` is the full `/api/v1/...` path. */
+  def handle(engine: Engine, method: String, path: String, body: String = ""): Response = {
+    val parts = path.stripPrefix("/").stripSuffix("/").split("/").toList
+    try {
+      (method.toUpperCase, parts) match {
+        case ("GET", List("api", "v1", "info")) =>
+          val n = mapper.createObjectNode()
+          n.put("engine", s"spark-${org.apache.spark.SPARK_VERSION}")
+          n.put("service", Service)
+          n.put("version", Version)
+          Response(200, mapper.writeValueAsString(n))
+
+        case ("GET", List("api", "v1", "status")) =>
+          Response(200, "\"SERVING\"")
+
+        case ("GET", List("api", "v1", "indexes")) =>
+          val arr = mapper.createArrayNode()
+          engine.catalog.list.sortBy(e => (e.meta.keyspace, e.meta.index))
+            .foreach(e => arr.add(indexInfoNode(e)))
+          Response(200, mapper.writeValueAsString(arr))
+
+        case ("GET", List("api", "v1", "indexes", ks, idx)) =>
+          engine.catalog.get(Catalog.IndexKey(ks, idx)) match {
+            case Some(e) => Response(200, mapper.writeValueAsString(indexInfoNode(e)))
+            case None => error(404, s"missing index: $ks.$idx")
+          }
+
+        case ("GET", List("api", "v1", "indexes", ks, idx, "status")) =>
+          engine.catalog.get(Catalog.IndexKey(ks, idx)) match {
+            case Some(e) =>
+              val n = mapper.createObjectNode()
+              n.put("status", statusName(e.status))
+              n.put("count", engine.count(ks, idx))
+              n.put("build_progress", e.progressPct)
+              Response(200, mapper.writeValueAsString(n))
+            case None => error(404, s"missing index: $ks.$idx")
+          }
+
+        case ("POST", List("api", "v1", "indexes", ks, idx, "ann")) =>
+          val types = columnTypes(engine, ks, idx)
+          val req = Wire.parseAnnRequest(body, types)
+          val meta = engine.catalog.get(Catalog.IndexKey(ks, idx))
+            .map(_.meta).getOrElse(throw new QueryException(404, s"missing index: $ks.$idx"))
+          val res = engine.ann(ks, idx, req)
+          Response(200,
+            Wire.annResponseJson(res, meta.primaryKeyColumns, types))
+
+        case ("POST", List("api", "v1", "indexes", ks, idx, "bm25")) =>
+          val types = columnTypes(engine, ks, idx)
+          val (q, limit) = Wire.parseBm25Request(body)
+          val meta = engine.catalog.get(Catalog.IndexKey(ks, idx))
+            .map(_.meta).getOrElse(throw new QueryException(404, s"missing index: $ks.$idx"))
+          val res = engine.bm25(ks, idx, q, limit)
+          Response(200,
+            Wire.bm25ResponseJson(res, meta.primaryKeyColumns.head, types))
+
+        case _ => error(404, s"no route: $method $path")
+      }
+    } catch {
+      case e: QueryException if e.status == 503 => notReady(e.getMessage)
+      case e: QueryException => error(e.status, e.getMessage)
+    }
+  }
+}

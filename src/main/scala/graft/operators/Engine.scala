@@ -45,6 +45,11 @@ final class Engine {
   def setStatus(key: IndexKey, status: IndexStatus, progressPct: Double = 100.0): Unit =
     catalog.setStatus(key, status, progressPct)
 
+  /** The registered base frame of an index (schema discovery surface for the
+    * route layer — the reference reads column types from table metadata). */
+  def indexFrame(keyspace: String, index: String): Option[DataFrame] =
+    frames.get(IndexKey(keyspace, index))
+
   /** Drop an index (DROP INDEX analogue — frees the frame and the catalog
     * entry; subsequent queries 404, routing.rs:329-381). */
   def dropIndex(keyspace: String, index: String): Boolean = {

@@ -1,0 +1,128 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.api.Routes
+import graft.functions.VectorFunctions.Euclidean
+import graft.operators.{Catalog, Engine}
+import org.apache.spark.sql.DataFrame
+
+/** The route dispatcher end-to-end against a live engine — the
+  * `httproutes.rs` surface (paths, response bodies, error taxonomy) minus
+  * only the HTTP listener. */
+class RoutesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val om = new ObjectMapper
+
+  private def engineWith(status: Catalog.IndexStatus = Catalog.Serving,
+      progress: Double = 100.0): (Engine, DataFrame) = {
+    val df = Seq(
+      (1L, Seq(0f, 0f, 1f), "alpha data"),
+      (2L, Seq(0f, 1f, 0f), "beta data"),
+      (3L, Seq(1f, 0f, 0f), "gamma spark")).toDF("pk", "vec", "body")
+    val eng = new Engine
+    eng.addIndex(Catalog.IndexMetadata("ks", "vidx", "tbl", "vec",
+      primaryKeyColumns = Seq("pk"),
+      kind = Catalog.Vs(Catalog.IndexOptionsVs(3, Euclidean))), df,
+      status = status, progressPct = progress)
+    eng.addIndex(Catalog.IndexMetadata("ks", "fidx", "tbl", "body",
+      primaryKeyColumns = Seq("pk"),
+      kind = Catalog.Fts(Catalog.IndexOptionsFts())), df)
+    (eng, df)
+  }
+
+  test("GET /api/v1/indexes lists vector + fulltext IndexInfo (httproutes.rs:290)") {
+    val (eng, _) = engineWith()
+    val r = Routes.handle(eng, "GET", "/api/v1/indexes")
+    assert(r.status == 200)
+    val arr = om.readTree(r.body)
+    assert(arr.size() == 2)
+    val byIdx = (0 until arr.size()).map(arr.get)
+      .map(n => n.get("index").asText() -> n).toMap
+    assert(byIdx("vidx").get("options").get("type").asText() == "vector")
+    assert(byIdx("vidx").get("options").get("dimensions").asInt() == 3)
+    assert(byIdx("vidx").get("options").get("similarity_function").asText() == "EUCLIDEAN")
+    assert(byIdx("vidx").get("options").get("quantization").asText() == "F32")
+    assert(byIdx("fidx").get("options").get("type").asText() == "fulltext")
+    assert(byIdx("fidx").get("options").get("positions").asBoolean())
+  }
+
+  test("GET /api/v1/indexes/{ks}/{idx} single info or 404 (httproutes.rs:459)") {
+    val (eng, _) = engineWith()
+    val ok = Routes.handle(eng, "GET", "/api/v1/indexes/ks/vidx")
+    assert(ok.status == 200)
+    assert(om.readTree(ok.body).get("keyspace").asText() == "ks")
+    val missing = Routes.handle(eng, "GET", "/api/v1/indexes/ks/nope")
+    assert(missing.status == 404)
+    assert(om.readTree(missing.body).get("message").asText().contains("missing index"))
+  }
+
+  test("GET .../status: status, live count, build_progress (httproutes.rs:365)") {
+    val (eng, _) = engineWith()
+    val r = Routes.handle(eng, "GET", "/api/v1/indexes/ks/vidx/status")
+    assert(r.status == 200)
+    val n = om.readTree(r.body)
+    assert(n.get("status").asText() == "SERVING")
+    assert(n.get("count").asLong() == 3)
+    assert(n.get("build_progress").asDouble() == 100.0)
+  }
+
+  test("POST .../ann end-to-end: wire request in, columnar response out (httproutes.rs:661)") {
+    val (eng, _) = engineWith()
+    val r = Routes.handle(eng, "POST", "/api/v1/indexes/ks/vidx/ann",
+      """{"vector": [1.0, 0.0, 0.0], "limit": 2,
+        | "filter": {"restrictions": [{"type": ">", "lhs": "pk", "rhs": 1}],
+        |            "allow_filtering": true}}""".stripMargin)
+    assert(r.status == 200, r.body)
+    val n = om.readTree(r.body)
+    assert(n.get("primary_keys").get("pk").get(0).asLong() == 3L) // nearest matching
+    assert(n.get("distances").size() == 2)
+    assert(n.get("distances").get(0).asDouble() == 0.0)
+  }
+
+  test("POST .../bm25 end-to-end (httproutes.rs:906)") {
+    val (eng, _) = engineWith()
+    val r = Routes.handle(eng, "POST", "/api/v1/indexes/ks/fidx/bm25",
+      """{"query": "data", "limit": 10}""")
+    assert(r.status == 200, r.body)
+    val n = om.readTree(r.body)
+    assert(n.get("primary_keys").get("pk").size() == 2) // alpha data, beta data
+    assert(n.get("scores").size() == 2)
+  }
+
+  test("error taxonomy through the routes: 400 / 404 / 503 reason body") {
+    val (eng, _) = engineWith()
+    // residual filtering without allow_filtering -> 400 (httproutes.rs:751)
+    val r400 = Routes.handle(eng, "POST", "/api/v1/indexes/ks/vidx/ann",
+      """{"vector": [1.0, 0.0, 0.0],
+        | "filter": {"restrictions": [{"type": ">", "lhs": "pk", "rhs": 1}]}}""".stripMargin)
+    assert(r400.status == 400)
+    // unknown index -> 404
+    assert(Routes.handle(eng, "POST", "/api/v1/indexes/ks/ghost/ann",
+      """{"vector": [0.0, 0.0, 0.0]}""").status == 404)
+    // building index -> 503 with the IndexNotReadyReason body (lib.rs:216-231)
+    val (building, _) = engineWith(status = Catalog.FullScanning, progress = 40.0)
+    val r503 = Routes.handle(building, "POST", "/api/v1/indexes/ks/vidx/ann",
+      """{"vector": [0.0, 0.0, 0.0]}""")
+    assert(r503.status == 503)
+    val n = om.readTree(r503.body)
+    assert(n.get("reason").asText() == "INDEX_BUILDING")
+    assert(n.get("message").asText().contains("40.0"))
+    // its /status route reports BOOTSTRAPPING + progress
+    val st = om.readTree(Routes.handle(building, "GET",
+      "/api/v1/indexes/ks/vidx/status").body)
+    assert(st.get("status").asText() == "BOOTSTRAPPING")
+    assert(st.get("build_progress").asDouble() == 40.0)
+  }
+
+  test("GET /api/v1/info and /api/v1/status (httproutes.rs:1479,1508)") {
+    val (eng, _) = engineWith()
+    val info = om.readTree(Routes.handle(eng, "GET", "/api/v1/info").body)
+    assert(info.get("service").asText() == Routes.Service)
+    assert(info.get("engine").asText().startsWith("spark-"))
+    assert(info.get("version").asText().nonEmpty)
+    val st = Routes.handle(eng, "GET", "/api/v1/status")
+    assert(st.status == 200 && om.readTree(st.body).asText() == "SERVING")
+    assert(Routes.handle(eng, "GET", "/api/v1/nope").status == 404)
+  }
+}
