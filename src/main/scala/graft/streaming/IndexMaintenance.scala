@@ -148,6 +148,51 @@ object IndexMaintenance {
     spark.read.parquet(indexPath)
       .withColumn("_bucket", col("_bucket").cast("long"))
 
+  /** foreachBatch writer for the dedup index artifacts: the (id, sh)
+    * shingle store and the (id, sig_*) MinHash signature store that
+    * [[graft.operators.Dedup.minhashNearDupsFromStores]] serves from. Both
+    * are keyed by doc id, so maintenance is the [[mergeKeyed]] shape: drop
+    * every row of a touched id, union freshly computed shingles/signatures
+    * for the upserts, rewrite only the touched pk-hash buckets. Signatures
+    * derive from the SAME fresh shingle frame (one tokenize pass per
+    * batch), keeping the two stores consistent by construction. */
+  def mergeDedupBatch(
+      spark: SparkSession,
+      shinglePath: String,
+      sigPath: String,
+      idCol: String,
+      textCol: String,
+      opCol: Option[String],
+      shingleN: Int = 5,
+      numHashes: Int = 16,
+      nBuckets: Int = 64): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, _: Long) =>
+      import graft.operators.Dedup
+      val bucket = pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)).cast("int")
+      val isDelete = {
+        // coalesce: see mergeFtsBatch — a NULL op with live text upserts
+        val op = opCol.map(c => coalesce(upper(col(c)) === "DELETE", lit(false)))
+          .getOrElse(lit(false))
+        op || col(textCol).isNull
+      }
+      val upserts = batch.filter(!isDelete)
+      val touchedIds = batch.select(col(idCol)).distinct()
+      val freshShingles = Dedup.shingles(upserts, idCol, textCol, shingleN)
+        .localCheckpoint(true) // one tokenize pass feeds both stores
+      val freshSigs =
+        Dedup.minhashSignaturesFromShingles(freshShingles, idCol, numHashes)
+      mergeKeyed(spark, shinglePath, idCol, touchedIds, freshShingles, bucket, nBuckets)
+      mergeKeyed(spark, sigPath, idCol, touchedIds, freshSigs, bucket, nBuckets)
+  }
+
+  /** Read the maintained dedup stores back as the
+    * (shingles, signatures) pair `minhashNearDupsFromStores` consumes. */
+  def readDedupIndex(
+      spark: SparkSession, shinglePath: String, sigPath: String)
+      : (DataFrame, DataFrame) =
+    (spark.read.parquet(shinglePath).drop(BucketCol),
+      spark.read.parquet(sigPath).drop(BucketCol))
+
   /** Replace all rows keyed by `touchedIds` with `fresh` rows, rewriting
     * only the bucket directories those keys live in. Shared shape with
     * [[StreamingIngest.mergeIntoSnapshot]] (LWW row state); here the value

@@ -122,4 +122,44 @@ class IndexMaintenanceSpec extends SparkSpec {
       assert(side == indexRows(iPath).map(r => r._1 -> r._3).toMap)
     } finally FileUtils.deleteDirectory(dir)
   }
+
+  test("incremental dedup stores: shingles + signatures == full rebuild; store-served query correct") {
+    import graft.operators.Dedup
+    import org.apache.commons.io.FileUtils
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_inc").toFile
+    val shPath = new java.io.File(dir, "shingles").getAbsolutePath
+    val sgPath = new java.io.File(dir, "sigs").getAbsolutePath
+    val merge = IndexMaintenance.mergeDedupBatch(
+      spark, shPath, sgPath, "doc_id", "text", opCol = Some("op"))
+    try {
+      merge(Seq(
+        (1L, "the quick brown fox jumps over the lazy dog near the river bank", "UPSERT"),
+        (2L, "completely different content about spark query engines and scale", "UPSERT"),
+        (3L, "the quick brown fox jumps over the lazy dog near the river bend", "UPSERT"))
+        .toDF("doc_id", "text", "op"), 0L)
+      // update doc 2 to a near-dup of 1, delete doc 3
+      merge(Seq(
+        (2L, "the quick brown fox jumps over the lazy dog near the river bank", "UPSERT"),
+        (3L, null.asInstanceOf[String], "DELETE")).toDF("doc_id", "text", "op"), 1L)
+
+      val (sh, sigs) = IndexMaintenance.readDedupIndex(spark, shPath, sgPath)
+      val live = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2L, "the quick brown fox jumps over the lazy dog near the river bank"))
+        .toDF("doc_id", "text")
+      val shRebuilt = Dedup.shingles(live, "doc_id", "text", 5)
+      assert(sh.collect().map(_.toSeq).toSet == shRebuilt.collect().map(_.toSeq).toSet,
+        "maintained shingle store must equal a from-scratch rebuild of the live docs")
+      val sigsRebuilt = Dedup.minhashSignaturesFromShingles(shRebuilt, "doc_id", 16)
+      assert(sigs.collect().map(_.toSeq).toSet == sigsRebuilt.collect().map(_.toSeq).toSet,
+        "maintained signature store must equal a from-scratch rebuild")
+
+      // and the store-served near-dup query sees the post-update truth:
+      // docs 1 and 2 are now exact dups; deleted doc 3 is gone
+      val nd = Dedup.minhashNearDupsFromStores(sh, sigs, "doc_id",
+          bands = 4, threshold = 0.9, maxShingleDf = None)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(nd == Set((1L, 2L)))
+    } finally FileUtils.deleteDirectory(dir)
+  }
 }
