@@ -264,6 +264,54 @@ object ApproxAnn {
       vecCol, pkCols, space, req)
   }
 
+  /** IVF twin of [[chooseLshRadius]]: one narrow decision scan (centroid +
+    * filter columns, no vectors) counts matching rows within the `nprobe`
+    * nearest cells for every candidate nprobe, plus the total; the first
+    * nprobe with `limit*oversample` candidates AND `minCoverage` of all
+    * matching rows wins, else None ⇒ exact-scan fallback. Same
+    * recall-certification argument as the LSH policy. */
+  def chooseIvfProbes(
+      assigned: DataFrame, vecCol: String, req: AnnRequest,
+      centroids: Seq[(Int, Seq[Float])], nprobes: Seq[Int],
+      oversample: Double = 2.0, minCoverage: Double = 0.9): Option[Int] = {
+    val need = math.max(req.limit.toLong, math.ceil(req.limit * oversample).toLong)
+    val pred = RestrictionCompiler.compileAll(assigned.schema, req.restrictions)
+    // centroid ids ranked by distance to the query (driver-side, tiny)
+    val ranked = centroids.map { case (cid, cvec) =>
+      val d = cvec.zip(req.vector).map { case (c, q) =>
+        (c.toDouble - q.toDouble) * (c.toDouble - q.toDouble)
+      }.sum
+      (d, cid)
+    }.sortBy(identity).map(_._2)
+    val aggs = nprobes.map { np =>
+      val cells = ranked.take(np)
+      coalesce(sum(when(col("_centroid").isin(cells: _*), 1L).otherwise(0L)),
+        lit(0L)).as(s"m$np")
+    } :+ count(lit(1)).as("total")
+    val row = assigned
+      .filter(col(vecCol).isNotNull && pred)
+      .agg(aggs.head, aggs.tail: _*)
+      .head()
+    val total = row.getLong(nprobes.length)
+    nprobes.zipWithIndex.collectFirst {
+      case (np, i) if row.getLong(i) >= need &&
+        row.getLong(i).toDouble >= minCoverage * total => np
+    }
+  }
+
+  /** Adaptive filtered IVF search: pruned at the certified nprobe, exact
+    * fallback when no probe set covers enough matching rows. */
+  def searchIvfAdaptive(
+      assigned: DataFrame, base: DataFrame, vecCol: String, pkCols: Seq[String],
+      space: Space, req: AnnRequest, centroids: Seq[(Int, Seq[Float])],
+      nprobes: Seq[Int] = Seq(1, 2, 4, 8), oversample: Double = 2.0,
+      minCoverage: Double = 0.9): DataFrame =
+    chooseIvfProbes(assigned, vecCol, req, centroids, nprobes, oversample,
+      minCoverage) match {
+      case Some(np) => searchIvf(assigned, vecCol, pkCols, space, req, centroids, np)
+      case None => Ann.plan(base, vecCol, pkCols, space, req)
+    }
+
   /** Quantized two-stage rescoring (O12): stage 1 takes k·oversample by
     * distance on the i8-dequantized vectors; stage 2 re-scores those
     * candidates at full precision and returns the exact-ordered top-k.

@@ -116,4 +116,38 @@ class LshRecallSpec extends SparkSpec {
     val probes = ApproxAnn.probeBuckets(cqv, 8, chosen.get)
     assert(cidx.filter(col("_bucket").isin(probes: _*)).count() < clustered.count())
   }
+
+  test("adaptive IVF mirrors the policy: clustered filter => pruned probes; selective => exact") {
+    import org.apache.spark.sql.functions.col
+    val dims = 16
+    val clustered = (0 until 500).map { i =>
+      val c = i % 10
+      val center = Array.tabulate(dims)(d => math.sin(c * 37.0 + d * 3.1) * 5.0)
+      val v = center.zipWithIndex.map { case (x, d) =>
+        (x + math.sin(i * 13.7 + d) * 0.05).toFloat }.toSeq
+      (i.toLong, c, v)
+    }.toDF("vec_id", "label", "embedding")
+    val (assigned, centroids) = ApproxAnn.buildIvfIndex(clustered, "embedding", k = 10)
+    val cqv = clustered.filter(col("vec_id") === 0).select("embedding")
+      .head.getSeq[Float](0)
+    // correlated filter (one cluster): a small nprobe certifies coverage
+    val creq = AnnRequest(cqv, limit = 10,
+      restrictions = Seq(Restriction.Eq("label", 0)), allowFiltering = true)
+    val chosen = ApproxAnn.chooseIvfProbes(assigned, "embedding", creq, centroids,
+      nprobes = Seq(1, 2, 4, 8))
+    assert(chosen.nonEmpty && chosen.get < 10,
+      s"expected a pruned probe count on clustered data, got $chosen")
+    val exact = ids(Ann.plan(clustered, "embedding", Seq("vec_id"), Euclidean, creq))
+    val approx = ids(ApproxAnn.searchIvfAdaptive(assigned, clustered, "embedding",
+      Seq("vec_id"), Euclidean, creq, centroids)).toSet
+    assert(exact.count(approx.contains).toDouble / exact.size >= 0.9)
+    // tight filter: too few matches anywhere => exact fallback, identical rows
+    val tight = AnnRequest(cqv, limit = 10,
+      restrictions = Seq(Restriction.Lt("vec_id", 5L)), allowFiltering = true)
+    assert(ApproxAnn.chooseIvfProbes(assigned, "embedding", tight, centroids,
+      nprobes = Seq(1, 2, 4, 8)).isEmpty)
+    assert(ids(ApproxAnn.searchIvfAdaptive(assigned, clustered, "embedding",
+      Seq("vec_id"), Euclidean, tight, centroids)) ==
+      ids(Ann.plan(clustered, "embedding", Seq("vec_id"), Euclidean, tight)))
+  }
 }
