@@ -58,6 +58,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Window"), "a window plan would shuffle every event")
   }
 
+  test("adaptive filtered LSH / IVF probe: restriction pushed, top-k shaped, no cross product") {
+    for (q <- Seq("ann_lsh_filtered", "ann_ivf")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q: ${p.take(1500)}")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), q)
+    }
+    // the residual label filter reaches the scan whether the adaptive plan
+    // settles on a pruned probe or the exact fallback
+    val p = plan("ann_lsh_filtered")
+    assert(p.contains("PushedFilters") && p.contains("label"), p.take(2000))
+  }
+
   test("boolean FTS: an n-clause query scans the postings store exactly once") {
     // scoreBoolean pivots the one pruned postings pass into a per-doc
     // term->score map and compiles the boolean structure to an expression —
