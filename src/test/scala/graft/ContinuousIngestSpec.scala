@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.VectorFunctions._
-import graft.operators.{Ann, Bm25}
+import graft.operators.{Ann, Bm25, Dedup}
 import graft.operators.Ann.AnnRequest
 import graft.streaming.{IndexMaintenance, StreamingIngest}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
 /** The reference's full continuous-ingest story, end-to-end on Structured
   * Streaming (SURVEY §3.3): one CDC stream drives, per micro-batch,
   *  - the LWW row snapshot (bucketed incremental merge),
-  *  - the FTS postings/doc-length stores, and
-  *  - the LSH vector index (+ pk→bucket sidecar),
-  * and after every commit the row state, BM25 search, and ANN search all
-  * reflect exactly the live data — the Spark analogue of engine.rs wiring
-  * db_cdc → Table cache → usearch/tantivy with per-batch commits. */
+  *  - the FTS postings/doc-length stores,
+  *  - the LSH vector index (+ pk→bucket sidecar), and
+  *  - the dedup artifacts (shingle + MinHash signature stores),
+  * and after every commit the row state, BM25 search, ANN search, and
+  * near-dup queries all reflect exactly the live data — the Spark analogue
+  * of engine.rs wiring db_cdc → Table cache → usearch/tantivy with
+  * per-batch commits. */
 class ContinuousIngestSpec extends SparkSpec {
   import spark.implicits._
 
@@ -22,7 +24,7 @@ class ContinuousIngestSpec extends SparkSpec {
   case class DocEvent(doc_id: Long, text: String, embedding: Seq[Float],
       op: String, ts: Long, seq: Long)
 
-  test("one CDC stream maintains snapshot + FTS + vector index per commit") {
+  test("one CDC stream maintains snapshot + FTS + vector + dedup stores per commit") {
     import org.apache.commons.io.FileUtils
     val dir = java.nio.file.Files.createTempDirectory("graft_e2e").toFile
     def p(n: String) = new java.io.File(dir, n).getAbsolutePath
@@ -36,6 +38,8 @@ class ContinuousIngestSpec extends SparkSpec {
     val mergeVs = IndexMaintenance.mergeVsBatch(
       spark, p("lsh"), p("sidecar"), "doc_id", "embedding",
       opCol = Some("op"), dims = dims)
+    val mergeDedup = IndexMaintenance.mergeDedupBatch(
+      spark, p("shingles"), p("sigs"), "doc_id", "text", opCol = Some("op"))
 
     val mem = MemoryStream[DocEvent](spark)
     val q = mem.toDF().writeStream
@@ -55,6 +59,7 @@ class ContinuousIngestSpec extends SparkSpec {
             when(tomb, lit("DELETE")).otherwise(lit("UPSERT")).as("op"))
         mergeFts(cur, id)
         mergeVs(cur, id)
+        mergeDedup(cur, id)
       }
       .start()
 
@@ -71,45 +76,63 @@ class ContinuousIngestSpec extends SparkSpec {
       Ann.plan(IndexMaintenance.readVsIndex(spark, p("lsh")), "embedding",
           Seq("doc_id"), Euclidean, AnnRequest(qv, limit = 1))
         .select("doc_id").as[Long].head()
+    def nearDups(): Set[(Long, Long)] = {
+      val (sh, sigs) = IndexMaintenance.readDedupIndex(spark, p("shingles"), p("sigs"))
+      Dedup.minhashNearDupsFromStores(sh, sigs, "doc_id",
+          bands = 4, threshold = 0.5, maxShingleDf = None)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    }
 
     def ev(id: Long, text: String, vec: Seq[Float], op: String, ts: Long, seq: Long) =
       DocEvent(id, text, vec, op, ts, seq)
 
+    val fox1 = "the quick brown fox jumps over the lazy dog near the river bank"
+    val turtle = "a slow green turtle walks across the quiet meadow path today"
+    val sparkDoc = "spark streaming merge engines process continuous change data feeds"
+    // the update makes doc 2 an EXACT dup of doc 1 (jaccard 1.0: banding is
+    // guaranteed; a ~0.8-jaccard near-dup can deterministically miss a
+    // 4-band/16-hash scheme — that recall property belongs to DedupSpec)
+    val fox2 = fox1
+
     try {
-      // batch 1: three live docs
+      // batch 1: three live docs, no near-dups among them
       mem.addData(Seq(
-        ev(1L, "the quick brown fox", Seq(1f, 0f, 0f, 0f), "UPSERT", 100, 0),
-        ev(2L, "a slow green turtle", Seq(0f, 1f, 0f, 0f), "UPSERT", 100, 1),
-        ev(3L, "spark streaming merge", Seq(0f, 0f, 1f, 0f), "UPSERT", 100, 2)))
+        ev(1L, fox1, Seq(1f, 0f, 0f, 0f), "UPSERT", 100, 0),
+        ev(2L, turtle, Seq(0f, 1f, 0f, 0f), "UPSERT", 100, 1),
+        ev(3L, sparkDoc, Seq(0f, 0f, 1f, 0f), "UPSERT", 100, 2)))
       q.processAllAvailable()
       assert(liveIds() == Set(1L, 2L, 3L))
       assert(ftsHits("turtle") == Set(2L))
       assert(annTop(Seq(0f, 0f, 0.9f, 0f)) == 3L)
+      assert(nearDups().isEmpty)
 
-      // batch 2: update doc 2 (new text AND new vector), delete doc 3,
-      // plus a STALE update of doc 1 that LWW must ignore
+      // batch 2: update doc 2 to a DUP of doc 1 (new text AND new vector),
+      // delete doc 3, plus a STALE update of doc 1 LWW must ignore
       mem.addData(Seq(
-        ev(2L, "a fast purple turtle", Seq(0f, 0f, 0f, 1f), "UPSERT", 200, 3),
+        ev(2L, fox2, Seq(0f, 0f, 0f, 1f), "UPSERT", 200, 3),
         ev(3L, null, null, "DELETE", 200, 4),
-        ev(1L, "stale fox rewrite", Seq(9f, 9f, 9f, 9f), "UPSERT", 50, 5)))
+        ev(1L, "stale fox rewrite text never indexed anywhere at all", Seq(9f, 9f, 9f, 9f), "UPSERT", 50, 5)))
       q.processAllAvailable()
       assert(liveIds() == Set(1L, 2L), "delete applied; stale update ignored for state")
-      assert(ftsHits("fast") == Set(2L))
-      assert(ftsHits("slow").isEmpty, "replaced text deindexed")
+      assert(ftsHits("turtle").isEmpty, "replaced text deindexed")
       assert(ftsHits("spark").isEmpty, "deleted doc deindexed")
-      assert(ftsHits("fox") == Set(1L))
+      assert(ftsHits("fox") == Set(1L, 2L))
       assert(ftsHits("stale").isEmpty && ftsHits("rewrite").isEmpty,
         "the stale (older writetime) rewrite of doc 1 must not reach the index")
       assert(annTop(Seq(0f, 0f, 0f, 0.9f)) == 2L, "moved vector found in its new bucket")
+      // the near-dup pair EMERGED from the update — candidate banding and
+      // verification both serve from the maintained stores
+      assert(nearDups() == Set((1L, 2L)))
 
       // batch 3: replay batch 2 (CDC redelivery) — idempotent everywhere
       mem.addData(Seq(
-        ev(2L, "a fast purple turtle", Seq(0f, 0f, 0f, 1f), "UPSERT", 200, 6),
+        ev(2L, fox2, Seq(0f, 0f, 0f, 1f), "UPSERT", 200, 6),
         ev(3L, null, null, "DELETE", 200, 7)))
       q.processAllAvailable()
       assert(liveIds() == Set(1L, 2L))
-      assert(ftsHits("fast") == Set(2L) && ftsHits("spark").isEmpty)
+      assert(ftsHits("fox") == Set(1L, 2L) && ftsHits("spark").isEmpty)
       assert(annTop(Seq(0f, 0f, 0f, 0.9f)) == 2L)
+      assert(nearDups() == Set((1L, 2L)))
     } finally {
       q.stop()
       FileUtils.deleteDirectory(dir)
