@@ -39,7 +39,7 @@ object SparkEntry {
     * ([[graft.sources.IndexStorage.materializeCached]]). Bench warms these
     * before its timed loop so probe cost is measured, not build cost. */
   val indexBackedQueries: Seq[String] =
-    Seq("ann_lsh", "ann_lsh_filtered", "ann_rescored", "bm25_single",
+    Seq("ann_lsh", "ann_lsh_filtered", "ann_rescored", "ann_b1", "bm25_single",
       "dedup_jaccard", "dedup_minhash")
 
   // ---- ANN helpers ---------------------------------------------------------
@@ -520,6 +520,34 @@ object SparkEntry {
             restrictions = Seq(Restriction.In("label", Seq(3, 7))),
             allowFiltering = true),
           nbits = 8)
+        .select(col("vec_id"), (round(col("distance"), 6) + lit(0.0)).as("distance"))
+    }),
+
+    // B1 quantization as a SERVING store (usearch.rs:450-464: B1 forces the
+    // Hamming metric): the index artifact holds pk + packed sign bits
+    // (8 bytes/vector instead of 256 float bytes — the at-rest win), the
+    // query packs driver-side, distance = popcount over XOR of the packed
+    // bytes. Bit-for-bit equal to sign-mismatch Hamming on the raw floats,
+    // so the oracle is the plain Hamming ANN.
+    "ann_b1" -> ((s, dir) => {
+      import graft.functions.VectorFunctions
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0)
+      val b1 = graft.sources.IndexStorage.materializeCached(
+          s, s"$dir/embeddings.parquet", indexDir(dir, "b1"), Nil) {
+        emb.filter(col("embedding").isNotNull)
+          .select(col("vec_id"), VectorFunctions.b1Pack(col("embedding")).as("_b1"))
+      }
+      val qPacked: Seq[Byte] = qv.grouped(8).map { grp =>
+        grp.zipWithIndex.foldLeft(0) { case (acc, (v, i)) =>
+          if (v > 0f) acc | (1 << i) else acc
+        }.toByte
+      }.toSeq
+      b1.withColumn("distance",
+          VectorFunctions.hammingPacked(col("_b1"), typedlit(qPacked)).cast("double"))
+        .orderBy(col("distance").asc, col("vec_id").asc)
+        .limit(10)
         .select(col("vec_id"), (round(col("distance"), 6) + lit(0.0)).as("distance"))
     }),
 
@@ -1244,6 +1272,8 @@ object SparkEntry {
     "ann_cosine" -> duckAnn(duckCosDist),
     "ann_dot" -> duckAnn(s"-$duckDot"),
     "ann_hamming" -> duckAnn(duckHamming),
+    // packed-popcount Hamming == sign-mismatch Hamming on the raw floats
+    "ann_b1" -> duckAnn(duckHamming),
     "ann_filtered" -> duckAnn(duckL2, "WHERE e.label IN (3, 7)"),
     "ann_local" -> duckAnn(duckL2, "WHERE e.label = 3"),
     // encode→decode through the :attrs map is lossless on f32, so the
