@@ -656,6 +656,23 @@ object SparkEntry {
     "token_report" -> ((s, dir) =>
       TextAnalysis.tokenReport(t(s, dir, "documents"), "source", "text")),
 
+    // The composed curation pipeline — what a training-data run actually
+    // executes: exact-dedup survivors ∧ quality gate ∧ language gate, with
+    // token counts carried for the budget report. Pure plan composition of
+    // the individual operators (each one oracle-checked on its own above);
+    // the joins are on doc_id and broadcast/shuffle-free-able at scale.
+    "corpus_curation" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val survivors = Dedup.exact(docs, "doc_id", Seq("text"))
+      val quality = TextAnalysis.quality(docs, "doc_id", "text")
+        .filter(col("keep")).select("doc_id")
+      val lang = TextAnalysis.languageId(docs, "doc_id", "text")
+        .filter(col("pred_lang") === "en").select("doc_id")
+      val stats = TextAnalysis.stats(docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_ws_tokens"), col("n_bpeish_tokens"))
+      survivors.join(quality, "doc_id").join(lang, "doc_id").join(stats, "doc_id")
+    }),
+
     // T3/F10: BM25 top-k on the documents corpus, single- and multi-term
     // (disjunctive). Ordered on round(score,4) so cross-engine float ulps in
     // ln/sum cannot flip the k-boundary.
@@ -924,6 +941,35 @@ object SparkEntry {
          |SELECT doc_id, list_reduce(hs,
          |  (acc, x) -> (acc * ${TextAnalysis.RollBase} + x) % ${TextAnalysis.RollPrime}) AS fingerprint
          |FROM h""".stripMargin,
+
+    "corpus_curation" -> {
+      val langStructs = TextAnalysis.LangStopwords.zipWithIndex.map { case ((lang, words), i) =>
+        val list = words.map(w => s"'$w'").mkString(", ")
+        s"{'r': CAST(len(list_filter(al, t -> t IN ($list))) AS DOUBLE) / greatest(len(al), 1), " +
+          s"'pri': ${TextAnalysis.LangStopwords.length - i}, 'lang': '$lang'}"
+      }.mkString(", ")
+      s"""WITH survivors AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |ql AS (SELECT doc_id, length(text) AS n_chars,
+         |  list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0) AS ws,
+         |  list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), t -> len(t) > 0) AS al
+         |  FROM documents),
+         |qm AS (SELECT doc_id, n_chars,
+         |  CAST(len(list_filter(al, t -> t IN ($duckStop))) AS DOUBLE) / greatest(len(al), 1) AS swr,
+         |  CAST(list_sum(list_transform(ws, t -> len(t))) AS DOUBLE) / len(ws) AS mwl
+         |  FROM ql),
+         |quality AS (SELECT doc_id FROM qm
+         |  WHERE n_chars BETWEEN 50 AND 100000 AND swr >= 0.01 AND mwl <= 15.0),
+         |lb AS (SELECT doc_id, list_aggregate([$langStructs], 'max') AS best FROM ql),
+         |lang AS (SELECT doc_id FROM lb WHERE best.lang = 'en'),
+         |stats AS (SELECT doc_id,
+         |  len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)) AS n_ws_tokens,
+         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpeish_tokens
+         |  FROM documents)
+         |SELECT s.doc_id, st.n_ws_tokens, st.n_bpeish_tokens
+         |FROM survivors s
+         |JOIN quality USING (doc_id) JOIN lang USING (doc_id)
+         |JOIN stats st USING (doc_id)""".stripMargin
+    },
 
     "token_report" ->
       """SELECT source, count(*) AS n_docs,
