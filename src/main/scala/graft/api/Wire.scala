@@ -168,6 +168,93 @@ object Wire {
     (q.asText(), parseLimit(root))
   }
 
+  // ---- request ENCODING (the client half: the reference's request types
+  // ---- derive Serialize too, and its validator emits them) ----------------
+
+  private def wireTag(r: Restriction): String = r match {
+    case _: Restriction.Eq => "=="
+    case _: Restriction.In => "IN"
+    case _: Restriction.Lt => "<"
+    case _: Restriction.Lte => "<="
+    case _: Restriction.Gt => ">"
+    case _: Restriction.Gte => ">="
+    case _: Restriction.EqTuple => "()==()"
+    case _: Restriction.InTuple => "()IN()"
+    case _: Restriction.LtTuple => "()<()"
+    case _: Restriction.LteTuple => "()<=()"
+    case _: Restriction.GtTuple => "()>()"
+    case _: Restriction.GteTuple => "()>=()"
+  }
+
+  private def restrictionNode(
+      types: Map[String, NativeType], r: Restriction): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("type", wireTag(r))
+    def one(c: String, v: Any): Unit = {
+      n.put("lhs", c)
+      n.set("rhs", valueNode(JsonValues.toJson(normalize(v), colType(types, c))))
+      ()
+    }
+    def tup(cs: Seq[String], vs: Seq[Any]): Unit = {
+      val lhs = n.putArray("lhs"); cs.foreach(lhs.add)
+      val rhs = n.putArray("rhs")
+      cs.zip(vs).foreach { case (c, v) =>
+        rhs.add(valueNode(JsonValues.toJson(normalize(v), colType(types, c))))
+      }
+    }
+    r match {
+      case Restriction.Eq(c, v) => one(c, v)
+      case Restriction.Lt(c, v) => one(c, v)
+      case Restriction.Lte(c, v) => one(c, v)
+      case Restriction.Gt(c, v) => one(c, v)
+      case Restriction.Gte(c, v) => one(c, v)
+      case Restriction.In(c, vs) =>
+        n.put("lhs", c)
+        val rhs = n.putArray("rhs")
+        vs.foreach(v => rhs.add(valueNode(JsonValues.toJson(normalize(v), colType(types, c)))))
+      case Restriction.EqTuple(cs, vs) => tup(cs, vs)
+      case Restriction.LtTuple(cs, vs) => tup(cs, vs)
+      case Restriction.LteTuple(cs, vs) => tup(cs, vs)
+      case Restriction.GtTuple(cs, vs) => tup(cs, vs)
+      case Restriction.GteTuple(cs, vs) => tup(cs, vs)
+      case Restriction.InTuple(cs, vss) =>
+        val lhs = n.putArray("lhs"); cs.foreach(lhs.add)
+        val rhs = n.putArray("rhs")
+        vss.foreach { vs =>
+          val t = rhs.addArray()
+          cs.zip(vs).foreach { case (c, v) =>
+            t.add(valueNode(JsonValues.toJson(normalize(v), colType(types, c))))
+          }
+        }
+    }
+    n
+  }
+
+  /** Encode a `PostIndexAnnRequest` — the exact body [[parseAnnRequest]]
+    * decodes, typed values through try_to_json. Round-trip is identity
+    * (property-pinned in WireSpec). */
+  def annRequestJson(req: AnnRequest, types: Map[String, NativeType]): String = {
+    val root = mapper.createObjectNode()
+    val vec = root.putArray("vector")
+    req.vector.foreach(vec.add)
+    root.put("limit", req.limit)
+    if (req.restrictions.nonEmpty || req.allowFiltering) {
+      val f = root.putObject("filter")
+      val rs = f.putArray("restrictions")
+      req.restrictions.foreach(r => rs.add(restrictionNode(types, r)))
+      f.put("allow_filtering", req.allowFiltering)
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  /** Encode a `PostIndexBm25Request`. */
+  def bm25RequestJson(query: String, limit: Int): String = {
+    val root = mapper.createObjectNode()
+    root.put("query", query)
+    root.put("limit", limit)
+    mapper.writeValueAsString(root)
+  }
+
   /** f32 saturation for wire floats (serialize_saturated_f32,
     * lib.rs:398-414): ±inf pins to ±f32::MAX; NaN passes through (JSON
     * encoders reject it loudly, as serde does). */

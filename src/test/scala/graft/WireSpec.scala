@@ -230,4 +230,66 @@ class WireSpec extends SparkSpec {
     assert(json.get("status").asInt() == 503)
     assert(json.get("message").asText().contains("not serving"))
   }
+
+  test("request encode/decode round-trip is identity (client half of the wire)") {
+    // the reference's request types derive Serialize AND Deserialize; a
+    // seeded sweep over all 12 forms x mixed column types pins our pair
+    val types: Map[String, NativeType] = Map(
+      "i" -> JV.IntT, "l" -> JV.BigIntT, "t" -> JV.Text, "b" -> JV.BooleanT,
+      "d" -> JV.DoubleT, "f" -> JV.FloatT, "dec" -> JV.DecimalT,
+      "dt" -> JV.DateT, "v" -> JV.VarintT)
+    val rnd = new scala.util.Random(42)
+    def value(t: NativeType): Any = t match {
+      case JV.IntT => rnd.nextInt()
+      case JV.BigIntT => rnd.nextLong()
+      case JV.Text => rnd.alphanumeric.take(rnd.nextInt(12)).mkString + "\"quote\u00e9"
+      case JV.BooleanT => rnd.nextBoolean()
+      case JV.DoubleT => rnd.nextDouble() * 1e6
+      case JV.FloatT => rnd.nextFloat()
+      case JV.DecimalT => BigDecimal(BigInt(rnd.nextLong() % 100000), rnd.nextInt(6))
+      case JV.DateT => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(rnd.nextInt(30000).toLong))
+      case JV.VarintT => BigDecimal(BigInt(rnd.nextLong()) * BigInt(rnd.nextInt(1000) + 1))
+      case other => fail(s"unexpected $other")
+    }
+    val cols = types.keys.toVector
+    def col(): String = cols(rnd.nextInt(cols.size))
+    def scalarR(): Restriction = {
+      val c = col()
+      rnd.nextInt(6) match {
+        case 0 => Restriction.Eq(c, value(types(c)))
+        case 1 => Restriction.In(c, (0 to rnd.nextInt(3)).map(_ => value(types(c))))
+        case 2 => Restriction.Lt(c, value(types(c)))
+        case 3 => Restriction.Lte(c, value(types(c)))
+        case 4 => Restriction.Gt(c, value(types(c)))
+        case _ => Restriction.Gte(c, value(types(c)))
+      }
+    }
+    def tupleR(): Restriction = {
+      val cs = Vector.fill(2 + rnd.nextInt(2))(col()).distinct
+      val vs = cs.map(c => value(types(c)))
+      rnd.nextInt(6) match {
+        case 0 => Restriction.EqTuple(cs, vs)
+        case 1 => Restriction.InTuple(cs,
+          (0 to rnd.nextInt(2)).map(_ => cs.map(c => value(types(c)))))
+        case 2 => Restriction.LtTuple(cs, vs)
+        case 3 => Restriction.LteTuple(cs, vs)
+        case 4 => Restriction.GtTuple(cs, vs)
+        case _ => Restriction.GteTuple(cs, vs)
+      }
+    }
+    for (_ <- 1 to 200) {
+      val req = graft.operators.Ann.AnnRequest(
+        vector = Seq.fill(1 + rnd.nextInt(4))(rnd.nextFloat()),
+        limit = 1 + rnd.nextInt(100),
+        restrictions = Seq.fill(rnd.nextInt(4))(
+          if (rnd.nextBoolean()) scalarR() else tupleR()),
+        allowFiltering = rnd.nextBoolean())
+      val json = Wire.annRequestJson(req, types)
+      val back = Wire.parseAnnRequest(json, types)
+      assert(back == req, json)
+    }
+    // bm25 pair too
+    val (q2, l2) = Wire.parseBm25Request(Wire.bm25RequestJson("spark \"data\"", 9))
+    assert(q2 == "spark \"data\"" && l2 == 9)
+  }
 }
