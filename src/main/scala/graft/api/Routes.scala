@@ -125,11 +125,41 @@ object Routes {
     Response(503, mapper.writeValueAsString(n))
   }
 
+  /** Prometheus text exposition of the per-index gauges the engine carries
+    * (the `/metrics` route, httproutes.rs:160; metric names and label pairs
+    * from metrics.rs): `index_size{keyspace,index_name}` = live rows,
+    * `fts_index_size_bytes` for fulltext indexes, plus
+    * `request_latency_seconds_count` (the count component of the reference's
+    * latency histogram — Spark owns wall-clock timing, so the buckets are
+    * the metrics system's job, but the per-index request counter is ours). */
+  private def prometheusText(engine: Engine): String = {
+    val rows = engine.metrics().collect()
+    def labels(r: org.apache.spark.sql.Row): String =
+      s"""{keyspace="${r.getString(0)}",index_name="${r.getString(1)}"}"""
+    val sb = new StringBuilder
+    sb ++= "# HELP index_size Number of Vector per index\n"
+    sb ++= "# TYPE index_size gauge\n"
+    rows.foreach(r => sb ++= s"index_size${labels(r)} ${r.getLong(5)}\n")
+    val fts = rows.filter(_.getString(2) == "fulltext")
+    if (fts.nonEmpty) {
+      sb ++= "# HELP fts_index_size_bytes Total size of a full-text search index (bytes)\n"
+      sb ++= "# TYPE fts_index_size_bytes gauge\n"
+      fts.foreach(r => sb ++= s"fts_index_size_bytes${labels(r)} ${r.getLong(7)}\n")
+    }
+    sb ++= "# HELP request_latency_seconds_count Requests served per index\n"
+    sb ++= "# TYPE request_latency_seconds_count counter\n"
+    rows.foreach(r => sb ++= s"request_latency_seconds_count${labels(r)} ${r.getLong(8)}\n")
+    sb.result()
+  }
+
   /** Dispatch one request. `path` is the full `/api/v1/...` path. */
   def handle(engine: Engine, method: String, path: String, body: String = ""): Response = {
     val parts = path.stripPrefix("/").stripSuffix("/").split("/").toList
     try {
       (method.toUpperCase, parts) match {
+        case ("GET", List("metrics")) =>
+          Response(200, prometheusText(engine))
+
         case ("GET", List("api", "v1", "info")) =>
           val n = mapper.createObjectNode()
           n.put("engine", s"spark-${org.apache.spark.SPARK_VERSION}")

@@ -125,4 +125,19 @@ class RoutesSpec extends SparkSpec {
     assert(st.status == 200 && om.readTree(st.body).asText() == "SERVING")
     assert(Routes.handle(eng, "GET", "/api/v1/nope").status == 404)
   }
+
+  test("GET /metrics: Prometheus text exposition (httproutes.rs:160, metrics.rs names)") {
+    val (eng, _) = engineWith()
+    // drive one query so the request counter is nonzero
+    Routes.handle(eng, "POST", "/api/v1/indexes/ks/vidx/ann",
+      """{"vector": [1.0, 0.0, 0.0]}""")
+    val r = Routes.handle(eng, "GET", "/metrics")
+    assert(r.status == 200)
+    assert(r.body.contains("# TYPE index_size gauge"))
+    assert(r.body.contains("""index_size{keyspace="ks",index_name="vidx"} 3"""))
+    assert(r.body.contains("""fts_index_size_bytes{keyspace="ks",index_name="fidx"}"""))
+    assert(r.body.contains("""request_latency_seconds_count{keyspace="ks",index_name="vidx"} 1"""))
+    // an engine with no indexes scrapes to the bare headers, not an error
+    assert(Routes.handle(new Engine, "GET", "/metrics").status == 200)
+  }
 }
