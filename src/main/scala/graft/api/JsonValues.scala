@@ -92,11 +92,19 @@ object JsonValues {
       // conversion): dotted-quad IPv4 validated octet-by-octet; IPv6 only
       // when the string cannot be a hostname (hex digits + colons)
       val ipv4 = "^(\\d{1,3})\\.(\\d{1,3})\\.(\\d{1,3})\\.(\\d{1,3})$".r
+      // Rust's IpAddr grammar: leading-zero octets are invalid ('010.0.0.1'
+      // is NOT 10.0.0.1), and IPv6 may end with an embedded dotted quad
+      // ('::ffff:1.2.3.4') subject to the same octet rules
+      def validQuad(quad: Seq[String]): Boolean = quad.forall(p =>
+        p.toInt <= 255 && !(p.length > 1 && p.startsWith("0")))
+      val mappedV6 = "^[0-9a-fA-F:]+:((?:\\d{1,3}\\.){3}\\d{1,3})$".r
       s match {
         case ipv4(a, b, c, d) =>
-          val parts = Seq(a, b, c, d).map(_.toInt)
-          if (parts.forall(p => p <= 255)) parts.mkString(".")
-          else fail(s"Failed to parse inet from string '$s': octet out of range")
+          if (validQuad(Seq(a, b, c, d))) Seq(a, b, c, d).map(_.toInt).mkString(".")
+          else fail(s"Failed to parse inet from string '$s': invalid octet")
+        case mappedV6(quad) if validQuad(quad.split('.').toSeq) =>
+          try java.net.InetAddress.getByName(s).getHostAddress
+          catch { case e: Exception => fail(s"Failed to parse inet from string '$s': $e") }
         case _ if s.contains(":") && s.matches("^[0-9a-fA-F:]+$") =>
           try java.net.InetAddress.getByName(s).getHostAddress
           catch { case e: Exception => fail(s"Failed to parse inet from string '$s': $e") }

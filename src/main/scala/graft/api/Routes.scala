@@ -193,20 +193,23 @@ object Routes {
             case None => error(404, s"missing index: $ks.$idx")
           }
 
+        // the index lookup (404) comes BEFORE body parsing (400), matching
+        // the reference's route ordering (httproutes.rs resolves the index
+        // from the path, then deserializes the request)
         case ("POST", List("api", "v1", "indexes", ks, idx, "ann")) =>
-          val types = columnTypes(engine, ks, idx)
-          val req = Wire.parseAnnRequest(body, types)
           val meta = engine.catalog.get(Catalog.IndexKey(ks, idx))
             .map(_.meta).getOrElse(throw new QueryException(404, s"missing index: $ks.$idx"))
+          val types = columnTypes(engine, ks, idx)
+          val req = Wire.parseAnnRequest(body, types)
           val res = engine.ann(ks, idx, req)
           Response(200,
             Wire.annResponseJson(res, meta.primaryKeyColumns, types))
 
         case ("POST", List("api", "v1", "indexes", ks, idx, "bm25")) =>
-          val types = columnTypes(engine, ks, idx)
-          val (q, limit) = Wire.parseBm25Request(body)
           val meta = engine.catalog.get(Catalog.IndexKey(ks, idx))
             .map(_.meta).getOrElse(throw new QueryException(404, s"missing index: $ks.$idx"))
+          val types = columnTypes(engine, ks, idx)
+          val (q, limit) = Wire.parseBm25Request(body)
           val res = engine.bm25(ks, idx, q, limit)
           Response(200,
             Wire.bm25ResponseJson(res, meta.primaryKeyColumns.head, types))

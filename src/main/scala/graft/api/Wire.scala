@@ -125,7 +125,9 @@ object Wire {
   private def parseLimit(root: JsonNode): Int = Option(root.get("limit")) match {
     case None => 1 // Limit::default = NonZeroUsize(1), lib.rs:289-293
     case Some(n) =>
-      if (!n.isIntegralNumber || n.asLong() < 1)
+      // canConvertToLong guards the BigInteger path: 2^64+1 would otherwise
+      // truncate via longValue() and be silently accepted as 1
+      if (!n.isIntegralNumber || !n.canConvertToLong || n.asLong() < 1)
         fail(s"limit must be a positive integer, got: $n")
       if (n.asLong() > Int.MaxValue) fail("limit too large")
       n.asLong().toInt
@@ -256,13 +258,21 @@ object Wire {
   }
 
   /** f32 saturation for wire floats (serialize_saturated_f32,
-    * lib.rs:398-414): ±inf pins to ±f32::MAX; NaN passes through (JSON
-    * encoders reject it loudly, as serde does). */
+    * httpapi/src/lib.rs:397-409): ±inf pins to ±f32::MAX. NaN survives
+    * saturation; [[addSaturated]] encodes it as JSON `null` — what
+    * serde_json emits for a non-finite float — never the non-standard
+    * string `"NaN"` Jackson would otherwise produce. */
   def saturate(d: Double): Float = {
     if (d.isNaN) Float.NaN
     else if (d > Float.MaxValue) Float.MaxValue
     else if (d < Float.MinValue) Float.MinValue
     else d.toFloat
+  }
+
+  private def addSaturated(arr: com.fasterxml.jackson.databind.node.ArrayNode,
+      d: Double): Unit = {
+    val f = saturate(d)
+    if (f.isNaN) arr.add(mapper.nullNode()) else arr.add(f)
   }
 
   private def valueNode(v: Any): JsonNode = v match {
@@ -292,7 +302,7 @@ object Wire {
       }
     }
     def floats(field: String, arr: ArrayNode): Unit =
-      row.getSeq[Double](row.fieldIndex(field)).foreach(d => arr.add(saturate(d)))
+      row.getSeq[Double](row.fieldIndex(field)).foreach(d => addSaturated(arr, d))
     floats("distances", root.putArray("distances"))
     floats("similarity_scores", root.putArray("similarity_scores"))
     mapper.writeValueAsString(root)
@@ -310,7 +320,7 @@ object Wire {
     rows.foreach { r =>
       pks.add(valueNode(JsonValues.toJson(normalize(r.get(r.fieldIndex(pkCol))),
         colType(types, pkCol))))
-      scores.add(saturate(r.getDouble(r.fieldIndex("score"))))
+      addSaturated(scores, r.getDouble(r.fieldIndex("score")))
     }
     mapper.writeValueAsString(root)
   }

@@ -103,7 +103,12 @@ final class AlternatorTables(engine: Engine) {
     validateName("table", name)
     if (tables.contains(name))
       throw new QueryException(400, s"table exists: $name")
-    indexes.foreach(ix => validateIndexDef(name, indexes.takeWhile(_ != ix), ix))
+    // validate against the preceding slice BY POSITION — takeWhile(_ != ix)
+    // uses value equality, so two identical defs would each see an empty
+    // prefix and the duplicate-name/column checks would never fire
+    indexes.zipWithIndex.foreach { case (ix, i) =>
+      validateIndexDef(name, indexes.take(i), ix)
+    }
     tables += name -> TableEntry(pkAttr, None, Nil)
     indexes.foreach(registerIndex(name, _))
   }

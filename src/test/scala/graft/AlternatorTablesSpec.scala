@@ -158,6 +158,12 @@ class AlternatorTablesSpec extends SparkSpec {
       tbl.createTable("Alt-Tbl-dup", "pk", Seq(
         VectorIndexDef("Idx-1", "vec", 3), VectorIndexDef("Idx-2", "vec", 3))))
     assert(err.status == 400)
+    // two IDENTICAL defs must also be rejected — the positional prefix check
+    // (value-equality takeWhile gave both an empty prefix and let them pass)
+    val dup = intercept[QueryException](
+      tbl.createTable("Alt-Tbl-dup2", "pk", Seq(
+        VectorIndexDef("Idx-1", "vec", 3), VectorIndexDef("Idx-1", "vec", 3))))
+    assert(dup.status == 400)
   }
 
   test("create_table_with_over_max_length_index_name (create_table.rs:363)") {

@@ -50,6 +50,20 @@ class JsonValuesSpec extends AnyFunSuite {
     intercept[JsonValueException](fromJson(true, IntT))
   }
 
+  test("inet literals: Rust IpAddr grammar (no leading zeros, mapped IPv6)") {
+    assert(fromJson("10.0.0.1", InetT) == "10.0.0.1")
+    assert(fromJson("0.0.0.0", InetT) == "0.0.0.0") // single zero octets fine
+    // leading-zero octets are invalid in Rust's IpAddr ('010' is not 10)
+    intercept[JsonValueException](fromJson("010.0.0.1", InetT))
+    intercept[JsonValueException](fromJson("1.2.3.04", InetT))
+    intercept[JsonValueException](fromJson("256.1.1.1", InetT))
+    // IPv4-mapped IPv6 carries a trailing dotted quad
+    assert(fromJson("::ffff:1.2.3.4", InetT) != null)
+    intercept[JsonValueException](fromJson("::ffff:01.2.3.4", InetT))
+    assert(fromJson("2001:db8::1", InetT) == "2001:db8:0:0:0:0:0:1")
+    intercept[JsonValueException](fromJson("example.com", InetT)) // never DNS
+  }
+
   test("toJson round-trips the encodings") {
     assert(toJson(Array[Byte](10, 11), BlobT) == "0x0a0b")
     assert(toJson(BigDecimal("1.50"), DecimalT) == "1.50")

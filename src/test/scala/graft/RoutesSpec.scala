@@ -100,6 +100,15 @@ class RoutesSpec extends SparkSpec {
     // unknown index -> 404
     assert(Routes.handle(eng, "POST", "/api/v1/indexes/ks/ghost/ann",
       """{"vector": [0.0, 0.0, 0.0]}""").status == 404)
+    // the index lookup precedes body parsing: a bad body (unknown column
+    // restriction, even malformed JSON) against a missing index is still a
+    // 404, matching the reference's route ordering
+    assert(Routes.handle(eng, "POST", "/api/v1/indexes/ks/ghost/ann",
+      """{"vector": [0.0], "filter": {"restrictions":
+        | [{"type": "==", "lhs": "no_such_col", "rhs": 1}]}}""".stripMargin)
+      .status == 404)
+    assert(Routes.handle(eng, "POST", "/api/v1/indexes/ks/ghost/bm25",
+      "{not json").status == 404)
     // building index -> 503 with the IndexNotReadyReason body (lib.rs:216-231)
     val (building, _) = engineWith(status = Catalog.FullScanning, progress = 40.0)
     val r503 = Routes.handle(building, "POST", "/api/v1/indexes/ks/vidx/ann",

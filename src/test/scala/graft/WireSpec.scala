@@ -184,7 +184,10 @@ class WireSpec extends SparkSpec {
     val types = Map("a" -> (JV.IntT: NativeType))
     assert(Wire.parseAnnRequest("""{"vector": [0.0]}""", types).limit == 1)
     assert(Wire.parseAnnRequest("""{"vector": [0.0], "limit": 7}""", types).limit == 7)
-    for (bad <- Seq("0", "-3", "1.5", "\"x\"")) {
+    // 2^64+1 is a BigInteger node — longValue() would wrap it to 1; the
+    // canConvertToLong guard must reject it instead of silently accepting
+    for (bad <- Seq("0", "-3", "1.5", "\"x\"",
+        "18446744073709551617", "-18446744073709551617")) {
       val e = intercept[QueryException](
         Wire.parseAnnRequest(s"""{"vector": [0.0], "limit": $bad}""", types))
       assert(e.status == 400, bad)
@@ -207,6 +210,18 @@ class WireSpec extends SparkSpec {
     assert(Wire.saturate(Double.NegativeInfinity) == Float.MinValue)
     assert(Wire.saturate(1e300) == Float.MaxValue)
     assert(Wire.saturate(3.5) == 3.5f)
+  }
+
+  test("NaN scores encode as JSON null, never the string \"NaN\"") {
+    // serde_json writes non-finite floats as null; Jackson's default would
+    // emit the non-standard quoted string "NaN" — pinned here
+    import spark.implicits._
+    val scored = Seq((1L, Double.NaN), (2L, 0.5)).toDF("doc_id", "score")
+    val json = Wire.bm25ResponseJson(scored, "doc_id", Map("doc_id" -> JV.BigIntT))
+    assert(!json.contains("\"NaN\""), json)
+    val n = om.readTree(json)
+    assert(n.get("scores").get(0).isNull)
+    assert(n.get("scores").get(1).floatValue() == 0.5f)
   }
 
   test("bm25 request/response wire shapes (lib.rs:464-480)") {
