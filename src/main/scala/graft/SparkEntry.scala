@@ -2,9 +2,9 @@ package graft
 
 import graft.functions.VectorFunctions._
 import graft.operators.Ann.AnnRequest
-import graft.operators.{Ann, ApproxAnn, Bm25, Catalog, Dedup, Engine, Lww,
-  Multimodal, Restriction, RestrictionCompiler, ResultFormat, Sessionize,
-  TextAnalysis}
+import graft.operators.{Ann, ApproxAnn, Bm25, Catalog, Curation, Dedup,
+  Engine, Lww, Multimodal, Restriction, RestrictionCompiler, ResultFormat,
+  Sessionize, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -40,7 +40,7 @@ object SparkEntry {
     * before its timed loop so probe cost is measured, not build cost. */
   val indexBackedQueries: Seq[String] =
     Seq("ann_lsh", "ann_lsh_filtered", "ann_rescored", "ann_b1", "bm25_single",
-      "dedup_jaccard", "dedup_minhash")
+      "dedup_jaccard", "dedup_minhash", "dedup_clusters", "decontamination")
 
   // ---- ANN helpers ---------------------------------------------------------
 
@@ -635,6 +635,39 @@ object SparkEntry {
           Euclidean, k = 3, nbits = 8, radius = 2)
         .withColumn("distance", round(col("distance"), 6) + lit(0.0))),
 
+    // Duplicate-cluster RESOLUTION: the minhash near-dup pairs (the same
+    // banding + verification the dedup_minhash oracle replays) closed into
+    // connected components, one canonical doc per cluster. Iterative
+    // min-label propagation — shuffles ids only, lineage truncated per
+    // round; singletons keep themselves.
+    "dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashNearDupsFromStores(shingleStore(s, dir),
+        minhashSigStore(s, dir), "doc_id", bands = 4, threshold = 0.5,
+        maxShingleDf = None)
+      Curation.dedupClusters(pairs.select("id_a", "id_b"),
+        t(s, dir, "documents"), "doc_id")
+    }),
+
+    // Deterministic stratified sampling / domain mixing: md5-derived
+    // per-row uniform against per-lang keep rates — stateless, no shuffle,
+    // identical survivors every run and in the oracle's replay.
+    "stratified_sample" -> ((s, dir) =>
+      Curation.stratifiedSample(
+        t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang",
+        fractions = Map("en" -> 0.25, "de" -> 0.8, "fr" -> 0.8,
+          "es" -> 0.8, "zh" -> 1.0),
+        defaultFraction = 0.5)),
+
+    // Benchmark decontamination: 5-gram containment of a held-out
+    // benchmark set (doc_id % 5 == 0 — a deterministic stand-in for an
+    // eval suite) inside every corpus doc, from the same shingle store the
+    // dedup suite serves from.
+    "decontamination" -> ((s, dir) =>
+      Curation.decontaminate(shingleStore(s, dir), "doc_id",
+        t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id").as("bench_id")),
+        minContainment = 0.2)),
+
     // Text analysis over documents (training-pipeline hygiene operators).
     "text_stats" -> ((s, dir) =>
       TextAnalysis.stats(t(s, dir, "documents"), "doc_id", "text")
@@ -840,6 +873,23 @@ object SparkEntry {
       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
       |  FROM sh a JOIN sh b USING (h) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
 
+  /** MinHash signature + LSH band candidate CTEs mirroring
+    * Dedup.minhashSignaturesFromShingles / Dedup.lshCandidates (16 hashes,
+    * 4 bands) — shared by the dedup_minhash and dedup_clusters oracles. */
+  private val duckMinhashCand = {
+    val sigExprs = Dedup.minhashCoeffs(16).zipWithIndex.map { case ((a, b), i) =>
+      s"min((h31 * $a + $b) % ${Dedup.MinhashPrime}) AS sig_$i"
+    }.mkString(",\n  ")
+    val bandConds = (0 until 4).map { bIdx =>
+      (0 until 4).map(r => s"a.sig_${bIdx * 4 + r} = b.sig_${bIdx * 4 + r}")
+        .mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    s"""sigs AS (SELECT doc_id, $sigExprs
+       |  FROM (SELECT doc_id, h % ${Dedup.MinhashPrime} AS h31 FROM sh) GROUP BY doc_id),
+       |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sigs a JOIN sigs b
+       |  ON a.doc_id < b.doc_id AND ($bandConds))""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
@@ -850,25 +900,53 @@ object SparkEntry {
          |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
          |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5""".stripMargin,
 
-    "dedup_minhash" -> {
-      val sigExprs = Dedup.minhashCoeffs(16).zipWithIndex.map { case ((a, b), i) =>
-        s"min((h31 * $a + $b) % ${Dedup.MinhashPrime}) AS sig_$i"
-      }.mkString(",\n  ")
-      val bandConds = (0 until 4).map { bIdx =>
-        (0 until 4).map(r => s"a.sig_${bIdx * 4 + r} = b.sig_${bIdx * 4 + r}")
-          .mkString("(", " AND ", ")")
-      }.mkString(" OR ")
-      s"""WITH $duckToks, ${duckShingles(5)},
-         |sigs AS (SELECT doc_id, $sigExprs
-         |  FROM (SELECT doc_id, h % ${Dedup.MinhashPrime} AS h31 FROM sh) GROUP BY doc_id),
-         |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sigs a JOIN sigs b
-         |  ON a.doc_id < b.doc_id AND ($bandConds)),
-         |$duckJaccardTail
+    "dedup_minhash" ->
+      s"""WITH $duckToks, ${duckShingles(5)}, $duckMinhashCand, $duckJaccardTail
          |SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
          |FROM cand JOIN inter USING (id_a, id_b)
          |JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-         |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5""".stripMargin
-    },
+         |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5""".stripMargin,
+
+    // the SAME minhash pair set as dedup_minhash, closed transitively:
+    // symmetric edges + recursive reachability, components labeled by min
+    // reachable id (what Curation.connectedComponents converges to)
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $duckToks, ${duckShingles(5)}, $duckMinhashCand, $duckJaccardTail,
+         |pairs AS (SELECT id_a, id_b FROM cand JOIN inter USING (id_a, id_b)
+         |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b)
+         |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component_id,
+         |  (min(b) = a) AS keep
+         |FROM reach GROUP BY a""".stripMargin,
+
+    "stratified_sample" ->
+      s"""WITH u AS (SELECT doc_id, lang,
+         |  CAST(${duckHash("CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+         |    / ${Curation.HashUnitDivisor} AS u
+         |  FROM documents),
+         |f AS (SELECT doc_id, lang, u,
+         |  CASE lang WHEN 'de' THEN 0.8 WHEN 'en' THEN 0.25 WHEN 'es' THEN 0.8
+         |            WHEN 'fr' THEN 0.8 WHEN 'zh' THEN 1.0 ELSE 0.5 END AS frac
+         |  FROM u)
+         |SELECT doc_id, lang, round(u, 6) + 0.0 AS u FROM f WHERE u < frac""".stripMargin,
+
+    "decontamination" ->
+      s"""WITH $duckToks, ${duckShingles(5)},
+         |bench AS (SELECT doc_id AS bench_id FROM documents WHERE doc_id % 5 = 0),
+         |bsh AS (SELECT bench_id, h FROM sh JOIN bench ON sh.doc_id = bench.bench_id),
+         |bsz AS (SELECT bench_id, count(*) AS bsz FROM bsh GROUP BY 1),
+         |ov AS (SELECT s.doc_id, b.bench_id, count(*) AS ov FROM sh s JOIN bsh b USING (h)
+         |  WHERE s.doc_id <> b.bench_id GROUP BY 1, 2)
+         |SELECT ov.doc_id, ov.bench_id, CAST(ov.ov AS BIGINT) AS overlap,
+         |  round(CAST(ov.ov AS DOUBLE) / bsz, 6) + 0.0 AS containment
+         |FROM ov JOIN bsz USING (bench_id)
+         |WHERE CAST(ov.ov AS DOUBLE) / bsz >= 0.2""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH $duckToks,

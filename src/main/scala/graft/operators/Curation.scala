@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a 100 TB training-data pipeline layers on top
+  * of the near-dup stack: duplicate-cluster resolution (pairs → groups →
+  * canonical doc), deterministic stratified sampling / domain mixing, and
+  * benchmark decontamination.
+  *
+  * These extend the reference's surface the same way [[Dedup]] does — the
+  * reference stops at candidate pairs (its near-dup analogue is duplicate
+  * event suppression, db_cdc/consumer.rs:219-225); a real pipeline must
+  * also RESOLVE the pairs into groups and act on them.
+  *
+  * Scale design notes (100 TB):
+  *  - connected components is iterative min-label propagation: per round,
+  *    one equi-join of the (src,dst) edge list against the narrow
+  *    (id,label) frame + one min-aggregate — all shuffles are on ids, never
+  *    payloads. Rounds = component diameter, and near-dup components are
+  *    band-induced cliques plus short bridges (diameter ≤ ~4 in practice),
+  *    so the loop is a handful of shuffles; a `maxIter` cap bounds
+  *    adversarial chains. Lineage is truncated per round (localCheckpoint)
+  *    so the plan does not grow with iterations.
+  *  - convergence detection is a single aggregate over the label frame
+  *    (labels only ever decrease, so the label sum is a fixpoint witness) —
+  *    no extra join, no driver-side label materialization.
+  *  - sampling is a stateless per-row hash test (md5-derived uniform in
+  *    [0,1)) — deterministic, seed-free, reproducible across engines and
+  *    re-runs, and embarrassingly parallel (no shuffle at all).
+  *  - decontamination is an equi-join on shingle hashes against the (much
+  *    smaller) benchmark side; AQE turns it into a broadcast join when the
+  *    benchmark shingle set fits, and the shuffle keys are 8-byte hashes
+  *    either way.
+  */
+object Curation {
+
+  /** Connected components over an undirected pair list: returns one row per
+    * node with `component_id` = the minimum node id reachable from it.
+    * Nodes absent from `pairs` are singletons (their own component).
+    *
+    * Min-label propagation: each round every node adopts the smallest label
+    * among itself and its neighbors; a fixpoint is reached within
+    * `diameter` rounds. The label sum strictly decreases until the
+    * fixpoint, so one narrow aggregate per round detects convergence.
+    *
+    * @param pairs     (id_a, id_b) undirected edges, e.g. a [[Dedup]]
+    *                  near-dup pair output
+    * @param nodes     frame containing `idCol` — the full node universe
+    * @param maxIter   safety cap on rounds; near-dup graphs converge in a
+    *                  handful (require() fails loudly if the cap is hit,
+    *                  rather than returning silently-unmerged components)
+    */
+  def connectedComponents(
+      pairs: DataFrame, nodes: DataFrame, idCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .localCheckpoint(true) // scanned every round — materialize once
+    var labels = nodes
+      .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("comp"))
+      .localCheckpoint(true)
+    // decimal(38,0) sum: overflow-proof fixpoint witness at any node count
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val msgs = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("comp"))
+      labels = labels.union(msgs).groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint(true) // truncate lineage; old blocks GC via ContextCleaner
+      val s = labelSum(labels)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds " +
+      "— component diameter exceeds the cap; raise maxIter")
+    labels.select(col("id").as(idCol), col("comp").as("component_id"))
+  }
+
+  /** Duplicate-cluster resolution: near-dup pairs → components → canonical
+    * doc per cluster (`keep` = this row IS the cluster minimum). The
+    * output is a complete dedup assignment over `docs` — singletons keep
+    * themselves. */
+  def dedupClusters(pairs: DataFrame, docs: DataFrame, idCol: String): DataFrame =
+    connectedComponents(pairs, docs, idCol)
+      .withColumn("keep", col(idCol) === col("component_id"))
+
+  /** 2^60 as double — the divisor turning [[Dedup.stableHash]] (60-bit)
+    * into a uniform double in [0,1). Division by a power of two is exact,
+    * so the value is reproducible bit-for-bit cross-engine. */
+  val HashUnitDivisor: Double = 1152921504606846976.0
+
+  /** Deterministic per-row uniform in [0,1) from the id — the sampling
+    * coin. md5-derived: stable across runs, engines and partitionings
+    * (never `rand()`, which is partition-order dependent). */
+  def sampleUnit(idc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    Dedup.stableHash(idc.cast("string")) / HashUnitDivisor
+
+  /** Stratified / weighted sampling ("domain mixing"): keep each row with
+    * the probability assigned to its stratum. Stateless filter — no
+    * shuffle, fully pushdown-friendly; rates are exact in expectation and
+    * deterministic in realization (same ids survive every run).
+    *
+    * @param fractions  per-stratum keep probability; strata are matched by
+    *                   string equality on `stratumCol`
+    * @param defaultFraction  keep probability for unlisted strata
+    */
+  def stratifiedSample(
+      df: DataFrame, idCol: String, stratumCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0): DataFrame = {
+    val frac = fractions.toSeq.sortBy(_._1).foldLeft(lit(defaultFraction)) {
+      case (acc, (k, f)) => when(col(stratumCol) === k, lit(f)).otherwise(acc)
+    }
+    df.withColumn("_u", sampleUnit(col(idCol)))
+      .filter(col("_u") < frac)
+      .withColumn("u", round(col("_u"), 6) + lit(0.0))
+      .drop("_u")
+  }
+
+  /** Benchmark decontamination: for each corpus document, its n-gram
+    * containment of every benchmark document — `overlap` shared shingles,
+    * `containment` = overlap / |benchmark shingles|. A training document
+    * containing most of a benchmark document's n-grams is contaminated
+    * (the standard eval-leakage test over pretraining corpora).
+    *
+    * Both sides come from the SAME materialized shingle store (one
+    * tokenization at ingest); the benchmark side is restricted by
+    * `benchIds` and is typically orders of magnitude smaller, so AQE
+    * resolves the hash-join build side. Self-pairs are excluded —
+    * a benchmark doc drawn from the corpus trivially contains itself.
+    *
+    * @param sh        (idCol, sh) shingle table, e.g. the 5-gram store
+    * @param benchIds  frame with column `bench_id`: the benchmark doc ids
+    * @param minContainment  report threshold
+    */
+  def decontaminate(
+      sh: DataFrame, idCol: String, benchIds: DataFrame,
+      minContainment: Double): DataFrame = {
+    val bsh = sh.join(benchIds, sh(idCol) === benchIds("bench_id"))
+      .select(col("bench_id"), col("sh"))
+    val bsz = bsh.groupBy(col("bench_id")).agg(count(lit(1)).as("bsz"))
+    sh.join(bsh, "sh")
+      .filter(col(idCol) =!= col("bench_id"))
+      .groupBy(col(idCol), col("bench_id"))
+      .agg(count(lit(1)).as("overlap"))
+      .join(bsz, "bench_id")
+      .withColumn("containment", col("overlap").cast("double") / col("bsz"))
+      .filter(col("containment") >= minContainment)
+      .select(col(idCol), col("bench_id"),
+        col("overlap"), (round(col("containment"), 6) + lit(0.0)).as("containment"))
+  }
+}

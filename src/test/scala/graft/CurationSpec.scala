@@ -1,0 +1,113 @@
+package graft
+
+import graft.operators.{Curation, Dedup}
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairsDf(ps: (Long, Long)*) = ps.toDF("id_a", "id_b")
+  private def nodesDf(ns: Long*) = ns.toDF("doc_id")
+
+  test("connected components: chain, clique, singletons") {
+    // chain 1-2-3-4 (diameter 3), clique 10-11-12, singletons 20, 21
+    val pairs = pairsDf((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L))
+    val nodes = nodesDf(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L)
+    val cc = Curation.connectedComponents(pairs, nodes, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 21L))
+  }
+
+  test("connected components: min label wins regardless of edge direction") {
+    // edges written high-to-low; component label is still the minimum id
+    val cc = Curation.connectedComponents(
+      pairsDf((9L, 3L), (3L, 7L)), nodesDf(3L, 7L, 9L), "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(3L -> 3L, 7L -> 3L, 9L -> 3L))
+  }
+
+  test("connected components matches brute-force union-find on a random graph") {
+    // deterministic pseudo-random graph: 60 nodes, 45 hash-derived edges
+    val n = 60
+    val edges = (0 until 45).map { i =>
+      val a = math.abs(s"edge-a-$i".hashCode) % n
+      val b = math.abs(s"edge-b-$i".hashCode) % n
+      (a.toLong, b.toLong)
+    }.filter { case (a, b) => a != b }
+    // union-find oracle
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = (0 until n).map { i =>
+      // component label = min member id
+      val root = find(i)
+      val minMember = (0 until n).filter(j => find(j) == root).min
+      (i.toLong, minMember.toLong)
+    }.toMap
+    val cc = Curation.connectedComponents(
+      edges.toDF("id_a", "id_b"), (0 until n).map(_.toLong).toDF("doc_id"),
+      "doc_id").as[(Long, Long)].collect().toMap
+    assert(cc == expected)
+  }
+
+  test("connected components: maxIter too small fails loudly") {
+    // a 6-node chain needs ~5 rounds; cap at 1 must throw, not silently
+    // return half-merged components
+    val pairs = pairsDf((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    intercept[IllegalArgumentException] {
+      Curation.connectedComponents(pairs, nodesDf(1L, 2L, 3L, 4L, 5L, 6L),
+        "doc_id", maxIter = 1)
+    }
+  }
+
+  test("dedupClusters marks exactly one keeper per cluster") {
+    val out = Curation.dedupClusters(
+      pairsDf((5L, 6L), (6L, 7L)), nodesDf(4L, 5L, 6L, 7L), "doc_id")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(out == Set((4L, 4L, true), (5L, 5L, true), (6L, 5L, false), (7L, 5L, false)))
+  }
+
+  test("stratified sample: deterministic, per-stratum rates, unlisted default") {
+    val docs = (0L until 2000L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "xx"))
+      .toDF("doc_id", "lang")
+    val fr = Map("en" -> 0.25, "de" -> 1.0)
+    val s1 = Curation.stratifiedSample(docs, "doc_id", "lang", fr, defaultFraction = 0.0)
+    val s2 = Curation.stratifiedSample(docs, "doc_id", "lang", fr, defaultFraction = 0.0)
+    // deterministic: identical survivors on re-run
+    assert(s1.select("doc_id").as[Long].collect().sorted.toSeq ==
+      s2.select("doc_id").as[Long].collect().sorted.toSeq)
+    val byLang = s1.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // de kept fully, xx dropped fully, en ≈ 25% (hash-uniform; wide tolerance)
+    assert(byLang("de") == 667)
+    assert(!byLang.contains("xx"))
+    assert(byLang("en") > 100 && byLang("en") < 233, byLang("en"))
+    // the u column is the rounded sampling coin, in [0, 1)
+    val us = s1.select("u").as[Double].collect()
+    assert(us.forall(u => u >= 0.0 && u < 1.0))
+  }
+
+  test("decontaminate: containment of benchmark shingles, self-pairs excluded") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"), // benchmark
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"), // superset → contaminated
+      (2L, "alpha beta gamma delta epsilon unrelated words here"), // partial
+      (3L, "completely different content with no shared phrases at all"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, "doc_id", "text", 5)
+    val bench = Seq(0L).toDF("bench_id")
+    val out = Curation.decontaminate(sh, "doc_id", bench, minContainment = 0.2)
+      .as[(Long, Long, Long, Double)].collect().map(r => (r._1, r._4)).toMap
+    // doc 0 has 4 5-gram shingles; doc 1 contains all 4 → containment 1.0
+    assert(out(1L) == 1.0)
+    // doc 2 shares exactly 1 of 4 → 0.25
+    assert(out(2L) == 0.25)
+    assert(!out.contains(3L)) // no overlap
+    assert(!out.contains(0L)) // self-pair excluded
+  }
+}
