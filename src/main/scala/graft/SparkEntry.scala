@@ -142,12 +142,18 @@ object SparkEntry {
       val su = t(s, dir, "supplier")
       val n = t(s, dir, "nation")
       val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(c, o("o_custkey") === c("c_custkey"))
-        .join(broadcast(su),
-          l("l_suppkey") === su("s_suppkey") && c("c_nationkey") === su("s_nationkey"))
+      // region→nation→supplier reduces to the ASIA suppliers FIRST and
+      // broadcasts onto lineitem, so the expensive l⋈o shuffle carries only
+      // ASIA-supplier line items (~1/|regions| of the table) — the join
+      // order that survives a 100× lineitem scale-up
+      val asiaSup = su
         .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      l.join(broadcast(asiaSup), l("l_suppkey") === asiaSup("s_suppkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
         .groupBy(col("n_name"))
         .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .cast("decimal(18,4)")), 4).cast("double").as("revenue"))

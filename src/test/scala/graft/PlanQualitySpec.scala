@@ -84,4 +84,16 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("ann_rescored")
     assert(p.contains("_q"), p.take(2000))
   }
+
+  test("stratified sample: stateless filter, no shuffle, narrow scan") {
+    val p = plan("stratified_sample")
+    assert(!p.contains("Exchange"), s"sampling must not shuffle:\n${p.take(2000)}")
+    // only the id + stratum columns are read, never the text payload
+    assert(p.contains("ReadSchema") && !p.contains("text"), p.take(2000))
+  }
+
+  test("decontamination: hash-join on shingle hashes, never a cross product") {
+    val p = plan("decontamination")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
 }
