@@ -692,6 +692,17 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text")),
 
+    // Corpus unigram LM score (CCNet-style fluency signal): the "model" is
+    // one term aggregation over the corpus itself; rounded at 4 like the
+    // bm25 scores (sum-order float tolerance).
+    "lm_score" -> ((s, dir) =>
+      TextAnalysis.lmScore(t(s, dir, "documents"), "doc_id", "text")),
+
+    // Per-doc top-3 tf·idf terms, ranked on the rounded score with a term
+    // tiebreak (stable k-boundary cross-engine).
+    "tfidf_topk" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", 3)),
+
     "token_report" -> ((s, dir) =>
       TextAnalysis.tokenReport(t(s, dir, "documents"), "source", "text")),
 
@@ -977,6 +988,29 @@ object SparkEntry {
          |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
          |SELECT id_a, id_b, round(cs, 6) AS cos_sim FROM p WHERE cs >= 0.4""".stripMargin
     },
+
+    "lm_score" ->
+      s"""WITH $duckToks,
+         |tk AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+         |model AS (SELECT term, count(*) AS cnt FROM tk GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM model)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  round(sum(ln(CAST(cnt AS DOUBLE) / n_total)) / count(*), 4) + 0.0 AS lm_score
+         |FROM tk JOIN model USING (term), tot GROUP BY doc_id""".stripMargin,
+
+    "tfidf_topk" ->
+      s"""WITH $duckToks,
+         |tk AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+         |scored AS (SELECT doc_id, term,
+         |  round(tf * ln(n_docs / df), 4) + 0.0 AS score FROM tf JOIN dfreq USING (term), nd),
+         |rk AS (SELECT doc_id, term, score,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+         |  FROM scored)
+         |SELECT doc_id, term, score, CAST(rank AS INTEGER) AS rank FROM rk
+         |WHERE rank <= 3""".stripMargin,
 
     "text_stats" ->
       """SELECT doc_id, length(text) AS n_chars,

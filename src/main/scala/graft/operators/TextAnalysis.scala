@@ -116,4 +116,54 @@ object TextAnalysis {
         sum(size(wsTokens(col(textCol)))).as("ws_tokens"),
         sum(size(bpeishTokens(col(textCol)))).as("bpeish_tokens"),
         sum(length(col(textCol))).as("chars"))
+
+  /** Corpus unigram language-model score: mean per-token log-probability
+    * of each document under the corpus's own unigram distribution —
+    * `(1/|d|) Σ_t ln(count(t)/N)`. The CCNet-style fluency signal: gibberish
+    * and boilerplate land far from the corpus mode. Self-contained (the
+    * "model" is one aggregation over the same corpus), deterministic, and
+    * exactly re-derivable in SQL.
+    *
+    * Scale shape: one token explode + one (term) aggregation for the model,
+    * one (term) equi-join + one (doc) aggregation for the scores; the two
+    * scalar totals broadcast. Vocabulary is the only shuffled key domain —
+    * ~1e7 terms at web scale, never documents×vocab. */
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("term"))
+    val model = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = model.agg(sum(col("cnt")).as("n_total"))
+    toks.join(model, "term")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(log(col("cnt").cast("double") / col("n_total"))).as("_s"))
+      .select(col(idCol), col("n_tokens"),
+        (round(col("_s") / col("n_tokens"), 4) + lit(0.0)).as("lm_score"))
+  }
+
+  /** Per-document top-k terms by tf·idf (idf = ln(n_docs/df)), ranked on
+    * the ROUNDED score with a term tiebreak so the k-boundary is stable
+    * cross-engine. The "what is this document about" projection.
+    *
+    * Scale shape: (doc,term) tf aggregate, (term) df aggregate, (term)
+    * equi-join, then a per-doc top-k window — rank-within-partition is
+    * WindowGroupLimit-eligible, so each shuffle partition keeps k rows per
+    * doc before the exchange. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4) + lit(0.0))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term").asc)))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("score"), col("rank"))
+  }
 }

@@ -58,4 +58,36 @@ class TextAnalysisSpec extends SparkSpec {
       .map { case (k, v, w) => k -> ((v, w)) }.toMap
     assert(r("a") == ((2L, 3L)) && r("b") == ((1L, 3L)))
   }
+
+  test("lm score: common-token docs score higher than rare-token docs") {
+    // corpus: 'common' appears 6x, rare words once each → the all-common doc
+    // has the highest mean token log-probability
+    val docs = Seq(
+      (0L, "common common common"),
+      (1L, "common common common"),
+      (2L, "rarest unique singleton"))
+      .toDF("doc_id", "text")
+    val s = TextAnalysis.lmScore(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(s(0L) == s(1L)) // identical docs, identical score
+    assert(s(0L) > s(2L))
+    // doc 0: all tokens 'common' with p = 6/9 → score = ln(2/3)
+    assert(math.abs(s(0L) - math.round(math.log(6.0 / 9.0) * 1e4) / 1e4) < 1e-9)
+  }
+
+  test("tfidf top terms: corpus-wide words rank below distinctive ones") {
+    val docs = Seq(
+      (0L, "shared shared apple apple apple"),
+      (1L, "shared banana"),
+      (2L, "shared cherry cherry"))
+      .toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 2)
+      .as[(Long, String, Double, Int)].collect()
+    val rank1 = top.filter(_._4 == 1).map(r => r._1 -> r._2).toMap
+    // 'shared' is in every doc → idf 0 → never the top term
+    assert(rank1 == Map(0L -> "apple", 1L -> "banana", 2L -> "cherry"))
+    assert(top.count(_._1 == 0L) == 2) // k bounded per doc
+    // ranks are 1..k, deterministic tiebreak
+    assert(top.filter(_._1 == 0L).map(_._4).sorted.toSeq == Seq(1, 2))
+  }
 }
