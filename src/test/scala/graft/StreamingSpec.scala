@@ -61,6 +61,35 @@ class StreamingSpec extends SparkSpec {
     assert(got2("y").tombstone)
   }
 
+  test("streaming content dedup: first digest arrival wins, replays emit nothing") {
+    import graft.streaming.StreamingDedup
+    import graft.streaming.StreamingDedup.Doc
+    val mem = MemoryStream[Doc](spark)
+    val q = StreamingDedup.firstSeen(mem.toDS())
+      .writeStream.format("memory").queryName(s"sdedup_${System.nanoTime()}")
+      .outputMode("append").start()
+    try {
+      // batch 1: two distinct texts + an intra-batch dup (higher id loses)
+      mem.addData(Seq(Doc(5L, "alpha"), Doc(2L, "alpha"), Doc(3L, "beta")))
+      q.processAllAvailable()
+      // batch 2: cross-batch dup of 'alpha' + one new text
+      mem.addData(Seq(Doc(9L, "alpha"), Doc(7L, "gamma")))
+      q.processAllAvailable()
+      // batch 3: replay of batch 2 — fully suppressed
+      mem.addData(Seq(Doc(9L, "alpha"), Doc(7L, "gamma")))
+      q.processAllAvailable()
+      val out = spark.table(q.name).as[StreamingDedup.DigestedDoc].collect()
+        .map(d => d.text -> d.id).toMap
+      assert(out == Map("alpha" -> 2L, "beta" -> 3L, "gamma" -> 7L))
+      // emitted set == what batch Dedup.exact keeps over the union of batches
+      val allDocs = Seq((5L, "alpha"), (2L, "alpha"), (3L, "beta"),
+        (9L, "alpha"), (7L, "gamma")).toDF("doc_id", "text")
+      val batchKept = graft.operators.Dedup.exact(allDocs, "doc_id", Seq("text"))
+        .as[Long].collect().toSet
+      assert(out.values.toSet == batchKept)
+    } finally q.stop()
+  }
+
   test("duplicate deliveries within the watermark are suppressed (ST3)") {
     val mem = MemoryStream[KeyedEvent](spark)
     val deduped = StreamingIngest.withDedup(mem.toDS(), "10 seconds")
