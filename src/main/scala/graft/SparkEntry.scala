@@ -668,11 +668,14 @@ object SparkEntry {
     // benchmark set (doc_id % 5 == 0 — a deterministic stand-in for an
     // eval suite) inside every corpus doc, from the same shingle store the
     // dedup suite serves from.
+    // maxShingleDf = None: the oracle replays the uncapped semantics; the
+    // serving default caps boilerplate shingles (same convention as
+    // dedup_jaccard).
     "decontamination" -> ((s, dir) =>
       Curation.decontaminate(shingleStore(s, dir), "doc_id",
         t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
           .select(col("doc_id").as("bench_id")),
-        minContainment = 0.2)),
+        minContainment = 0.2, maxShingleDf = None)),
 
     // Text analysis over documents (training-pipeline hygiene operators).
     "text_stats" -> ((s, dir) =>

@@ -137,14 +137,22 @@ object Curation {
     * @param sh        (idCol, sh) shingle table, e.g. the 5-gram store
     * @param benchIds  frame with column `bench_id`: the benchmark doc ids
     * @param minContainment  report threshold
+    * @param maxShingleDf  serving-default skew guard (same convention as
+    *                  [[Dedup.jaccardPairsFromShingles]]): a boilerplate
+    *                  shingle shared by millions of corpus docs would make
+    *                  the containment join quadratic in that bucket while
+    *                  carrying no leakage signal. Benchmark sizes (`bsz`)
+    *                  are counted BEFORE the cap so containment ratios keep
+    *                  their denominator. Oracle-exact callers pass None.
     */
   def decontaminate(
       sh: DataFrame, idCol: String, benchIds: DataFrame,
-      minContainment: Double): DataFrame = {
+      minContainment: Double,
+      maxShingleDf: Option[Int] = Some(Dedup.DefaultMaxShingleDf)): DataFrame = {
     val bsh = sh.join(benchIds, sh(idCol) === benchIds("bench_id"))
       .select(col("bench_id"), col("sh"))
     val bsz = bsh.groupBy(col("bench_id")).agg(count(lit(1)).as("bsz"))
-    sh.join(bsh, "sh")
+    Dedup.capShingleDf(sh, idCol, maxShingleDf).join(bsh, "sh")
       .filter(col(idCol) =!= col("bench_id"))
       .groupBy(col(idCol), col("bench_id"))
       .agg(count(lit(1)).as("overlap"))

@@ -108,8 +108,61 @@ object IndexMaintenance {
       val fresh = batch.filter(!isDelete)
         .select(col(idCol), col(vecCol),
           ApproxAnn.lshBucket(col(vecCol), planes).as("_bucket"))
-      val pkBucket = pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)).cast("int")
       val touchedIds = batch.select(col(idCol)).distinct()
+      mergeSemanticBuckets(spark, indexPath, sidecarPath, idCol, vecCol,
+        "_bucket", fresh, touchedIds, nBuckets)
+  }
+
+  /** foreachBatch writer for a materialized IVF index
+    * ([[graft.operators.ApproxAnn.buildIvfIndex]] layout: rows partitioned
+    * by `_centroid`). Same shape as [[mergeVsBatch]] — the centroid set is
+    * FIXED index metadata during maintenance (like the LSH hyperplanes or
+    * dims): upserted vectors are assigned to their nearest existing
+    * centroid and only old ∪ new centroid cells rewrite. Retraining
+    * centroids is an index REBUILD, exactly as the reference rebuilds on
+    * index-options change (db_index.rs full-scan bootstrap). */
+  def mergeIvfBatch(
+      spark: SparkSession,
+      indexPath: String,
+      sidecarPath: String,
+      idCol: String,
+      vecCol: String,
+      opCol: Option[String],
+      centroids: Seq[(Int, Seq[Float])],
+      nBuckets: Int = 64): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, _: Long) =>
+      import graft.operators.ApproxAnn
+      val isDelete = {
+        // coalesce: see mergeFtsBatch — a NULL op with a live vector upserts
+        val op = opCol.map(c => coalesce(upper(col(c)) === "DELETE", lit(false)))
+          .getOrElse(lit(false))
+        op || col(vecCol).isNull
+      }
+      val fresh = ApproxAnn.assignToCentroids(
+          batch.filter(!isDelete).select(col(idCol), col(vecCol)),
+          vecCol, centroids)
+        .select(col(idCol), col(vecCol), col("_centroid").cast("long").as("_centroid"))
+      val touchedIds = batch.select(col(idCol)).distinct()
+      mergeSemanticBuckets(spark, indexPath, sidecarPath, idCol, vecCol,
+        "_centroid", fresh, touchedIds, nBuckets)
+  }
+
+  /** Shared semantic-bucket merge (LSH `_bucket` / IVF `_centroid`): a
+    * changed vector may MOVE between semantic cells and its old cell is not
+    * derivable from the id, so the index keeps a narrow (id, cell) sidecar
+    * partitioned by pk-hash. Per-batch cost is O(changed vectors + their
+    * cells), not O(index). */
+  private def mergeSemanticBuckets(
+      spark: SparkSession,
+      indexPath: String,
+      sidecarPath: String,
+      idCol: String,
+      vecCol: String,
+      semCol: String,
+      fresh: DataFrame,
+      touchedIds: DataFrame,
+      nBuckets: Int): Unit = {
+      val pkBucket = pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)).cast("int")
 
       // 1. old semantic buckets of the touched ids, via the pruned sidecar
       val oldBuckets: Seq[Long] =
@@ -119,10 +172,10 @@ object IndexMaintenance {
           spark.read.parquet(sidecarPath)
             .filter(col(BucketCol).isin(touchedPk: _*))
             .join(touchedIds, Seq(idCol), "left_semi")
-            .select(col("_bucket").cast("long")).distinct()
+            .select(col(semCol).cast("long")).distinct()
             .collect().map(_.getLong(0)).toSeq
         } else Nil
-      val newBuckets = fresh.select(col("_bucket")).distinct()
+      val newBuckets = fresh.select(col(semCol)).distinct()
         .collect().map(_.getLong(0)).toSeq
       val touched = (oldBuckets ++ newBuckets).distinct
 
@@ -130,17 +183,23 @@ object IndexMaintenance {
       val merged =
         if (graft.sources.IndexStorage.exists(spark, indexPath))
           spark.read.parquet(indexPath)
-            .filter(col("_bucket").isin(touched: _*)) // prune on the raw partition col
-            .select(col(idCol), col(vecCol), col("_bucket").cast("long"))
+            .filter(col(semCol).isin(touched: _*)) // prune on the raw partition col
+            .select(col(idCol), col(vecCol), col(semCol).cast("long"))
             .join(touchedIds, Seq(idCol), "left_anti")
             .unionByName(fresh)
         else fresh
-      overwriteBuckets(indexPath, "_bucket", merged, touched)
+      overwriteBuckets(indexPath, semCol, merged, touched)
 
-      // 4. sidecar: replace (id → _bucket) rows, pk-hash partitioned
+      // 4. sidecar: replace (id → cell) rows, pk-hash partitioned
       mergeKeyed(spark, sidecarPath, idCol, touchedIds,
-        fresh.select(col(idCol), col("_bucket")), pkBucket, nBuckets)
+        fresh.select(col(idCol), col(semCol)), pkBucket, nBuckets)
   }
+
+  /** Read the maintained IVF index back (the [[ApproxAnn.searchIvf]] input
+    * shape: id, vector, _centroid int). */
+  def readIvfIndex(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read.parquet(indexPath)
+      .withColumn("_centroid", col("_centroid").cast("int"))
 
   /** Read the maintained vector index back (the [[ApproxAnn.searchLsh]]
     * input shape: id, vector, _bucket). */

@@ -123,6 +123,52 @@ class IndexMaintenanceSpec extends SparkSpec {
     } finally FileUtils.deleteDirectory(dir)
   }
 
+  test("incremental IVF index: centroid moves, deletes, == fresh assignment, query correct") {
+    import graft.operators.{Ann, ApproxAnn}
+    import org.apache.commons.io.FileUtils
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_inc").toFile
+    val iPath = new java.io.File(dir, "ivf").getAbsolutePath
+    val sPath = new java.io.File(dir, "sidecar").getAbsolutePath
+    // fixed centroid metadata: two well-separated cells
+    val centroids = Seq(0 -> Seq(1f, 0f, 0f, 0f), 1 -> Seq(-1f, 0f, 0f, 0f))
+    val merge = IndexMaintenance.mergeIvfBatch(
+      spark, iPath, sPath, "vec_id", "embedding", opCol = Some("op"), centroids)
+    def rows(p: String): Set[(Long, Seq[Float], Int)] =
+      IndexMaintenance.readIvfIndex(spark, p)
+        .select(col("vec_id"), col("embedding"), col("_centroid"))
+        .as[(Long, Seq[Float], Int)].collect().toSet
+    try {
+      merge(Seq(
+        (1L, Seq(0.9f, 0.1f, 0f, 0f), "UPSERT"),
+        (2L, Seq(-0.8f, 0f, 0.1f, 0f), "UPSERT"),
+        (3L, Seq(0.7f, 0f, 0f, 0.2f), "UPSERT"))
+        .toDF("vec_id", "embedding", "op"), 0L)
+      assert(rows(iPath).map(r => r._1 -> r._3).toMap == Map(1L -> 0, 2L -> 1, 3L -> 0))
+
+      // v1 flips sign → moves cells; v3 deleted
+      merge(Seq(
+        (1L, Seq(-0.9f, 0.1f, 0f, 0f), "UPSERT"),
+        (3L, null.asInstanceOf[Seq[Float]], "DELETE"))
+        .toDF("vec_id", "embedding", "op"), 1L)
+
+      val live = Seq((1L, Seq(-0.9f, 0.1f, 0f, 0f)), (2L, Seq(-0.8f, 0f, 0.1f, 0f)))
+        .toDF("vec_id", "embedding")
+      val reassigned = ApproxAnn.assignToCentroids(live, "embedding", centroids)
+        .select(col("vec_id"), col("embedding"), col("_centroid"))
+        .as[(Long, Seq[Float], Int)].collect().toSet
+      assert(rows(iPath) == reassigned,
+        "maintained IVF index must equal fresh assignment of the live rows")
+
+      // served query over the maintained store sees only live vectors
+      val got = ApproxAnn.searchIvf(
+          IndexMaintenance.readIvfIndex(spark, iPath), "embedding",
+          Seq("vec_id"), graft.functions.VectorFunctions.Euclidean,
+          Ann.AnnRequest(Seq(-1f, 0f, 0f, 0f), limit = 5), centroids, nprobe = 1)
+        .select("vec_id").as[Long].collect().toSet
+      assert(got == Set(1L, 2L))
+    } finally FileUtils.deleteDirectory(dir)
+  }
+
   test("incremental dedup stores: shingles + signatures == full rebuild; store-served query correct") {
     import graft.operators.Dedup
     import org.apache.commons.io.FileUtils
