@@ -664,6 +664,13 @@ object SparkEntry {
           "es" -> 0.8, "zh" -> 1.0),
         defaultFraction = 0.5)),
 
+    // Sequence packing: concatenate-and-chunk into 512-token windows, one
+    // pack stream per source shard (parallel by construction — a global
+    // order would serialize the corpus through one partition).
+    "pack_sequences" -> ((s, dir) =>
+      Curation.packSequences(t(s, dir, "documents"), "doc_id", "text",
+        "source", windowTokens = 512)),
+
     // Benchmark decontamination: 5-gram containment of a held-out
     // benchmark set (doc_id % 5 == 0 — a deterministic stand-in for an
     // eval suite) inside every corpus doc, from the same shingle store the
@@ -955,6 +962,19 @@ object SparkEntry {
          |            WHEN 'fr' THEN 0.8 WHEN 'zh' THEN 1.0 ELSE 0.5 END AS frac
          |  FROM u)
          |SELECT doc_id, lang, round(u, 6) + 0.0 AS u FROM f WHERE u < frac""".stripMargin,
+
+    "pack_sequences" ->
+      s"""WITH $duckToks,
+         |n AS (SELECT doc_id, d.source, CAST(len(ts) AS BIGINT) AS n_tokens
+         |  FROM toks JOIN documents d USING (doc_id) WHERE len(ts) > 0),
+         |o AS (SELECT source, doc_id, n_tokens,
+         |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+         |  FROM n)
+         |SELECT source, doc_id, n_tokens, "offset",
+         |  "offset" // 512 AS chunk_start,
+         |  ("offset" + n_tokens - 1) // 512 AS chunk_end
+         |FROM o""".stripMargin,
 
     "decontamination" ->
       s"""WITH $duckToks, ${duckShingles(5)},

@@ -122,6 +122,36 @@ object Curation {
       .drop("_u")
   }
 
+  /** Sequence packing for training batches: within each shard, documents
+    * are laid head-to-tail in id order into fixed token windows (the
+    * concatenate-and-chunk packing of GPT-style pretraining). Emits each
+    * doc's token offset in its shard stream and the chunk range it lands
+    * in — the bookkeeping a batch assembler needs to slice contexts.
+    *
+    * Scale shape: the running sum is windowed PER SHARD (source, shard id,
+    * file group …), never globally — shards pack in parallel and a shard
+    * is the natural unit a trainer consumes. A global pack order would
+    * serialize the corpus through one partition; per-shard is both the
+    * scalable and the operationally correct layout.
+    *
+    * Zero-token documents are dropped (they occupy no window space).
+    */
+  def packSequences(
+      df: DataFrame, idCol: String, textCol: String, shardCol: String,
+      windowTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowTokens > 0, "windowTokens must be positive")
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(shardCol), col(idCol),
+        size(Dedup.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // integer division (div), exact cross-engine — never a double divide
+      .withColumn("chunk_start", expr(s"offset div $windowTokens"))
+      .withColumn("chunk_end", expr(s"(offset + n_tokens - 1) div $windowTokens"))
+  }
+
   /** Benchmark decontamination: for each corpus document, its n-gram
     * containment of every benchmark document — `overlap` shared shingles,
     * `containment` = overlap / |benchmark shingles|. A training document

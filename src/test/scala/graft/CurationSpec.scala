@@ -92,6 +92,25 @@ class CurationSpec extends SparkSpec {
     assert(us.forall(u => u >= 0.0 && u < 1.0))
   }
 
+  test("pack sequences: per-shard running offsets, boundary-spanning chunks") {
+    val docs = Seq(
+      (0L, "s1", "a b c d"), // 4 tokens, offset 0 → chunk 0
+      (1L, "s1", "e f g"), // offset 4, spans tokens 4-6 → chunks 0..1 (window 5)
+      (2L, "s1", "h i"), // offset 7 → chunk 1
+      (3L, "s2", "x y z"), // other shard packs independently from 0
+      (4L, "s2", "")) // zero tokens → dropped
+      .toDF("doc_id", "shard", "text")
+    val out = Curation.packSequences(docs, "doc_id", "text", "shard", windowTokens = 5)
+      .select("doc_id", "n_tokens", "offset", "chunk_start", "chunk_end")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(0L) == ((4L, 0L, 0L, 0L)))
+    assert(out(1L) == ((3L, 4L, 0L, 1L))) // spans the window boundary
+    assert(out(2L) == ((2L, 7L, 1L, 1L)))
+    assert(out(3L) == ((3L, 0L, 0L, 0L))) // shard s2 restarts at offset 0
+    assert(!out.contains(4L))
+  }
+
   test("decontaminate: containment of benchmark shingles, self-pairs excluded") {
     val docs = Seq(
       (0L, "alpha beta gamma delta epsilon zeta eta theta"), // benchmark
