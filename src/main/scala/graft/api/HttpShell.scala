@@ -1,0 +1,60 @@
+package graft.api
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import graft.operators.Engine
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+/** The serving shell: binds the [[Routes]] dispatcher to the JDK's built-in
+  * HTTP server so the engine is a runnable service, closing the loop the
+  * reference's `httpserver.rs` owns (axum listener → router → engine).
+  * Zero dependencies beyond the JDK — `com.sun.net.httpserver` has shipped
+  * since Java 6 and is adequate for a query sidecar whose concurrency is
+  * bounded by Spark job slots, not socket accept rates.
+  *
+  * Deliberately out of scope, as documented in [[Routes]]: TLS/rustls
+  * reload, graceful-drain timeouts and the dynamic listener reconfig actor
+  * (httpserver.rs:29-120) — transport concerns a Spark deployment delegates
+  * to its ingress; the wire contract itself is fully served here.
+  *
+  * Lifecycle: `start` binds (port 0 = ephemeral, like the reference's test
+  * harness `httpserver.rs:450`), `stop` releases the listener. Handlers run
+  * on a small fixed pool; each request dispatches through [[Routes.handle]]
+  * and returns its status + JSON body verbatim.
+  */
+object HttpShell {
+
+  final case class Server(underlying: HttpServer) {
+    def port: Int = underlying.getAddress.getPort
+    def stop(): Unit = underlying.stop(0)
+  }
+
+  def start(engine: Engine, port: Int = 0, threads: Int = 8): Server = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val response =
+          try {
+            val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+            Routes.handle(engine, ex.getRequestMethod, ex.getRequestURI.getPath, body)
+          } catch {
+            // Routes maps QueryException already; anything else is a 500
+            case e: Exception =>
+              Routes.Response(500,
+                s"""{"status": 500, "message": "internal error: ${e.getClass.getSimpleName}"}""")
+          }
+        val bytes = response.body.getBytes(StandardCharsets.UTF_8)
+        val contentType =
+          if (ex.getRequestURI.getPath == "/metrics") "text/plain; version=0.0.4"
+          else "application/json"
+        ex.getResponseHeaders.set("Content-Type", contentType)
+        ex.sendResponseHeaders(response.status, bytes.length.toLong)
+        val os = ex.getResponseBody
+        try os.write(bytes) finally os.close()
+      }
+    })
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(threads))
+    server.start()
+    Server(server)
+  }
+}
