@@ -1,0 +1,60 @@
+package graft
+
+import graft.api.HttpShell
+import graft.functions.VectorFunctions.{Cosine, Euclidean}
+import graft.operators.{Catalog, Engine}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Runnable service entry point: `runMain graft.Serve <sfDir> [port]` —
+  * a Spark session, an [[graft.operators.Engine]] with the standard indexes
+  * over the parquet tables, and [[graft.api.HttpShell]] serving the wire
+  * contract until the process is stopped. The Spark analogue of the
+  * reference's `main` (vector-store binary: config → engine → http server).
+  *
+  * Registered indexes (the serving catalog a user of the reference would
+  * recognize):
+  *  - `vs/emb_euclidean`, `vs/emb_cosine` — ANN over embeddings
+  *  - `fts/doc_text` — BM25 over documents
+  */
+object Serve {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val port = args.lift(1).map(_.toInt).getOrElse(8080)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val docs = Tables.load(spark, sfDir, "documents")
+    val dims = emb.filter(col("embedding").isNotNull)
+      .select("embedding").head.getSeq[Float](0).length
+
+    val engine = new Engine
+    engine.addIndex(Catalog.IndexMetadata(
+      "vs", "emb_euclidean", "embeddings", "embedding",
+      primaryKeyColumns = Seq("vec_id"),
+      kind = Catalog.Vs(Catalog.IndexOptionsVs(dims, Euclidean))), emb)
+    engine.addIndex(Catalog.IndexMetadata(
+      "vs", "emb_cosine", "embeddings", "embedding",
+      primaryKeyColumns = Seq("vec_id"),
+      kind = Catalog.Vs(Catalog.IndexOptionsVs(dims, Cosine))), emb)
+    engine.addIndex(Catalog.IndexMetadata(
+      "fts", "doc_text", "documents", "text",
+      primaryKeyColumns = Seq("doc_id"),
+      kind = Catalog.Fts(Catalog.IndexOptionsFts())), docs)
+
+    val shell = HttpShell.start(engine, port = port)
+    // scalastyle:off println — operator console, not a log
+    println(s"[graft] serving ${shell.port} over $sfDir " +
+      s"(GET /api/v1/indexes, POST /api/v1/indexes/{ks}/{idx}/ann|bm25, GET /metrics)")
+    // scalastyle:on println
+    sys.addShutdownHook { shell.stop(); spark.stop() }
+    Thread.currentThread.join() // serve until killed
+  }
+}
