@@ -152,6 +152,56 @@ object Routes {
     sb.result()
   }
 
+  /** OpenAPI 3 document for the served routes — the reference publishes its
+    * generated spec at `/api-docs/openapi.json` (httproutes.rs:165);
+    * hand-authored here (same paths, parameters and response codes), since
+    * the wire shapes live in [[Wire]] rather than derive macros. */
+  private lazy val openApiJson: String = {
+    val root = mapper.createObjectNode()
+    root.put("openapi", "3.0.0")
+    val info = root.putObject("info")
+    info.put("title", "Graft Vector Store API")
+    info.put("description",
+      "REST API for the Spark-native vector store: vector search queries, " +
+        "index listing, and service status.")
+    info.put("version", Version)
+    val paths = root.putObject("paths")
+    def op(path: String, method: String, summary: String,
+        codes: Seq[Int], hasBody: Boolean = false): Unit = {
+      val p = paths.path(path) match {
+        case o: ObjectNode => o
+        case _ => paths.putObject(path)
+      }
+      val m = p.putObject(method)
+      m.put("summary", summary)
+      if (path.contains("{keyspace}")) {
+        val params = m.putArray("parameters")
+        for (name <- Seq("keyspace", "index")) {
+          val prm = params.addObject()
+          prm.put("name", name); prm.put("in", "path"); prm.put("required", true)
+          prm.putObject("schema").put("type", "string")
+        }
+      }
+      if (hasBody)
+        m.putObject("requestBody").putObject("content").putObject("application/json")
+      val rs = m.putObject("responses")
+      codes.foreach(c => rs.putObject(c.toString).put("description",
+        if (c == 200) "OK" else if (c == 400) "Bad request"
+        else if (c == 404) "Index not found" else "Index not ready"))
+    }
+    op("/api/v1/indexes", "get", "List indexes", Seq(200))
+    op("/api/v1/indexes/{keyspace}/{index}", "get", "Index info", Seq(200, 404))
+    op("/api/v1/indexes/{keyspace}/{index}/status", "get",
+      "Index status, count and build progress", Seq(200, 404))
+    op("/api/v1/indexes/{keyspace}/{index}/ann", "post",
+      "ANN top-k search with CQL restrictions", Seq(200, 400, 404, 503), hasBody = true)
+    op("/api/v1/indexes/{keyspace}/{index}/bm25", "post",
+      "BM25 full-text search", Seq(200, 400, 404, 503), hasBody = true)
+    op("/api/v1/info", "get", "Service info", Seq(200))
+    op("/api/v1/status", "get", "Node status", Seq(200))
+    mapper.writeValueAsString(root)
+  }
+
   /** Dispatch one request. `path` is the full `/api/v1/...` path. */
   def handle(engine: Engine, method: String, path: String, body: String = ""): Response = {
     val parts = path.stripPrefix("/").stripSuffix("/").split("/").toList
@@ -159,6 +209,9 @@ object Routes {
       (method.toUpperCase, parts) match {
         case ("GET", List("metrics")) =>
           Response(200, prometheusText(engine))
+
+        case ("GET", List("api-docs", "openapi.json")) =>
+          Response(200, openApiJson)
 
         case ("GET", List("api", "v1", "info")) =>
           val n = mapper.createObjectNode()

@@ -135,6 +135,25 @@ class RoutesSpec extends SparkSpec {
     assert(Routes.handle(eng, "GET", "/api/v1/nope").status == 404)
   }
 
+  test("GET /api-docs/openapi.json documents every served route (httproutes.rs:165)") {
+    val (eng, _) = engineWith()
+    val r = Routes.handle(eng, "GET", "/api-docs/openapi.json")
+    assert(r.status == 200)
+    val doc = om.readTree(r.body)
+    assert(doc.get("openapi").asText().startsWith("3."))
+    val paths = doc.get("paths")
+    for (p <- Seq("/api/v1/indexes", "/api/v1/indexes/{keyspace}/{index}",
+        "/api/v1/indexes/{keyspace}/{index}/status",
+        "/api/v1/indexes/{keyspace}/{index}/ann",
+        "/api/v1/indexes/{keyspace}/{index}/bm25",
+        "/api/v1/info", "/api/v1/status"))
+      assert(paths.has(p), p)
+    // the ann route documents the full error taxonomy
+    val ann = paths.get("/api/v1/indexes/{keyspace}/{index}/ann").get("post")
+    for (c <- Seq("200", "400", "404", "503")) assert(ann.get("responses").has(c), c)
+    assert(ann.get("parameters").size() == 2)
+  }
+
   test("GET /metrics: Prometheus text exposition (httproutes.rs:160, metrics.rs names)") {
     val (eng, _) = engineWith()
     // drive one query so the request counter is nonzero
