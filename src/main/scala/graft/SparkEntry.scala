@@ -664,6 +664,14 @@ object SparkEntry {
           "es" -> 0.8, "zh" -> 1.0),
         defaultFraction = 0.5)),
 
+    // Token-budget mixture assembly: per-language token budgets filled in
+    // deterministic hash order (boundary doc kept — budgets are lower
+    // bounds).
+    "token_budget_sample" -> ((s, dir) =>
+      Curation.tokenBudgetSample(t(s, dir, "documents"), "doc_id", "text",
+        "lang", budgets = Map("en" -> 5000L, "zh" -> 2000L),
+        defaultBudget = 1500L)),
+
     // Sequence packing: concatenate-and-chunk into 512-token windows, one
     // pack stream per source shard (parallel by construction — a global
     // order would serialize the corpus through one partition).
@@ -962,6 +970,20 @@ object SparkEntry {
          |            WHEN 'fr' THEN 0.8 WHEN 'zh' THEN 1.0 ELSE 0.5 END AS frac
          |  FROM u)
          |SELECT doc_id, lang, round(u, 6) + 0.0 AS u FROM f WHERE u < frac""".stripMargin,
+
+    "token_budget_sample" ->
+      s"""WITH $duckToks,
+         |t AS (SELECT d.lang, doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+         |  round(CAST(${duckHash("CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+         |    / ${Curation.HashUnitDivisor}, 6) + 0.0 AS u
+         |  FROM toks JOIN documents d USING (doc_id)),
+         |o AS (SELECT lang, doc_id, n_tokens, u,
+         |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY u, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS taken_before
+         |  FROM t)
+         |SELECT lang, doc_id, n_tokens, u, taken_before FROM o
+         |WHERE taken_before < CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2000
+         |                               ELSE 1500 END""".stripMargin,
 
     "pack_sequences" ->
       s"""WITH $duckToks,

@@ -122,6 +122,34 @@ object Curation {
       .drop("_u")
   }
 
+  /** Token-budget sampling: per stratum, keep documents in deterministic
+    * hash order until the stratum's token budget is filled — how a training
+    * mixture is actually assembled ("N tokens of code, M of web"). The doc
+    * that crosses the boundary is kept (budgets are lower bounds), and hash
+    * order makes the selection a uniform sample that is stable across runs
+    * and engines.
+    *
+    * Scale shape: one windowed running sum per stratum (same per-shard
+    * parallelism argument as [[packSequences]]); the coin and token count
+    * are per-row projections.
+    */
+  def tokenBudgetSample(
+      df: DataFrame, idCol: String, textCol: String, stratumCol: String,
+      budgets: Map[String, Long], defaultBudget: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
+      case (acc, (k, b)) => when(col(stratumCol) === k, lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("u"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(stratumCol), col(idCol),
+        size(Dedup.tokens(col(textCol))).cast("long").as("n_tokens"),
+        (round(sampleUnit(col(idCol)), 6) + lit(0.0)).as("u"))
+      .withColumn("taken_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("taken_before") < budget)
+  }
+
   /** Sequence packing for training batches: within each shard, documents
     * are laid head-to-tail in id order into fixed token windows (the
     * concatenate-and-chunk packing of GPT-style pretraining). Emits each

@@ -92,6 +92,25 @@ class CurationSpec extends SparkSpec {
     assert(us.forall(u => u >= 0.0 && u < 1.0))
   }
 
+  test("token budget sample: fills per-stratum budgets in hash order, boundary doc kept") {
+    val docs = (0L until 100L).map(i =>
+      (i, if (i < 60) "en" else "de", Seq.fill(10)("tok").mkString(" "))) // 10 tokens each
+      .toDF("doc_id", "lang", "text")
+    val out = Curation.tokenBudgetSample(docs, "doc_id", "text", "lang",
+      budgets = Map("en" -> 95L), defaultBudget = 0L)
+      .select("lang", "doc_id", "n_tokens", "taken_before")
+      .as[(String, Long, Long, Long)].collect()
+    // de budget 0 → nothing; en budget 95 → 10 docs (the 10th starts at 90 < 95)
+    assert(out.forall(_._1 == "en"))
+    assert(out.length == 10)
+    assert(out.map(_._4).sorted.toSeq == (0 until 10).map(_ * 10L))
+    // deterministic: same survivors on re-run
+    val again = Curation.tokenBudgetSample(docs, "doc_id", "text", "lang",
+      budgets = Map("en" -> 95L), defaultBudget = 0L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.map(_._2).toSet)
+  }
+
   test("pack sequences: per-shard running offsets, boundary-spanning chunks") {
     val docs = Seq(
       (0L, "s1", "a b c d"), // 4 tokens, offset 0 → chunk 0
