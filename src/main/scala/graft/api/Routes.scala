@@ -112,6 +112,14 @@ object Routes {
     n
   }
 
+  /** Counter snapshot as a sorted JSON object (the BTreeMap serialization
+    * order of internals.rs CountersR). */
+  private def countersJson(cs: Map[String, Long]): String = {
+    val n = mapper.createObjectNode()
+    cs.toSeq.sortBy(_._1).foreach { case (k, v) => n.put(k, v) }
+    mapper.writeValueAsString(n)
+  }
+
   private def error(status: Int, message: String): Response =
     Response(status, Wire.errorJson(new QueryException(status, message)))
 
@@ -212,6 +220,17 @@ object Routes {
 
         case ("GET", List("api-docs", "openapi.json")) =>
           Response(200, openApiJson)
+
+        // internals debug counters (httproutes.rs:1546-1554, internals.rs):
+        // the reference validator's test-instrumentation surface
+        case ("GET", List("api", "internals", "counters")) =>
+          Response(200, countersJson(engine.counters()))
+        case ("DELETE", List("api", "internals", "counters")) =>
+          engine.clearCounters(); Response(200, "")
+        case ("PUT", List("api", "internals", "counters", id)) =>
+          engine.startCounter(id); Response(200, "")
+        case ("GET", List("api", "internals", "session-counters")) =>
+          Response(200, countersJson(engine.sessionCounters()))
 
         case ("GET", List("api", "v1", "info")) =>
           val n = mapper.createObjectNode()

@@ -36,6 +36,37 @@ final class Engine {
   private def recordQuery(key: IndexKey): Unit =
     synchronized { queryCounts = queryCounts.updated(key, queryCounts(key) + 1L) }
 
+  // ---- internals debug counters (internals.rs) -----------------------------
+  // The reference's test-harness surface: named u64 counters its validator
+  // starts/increments/asserts through /api/internals. Sorted-map semantics
+  // (BTreeMap analogue) so snapshots serialize in stable order.
+  private var internalCounters = scala.collection.immutable.TreeMap.empty[String, Long]
+
+  /** PUT /counters/{id}: (re)start a named counter at 0. */
+  def startCounter(name: String): Unit =
+    synchronized { internalCounters = internalCounters.updated(name, 0L) }
+
+  /** Bump a named counter, creating it at 1 if unstarted. */
+  def incrementCounter(name: String): Unit = synchronized {
+    internalCounters =
+      internalCounters.updated(name, internalCounters.getOrElse(name, 0L) + 1L)
+  }
+
+  def clearCounters(): Unit = synchronized { internalCounters = scala.collection.immutable.TreeMap.empty }
+
+  def counters(): Map[String, Long] = synchronized(internalCounters)
+
+  /** The reference reports its DB-session connection metrics here
+    * (internals.rs:195-210, scylla driver total-connections /
+    * connection-timeouts); the Spark analogue of "the database session" is
+    * the SparkSession, so the counters report its executor topology. */
+  def sessionCounters(): Map[String, Long] = {
+    val sc = SparkSession.active.sparkContext
+    scala.collection.immutable.TreeMap(
+      "spark-executors" -> sc.statusTracker.getExecutorInfos.length.toLong,
+      "spark-default-parallelism" -> sc.defaultParallelism.toLong)
+  }
+
   def addIndex(meta: IndexMetadata, df: DataFrame,
       status: IndexStatus = Serving, progressPct: Double = 100.0): Unit = {
     catalog.register(meta, status, progressPct)
@@ -77,6 +108,7 @@ final class Engine {
           case _ => ()
         }
         recordQuery(meta.key)
+        incrementCounter("ann-queries")
         try Ann.search(frames(meta.key), meta, req)
         catch {
           case e: Ann.AnnValidationException => throw new QueryException(400, e.getMessage)
@@ -96,6 +128,7 @@ final class Engine {
         e.meta.kind match {
           case Fts(_) =>
             recordQuery(key)
+            incrementCounter("bm25-queries")
             Bm25.search(frames(key), e.meta.primaryKeyColumns.head,
               e.meta.targetColumn, query, limit)
           case _ => throw new QueryException(400, s"index $keyspace/$index is not an FTS index")

@@ -135,6 +135,25 @@ class RoutesSpec extends SparkSpec {
     assert(Routes.handle(eng, "GET", "/api/v1/nope").status == 404)
   }
 
+  test("internals counters: start/increment/snapshot/clear + session counters (internals.rs)") {
+    val (eng, _) = engineWith()
+    // PUT starts at 0; serving an ANN query bumps the engine's ann counter
+    assert(Routes.handle(eng, "PUT", "/api/internals/counters/my-counter").status == 200)
+    Routes.handle(eng, "POST", "/api/v1/indexes/ks/vidx/ann",
+      """{"vector": [1.0, 0.0, 0.0], "limit": 1}""")
+    val snap = om.readTree(Routes.handle(eng, "GET", "/api/internals/counters").body)
+    assert(snap.get("my-counter").asLong() == 0L)
+    assert(snap.get("ann-queries").asLong() == 1L)
+    // DELETE clears everything
+    assert(Routes.handle(eng, "DELETE", "/api/internals/counters").status == 200)
+    val cleared = om.readTree(Routes.handle(eng, "GET", "/api/internals/counters").body)
+    assert(cleared.size() == 0)
+    // session counters report the Spark session topology (the reference
+    // reports its scylla session's connection metrics here)
+    val sess = om.readTree(Routes.handle(eng, "GET", "/api/internals/session-counters").body)
+    assert(sess.get("spark-default-parallelism").asLong() > 0L)
+  }
+
   test("GET /api-docs/openapi.json documents every served route (httproutes.rs:165)") {
     val (eng, _) = engineWith()
     val r = Routes.handle(eng, "GET", "/api-docs/openapi.json")
