@@ -710,6 +710,11 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text")),
 
+    // Gopher-style repetition filter signal: tokens covered by the most
+    // frequent word bigram.
+    "repetition_score" -> ((s, dir) =>
+      TextAnalysis.repetitionScore(t(s, dir, "documents"), "doc_id", "text")),
+
     // Corpus unigram LM score (CCNet-style fluency signal): the "model" is
     // one term aggregation over the corpus itself; rounded at 4 like the
     // bm25 scores (sum-order float tolerance).
@@ -1033,6 +1038,18 @@ object SparkEntry {
          |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
          |SELECT id_a, id_b, round(cs, 6) AS cos_sim FROM p WHERE cs >= 0.4""".stripMargin
     },
+
+    "repetition_score" ->
+      s"""WITH $duckToks,
+         |bg AS (SELECT doc_id, CAST(len(ts) AS INTEGER) AS n_tokens,
+         |  unnest(list_transform(range(len(ts) - 1),
+         |    i -> array_to_string(ts[i + 1 : i + 2], ' '))) AS bigram
+         |  FROM toks WHERE len(ts) >= 2),
+         |cnt AS (SELECT doc_id, n_tokens, bigram, count(*) AS c
+         |  FROM bg GROUP BY 1, 2, 3)
+         |SELECT doc_id, n_tokens, CAST(max(c) AS BIGINT) AS top_bigram_count,
+         |  round(CAST(max(c) AS BIGINT) * CAST(2 AS DOUBLE) / n_tokens, 6) + 0.0 AS rep_ratio
+         |FROM cnt GROUP BY doc_id, n_tokens""".stripMargin,
 
     "lm_score" ->
       s"""WITH $duckToks,

@@ -117,6 +117,30 @@ object TextAnalysis {
         sum(size(bpeishTokens(col(textCol)))).as("bpeish_tokens"),
         sum(length(col(textCol))).as("chars"))
 
+  /** Repetition score (the Gopher-rules repetition filter family): the
+    * fraction of a document's tokens covered by its single most frequent
+    * word bigram — boilerplate and degenerate generations repeat short
+    * n-grams; clean prose doesn't. `rep_ratio = 2 · max_bigram_count / n`,
+    * deterministic ratio arithmetic, exactly SQL-replayable.
+    *
+    * Scale shape: per-doc explode → (doc, bigram) count → per-doc max —
+    * all partial-aggregatable; nothing crosses documents. */
+  def repetitionScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), Dedup.tokens(col(textCol)).as("_ts"))
+      .filter(size(col("_ts")) >= 2)
+    val bigrams = toks.select(col(idCol), size(col("_ts")).as("n_tokens"),
+      explode(transform(sequence(lit(0), size(col("_ts")) - 2),
+        i => concat_ws(" ", slice(col("_ts"), i + 1, lit(2))))).as("bigram"))
+    bigrams
+      .groupBy(col(idCol), col("n_tokens"), col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol), col("n_tokens"))
+      .agg(max(col("cnt")).as("top_bigram_count"))
+      .select(col(idCol), col("n_tokens"), col("top_bigram_count"),
+        (round(col("top_bigram_count") * lit(2).cast("double") / col("n_tokens"), 6) + lit(0.0))
+          .as("rep_ratio"))
+  }
+
   /** Corpus unigram language-model score: mean per-token log-probability
     * of each document under the corpus's own unigram distribution —
     * `(1/|d|) Σ_t ln(count(t)/N)`. The CCNet-style fluency signal: gibberish
