@@ -70,7 +70,10 @@ object Bench {
       }
     def jmap(f: ((String, Double, Double, Boolean)) => String): String =
       results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
-    def ms(d: Double): String = f"$d%.3f" // 3 decimals keeps the line short
+    // 3 decimals keeps the line short; Locale.ROOT so a comma-decimal
+    // default locale cannot corrupt the JSON ("24,400")
+    def ms(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val qs = jmap(r => ms(r._2)) // median — the headline per-query number
     val qsMin = jmap(r => ms(r._3))
     val qsRebuilt = jmap(_._4.toString)

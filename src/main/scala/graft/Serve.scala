@@ -33,7 +33,9 @@ object Serve {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val docs = Tables.load(spark, sfDir, "documents")
     val dims = emb.filter(col("embedding").isNotNull)
-      .select("embedding").head.getSeq[Float](0).length
+      .select("embedding").limit(1).collect().headOption
+      .map(_.getSeq[Float](0).length)
+      .getOrElse(sys.error(s"no non-null embeddings under $sfDir — cannot infer index dims"))
 
     val engine = new Engine
     engine.addIndex(Catalog.IndexMetadata(

@@ -24,9 +24,12 @@ import java.nio.charset.StandardCharsets
   */
 object HttpShell {
 
-  final case class Server(underlying: HttpServer) {
+  final case class Server(underlying: HttpServer,
+      pool: java.util.concurrent.ExecutorService) {
     def port: Int = underlying.getAddress.getPort
-    def stop(): Unit = underlying.stop(0)
+    // HttpServer.stop does NOT terminate a user-supplied executor; the
+    // non-daemon pool threads would keep the JVM alive after stop()
+    def stop(): Unit = { underlying.stop(0); pool.shutdown() }
   }
 
   def start(engine: Engine, port: Int = 0, threads: Int = 8): Server = {
@@ -44,17 +47,15 @@ object HttpShell {
                 s"""{"status": 500, "message": "internal error: ${e.getClass.getSimpleName}"}""")
           }
         val bytes = response.body.getBytes(StandardCharsets.UTF_8)
-        val contentType =
-          if (ex.getRequestURI.getPath == "/metrics") "text/plain; version=0.0.4"
-          else "application/json"
-        ex.getResponseHeaders.set("Content-Type", contentType)
+        ex.getResponseHeaders.set("Content-Type", response.contentType)
         ex.sendResponseHeaders(response.status, bytes.length.toLong)
         val os = ex.getResponseBody
         try os.write(bytes) finally os.close()
       }
     })
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(threads))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    server.setExecutor(pool)
     server.start()
-    Server(server)
+    Server(server, pool)
   }
 }

@@ -103,8 +103,13 @@ object JsonValues {
           if (validQuad(Seq(a, b, c, d))) Seq(a, b, c, d).map(_.toInt).mkString(".")
           else fail(s"Failed to parse inet from string '$s': invalid octet")
         case mappedV6(quad) if validQuad(quad.split('.').toSeq) =>
-          try java.net.InetAddress.getByName(s).getHostAddress
-          catch { case e: Exception => fail(s"Failed to parse inet from string '$s': $e") }
+          // Rust's Ipv6Addr Display keeps the mapped form ("::ffff:1.2.3.4");
+          // Java normalizes an Inet4Address to bare dotted-quad — re-prefix
+          // so equal addresses canonicalize identically to the reference
+          try java.net.InetAddress.getByName(s) match {
+            case v4: java.net.Inet4Address => "::ffff:" + v4.getHostAddress
+            case other => other.getHostAddress
+          } catch { case e: Exception => fail(s"Failed to parse inet from string '$s': $e") }
         case _ if s.contains(":") && s.matches("^[0-9a-fA-F:]+$") =>
           try java.net.InetAddress.getByName(s).getHostAddress
           catch { case e: Exception => fail(s"Failed to parse inet from string '$s': $e") }

@@ -35,7 +35,10 @@ import org.apache.spark.sql.types._
   */
 object Routes {
 
-  final case class Response(status: Int, body: String)
+  /** The response knows its own content type (only /metrics is non-JSON),
+    * so transport shells never sniff paths to label bodies. */
+  final case class Response(status: Int, body: String,
+      contentType: String = "application/json")
 
   val Service = "graft-vector-store"
   val Version = "0.1.0"
@@ -216,7 +219,7 @@ object Routes {
     try {
       (method.toUpperCase, parts) match {
         case ("GET", List("metrics")) =>
-          Response(200, prometheusText(engine))
+          Response(200, prometheusText(engine), "text/plain; version=0.0.4")
 
         case ("GET", List("api-docs", "openapi.json")) =>
           Response(200, openApiJson)

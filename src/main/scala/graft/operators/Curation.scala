@@ -62,8 +62,11 @@ object Curation {
       .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("comp"))
       .localCheckpoint(true)
     // decimal(38,0) sum: overflow-proof fixpoint witness at any node count
+    // (sum over zero rows is NULL → ZERO, so an empty node set converges
+    // immediately instead of NPE-ing on the compare)
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+      Option(df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var converged = false
     var it = 0

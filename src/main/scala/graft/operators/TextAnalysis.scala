@@ -153,17 +153,24 @@ object TextAnalysis {
     * scalar totals broadcast. Vocabulary is the only shuffled key domain —
     * ~1e7 terms at web scale, never documents×vocab. */
   def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // one tokenize pass feeds both the model aggregation and the scoring
+    // join (the Dedup no-cache-leak contract: cache for the duration of
+    // this call, eager result, unpersist before returning)
     val toks = df.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("term"))
-    val model = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-    val total = model.agg(sum(col("cnt")).as("n_total"))
-    toks.join(model, "term")
-      .crossJoin(broadcast(total))
-      .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        sum(log(col("cnt").cast("double") / col("n_total"))).as("_s"))
-      .select(col(idCol), col("n_tokens"),
-        (round(col("_s") / col("n_tokens"), 4) + lit(0.0)).as("lm_score"))
+      .cache()
+    try {
+      val model = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val total = model.agg(sum(col("cnt")).as("n_total"))
+      toks.join(model, "term")
+        .crossJoin(broadcast(total))
+        .groupBy(col(idCol))
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(log(col("cnt").cast("double") / col("n_total"))).as("_s"))
+        .select(col(idCol), col("n_tokens"),
+          (round(col("_s") / col("n_tokens"), 4) + lit(0.0)).as("lm_score"))
+        .localCheckpoint(true)
+    } finally { toks.unpersist(false); () }
   }
 
   /** Per-document top-k terms by tf·idf (idf = ln(n_docs/df)), ranked on
@@ -177,17 +184,22 @@ object TextAnalysis {
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("term"))
+    // tf feeds both the df aggregation and the scoring join — cache it for
+    // the duration of this call (Dedup no-cache-leak contract)
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nDocs = df.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(dfreq, "term")
-      .crossJoin(broadcast(nDocs))
-      .withColumn("score",
-        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4) + lit(0.0))
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term").asc)))
-      .filter(col("rank") <= k)
-      .select(col(idCol), col("term"), col("score"), col("rank"))
+      .cache()
+    try {
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nDocs = df.agg(count(lit(1)).as("n_docs"))
+      tf.join(dfreq, "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4) + lit(0.0))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term").asc)))
+        .filter(col("rank") <= k)
+        .select(col(idCol), col("term"), col("score"), col("rank"))
+        .localCheckpoint(true)
+    } finally { tf.unpersist(false); () }
   }
 }

@@ -57,8 +57,10 @@ class JsonValuesSpec extends AnyFunSuite {
     intercept[JsonValueException](fromJson("010.0.0.1", InetT))
     intercept[JsonValueException](fromJson("1.2.3.04", InetT))
     intercept[JsonValueException](fromJson("256.1.1.1", InetT))
-    // IPv4-mapped IPv6 carries a trailing dotted quad
-    assert(fromJson("::ffff:1.2.3.4", InetT) != null)
+    // IPv4-mapped IPv6 carries a trailing dotted quad and canonicalizes to
+    // the mapped form, as Rust's Ipv6Addr Display does
+    assert(fromJson("::ffff:1.2.3.4", InetT) == "::ffff:1.2.3.4")
+    assert(fromJson("0:0:0:0:0:ffff:1.2.3.4", InetT) == "::ffff:1.2.3.4")
     intercept[JsonValueException](fromJson("::ffff:01.2.3.4", InetT))
     assert(fromJson("2001:db8::1", InetT) == "2001:db8:0:0:0:0:0:1")
     intercept[JsonValueException](fromJson("example.com", InetT)) // never DNS
