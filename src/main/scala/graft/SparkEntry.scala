@@ -1054,11 +1054,12 @@ object SparkEntry {
     "lm_score" ->
       s"""WITH $duckToks,
          |tk AS (SELECT doc_id, unnest(ts) AS term FROM toks),
-         |model AS (SELECT term, count(*) AS cnt FROM tk GROUP BY 1),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+         |model AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
          |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM model)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-         |  round(sum(ln(CAST(cnt AS DOUBLE) / n_total)) / count(*), 4) + 0.0 AS lm_score
-         |FROM tk JOIN model USING (term), tot GROUP BY doc_id""".stripMargin,
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |  round(sum(tf * ln(CAST(cnt AS DOUBLE) / n_total)) / CAST(sum(tf) AS BIGINT), 4) + 0.0 AS lm_score
+         |FROM tf JOIN model USING (term), tot GROUP BY doc_id""".stripMargin,
 
     "tfidf_topk" ->
       s"""WITH $duckToks,

@@ -153,24 +153,33 @@ object TextAnalysis {
     * scalar totals broadcast. Vocabulary is the only shuffled key domain —
     * ~1e7 terms at web scale, never documents×vocab. */
   def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // one tokenize pass feeds both the model aggregation and the scoring
-    // join (the Dedup no-cache-leak contract: cache for the duration of
-    // this call, eager result, unpersist before returning)
-    val toks = df.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("term"))
-      .cache()
-    try {
-      val model = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-      val total = model.agg(sum(col("cnt")).as("n_total"))
-      toks.join(model, "term")
-        .crossJoin(broadcast(total))
-        .groupBy(col(idCol))
-        .agg(
-          count(lit(1)).as("n_tokens"),
-          sum(log(col("cnt").cast("double") / col("n_total"))).as("_s"))
-        .select(col(idCol), col("n_tokens"),
-          (round(col("_s") / col("n_tokens"), 4) + lit(0.0)).as("lm_score"))
-        .localCheckpoint(true)
-    } finally { toks.unpersist(false); () }
+    // Σ_occurrences ln(p) = Σ_terms tf·ln(p), absorbed by the 4-decimal
+    // rounding like every sum-ordered score here. The inline tf recomputes
+    // per branch (an explicit cache+checkpoint measured SLOWER at sf0.1 —
+    // see PERF.md round 5); at corpus scale, feed a materialized tf store
+    // through [[lmScoreFromTf]] instead, like the dedup/postings stores.
+    lmScoreFromTf(termFrequencies(df, idCol, textCol), idCol)
+  }
+
+  /** (id, term, tf) aggregate over the raw (unfiltered) tokens — the store
+    * shape [[lmScoreFromTf]]/[[tfidfTopTermsFromTf]] serve from. */
+  def termFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+
+  /** [[lmScore]] over a prebuilt (id, term, tf) table — ONE narrow store
+    * scan per branch instead of re-tokenizing the corpus. */
+  def lmScoreFromTf(tf: DataFrame, idCol: String): DataFrame = {
+    val model = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val total = model.agg(sum(col("cnt")).as("n_total"))
+    tf.join(model, "term")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * log(col("cnt").cast("double") / col("n_total"))).as("_s"))
+      .select(col(idCol), col("n_tokens"),
+        (round(col("_s") / col("n_tokens"), 4) + lit(0.0)).as("lm_score"))
   }
 
   /** Per-document top-k terms by tf·idf (idf = ln(n_docs/df)), ranked on
@@ -181,25 +190,23 @@ object TextAnalysis {
     * equi-join, then a per-doc top-k window — rank-within-partition is
     * WindowGroupLimit-eligible, so each shuffle partition keeps k rows per
     * doc before the exchange. */
-  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    tfidfTopTermsFromTf(termFrequencies(df, idCol, textCol),
+      df.agg(count(lit(1)).as("n_docs")), idCol, k)
+
+  /** [[tfidfTopTerms]] over a prebuilt (id, term, tf) table + a one-row
+    * n_docs frame (both index-store artifacts at corpus scale). */
+  def tfidfTopTermsFromTf(
+      tf: DataFrame, nDocs: DataFrame, idCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("term"))
-    // tf feeds both the df aggregation and the scoring join — cache it for
-    // the duration of this call (Dedup no-cache-leak contract)
-    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-      .cache()
-    try {
-      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val nDocs = df.agg(count(lit(1)).as("n_docs"))
-      tf.join(dfreq, "term")
-        .crossJoin(broadcast(nDocs))
-        .withColumn("score",
-          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4) + lit(0.0))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term").asc)))
-        .filter(col("rank") <= k)
-        .select(col(idCol), col("term"), col("score"), col("rank"))
-        .localCheckpoint(true)
-    } finally { tf.unpersist(false); () }
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4) + lit(0.0))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term").asc)))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("score"), col("rank"))
   }
 }
