@@ -633,6 +633,17 @@ object SparkEntry {
           threshold = 0.4, nbits = 8, radius = 2)
         .withColumn("cos_sim", round(col("cos_sim"), 6))),
 
+    // Cross-modal duplicate-cluster resolution: the same
+    // Curation.connectedComponents over the embedding near-dup pairs —
+    // one clustering operator for either pair source (text minhash or
+    // embedding LSH).
+    "embedding_clusters" -> ((s, dir) => {
+      val pairs = Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.4, nbits = 8, radius = 2)
+      Curation.dedupClusters(pairs.select("id_a", "id_b"),
+        t(s, dir, "embeddings"), "vec_id")
+    }),
+
     // Bulk kNN self-join over LSH buckets (every vector's k nearest within
     // hamming radius 2 of its bucket) — deterministic hyperplanes, so the
     // oracle replays the bucketing exactly like ann_lsh does.
@@ -912,6 +923,22 @@ object SparkEntry {
     """sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
       |  FROM sh a JOIN sh b USING (h) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+
+  /** Embedding LSH near-dup pair CTEs mirroring Dedup.embeddingNearDups
+    * (Hamming-radius-2 bucket candidates, exact cosine verification) —
+    * shared by dedup_embedding_lsh and embedding_clusters. */
+  private lazy val duckEmbLshPairs: String = {
+    val dotAB = "list_sum(list_transform(list_zip(a.embedding, b.embedding), " +
+      "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    def nrm(t: String) =
+      s"sqrt(list_sum(list_transform($t.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    s"""d AS (SELECT vec_id, embedding, ${duckLshBucket("embedding")} AS bkt
+       |           FROM embeddings),
+       |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |        $dotAB / (${nrm("a")} * ${nrm("b")}) AS cs
+       |      FROM d a, d b
+       |      WHERE a.vec_id < b.vec_id AND bit_count(xor(a.bkt, b.bkt)) <= 2)""".stripMargin
+  }
 
   /** MinHash signature + LSH band candidate CTEs mirroring
     * Dedup.minhashSignaturesFromShingles / Dedup.lshCandidates (16 hashes,
@@ -1472,19 +1499,25 @@ object SparkEntry {
          |FROM r WHERE rn <= 3""".stripMargin
     },
 
-    "dedup_embedding_lsh" -> {
-      val dotAB = "list_sum(list_transform(list_zip(a.embedding, b.embedding), " +
-        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
-      def nrm(t: String) =
-        s"sqrt(list_sum(list_transform($t.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-      s"""WITH d AS (SELECT vec_id, embedding, ${duckLshBucket("embedding")} AS bkt
-         |           FROM embeddings),
-         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |        $dotAB / (${nrm("a")} * ${nrm("b")}) AS cs
-         |      FROM d a, d b
-         |      WHERE a.vec_id < b.vec_id AND bit_count(xor(a.bkt, b.bkt)) <= 2)
-         |SELECT id_a, id_b, round(cs, 6) AS cos_sim FROM p WHERE cs >= 0.4""".stripMargin
-    },
+    "dedup_embedding_lsh" ->
+      s"""WITH $duckEmbLshPairs
+         |SELECT id_a, id_b, round(cs, 6) AS cos_sim FROM p WHERE cs >= 0.4""".stripMargin,
+
+    // the SAME LSH near-dup pair set, closed into components — the
+    // cross-modal twin of dedup_clusters (one Curation.connectedComponents
+    // over either pair source)
+    "embedding_clusters" ->
+      s"""WITH RECURSIVE $duckEmbLshPairs,
+         |pairs AS (SELECT id_a, id_b FROM p WHERE cs >= 0.4),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b)
+         |SELECT a AS vec_id, CAST(min(b) AS BIGINT) AS component_id,
+         |  (min(b) = a) AS keep
+         |FROM reach GROUP BY a""".stripMargin,
 
     "ann_transposed" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
