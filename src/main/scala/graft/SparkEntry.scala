@@ -578,6 +578,29 @@ object SparkEntry {
         .select(col("vec_id"), (round(col("distance"), 6) + lit(0.0)).as("distance"))
     }),
 
+    // PQ/ADC serving path (Jégou et al. 2011, the IVFADC building block):
+    // stage 1 ranks on asymmetric distance over the MATERIALIZED code store
+    // — the scan reads (vec_id, _pq), 8 int codes instead of 64 floats, and
+    // distance is 8 lookups into a per-query LUT — stage 2 re-scores the
+    // 40-candidate broadcast exactly. Codebooks here are a deterministic
+    // SELECTION (first 16 non-null vectors renumbered 0..15) so DuckDB
+    // replays encode + LUT + ADC bit-for-bit; the TRAINED path
+    // (per-subspace MLlib k-means) runs the same encode/search operators
+    // and is pinned separately in ApproxAnnSpec (determinism + recall).
+    "ann_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0)
+      val cb = ApproxAnn.selectPqCodebooks(emb, "embedding", "vec_id", m = 8, k = 16)
+      val codes = graft.sources.IndexStorage.materializeCached(
+          s, s"$dir/embeddings.parquet", indexDir(dir, "pq8x16"), Nil) {
+        ApproxAnn.pqEncode(emb, "embedding", cb).select(col("vec_id"), col("_pq"))
+      }
+      ApproxAnn.searchPq(codes, emb, "embedding", Seq("vec_id"), Euclidean,
+          AnnRequest(qv, limit = 10), cb, oversample = 4.0)
+        .select(col("vec_id"), (round(col("distance"), 6) + lit(0.0)).as("distance"))
+    }),
+
     // Multimodal plumbing: deterministic stub decode (no media libs in this
     // container) over a synthesized media table — features exploded to
     // scalars for exact oracle comparison.
@@ -1480,6 +1503,43 @@ object SparkEntry {
          |sel AS (SELECT a.vec_id, a.embedding FROM ad a
          |        JOIN probes p ON a.cid = p.cid WHERE a.rn = 1),
          |dd AS (SELECT s.vec_id, $distSQ AS dist FROM sel s, q)
+         |SELECT vec_id, round(dist, 6) + 0.0 AS distance
+         |FROM dd ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin
+    },
+
+    // Replays PQ end-to-end: selection codebooks (first 16 non-null vectors
+    // renumbered, 8 slices of 8 dims), encode = per-(vector, subspace)
+    // argmin by (d, code), per-query LUT, ADC = subspace-ordered sum of LUT
+    // entries, top-40 by (adc, vec_id), exact re-score, top-10. list_sum
+    // over list(... ORDER BY j) pins the double accumulation order to
+    // Spark's left fold.
+    "ann_pq" -> {
+      val sliceE = "list_slice(e.embedding, cb.j*8+1, cb.j*8+8)"
+      val sliceQ = "list_slice(q.qv, cb.j*8+1, cb.j*8+8)"
+      def l2(a: String) =
+        s"list_sum(list_transform(list_zip($a, cb.cw), x -> " +
+          "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
+          "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |cbrows AS (SELECT embedding, row_number() OVER (ORDER BY vec_id) - 1 AS code
+         |           FROM embeddings WHERE embedding IS NOT NULL
+         |           ORDER BY vec_id LIMIT 16),
+         |js AS (SELECT unnest(range(8)) AS j),
+         |cb AS (SELECT r.code, js.j, list_slice(r.embedding, js.j*8+1, js.j*8+8) AS cw
+         |       FROM cbrows r, js),
+         |enc0 AS (SELECT e.vec_id, cb.j, cb.code, ${l2(sliceE)} AS d
+         |         FROM embeddings e, cb WHERE e.embedding IS NOT NULL),
+         |enc AS (SELECT vec_id, j, code FROM
+         |          (SELECT *, row_number() OVER
+         |             (PARTITION BY vec_id, j ORDER BY d ASC, code ASC) AS rn
+         |           FROM enc0) WHERE rn = 1),
+         |lut AS (SELECT cb.j, cb.code, ${l2(sliceQ)} AS d FROM cb, q),
+         |adc AS (SELECT enc.vec_id, list_sum(list(lut.d ORDER BY lut.j)) AS adc
+         |        FROM enc JOIN lut ON enc.j = lut.j AND enc.code = lut.code
+         |        GROUP BY enc.vec_id),
+         |cand AS (SELECT vec_id FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 40),
+         |dd AS (SELECT e.vec_id, $duckL2 AS dist
+         |       FROM embeddings e JOIN cand USING (vec_id), q)
          |SELECT vec_id, round(dist, 6) + 0.0 AS distance
          |FROM dd ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin
     },

@@ -371,6 +371,158 @@ object ApproxAnn {
       .select("query_id", "vec_id", "distance", "rank")
   }
 
+  // ===== Product quantization (PQ / ADC) =====
+
+  /** Product-quantization codebooks: `codebooks(j)` holds subspace j's
+    * codewords as (code, subvector) in ascending code order, codes dense
+    * 0..k-1, subvector length = dims / m.
+    *
+    * PQ (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    * TPAMI 2011 — the IVFADC building block) is the canonical memory-bound
+    * ANN design at corpus scale: each vector compresses to m small codes
+    * (m bytes at k ≤ 256 vs 4·dims bytes of floats), and query-time
+    * distance becomes m lookups into a per-query table computed once on the
+    * driver, so the ranking stage never reads float vectors at all. The
+    * reference trades memory for accuracy inside usearch via its
+    * quantization kinds (lib.rs:463-495, i8/b1); PQ extends the same O12
+    * two-stage rescoring shape ([[searchRescoredIndexed]]) with a far
+    * higher compression ratio — at 100 TB of vectors the stage-1 scan
+    * reads ~m/(4·dims) of the bytes. */
+  type PqCodebooks = Seq[Seq[(Int, Seq[Float])]]
+
+  /** Train PQ codebooks with MLlib k-means per subspace (fixed seed ⇒
+    * deterministic, like [[trainIvfCentroids]]): m small training jobs over
+    * the dims/m-wide slices. */
+  def trainPqCodebooks(
+      df: DataFrame, vecCol: String, m: Int, k: Int, seed: Long = 42L,
+      maxIter: Int = 20): PqCodebooks = {
+    val dims = df.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).head.getInt(0)
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val subDim = dims / m
+    val toVec = udf((a: Seq[Float]) =>
+      org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble).toArray))
+    (0 until m).map { j =>
+      val train = df.filter(col(vecCol).isNotNull)
+        .select(toVec(slice(col(vecCol), j * subDim + 1, subDim)).as("features"))
+      val model = new org.apache.spark.ml.clustering.KMeans()
+        .setK(k).setSeed(seed + j).setMaxIter(maxIter)
+        .fit(train)
+      model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (i, c.toArray.map(_.toFloat).toSeq)
+      }.toSeq
+    }
+  }
+
+  /** Deterministic SELECTION codebooks — subspace j's codewords are the
+    * j-th slices of the first k non-null vectors in `orderCol` order,
+    * renumbered 0..k-1. Replayable in ANSI SQL (row_number + list_slice),
+    * which k-means' float iterations are not — the oracle twin of
+    * `ann_ivf`'s vec_id<16 centroid selection. */
+  def selectPqCodebooks(
+      df: DataFrame, vecCol: String, orderCol: String, m: Int, k: Int): PqCodebooks = {
+    val rows = df.filter(col(vecCol).isNotNull)
+      .orderBy(col(orderCol).asc).limit(k)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0))
+    require(rows.nonEmpty, "no non-null vectors to select codebooks from")
+    val dims = rows.head.length
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val subDim = dims / m
+    (0 until m).map { j =>
+      rows.zipWithIndex.map { case (v, c) =>
+        (c, v.slice(j * subDim, (j + 1) * subDim))
+      }.toSeq
+    }
+  }
+
+  /** PQ encode: `_pq` = one code per subspace, argmin codeword by
+    * (L2² distance, code) — the same least-over-structs tiebreak as
+    * [[assignToCentroids]], so an external oracle replays it with
+    * row_number() OVER (ORDER BY d, code). */
+  def pqEncode(df: DataFrame, vecCol: String, codebooks: PqCodebooks): DataFrame = {
+    val subDim = codebooks.head.head._2.length
+    val codes = codebooks.zipWithIndex.map { case (cb, j) =>
+      val sub = slice(col(vecCol), j * subDim + 1, subDim)
+      val cands = cb.map { case (c, cw) =>
+        struct(VectorFunctions.l2sq(sub, typedlit(cw)).as("d"), lit(c).as("c"))
+      }
+      least(cands: _*).getField("c")
+    }
+    df.filter(col(vecCol).isNotNull)
+      .withColumn("_pq", array(codes: _*))
+  }
+
+  /** Materialize the PQ store: the narrow (pkCols…, extraCols…, _pq)
+    * projection with codes computed once at build time — the PQ analogue of
+    * [[materializeQuantizedIndex]]. */
+  def materializePqIndex(
+      df: DataFrame, vecCol: String, pkCols: Seq[String],
+      codebooks: PqCodebooks, path: String,
+      extraCols: Seq[String] = Nil): DataFrame = {
+    pqEncode(df, vecCol, codebooks)
+      .select((pkCols ++ extraCols).map(col) :+ col("_pq"): _*)
+      .write.mode("overwrite").parquet(path)
+    graft.sources.IndexStorage.read(df.sparkSession, path)
+  }
+
+  /** Per-query ADC lookup table, flattened to index j·k + code: entry =
+    * the space's additive per-subspace term between the query's j-th slice
+    * and codeword (j, code). Euclidean decomposes as Σⱼ l2², dot-product as
+    * Σⱼ −dot; cosine does not decompose additively — unit-normalize at
+    * build time and use DotProduct (VectorFunctions.unitNormalize), the
+    * standard practice. Driver-side doubles summed in element order, so the
+    * table is bit-identical to a SQL replay. */
+  def pqLut(queryVec: Seq[Float], codebooks: PqCodebooks, space: Space): Seq[Double] = {
+    val subDim = codebooks.head.head._2.length
+    codebooks.zipWithIndex.flatMap { case (cb, j) =>
+      val qsub = queryVec.slice(j * subDim, (j + 1) * subDim)
+      cb.map { case (_, cw) =>
+        space match {
+          case VectorFunctions.Euclidean =>
+            qsub.zip(cw).map { case (q, c) =>
+              (q.toDouble - c.toDouble) * (q.toDouble - c.toDouble)
+            }.sum
+          case VectorFunctions.DotProduct =>
+            -qsub.zip(cw).map { case (q, c) => q.toDouble * c.toDouble }.sum
+          case other =>
+            throw new IllegalArgumentException(
+              s"PQ ADC does not decompose for ${other.name}; " +
+                "unit-normalize vectors and use dot_product")
+        }
+      }
+    }
+  }
+
+  /** Asymmetric-distance column: Σⱼ lut[j·k + _pq(j)] — m array lookups per
+    * row, left-fold in subspace order (matches a SQL list_sum replay). */
+  def adcDistance(codes: Column, lutFlat: Seq[Double], k: Int): Column =
+    aggregate(
+      transform(codes, (c, j) => element_at(typedlit(lutFlat), (j * k + c + 1).cast("int"))),
+      lit(0.0), _ + _)
+
+  /** Two-stage PQ search over a prebuilt code store: stage 1 ranks
+    * k·oversample candidates by ADC over the narrow (pk, _pq) scan — no
+    * float vectors move — stage 2 broadcasts the candidate pks onto the
+    * base table and re-scores exactly. Restrictions evaluate in stage 1
+    * (store must carry the filtering columns via `extraCols`). */
+  def searchPq(
+      codes: DataFrame, base: DataFrame, vecCol: String, pkCols: Seq[String],
+      space: Space, req: AnnRequest, codebooks: PqCodebooks,
+      oversample: Double = 4.0): DataFrame = {
+    val stage1K = math.max(req.limit, (req.limit * oversample).toInt)
+    val pred = RestrictionCompiler.compileAll(codes.schema, req.restrictions)
+    val k = codebooks.head.length
+    val lut = pqLut(req.vector, codebooks, space)
+    val ordering = col("_adc").asc +: pkCols.map(col(_).asc)
+    val stage1 = codes.filter(pred)
+      .withColumn("_adc", adcDistance(col("_pq"), lut, k))
+      .orderBy(ordering: _*)
+      .limit(stage1K)
+    val cand = broadcast(stage1.select(pkCols.map(col): _*))
+    Ann.plan(base.join(cand, pkCols), vecCol, pkCols, space,
+      req.copy(restrictions = Nil))
+  }
+
   /** Two-stage rescoring over a prebuilt quantized store: stage 1 scans ONLY
     * the narrow (pk, _q) columns (check ReadSchema in the plan — no float
     * vectors move until stage 2), stage 2 joins the k·oversample candidate

@@ -151,6 +151,62 @@ class ApproxAnnSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("pq encode: one code per subspace, dense 0..k-1, deterministic") {
+    val cb = ApproxAnn.selectPqCodebooks(emb, "embedding", "vec_id", m = 8, k = 16)
+    assert(cb.length == 8 && cb.forall(_.length == 16))
+    assert(cb.forall(_.map(_._1) == (0 until 16)))
+    val codes = ApproxAnn.pqEncode(emb, "embedding", cb)
+      .select("vec_id", "_pq").as[(Long, Seq[Int])].collect()
+    assert(codes.nonEmpty)
+    assert(codes.forall(_._2.length == 8))
+    assert(codes.forall(_._2.forall(c => c >= 0 && c < 16)))
+    val codes2 = ApproxAnn.pqEncode(emb, "embedding", cb)
+      .select("vec_id", "_pq").as[(Long, Seq[Int])].collect()
+    assert(codes.toSet == codes2.toSet)
+  }
+
+  test("pq adc column equals the driver-side lookup recompute") {
+    // validates the expression wiring: flattened-LUT indexing j·k + code
+    // and the left-fold accumulation order
+    val cb = ApproxAnn.selectPqCodebooks(emb, "embedding", "vec_id", m = 8, k = 16)
+    val lut = ApproxAnn.pqLut(qv, cb, Euclidean)
+    assert(lut.length == 8 * 16)
+    val rows = ApproxAnn.pqEncode(emb, "embedding", cb)
+      .withColumn("_adc", ApproxAnn.adcDistance(col("_pq"), lut, 16))
+      .select("_pq", "_adc").as[(Seq[Int], Double)].take(50)
+    rows.foreach { case (codes, adc) =>
+      val expect = codes.zipWithIndex.foldLeft(0.0) { case (acc, (c, j)) =>
+        acc + lut(j * 16 + c) }
+      assert(adc == expect)
+    }
+  }
+
+  test("pq two-stage search: trained codebooks deterministic, exact distances, recall") {
+    val cb = ApproxAnn.trainPqCodebooks(emb, "embedding", m = 8, k = 16)
+    assert(cb == ApproxAnn.trainPqCodebooks(emb, "embedding", m = 8, k = 16))
+    val codes = ApproxAnn.pqEncode(emb, "embedding", cb).select("vec_id", "_pq")
+    val got = ApproxAnn.searchPq(codes, emb, "embedding", Seq("vec_id"),
+      Euclidean, AnnRequest(qv, 10), cb, oversample = 8.0)
+      .select("vec_id", "distance").as[(Long, Double)].collect().toSeq
+    assert(got.length == 10)
+    val recall = exactIds(10).count(got.map(_._1).toSet) / 10.0
+    // near-orthogonal random vectors are PQ's worst case (little subspace
+    // structure to exploit); oversample is the recall knob — 80 ADC
+    // candidates out of 500 rows clear 0.8 where 40 hit 0.7
+    assert(recall >= 0.8, s"recall $recall")
+    // stage-2 distances are full-precision: equal to the exact plan's
+    val exactD = Ann.plan(emb, "embedding", Seq("vec_id"), Euclidean, AnnRequest(qv, 10))
+      .select("vec_id", "distance").as[(Long, Double)].collect().toMap
+    got.foreach { case (id, d) => exactD.get(id).foreach(ed => assert(ed == d)) }
+  }
+
+  test("pq adc rejects non-decomposable spaces") {
+    val cb = ApproxAnn.selectPqCodebooks(emb, "embedding", "vec_id", m = 8, k = 16)
+    intercept[IllegalArgumentException] {
+      ApproxAnn.pqLut(qv, cb, VectorFunctions.Cosine)
+    }
+  }
+
   test("f16/bf16 simulation: coarser mantissa, order preserved") {
     val v = Seq(Tuple1(Seq(0.1f, 0.2f, 0.3f, 1000.5f)))
       .toDF("v")

@@ -85,6 +85,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("_q"), p.take(2000))
   }
 
+  test("pq search: code-only stage-1 scan, broadcast rescore, no cross product") {
+    val p = plan("ann_pq")
+    // the ADC stage reads the (vec_id, _pq) store — 8 codes, never floats
+    assert(p.contains("_pq"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), "candidate set must broadcast onto the base table")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("stratified sample: stateless filter, no shuffle, narrow scan") {
     val p = plan("stratified_sample")
     assert(!p.contains("Exchange"), s"sampling must not shuffle:\n${p.take(2000)}")
