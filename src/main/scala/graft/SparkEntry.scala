@@ -698,6 +698,14 @@ object SparkEntry {
           "es" -> 0.8, "zh" -> 1.0),
         defaultFraction = 0.5)),
 
+    // FineWeb-style per-source cap: at most 10 docs per source, selected in
+    // deterministic hash order (the md5 coin), so no source floods the
+    // mixture; row_number ≤ cap plans as WindowGroupLimit.
+    "source_cap_sample" -> ((s, dir) =>
+      Curation.perKeyCap(
+        t(s, dir, "documents").select("doc_id", "source"),
+        "doc_id", "source", cap = 10)),
+
     // Token-budget mixture assembly: per-language token budgets filled in
     // deterministic hash order (boundary doc kept — budgets are lower
     // bounds).
@@ -748,6 +756,12 @@ object SparkEntry {
     // frequent word bigram.
     "repetition_score" -> ((s, dir) =>
       TextAnalysis.repetitionScore(t(s, dir, "documents"), "doc_id", "text")),
+
+    // Exact-substring duplication signal (Lee et al. 2021): fraction of
+    // each doc's 10-token windows occurring verbatim in another doc.
+    "span_dedup" -> ((s, dir) =>
+      TextAnalysis.duplicatedSpanFraction(
+        t(s, dir, "documents"), "doc_id", "text", windowLen = 10)),
 
     // Corpus unigram LM score (CCNet-style fluency signal): the "model" is
     // one term aggregation over the corpus itself; rounded at 4 like the
@@ -1026,6 +1040,14 @@ object SparkEntry {
          |  FROM u)
          |SELECT doc_id, lang, round(u, 6) + 0.0 AS u FROM f WHERE u < frac""".stripMargin,
 
+    "source_cap_sample" ->
+      s"""WITH r AS (SELECT doc_id, source, row_number() OVER (
+         |    PARTITION BY source
+         |    ORDER BY CAST(${duckHash("CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+         |      / ${Curation.HashUnitDivisor} ASC, doc_id ASC) AS rn
+         |  FROM documents)
+         |SELECT doc_id, source FROM r WHERE rn <= 10""".stripMargin,
+
     "token_budget_sample" ->
       s"""WITH $duckToks,
          |t AS (SELECT d.lang, doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
@@ -1100,6 +1122,22 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, CAST(max(c) AS BIGINT) AS top_bigram_count,
          |  round(CAST(max(c) AS BIGINT) * CAST(2 AS DOUBLE) / n_tokens, 6) + 0.0 AS rep_ratio
          |FROM cnt GROUP BY doc_id, n_tokens""".stripMargin,
+
+    // Replays duplicatedSpanFraction: every 10-token window position
+    // (NOT distinct per doc), span df = distinct docs per window hash,
+    // duplicated = df ≥ 2.
+    "span_dedup" ->
+      s"""WITH $duckToks,
+         |w AS (SELECT doc_id, ${duckHash("sg")} AS h FROM (
+         |  SELECT doc_id, unnest(list_transform(range(len(ts) - 9),
+         |    i -> array_to_string(ts[i + 1 : i + 10], ' '))) AS sg
+         |  FROM toks WHERE len(ts) >= 10)),
+         |d AS (SELECT h, count(DISTINCT doc_id) AS docs FROM w GROUP BY h)
+         |SELECT w.doc_id, count(*) AS n_windows,
+         |  CAST(sum(CASE WHEN d.docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows,
+         |  round(CAST(sum(CASE WHEN d.docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) + 0.0 AS dup_fraction
+         |FROM w JOIN d USING (h) GROUP BY w.doc_id""".stripMargin,
 
     "lm_score" ->
       s"""WITH $duckToks,

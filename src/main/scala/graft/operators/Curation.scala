@@ -125,6 +125,26 @@ object Curation {
       .drop("_u")
   }
 
+  /** Per-key document cap ("no domain dominates"): keep at most `cap` rows
+    * per key, selected in deterministic hash order — the FineWeb-style
+    * guard against a single domain/source flooding the mixture. The order
+    * key is the same md5 coin as [[stratifiedSample]], so survivors are a
+    * uniform, run-stable sample of each key's rows rather than whatever
+    * the scan order happened to deliver.
+    *
+    * Scale shape: `row_number ≤ cap` plans as WindowGroupLimit — each map
+    * task ships at most cap rows per key into the shuffle, so a
+    * million-row key costs the exchange only cap rows. */
+  def perKeyCap(
+      df: DataFrame, idCol: String, keyCol: String, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(sampleUnit(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= cap)
+      .drop("_rn")
+  }
+
   /** Token-budget sampling: per stratum, keep documents in deterministic
     * hash order until the stratum's token budget is filled — how a training
     * mixture is actually assembled ("N tokens of code, M of web"). The doc

@@ -92,6 +92,24 @@ class CurationSpec extends SparkSpec {
     assert(us.forall(u => u >= 0.0 && u < 1.0))
   }
 
+  test("per-key cap: at most cap rows per key, deterministic hash-order survivors") {
+    val docs = (0L until 300L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val capped = Curation.perKeyCap(docs, "doc_id", "source", cap = 7)
+    val byKey = capped.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(byKey.values.forall(_ == 7), byKey)
+    // survivors are a function of the hash coin, not scan order: identical
+    // on a re-run over a differently-partitioned input
+    val ids1 = capped.select("doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = Curation.perKeyCap(docs.repartition(7), "doc_id", "source", cap = 7)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+    // a key with fewer rows than the cap keeps them all
+    val small = Curation.perKeyCap(docs.limit(4), "doc_id", "source", cap = 7)
+    assert(small.count() == 4)
+    // rank ≤ cap plans as WindowGroupLimit (partial top-k before the shuffle)
+    assert(capped.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
   test("token budget sample: fills per-stratum budgets in hash order, boundary doc kept") {
     val docs = (0L until 100L).map(i =>
       (i, if (i < 60) "en" else "de", Seq.fill(10)("tok").mkString(" "))) // 10 tokens each

@@ -104,4 +104,16 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("decontamination")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
+
+  test("per-source cap: WindowGroupLimit partial top-k, narrow scan") {
+    val p = plan("source_cap_sample")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    // only (doc_id, source) are read, never the text payload
+    assert(p.contains("ReadSchema") && !p.contains("text"), p.take(2000))
+  }
+
+  test("span dedup: equi-join on window hashes, never a cross product") {
+    val p = plan("span_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
 }

@@ -75,6 +75,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!r.contains(2L))
   }
 
+  test("duplicated span fraction: cross-doc spans counted, within-doc repeats not") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq(
+      // docs 10/11 share the 6-token prefix; doc 10 has 2 extra tokens
+      (10L, "alpha beta gamma delta epsilon zeta unique1 unique2"),
+      (11L, "alpha beta gamma delta epsilon zeta"),
+      // doc 12 repeats a span WITHIN itself only — not cross-doc duplication
+      (12L, "one two three four one two three four"),
+      (13L, "totally different words with no overlap at all"),
+      (14L, "tiny")) // under the window length → no row
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.duplicatedSpanFraction(corpus, "doc_id", "text", windowLen = 4)
+      .collect().map(x => x.getLong(0) ->
+        (x.getAs[Long]("n_windows"), x.getAs[Long]("dup_windows"),
+          x.getAs[Double]("dup_fraction"))).toMap
+    // doc 11: all 3 of its 4-token windows appear in doc 10 → fraction 1.0
+    assert(r(11L) == ((3L, 3L, 1.0)), r(11L))
+    // doc 10: 5 windows, the 3 shared ones duplicated
+    assert(r(10L) == ((5L, 3L, 0.6)), r(10L))
+    // doc 12: within-doc repetition is NOT cross-doc duplication
+    assert(r(12L)._2 == 0L, r(12L))
+    assert(r(13L)._2 == 0L)
+    assert(!r.contains(14L))
+    // determinism
+    val again = TextAnalysis.duplicatedSpanFraction(corpus, "doc_id", "text", windowLen = 4)
+      .collect().map(x => x.getLong(0) -> x.getAs[Long]("dup_windows")).toMap
+    assert(again == r.map { case (k, v) => k -> v._2 })
+    // no document text in the shuffled window relation: only (id, hash) move
+    val w = TextAnalysis.duplicatedSpanFraction(corpus, "doc_id", "text", windowLen = 4)
+    assert(!w.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+  }
+
   test("lm score: common-token docs score higher than rare-token docs") {
     // corpus: 'common' appears 6x, rare words once each → the all-common doc
     // has the highest mean token log-probability
