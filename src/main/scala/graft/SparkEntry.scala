@@ -763,6 +763,11 @@ object SparkEntry {
       TextAnalysis.duplicatedSpanFraction(
         t(s, dir, "documents"), "doc_id", "text", windowLen = 10)),
 
+    // Per-source corpus audit: exact interpolated percentiles of token and
+    // char counts (the pre-mixture "what does each source look like" report).
+    "corpus_report" -> ((s, dir) =>
+      TextAnalysis.corpusReport(t(s, dir, "documents"), "source", "text")),
+
     // Corpus unigram LM score (CCNet-style fluency signal): the "model" is
     // one term aggregation over the corpus itself; rounded at 4 like the
     // bm25 scores (sum-order float tolerance).
@@ -1122,6 +1127,21 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, CAST(max(c) AS BIGINT) AS top_bigram_count,
          |  round(CAST(max(c) AS BIGINT) * CAST(2 AS DOUBLE) / n_tokens, 6) + 0.0 AS rep_ratio
          |FROM cnt GROUP BY doc_id, n_tokens""".stripMargin,
+
+    // quantile_cont == Spark's exact `percentile` (both linear-interpolate
+    // at index p·(n−1) over the sorted values)
+    "corpus_report" ->
+      s"""WITH c AS (SELECT source,
+         |  len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)) AS nt,
+         |  length(text) AS nc FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  round(quantile_cont(nt, 0.5), 6) + 0.0 AS p50_tokens,
+         |  round(quantile_cont(nt, 0.9), 6) + 0.0 AS p90_tokens,
+         |  round(quantile_cont(nt, 0.99), 6) + 0.0 AS p99_tokens,
+         |  round(quantile_cont(nc, 0.5), 6) + 0.0 AS p50_chars,
+         |  round(quantile_cont(nc, 0.9), 6) + 0.0 AS p90_chars,
+         |  round(quantile_cont(nc, 0.99), 6) + 0.0 AS p99_chars
+         |FROM c GROUP BY source""".stripMargin,
 
     // Replays duplicatedSpanFraction: every 10-token window position
     // (NOT distinct per doc), span df = distinct docs per window hash,

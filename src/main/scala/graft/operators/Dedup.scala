@@ -203,20 +203,70 @@ object Dedup {
   def lshCandidates(
       signatures: DataFrame, idCol: String,
       numHashes: Int, bands: Int): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    val banded = signatures.select(
-      col(idCol),
-      explode(array((0 until bands).map { bIdx =>
-        xxhash64(lit(bIdx) +: (0 until rows).map(r =>
-          col(s"sig_${bIdx * rows + r}")): _*)
-      }: _*)).as("bucket"))
+    val banded = bandBuckets(signatures, idCol, numHashes, bands)
     val l = banded.select(col(idCol).as("id_a"), col("bucket"))
     val r = banded.select(col(idCol).as("id_b"), col("bucket"))
     l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+  }
+
+  /** (id, band-bucket) rows: one collapsed 64-bit bucket per band. */
+  private def bandBuckets(
+      signatures: DataFrame, idCol: String,
+      numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    signatures.select(
+      col(idCol),
+      explode(array((0 until bands).map { bIdx =>
+        xxhash64(lit(bIdx) +: (0 until rows).map(r =>
+          col(s"sig_${bIdx * rows + r}")): _*)
+      }: _*)).as("bucket"))
+  }
+
+  /** Probe NEW documents against a maintained dedup store — the streaming
+    * near-dup serving path (probe the micro-batch BEFORE merging it, see
+    * [[graft.streaming.StreamingDedup.nearDupBatch]]). Candidates are
+    * (probe doc, store-or-probe doc) pairs sharing a MinHash band bucket —
+    * a batch can carry its own duplicates, so probe-internal pairs are
+    * detected too — verified by exact Jaccard and emitted canonically
+    * (id_a < id_b). Store rows whose id is in the probe batch are ignored
+    * (re-delivery: the probe's fresh text wins, like the store rewrite).
+    *
+    * Every near-dup pair of the growing corpus is emitted exactly once:
+    * when its LATER member arrives (`StreamingSpec` pins the accumulated
+    * pair log equal to the batch operator over the final corpus).
+    *
+    * Inputs must share shingle/cap/numHashes config with the store build
+    * (the ingest bakes the df cap in; the probe trusts its inputs).
+    *
+    * Scale shape: the probe side is one micro-batch (tiny ⇒ its banded
+    * form broadcasts); the store side costs one narrow scan of the
+    * signature store per batch, filtered by the hash join on the probe's
+    * buckets. Shingle rows join only for verified candidates via the
+    * composite (id, sh) intersection key. */
+  def nearDupProbe(
+      probeSh: DataFrame, probeSigs: DataFrame,
+      storeSh: DataFrame, storeSigs: DataFrame,
+      idCol: String, bands: Int, threshold: Double): DataFrame = {
+    val numHashes = probeSigs.columns.count(_.startsWith("sig_"))
+    require(numHashes > 0, "probeSigs has no sig_* columns")
+    val probeIds = probeSigs.select(col(idCol)).distinct()
+    val sSh = storeSh.join(probeIds, Seq(idCol), "left_anti")
+    val sSigs = storeSigs.join(probeIds, Seq(idCol), "left_anti")
+    val pb = bandBuckets(probeSigs, idCol, numHashes, bands)
+      .select(col(idCol).as("_pid"), col("bucket"))
+    val ab = bandBuckets(sSigs.unionByName(probeSigs), idCol, numHashes, bands)
+      .select(col(idCol).as("_cid"), col("bucket"))
+    val cand = pb.join(ab, Seq("bucket"))
+      .filter(col("_pid") =!= col("_cid"))
+      .select(least(col("_pid"), col("_cid")).as("id_a"),
+        greatest(col("_pid"), col("_cid")).as("id_b"))
+      .distinct()
+    jaccardVerify(sSh.unionByName(probeSh), sSh.unionByName(probeSh),
+      idCol, threshold, Some(cand))
   }
 
   /** Full MinHash-LSH near-dup pipeline: LSH candidates, then exact Jaccard

@@ -141,6 +141,31 @@ object TextAnalysis {
           .as("rep_ratio"))
   }
 
+  /** Per-group corpus distribution report: document count plus exact
+    * interpolated percentiles (p50/p90/p99) of whitespace-token and
+    * character counts — the shape of the "what does each source look
+    * like" audit that precedes mixture decisions. Exact `percentile`
+    * (not approx) so the numbers are engine-reproducible; one shuffle on
+    * the group key, per-row projections before it.
+    *
+    * At 100 TB exact percentiles mean a per-group sort of the (group,
+    * count) pairs — two narrow ints per doc, far below the shuffle the
+    * text itself would cost; swap in percentile_approx only if the group
+    * count histogram itself stops fitting. */
+  def corpusReport(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val pcts = Seq("0.5" -> "p50", "0.9" -> "p90", "0.99" -> "p99")
+    val aggs =
+      pcts.map { case (p, n) => expr(s"percentile(_nt, ${p}D)").as(s"${n}_tokens") } ++
+      pcts.map { case (p, n) => expr(s"percentile(_nc, ${p}D)").as(s"${n}_chars") }
+    df.select(col(groupCol), size(wsTokens(col(textCol))).as("_nt"),
+        length(col(textCol)).as("_nc"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), aggs: _*)
+      .select(col(groupCol) +: col("n_docs") +:
+        pcts.flatMap { case (_, n) => Seq(s"${n}_tokens", s"${n}_chars") }
+          .map(c => (round(col(c), 6) + lit(0.0)).as(c)): _*)
+  }
+
   /** Exact-substring duplication signal (Lee et al., "Deduplicating
     * Training Data Makes Language Models Better", 2021: substring dedup at
     * 50-token granularity): per document, the fraction of its L-token

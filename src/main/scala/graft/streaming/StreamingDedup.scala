@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -37,6 +37,62 @@ object StreamingDedup {
     import spark.implicits._
     docs.select(md5(col("text")).as("digest"), col("id"), col("text"))
       .as[DigestedDoc]
+  }
+
+  /** Streaming NEAR-dup detection: a foreachBatch body that, per
+    * micro-batch, (1) probes the incoming documents against the
+    * corpus-so-far via [[graft.operators.Dedup.nearDupProbe]] (MinHash band
+    * candidates, exact-Jaccard verify), (2) writes the verified pairs to
+    * `pairsPath/epoch=N` (overwrite-per-epoch ⇒ idempotent under replay),
+    * and (3) merges the batch into the maintained shingle/signature stores
+    * ([[IndexMaintenance.mergeDedupBatch]]: touched-bucket-only rewrites).
+    *
+    * Probe-before-merge means every near-dup pair of the growing corpus is
+    * emitted exactly once — in the epoch where its LATER member arrives —
+    * so the accumulated pair log equals the batch operator over the final
+    * corpus (pinned in StreamingSpec). A batch's ids are the latest state:
+    * store rows under those ids (stale text, same-batch deletes) are
+    * excluded from the probe's store side before matching. */
+  def nearDupBatch(
+      spark: SparkSession,
+      shinglePath: String,
+      sigPath: String,
+      pairsPath: String,
+      idCol: String,
+      textCol: String,
+      opCol: Option[String],
+      shingleN: Int = 5,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      nBuckets: Int = 64): (DataFrame, Long) => Unit = {
+    import graft.operators.Dedup
+    import graft.sources.IndexStorage
+    val merge = IndexMaintenance.mergeDedupBatch(
+      spark, shinglePath, sigPath, idCol, textCol, opCol, shingleN,
+      numHashes, nBuckets)
+    (batch: DataFrame, epoch: Long) => {
+      val isDelete = {
+        val op = opCol.map(c => coalesce(upper(col(c)) === "DELETE", lit(false)))
+          .getOrElse(lit(false))
+        op || col(textCol).isNull
+      }
+      val upserts = batch.filter(!isDelete)
+      val touched = batch.select(col(idCol)).distinct()
+      val probeSh = Dedup.shingles(upserts, idCol, textCol, shingleN)
+        .localCheckpoint(true) // one tokenize pass feeds sigs + verify
+      val probeSigs = Dedup.minhashSignaturesFromShingles(probeSh, idCol, numHashes)
+      val (storeSh, storeSigs) =
+        if (IndexStorage.exists(spark, shinglePath) && IndexStorage.exists(spark, sigPath)) {
+          val (sh, sg) = IndexMaintenance.readDedupIndex(spark, shinglePath, sigPath)
+          (sh.join(touched, Seq(idCol), "left_anti"),
+            sg.join(touched, Seq(idCol), "left_anti"))
+        } else (probeSh.limit(0), probeSigs.limit(0))
+      Dedup.nearDupProbe(probeSh, probeSigs, storeSh, storeSigs,
+          idCol, bands, threshold)
+        .write.mode("overwrite").parquet(s"$pairsPath/epoch=$epoch")
+      merge(batch, epoch)
+    }
   }
 
   /** First-seen-wins streaming dedup: emits each distinct digest's first

@@ -143,6 +143,77 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming near-dup: pair log over epochs == batch operator on the final corpus") {
+    import graft.operators.Dedup
+    import graft.streaming.StreamingDedup
+    import org.apache.commons.io.FileUtils
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardup").toFile
+    def p(n: String) = new java.io.File(dir, n).getAbsolutePath
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      1L -> base,                                  // epoch 0
+      2L -> (base + " extra"),                     // epoch 0: near-dup of 1
+      3L -> "completely unrelated words one two three four five six",
+      4L -> base.replace("alpha", "omega"),        // epoch 1: near-dup of 1,2
+      5L -> "another island of text with nothing shared at all here",
+      6L -> base)                                  // epoch 2: exact dup of 1
+    val batches = Seq(docs.take(3), docs.slice(3, 5), docs.drop(5))
+
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(StreamingDedup.nearDupBatch(
+        spark, p("shingles"), p("sigs"), p("pairs"),
+        "doc_id", "text", opCol = None, threshold = 0.3))
+      .start()
+    try {
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      val streamed = spark.read.parquet(p("pairs"))
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+        .collect().toSeq
+      // each pair discovered exactly once, in the epoch its later member arrived
+      assert(streamed.map(x => (x._1, x._2)).distinct.length == streamed.length)
+      val batch = Dedup.minhashNearDupsFromShingles(
+          Dedup.shingles(docs.toDF("doc_id", "text"), "doc_id", "text", 5),
+          "doc_id", numHashes = 16, bands = 4, threshold = 0.3,
+          maxShingleDf = None)
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(streamed.toSet == batch.toSet, s"streamed=$streamed batch=$batch")
+      assert(streamed.nonEmpty) // non-vacuous: the exact dup (1,6) must land
+      assert(streamed.exists(x => (x._1, x._2) == ((1L, 6L))))
+    } finally {
+      q.stop(); FileUtils.deleteDirectory(dir)
+    }
+  }
+
+  test("streaming near-dup: re-delivered id probes with fresh text, replay idempotent") {
+    import graft.streaming.StreamingDedup
+    import org.apache.commons.io.FileUtils
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardup2").toFile
+    def p(n: String) = new java.io.File(dir, n).getAbsolutePath
+    val base = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen"
+    val fn = StreamingDedup.nearDupBatch(
+      spark, p("shingles"), p("sigs"), p("pairs"),
+      "doc_id", "text", opCol = None, threshold = 0.5)
+    fn(Seq(1L -> base, 2L -> "unrelated island of completely different tokens")
+      .toDF("doc_id", "text"), 0L)
+    // doc 2 re-delivered as an exact dup of 1: the pair uses the FRESH text
+    fn(Seq(2L -> base).toDF("doc_id", "text"), 1L)
+    val pairs = spark.read.parquet(p("pairs"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+    // replaying epoch 1 overwrites its own partition — no duplicate pairs —
+    // and leaves the stores equal to themselves (mergeKeyed idempotence)
+    val sigsBefore = spark.read.parquet(p("sigs")).collect().toSet
+    fn(Seq(2L -> base).toDF("doc_id", "text"), 1L)
+    assert(spark.read.parquet(p("pairs"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet == Set((1L, 2L)))
+    assert(spark.read.parquet(p("sigs")).collect().toSet == sigsBefore)
+    FileUtils.deleteDirectory(dir)
+  }
+
   test("incremental merge rewrites only touched bucket directories") {
     import org.apache.commons.io.FileUtils
     import scala.jdk.CollectionConverters._

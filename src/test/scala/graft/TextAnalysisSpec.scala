@@ -75,6 +75,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!r.contains(2L))
   }
 
+  test("corpus report: exact interpolated percentiles per group") {
+    val corpus = Seq(
+      (0L, "a", "one"), (1L, "a", "one two"), (2L, "a", "one two three"),
+      (3L, "a", "one two three four"), (4L, "a", "one two three four five"),
+      (5L, "b", "x y")) // single-minus group sanity
+      .toDF("doc_id", "source", "text")
+    val r = TextAnalysis.corpusReport(corpus, "source", "text")
+      .collect().map(x => x.getString(0) -> x).toMap
+    val a = r("a")
+    assert(a.getAs[Long]("n_docs") == 5L)
+    // token counts 1..5: p50 = 3 exactly, p90 interpolates 0.6 of the way
+    // from 4 to 5 at index 0.9·(5−1) = 3.6
+    assert(a.getAs[Double]("p50_tokens") == 3.0)
+    assert(a.getAs[Double]("p90_tokens") == 4.6)
+    assert(r("b").getAs[Double]("p99_tokens") == 2.0)
+  }
+
   test("duplicated span fraction: cross-doc spans counted, within-doc repeats not") {
     import org.apache.spark.sql.functions.col
     val corpus = Seq(
