@@ -768,6 +768,12 @@ object SparkEntry {
     "corpus_report" -> ((s, dir) =>
       TextAnalysis.corpusReport(t(s, dir, "documents"), "source", "text")),
 
+    // Overlapping token-window chunking (RAG / context prep): 32-token
+    // windows advancing by 24 — shuffle-free, lives inside the scan stage.
+    "chunk_documents" -> ((s, dir) =>
+      Curation.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+        windowTokens = 32, strideTokens = 24)),
+
     // Corpus unigram LM score (CCNet-style fluency signal): the "model" is
     // one term aggregation over the corpus itself; rounded at 4 like the
     // bm25 scores (sum-order float tolerance).
@@ -1127,6 +1133,18 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, CAST(max(c) AS BIGINT) AS top_bigram_count,
          |  round(CAST(max(c) AS BIGINT) * CAST(2 AS DOUBLE) / n_tokens, 6) + 0.0 AS rep_ratio
          |FROM cnt GROUP BY doc_id, n_tokens""".stripMargin,
+
+    "chunk_documents" ->
+      s"""WITH $duckToks,
+         |n AS (SELECT doc_id, ts,
+         |  1 + CAST(ceil(greatest(len(ts) - 32, 0) / 24.0) AS INT) AS nc
+         |  FROM toks WHERE len(ts) > 0),
+         |c AS (SELECT doc_id, ts, unnest(range(nc)) AS i FROM n)
+         |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         |  CAST(i * 24 AS INT) AS token_start,
+         |  CAST(len(ts[i*24+1 : i*24+32]) AS INT) AS n_tokens,
+         |  array_to_string(ts[i*24+1 : i*24+32], ' ') AS chunk_text
+         |FROM c""".stripMargin,
 
     // quantile_cont == Spark's exact `percentile` (both linear-interpolate
     // at index p·(n−1) over the sorted values)

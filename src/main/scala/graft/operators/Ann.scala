@@ -46,6 +46,18 @@ object Ann {
       meta: Catalog.IndexMetadata,
       req: AnnRequest,
       tieBreak: Boolean = true): DataFrame = {
+    val options = validate(meta, req)
+    plan(df, meta.targetColumn, meta.primaryKeyColumns, options.space, req, tieBreak)
+  }
+
+  /** The API-level validation alone (dims, filtering columns, routing
+    * score, ALLOW FILTERING — the 400 taxonomy), returning the index
+    * options for the caller's own physical plan. [[search]] = validate +
+    * [[plan]]; approximate serving paths validate identically and then
+    * substitute their pruned plan (Engine approx routing). */
+  def validate(
+      meta: Catalog.IndexMetadata,
+      req: AnnRequest): Catalog.IndexOptionsVs = {
     val options = meta.kind match {
       case Catalog.Vs(o) => o
       case _ => throw new AnnValidationException(s"index ${meta.index} is not a vector index")
@@ -76,8 +88,7 @@ object Ann {
           "query requires residual filtering; set allowFiltering=true")
       case _ => ()
     }
-
-    plan(df, meta.targetColumn, meta.primaryKeyColumns, options.space, req, tieBreak)
+    options
   }
 
   /** The physical plan, without API-level validation — reusable by callers

@@ -203,6 +203,37 @@ object Curation {
       .withColumn("chunk_end", expr(s"(offset + n_tokens - 1) div $windowTokens"))
   }
 
+  /** Overlapping token-window chunking — the RAG / context-window prep
+    * twin of [[packSequences]]: each document is cut into windows of
+    * `windowTokens` tokens advancing by `strideTokens` (stride < window ⇒
+    * overlap, the standard trick so no answer span straddles a boundary
+    * unseen). The final partial window is kept iff it adds tokens beyond
+    * the previous window's end. Emits (id, chunk_idx, token_start,
+    * n_tokens, chunk_text).
+    *
+    * Per-row transform + explode: no shuffle at all — chunking is
+    * embarrassingly parallel and lives entirely inside the scan stage.
+    * Documents shorter than one window yield exactly one chunk. */
+  def chunkDocuments(
+      df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int, strideTokens: Int): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    require(strideTokens > 0 && strideTokens <= windowTokens,
+      "stride must be in 1..windowTokens")
+    val nChunks = // 1 + ceil(max(n - window, 0) / stride), ≥ 1 per non-empty doc
+      lit(1) + ceil(greatest(size(col("_ts")) - windowTokens, lit(0))
+        .cast("double") / strideTokens).cast("int")
+    df.select(col(idCol), Dedup.tokens(col(textCol)).as("_ts"))
+      .filter(size(col("_ts")) > 0)
+      .select(col(idCol), col("_ts"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => slice(col("_ts"), i * strideTokens + 1, lit(windowTokens)))))
+      .select(col(idCol), col("pos").as("chunk_idx"),
+        (col("pos") * strideTokens).as("token_start"),
+        size(col("col")).as("n_tokens"),
+        concat_ws(" ", col("col")).as("chunk_text"))
+  }
+
   /** Benchmark decontamination: for each corpus document, its n-gram
     * containment of every benchmark document — `overlap` shared shingles,
     * `containment` = overlap / |benchmark shingles|. A training document

@@ -73,6 +73,33 @@ final class Engine {
     frames = frames.updated(meta.key, df)
   }
 
+  /** Approximate serving config for a registered vector index: the
+    * bucketed LSH store (e.g. a [[ApproxAnn.materializeLshIndex]]
+    * read-back) plus the adaptive probe policy. */
+  final case class ApproxServing(
+      indexed: DataFrame, nbits: Int,
+      radii: Seq[Int] = ApproxAnn.DefaultAdaptiveRadii,
+      oversample: Double = 2.0, minCoverage: Double = 0.9)
+
+  private var approxServing: Map[IndexKey, ApproxServing] = Map.empty
+
+  /** Route this index's ANN queries through the adaptive LSH path
+    * ([[ApproxAnn.searchLshAdaptive]]: partition-pruned probe at a
+    * coverage-certified radius, exact-scan fallback otherwise) — the
+    * serving default the reference gets from usearch being an approximate
+    * index (vs_index/usearch.rs), while the registered base frame remains
+    * the exact path. Validation (404/503/400 taxonomy) is identical to the
+    * exact route. */
+  def setApproxServing(keyspace: String, index: String, cfg: ApproxServing): Unit = {
+    val key = IndexKey(keyspace, index)
+    if (!frames.contains(key))
+      throw new QueryException(404, s"index $keyspace/$index not found")
+    approxServing = approxServing.updated(key, cfg)
+  }
+
+  def clearApproxServing(keyspace: String, index: String): Unit =
+    approxServing = approxServing.removed(IndexKey(keyspace, index))
+
   def setStatus(key: IndexKey, status: IndexStatus, progressPct: Double = 100.0): Unit =
     catalog.setStatus(key, status, progressPct)
 
@@ -109,8 +136,16 @@ final class Engine {
         }
         recordQuery(meta.key)
         incrementCounter("ann-queries")
-        try Ann.search(frames(meta.key), meta, req)
-        catch {
+        try approxServing.get(meta.key) match {
+          case Some(cfg) =>
+            val options = Ann.validate(meta, req)
+            incrementCounter("ann-approx-queries")
+            ApproxAnn.searchLshAdaptive(
+              cfg.indexed, frames(meta.key), meta.targetColumn,
+              meta.primaryKeyColumns, options.space, req, cfg.nbits,
+              cfg.radii, cfg.oversample, cfg.minCoverage)
+          case None => Ann.search(frames(meta.key), meta, req)
+        } catch {
           case e: Ann.AnnValidationException => throw new QueryException(400, e.getMessage)
         }
     }

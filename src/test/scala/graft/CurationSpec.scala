@@ -148,6 +148,33 @@ class CurationSpec extends SparkSpec {
     assert(!out.contains(4L))
   }
 
+  test("chunk documents: overlap, partial tail kept iff it adds tokens, short docs whole") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                  // shorter than one window
+      (3L, (1 to 8).map(i => s"u$i").mkString(" ")))  // n−W divisible by stride
+      .toDF("doc_id", "text")
+    val r = Curation.chunkDocuments(docs, "doc_id", "text",
+        windowTokens = 4, strideTokens = 2)
+      .select("doc_id", "chunk_idx", "token_start", "n_tokens", "chunk_text")
+      .as[(Long, Int, Int, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    // doc 1: starts 0,2,4,6 — full coverage, last window exactly reaches 10
+    assert(r(1L).map(c => (c._3, c._4)) == Seq((0, 4), (2, 4), (4, 4), (6, 4)))
+    assert(r(1L).head._5 == "t1 t2 t3 t4")
+    assert(r(1L).last._5 == "t7 t8 t9 t10")
+    // doc 2: one whole-document chunk
+    assert(r(2L) == Seq((2L, 0, 0, 3, "a b c")))
+    // doc 3: 8 tokens, starts 0,2,4 — no empty tail window beyond the end
+    assert(r(3L).map(_._3) == Seq(0, 2, 4))
+    // every token position is covered by some chunk
+    assert(r(1L).flatMap(c => c._3 until (c._3 + c._4)).toSet == (0 until 10).toSet)
+    // shuffle-free: chunking lives inside the scan stage
+    val p = Curation.chunkDocuments(docs, "doc_id", "text", 4, 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("decontaminate: containment of benchmark shingles, self-pairs excluded") {
     val docs = Seq(
       (0L, "alpha beta gamma delta epsilon zeta eta theta"), // benchmark

@@ -95,6 +95,50 @@ class EngineSpec extends SparkSpec {
     assert(res.count() == 4)
   }
 
+  test("approx serving: routed ANN through the adaptive LSH path, taxonomy intact") {
+    // 64-dim vectors so the shared 8-bit hyperplane bank has signal
+    def vec(seed: Int): Seq[Float] =
+      (0 until 64).map(d => math.sin(seed * 2.1 + d * 0.7).toFloat)
+    val rows = (1 to 40).map(i => (i, vec(i), i % 7))
+    val df = rows.toDF("pk", "embedding", "c1")
+    val meta = IndexMetadata("ks", "ann_a", "items", "embedding",
+      primaryKeyColumns = Seq("pk"), filteringColumns = Seq("c1"),
+      kind = Vs(IndexOptionsVs(dims = 64, space = Euclidean)))
+    val e = new Engine
+    e.addIndex(meta, df)
+    val exact = e.ann("ks", "ann_a", AnnRequest(vec(3), limit = 5))
+      .select("pk", "distance").as[(Int, Double)].collect().toSeq
+
+    e.setApproxServing("ks", "ann_a", e.ApproxServing(
+      ApproxAnn.buildLshIndex(df, "embedding", nbits = 8, dims = 64), nbits = 8))
+    // unfiltered on scattered vectors: no radius certifies 0.9 coverage ⇒
+    // exact fallback ⇒ identical results through the same route
+    val approx = e.ann("ks", "ann_a", AnnRequest(vec(3), limit = 5))
+      .select("pk", "distance").as[(Int, Double)].collect().toSeq
+    assert(approx == exact)
+    assert(e.counters().getOrElse("ann-approx-queries", 0L) == 1L)
+    // validation taxonomy unchanged on the approx route
+    assert(intercept[QueryException] {
+      e.ann("ks", "ann_a", AnnRequest(vec(1), limit = 5,
+        restrictions = Seq(Restriction.Eq("c1", 3))))
+    }.status == 400) // residual filtering without allowFiltering
+    assert(intercept[QueryException] {
+      e.ann("ks", "ann_a", AnnRequest(Seq(0f, 1f)))
+    }.status == 400) // wrong dims
+    // filtered query through the approx route returns k matching rows
+    val filtered = e.ann("ks", "ann_a", AnnRequest(vec(1), limit = 3,
+      restrictions = Seq(Restriction.Eq("c1", 3)), allowFiltering = true))
+      .select("pk").as[Int].collect().toSeq
+    assert(filtered.length == 3 && filtered.forall(_ % 7 == 3))
+    // config is per-index and removable
+    e.clearApproxServing("ks", "ann_a")
+    assert(e.ann("ks", "ann_a", AnnRequest(vec(3), limit = 5))
+      .select("pk", "distance").as[(Int, Double)].collect().toSeq == exact)
+    assert(intercept[QueryException] {
+      e.setApproxServing("ks", "nope", e.ApproxServing(df, 8))
+    }.status == 404)
+  }
+
   test("bm25 route: 404 / kind mismatch / search") {
     val e = new Engine
     val ftsMeta = IndexMetadata("ks", "fts1", "docs", "body",
