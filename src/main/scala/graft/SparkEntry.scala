@@ -601,6 +601,32 @@ object SparkEntry {
         .select(col("vec_id"), (round(col("distance"), 6) + lit(0.0)).as("distance"))
     }),
 
+    // IVFADC (the FAISS IndexIVFPQ shape): IVF cells prune the scan, PQ
+    // codes bound the bytes (partition-pruned (vec_id, _pq) read), exact
+    // rescore bounds the error. Selection centroids + selection codebooks
+    // so DuckDB replays cell assignment, probe choice, encode, LUT, ADC
+    // and rescore exactly.
+    "ann_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0)
+      val centroids = emb.filter(col("vec_id") < 16 && col("embedding").isNotNull)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
+        .sortBy(_._1).toSeq
+      val cb = ApproxAnn.selectPqCodebooks(emb, "embedding", "vec_id", m = 8, k = 16)
+      val codes = graft.sources.IndexStorage.materializeCached(
+          s, s"$dir/embeddings.parquet", indexDir(dir, "ivfpq"), Seq("_centroid")) {
+        ApproxAnn.pqEncode(
+            ApproxAnn.assignToCentroids(emb, "embedding", centroids),
+            "embedding", cb)
+          .select(col("vec_id"), col("_centroid"), col("_pq"))
+      }
+      ApproxAnn.searchIvfPq(codes, emb, "embedding", Seq("vec_id"), Euclidean,
+          AnnRequest(qv, limit = 10), centroids, cb, nprobe = 4, oversample = 4.0)
+        .select(col("vec_id"), (round(col("distance"), 6) + lit(0.0)).as("distance"))
+    }),
+
     // Multimodal plumbing: deterministic stub decode (no media libs in this
     // container) over a synthesized media table — features exploded to
     // scalars for exact oracle comparison.
@@ -1605,6 +1631,56 @@ object SparkEntry {
          |       FROM cbrows r, js),
          |enc0 AS (SELECT e.vec_id, cb.j, cb.code, ${l2(sliceE)} AS d
          |         FROM embeddings e, cb WHERE e.embedding IS NOT NULL),
+         |enc AS (SELECT vec_id, j, code FROM
+         |          (SELECT *, row_number() OVER
+         |             (PARTITION BY vec_id, j ORDER BY d ASC, code ASC) AS rn
+         |           FROM enc0) WHERE rn = 1),
+         |lut AS (SELECT cb.j, cb.code, ${l2(sliceQ)} AS d FROM cb, q),
+         |adc AS (SELECT enc.vec_id, list_sum(list(lut.d ORDER BY lut.j)) AS adc
+         |        FROM enc JOIN lut ON enc.j = lut.j AND enc.code = lut.code
+         |        GROUP BY enc.vec_id),
+         |cand AS (SELECT vec_id FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 40),
+         |dd AS (SELECT e.vec_id, $duckL2 AS dist
+         |       FROM embeddings e JOIN cand USING (vec_id), q)
+         |SELECT vec_id, round(dist, 6) + 0.0 AS distance
+         |FROM dd ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin
+    },
+
+    // IVFADC = ann_ivf's assignment/probe CTEs ∘ ann_pq's encode/LUT/ADC
+    // CTEs, with the ADC ranking restricted to rows assigned to the 4
+    // probed cells.
+    "ann_ivfpq" -> {
+      val distCQ = "list_sum(list_transform(list_zip(c.cv, q.qv), x -> " +
+        "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
+        "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+      val distCE = "list_sum(list_transform(list_zip(c.cv, e.embedding), x -> " +
+        "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
+        "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+      val sliceE = "list_slice(e.embedding, cb.j*8+1, cb.j*8+8)"
+      val sliceQ = "list_slice(q.qv, cb.j*8+1, cb.j*8+8)"
+      def l2(a: String) =
+        s"list_sum(list_transform(list_zip($a, cb.cw), x -> " +
+          "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
+          "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+         |      WHERE vec_id < 16 AND embedding IS NOT NULL),
+         |probes AS (SELECT cid FROM c, q ORDER BY $distCQ ASC, cid ASC LIMIT 4),
+         |ad0 AS (SELECT e.vec_id, c.cid, $distCE AS d
+         |        FROM embeddings e, c WHERE e.embedding IS NOT NULL),
+         |asn AS (SELECT vec_id, cid FROM
+         |          (SELECT *, row_number() OVER
+         |             (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+         |           FROM ad0) WHERE rn = 1),
+         |sel AS (SELECT a.vec_id FROM asn a JOIN probes p ON a.cid = p.cid),
+         |cbrows AS (SELECT embedding, row_number() OVER (ORDER BY vec_id) - 1 AS code
+         |           FROM embeddings WHERE embedding IS NOT NULL
+         |           ORDER BY vec_id LIMIT 16),
+         |js AS (SELECT unnest(range(8)) AS j),
+         |cb AS (SELECT r.code, js.j, list_slice(r.embedding, js.j*8+1, js.j*8+8) AS cw
+         |       FROM cbrows r, js),
+         |enc0 AS (SELECT e.vec_id, cb.j, cb.code, ${l2(sliceE)} AS d
+         |         FROM embeddings e JOIN sel USING (vec_id), cb),
          |enc AS (SELECT vec_id, j, code FROM
          |          (SELECT *, row_number() OVER
          |             (PARTITION BY vec_id, j ORDER BY d ASC, code ASC) AS rn

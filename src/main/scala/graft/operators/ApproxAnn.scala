@@ -523,6 +523,39 @@ object ApproxAnn {
       req.copy(restrictions = Nil))
   }
 
+  /** IVFADC — the canonical composition (Jégou et al. 2011, §IV; what
+    * FAISS serves behind `IndexIVFPQ`): IVF cell pruning × PQ code
+    * ranking × exact rescore. The codes frame carries `_centroid` AND
+    * `_pq` (build with [[assignToCentroids]] then [[pqEncode]], write
+    * `partitionBy("_centroid")`): stage 1 prunes to the `nprobe` nearest
+    * cells and ranks their rows by ADC — a partition-pruned scan of
+    * (pk, _pq) reading m codes per row, no float vectors — stage 2
+    * broadcasts the shortlist onto the base table for the exact top-k.
+    *
+    * At 100 TB this is the serving shape: cells bound the scan, codes
+    * bound the bytes, the LUT bounds the arithmetic, and the exact pass
+    * touches only k·oversample rows. Residual-PQ (encode x − centroid)
+    * is deliberately omitted: it couples the codebooks to the centroids
+    * (retrain both on every IVF move); plain-PQ-in-cells keeps the two
+    * index artifacts independently maintainable, at a modest recall cost
+    * the oversample knob covers. */
+  def searchIvfPq(
+      codes: DataFrame, base: DataFrame, vecCol: String, pkCols: Seq[String],
+      space: Space, req: AnnRequest,
+      centroids: Seq[(Int, Seq[Float])], codebooks: PqCodebooks,
+      nprobe: Int, oversample: Double = 4.0): DataFrame = {
+    val probeIds = centroids
+      .map { case (cid, cvec) =>
+        val d = cvec.zip(req.vector).map { case (c, q) =>
+          (c.toDouble - q.toDouble) * (c.toDouble - q.toDouble)
+        }.sum
+        (d, cid)
+      }
+      .sortBy(identity).take(nprobe).map(_._2)
+    searchPq(codes.filter(col("_centroid").isin(probeIds: _*)),
+      base, vecCol, pkCols, space, req, codebooks, oversample)
+  }
+
   /** Two-stage rescoring over a prebuilt quantized store: stage 1 scans ONLY
     * the narrow (pk, _q) columns (check ReadSchema in the plan — no float
     * vectors move until stage 2), stage 2 joins the k·oversample candidate

@@ -200,6 +200,32 @@ class ApproxAnnSpec extends SparkSpec {
     got.foreach { case (id, d) => exactD.get(id).foreach(ed => assert(ed == d)) }
   }
 
+  test("ivfpq: trained cells + codebooks, pruned candidates, exact distances, recall") {
+    val (assigned, centroids) = ApproxAnn.buildIvfIndex(emb, "embedding", k = 16)
+    val cb = ApproxAnn.trainPqCodebooks(emb, "embedding", m = 8, k = 16)
+    val codes = ApproxAnn.pqEncode(assigned, "embedding", cb)
+      .select("vec_id", "_centroid", "_pq")
+    val got = ApproxAnn.searchIvfPq(codes, emb, "embedding", Seq("vec_id"),
+      Euclidean, AnnRequest(qv, 10), centroids, cb, nprobe = 8, oversample = 8.0)
+      .select("vec_id", "distance").as[(Long, Double)].collect().toSeq
+    assert(got.length == 10)
+    // candidates can only come from the probed cells
+    val probed = centroids.map { case (cid, cvec) =>
+      (cvec.zip(qv).map { case (c, q) =>
+        (c.toDouble - q.toDouble) * (c.toDouble - q.toDouble) }.sum, cid)
+    }.sortBy(identity).take(8).map(_._2).toSet
+    val cells = codes.filter(col("vec_id").isin(got.map(_._1): _*))
+      .select("_centroid").as[Int].collect().toSet
+    assert(cells.subsetOf(probed), s"cells=$cells probed=$probed")
+    // exact stage-2 distances; recall bounded by the double pruning but
+    // non-degenerate with half the cells probed and an 8× shortlist
+    val exactD = Ann.plan(emb, "embedding", Seq("vec_id"), Euclidean, AnnRequest(qv, 10))
+      .select("vec_id", "distance").as[(Long, Double)].collect().toMap
+    got.foreach { case (id, d) => exactD.get(id).foreach(ed => assert(ed == d)) }
+    val recall = exactIds(10).count(got.map(_._1).toSet) / 10.0
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
   test("pq adc rejects non-decomposable spaces") {
     val cb = ApproxAnn.selectPqCodebooks(emb, "embedding", "vec_id", m = 8, k = 16)
     intercept[IllegalArgumentException] {

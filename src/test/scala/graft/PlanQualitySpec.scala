@@ -93,6 +93,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("ivfpq: cell-pruned code scan feeding the broadcast rescore") {
+    val p = plan("ann_ivfpq")
+    assert(p.contains("_pq"), p.take(2000))
+    // the probe prunes the _centroid-partitioned store at the source
+    assert(p.contains("_centroid"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("stratified sample: stateless filter, no shuffle, narrow scan") {
     val p = plan("stratified_sample")
     assert(!p.contains("Exchange"), s"sampling must not shuffle:\n${p.take(2000)}")
