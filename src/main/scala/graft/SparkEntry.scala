@@ -39,7 +39,8 @@ object SparkEntry {
     * ([[graft.sources.IndexStorage.materializeCached]]). Bench warms these
     * before its timed loop so probe cost is measured, not build cost. */
   val indexBackedQueries: Seq[String] =
-    Seq("ann_lsh", "ann_lsh_filtered", "ann_rescored", "ann_b1", "bm25_single",
+    Seq("ann_lsh", "ann_lsh_filtered", "ann_rescored", "ann_b1", "ann_pq",
+      "ann_ivfpq", "bm25_single",
       "dedup_jaccard", "dedup_minhash", "dedup_clusters", "decontamination")
 
   // ---- ANN helpers ---------------------------------------------------------

@@ -250,10 +250,13 @@ object Dedup {
   def nearDupProbe(
       probeSh: DataFrame, probeSigs: DataFrame,
       storeSh: DataFrame, storeSigs: DataFrame,
-      idCol: String, bands: Int, threshold: Double): DataFrame = {
+      idCol: String, bands: Int, threshold: Double,
+      excludeIds: Option[DataFrame] = None): DataFrame = {
     val numHashes = probeSigs.columns.count(_.startsWith("sig_"))
     require(numHashes > 0, "probeSigs has no sig_* columns")
-    val probeIds = probeSigs.select(col(idCol)).distinct()
+    // one anti-join owns the store-side exclusion; callers with a broader
+    // latest-state id set (same-batch deletes) pass it via excludeIds
+    val probeIds = excludeIds.getOrElse(probeSigs.select(col(idCol)).distinct())
     val sSh = storeSh.join(probeIds, Seq(idCol), "left_anti")
     val sSigs = storeSigs.join(probeIds, Seq(idCol), "left_anti")
     val pb = bandBuckets(probeSigs, idCol, numHashes, bands)

@@ -71,17 +71,12 @@ final class Engine {
       status: IndexStatus = Serving, progressPct: Double = 100.0): Unit = {
     catalog.register(meta, status, progressPct)
     frames = frames.updated(meta.key, df)
+    // a re-registered index's data may differ — a previous approx store
+    // would silently serve stale rows; re-attach explicitly after rebuild
+    approxServing = approxServing.removed(meta.key)
   }
 
-  /** Approximate serving config for a registered vector index: the
-    * bucketed LSH store (e.g. a [[ApproxAnn.materializeLshIndex]]
-    * read-back) plus the adaptive probe policy. */
-  final case class ApproxServing(
-      indexed: DataFrame, nbits: Int,
-      radii: Seq[Int] = ApproxAnn.DefaultAdaptiveRadii,
-      oversample: Double = 2.0, minCoverage: Double = 0.9)
-
-  private var approxServing: Map[IndexKey, ApproxServing] = Map.empty
+  private var approxServing: Map[IndexKey, Engine.ApproxServing] = Map.empty
 
   /** Route this index's ANN queries through the adaptive LSH path
     * ([[ApproxAnn.searchLshAdaptive]]: partition-pruned probe at a
@@ -90,10 +85,19 @@ final class Engine {
     * index (vs_index/usearch.rs), while the registered base frame remains
     * the exact path. Validation (404/503/400 taxonomy) is identical to the
     * exact route. */
-  def setApproxServing(keyspace: String, index: String, cfg: ApproxServing): Unit = {
+  def setApproxServing(keyspace: String, index: String, cfg: Engine.ApproxServing): Unit = {
     val key = IndexKey(keyspace, index)
-    if (!frames.contains(key))
-      throw new QueryException(404, s"index $keyspace/$index not found")
+    val meta = catalog.get(key).map(_.meta).getOrElse(
+      throw new QueryException(404, s"index $keyspace/$index not found"))
+    // misconfiguration must fail HERE with the 400 taxonomy, not as a raw
+    // AnalysisException inside the first query's decision scan
+    val cols = cfg.indexed.columns.toSet
+    val needed = ("_bucket" +: meta.targetColumn +:
+      (meta.primaryKeyColumns ++ meta.allFilteringColumns)).distinct
+    val missing = needed.filterNot(cols.contains)
+    if (missing.nonEmpty)
+      throw new QueryException(400,
+        s"approx store for $keyspace/$index lacks column(s): ${missing.mkString(", ")}")
     approxServing = approxServing.updated(key, cfg)
   }
 
@@ -113,6 +117,7 @@ final class Engine {
   def dropIndex(keyspace: String, index: String): Boolean = {
     val key = IndexKey(keyspace, index)
     frames = frames.removed(key)
+    approxServing = approxServing.removed(key) // never outlive the index data
     catalog.remove(key)
   }
 
@@ -227,6 +232,19 @@ final class Engine {
       throw new QueryException(404, s"index $keyspace/$index not found"))
     frames(key).filter(col(entry.meta.targetColumn).isNotNull).count()
   }
+}
+
+object Engine {
+  /** Approximate serving config for a registered vector index: the
+    * bucketed LSH store (e.g. a [[ApproxAnn.materializeLshIndex]]
+    * read-back — must carry `_bucket`, the target/pk columns, and any
+    * filtering columns) plus the adaptive probe policy. Companion-scoped so
+    * configs are plain values, buildable before any engine exists and
+    * shareable across engines. */
+  final case class ApproxServing(
+      indexed: DataFrame, nbits: Int,
+      radii: Seq[Int] = ApproxAnn.DefaultAdaptiveRadii,
+      oversample: Double = 2.0, minCoverage: Double = 0.9)
 }
 
 /** Columnar response shaping (SURVEY §2 S8): pivot result rows into

@@ -187,13 +187,30 @@ object TextAnalysis {
     * (window, doc) on the left). */
   def duplicatedSpanFraction(
       df: DataFrame, idCol: String, textCol: String,
-      windowLen: Int = 10): DataFrame = {
-    val w = df.select(col(idCol), Dedup.tokens(col(textCol)).as("_ts"))
+      windowLen: Int = 10): DataFrame =
+    // the window relation feeds both the df aggregate and the join side;
+    // like the lm_score tf subtree, the inline form deliberately recomputes
+    // it (cache+checkpoint measured slower at sf0.1 for that shape —
+    // PERF.md round 5). At corpus scale, materialize [[spanWindows]] as a
+    // store and feed [[duplicatedSpanFractionFromWindows]].
+    duplicatedSpanFractionFromWindows(
+      spanWindows(df, idCol, textCol, windowLen), idCol)
+
+  /** The (id, window-hash) relation over every L-token window position —
+    * the store shape [[duplicatedSpanFractionFromWindows]] serves from
+    * (an index artifact like the shingle store, but positional: one row
+    * per window occurrence, not distinct per doc). */
+  def spanWindows(
+      df: DataFrame, idCol: String, textCol: String, windowLen: Int): DataFrame =
+    df.select(col(idCol), Dedup.tokens(col(textCol)).as("_ts"))
       .filter(size(col("_ts")) >= windowLen)
       .select(col(idCol), explode(
         transform(sequence(lit(0), size(col("_ts")) - windowLen),
           i => concat_ws(" ", slice(col("_ts"), i + 1, lit(windowLen))))).as("_w"))
       .select(col(idCol), Dedup.stableHash(col("_w")).as("_h"))
+
+  /** [[duplicatedSpanFraction]] over a prebuilt (id, _h) window table. */
+  def duplicatedSpanFractionFromWindows(w: DataFrame, idCol: String): DataFrame = {
     val docsPerSpan = w.groupBy(col("_h"))
       .agg(countDistinct(col(idCol)).as("_docs"))
     w.join(docsPerSpan, "_h")

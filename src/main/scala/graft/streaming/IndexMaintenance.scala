@@ -227,21 +227,44 @@ object IndexMaintenance {
       nBuckets: Int = 64): (DataFrame, Long) => Unit = {
     (batch: DataFrame, _: Long) =>
       import graft.operators.Dedup
-      val bucket = pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)).cast("int")
-      val isDelete = {
-        // coalesce: see mergeFtsBatch — a NULL op with live text upserts
-        val op = opCol.map(c => coalesce(upper(col(c)) === "DELETE", lit(false)))
-          .getOrElse(lit(false))
-        op || col(textCol).isNull
-      }
+      val isDelete = dedupIsDelete(textCol, opCol)
       val upserts = batch.filter(!isDelete)
       val touchedIds = batch.select(col(idCol)).distinct()
       val freshShingles = Dedup.shingles(upserts, idCol, textCol, shingleN)
         .localCheckpoint(true) // one tokenize pass feeds both stores
       val freshSigs =
         Dedup.minhashSignaturesFromShingles(freshShingles, idCol, numHashes)
-      mergeKeyed(spark, shinglePath, idCol, touchedIds, freshShingles, bucket, nBuckets)
-      mergeKeyed(spark, sigPath, idCol, touchedIds, freshSigs, bucket, nBuckets)
+      mergeDedupPrepared(spark, shinglePath, sigPath, idCol, nBuckets)(
+        touchedIds, freshShingles, freshSigs)
+  }
+
+  /** The delete predicate shared by the dedup maintenance and the
+    * streaming near-dup probe (one definition, two callers — the two
+    * delete semantics must not drift). */
+  private[streaming] def dedupIsDelete(
+      textCol: String, opCol: Option[String]): org.apache.spark.sql.Column = {
+    // coalesce: see mergeFtsBatch — a NULL op with live text upserts
+    val op = opCol.map(c => coalesce(upper(col(c)) === "DELETE", lit(false)))
+      .getOrElse(lit(false))
+    op || col(textCol).isNull
+  }
+
+  /** [[mergeDedupBatch]]'s store merge over PREBUILT batch artifacts — for
+    * callers that already computed the batch's shingles/signatures (the
+    * streaming near-dup probe), so a micro-batch is tokenized and
+    * MinHashed exactly once. */
+  def mergeDedupPrepared(
+      spark: SparkSession,
+      shinglePath: String,
+      sigPath: String,
+      idCol: String,
+      nBuckets: Int = 64)(
+      touchedIds: DataFrame,
+      freshShingles: DataFrame,
+      freshSigs: DataFrame): Unit = {
+    val bucket = pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)).cast("int")
+    mergeKeyed(spark, shinglePath, idCol, touchedIds, freshShingles, bucket, nBuckets)
+    mergeKeyed(spark, sigPath, idCol, touchedIds, freshSigs, bucket, nBuckets)
   }
 
   /** Read the maintained dedup stores back as the

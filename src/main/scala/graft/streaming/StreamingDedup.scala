@@ -47,12 +47,17 @@ object StreamingDedup {
     * and (3) merges the batch into the maintained shingle/signature stores
     * ([[IndexMaintenance.mergeDedupBatch]]: touched-bucket-only rewrites).
     *
-    * Probe-before-merge means every near-dup pair of the growing corpus is
-    * emitted exactly once — in the epoch where its LATER member arrives —
-    * so the accumulated pair log equals the batch operator over the final
-    * corpus (pinned in StreamingSpec). A batch's ids are the latest state:
-    * store rows under those ids (stale text, same-batch deletes) are
-    * excluded from the probe's store side before matching. */
+    * Probe-before-merge: on an APPEND-ONLY stream every near-dup pair of
+    * the growing corpus is emitted exactly once — in the epoch where its
+    * later member arrives — so the accumulated pair log equals the batch
+    * operator over the final corpus (pinned in StreamingSpec). Under
+    * at-least-once/update delivery the log is an EVENT STREAM, not a
+    * table: a re-delivered or updated doc re-probes with its fresh text
+    * (its store rows are excluded before matching), re-confirming pairs
+    * under the new epoch, and pairs its OLD text earned in earlier epochs
+    * are not retracted. Consumers needing current-state pairs reduce by
+    * (id_a, id_b) against doc liveness — the same contract as any CDC
+    * changelog. */
   def nearDupBatch(
       spark: SparkSession,
       shinglePath: String,
@@ -68,30 +73,22 @@ object StreamingDedup {
       nBuckets: Int = 64): (DataFrame, Long) => Unit = {
     import graft.operators.Dedup
     import graft.sources.IndexStorage
-    val merge = IndexMaintenance.mergeDedupBatch(
-      spark, shinglePath, sigPath, idCol, textCol, opCol, shingleN,
-      numHashes, nBuckets)
     (batch: DataFrame, epoch: Long) => {
-      val isDelete = {
-        val op = opCol.map(c => coalesce(upper(col(c)) === "DELETE", lit(false)))
-          .getOrElse(lit(false))
-        op || col(textCol).isNull
-      }
-      val upserts = batch.filter(!isDelete)
+      val upserts = batch.filter(!IndexMaintenance.dedupIsDelete(textCol, opCol))
       val touched = batch.select(col(idCol)).distinct()
+      // ONE tokenize+MinHash pass per batch feeds the probe AND the merge
       val probeSh = Dedup.shingles(upserts, idCol, textCol, shingleN)
-        .localCheckpoint(true) // one tokenize pass feeds sigs + verify
+        .localCheckpoint(true)
       val probeSigs = Dedup.minhashSignaturesFromShingles(probeSh, idCol, numHashes)
       val (storeSh, storeSigs) =
-        if (IndexStorage.exists(spark, shinglePath) && IndexStorage.exists(spark, sigPath)) {
-          val (sh, sg) = IndexMaintenance.readDedupIndex(spark, shinglePath, sigPath)
-          (sh.join(touched, Seq(idCol), "left_anti"),
-            sg.join(touched, Seq(idCol), "left_anti"))
-        } else (probeSh.limit(0), probeSigs.limit(0))
+        if (IndexStorage.exists(spark, shinglePath) && IndexStorage.exists(spark, sigPath))
+          IndexMaintenance.readDedupIndex(spark, shinglePath, sigPath)
+        else (probeSh.limit(0), probeSigs.limit(0))
       Dedup.nearDupProbe(probeSh, probeSigs, storeSh, storeSigs,
-          idCol, bands, threshold)
+          idCol, bands, threshold, excludeIds = Some(touched))
         .write.mode("overwrite").parquet(s"$pairsPath/epoch=$epoch")
-      merge(batch, epoch)
+      IndexMaintenance.mergeDedupPrepared(spark, shinglePath, sigPath, idCol,
+        nBuckets)(touched, probeSh, probeSigs)
     }
   }
 

@@ -109,7 +109,7 @@ class EngineSpec extends SparkSpec {
     val exact = e.ann("ks", "ann_a", AnnRequest(vec(3), limit = 5))
       .select("pk", "distance").as[(Int, Double)].collect().toSeq
 
-    e.setApproxServing("ks", "ann_a", e.ApproxServing(
+    e.setApproxServing("ks", "ann_a", Engine.ApproxServing(
       ApproxAnn.buildLshIndex(df, "embedding", nbits = 8, dims = 64), nbits = 8))
     // unfiltered on scattered vectors: no radius certifies 0.9 coverage ⇒
     // exact fallback ⇒ identical results through the same route
@@ -135,8 +135,25 @@ class EngineSpec extends SparkSpec {
     assert(e.ann("ks", "ann_a", AnnRequest(vec(3), limit = 5))
       .select("pk", "distance").as[(Int, Double)].collect().toSeq == exact)
     assert(intercept[QueryException] {
-      e.setApproxServing("ks", "nope", e.ApproxServing(df, 8))
+      e.setApproxServing("ks", "nope", Engine.ApproxServing(df, 8))
     }.status == 404)
+    // a store missing the bucket / filtering columns is rejected at SET
+    // time with the 400 taxonomy, not as an AnalysisException at query time
+    assert(intercept[QueryException] {
+      e.setApproxServing("ks", "ann_a", Engine.ApproxServing(df, 8)) // no _bucket
+    }.status == 400)
+    assert(intercept[QueryException] {
+      e.setApproxServing("ks", "ann_a", Engine.ApproxServing(
+        ApproxAnn.buildLshIndex(df.drop("c1"), "embedding", 8, 64), 8))
+    }.status == 400) // filtering column c1 absent from the store
+    // stale-config hygiene: re-registering or dropping the index detaches
+    // the approx store rather than serving the old data
+    e.setApproxServing("ks", "ann_a", Engine.ApproxServing(
+      ApproxAnn.buildLshIndex(df, "embedding", 8, 64), 8))
+    e.addIndex(meta, df.limit(20))
+    val approxCount = e.counters().getOrElse("ann-approx-queries", 0L)
+    e.ann("ks", "ann_a", AnnRequest(vec(3), limit = 5))
+    assert(e.counters().getOrElse("ann-approx-queries", 0L) == approxCount) // exact route
   }
 
   test("bm25 route: 404 / kind mismatch / search") {

@@ -211,6 +211,13 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(p("pairs"))
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet == Set((1L, 2L)))
     assert(spark.read.parquet(p("sigs")).collect().toSet == sigsBefore)
+    // at-least-once delivery under a NEW epoch re-confirms the pair there
+    // (the log is an event stream, not a table — documented contract);
+    // reducing by (id_a, id_b) still yields the single live pair
+    fn(Seq(2L -> base).toDF("doc_id", "text"), 2L)
+    val byEpoch = spark.read.parquet(p("pairs"))
+      .select("epoch", "id_a", "id_b").as[(Long, Long, Long)].collect().toSet
+    assert(byEpoch == Set((1L, 1L, 2L), (2L, 1L, 2L)))
     FileUtils.deleteDirectory(dir)
   }
 
