@@ -195,6 +195,100 @@ object IndexMaintenance {
         fresh.select(col(idCol), col(semCol)), pkBucket, nBuckets)
   }
 
+  /** foreachBatch writer for the flat PQ code store
+    * ([[graft.operators.ApproxAnn.materializePqIndex]] layout: id, _pq,
+    * pk-hash bucketed). The codebooks are FIXED index metadata during
+    * maintenance, like the IVF centroids or LSH hyperplanes — retraining
+    * them is an index rebuild. Codes are derived per row, so maintenance
+    * is plain [[mergeKeyed]]: no sidecar, no semantic-cell moves. */
+  def mergePqBatch(
+      spark: SparkSession,
+      codesPath: String,
+      idCol: String,
+      vecCol: String,
+      opCol: Option[String],
+      codebooks: graft.operators.ApproxAnn.PqCodebooks,
+      nBuckets: Int = 64): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, _: Long) =>
+      import graft.operators.ApproxAnn
+      val isDelete = {
+        val op = opCol.map(c => coalesce(upper(col(c)) === "DELETE", lit(false)))
+          .getOrElse(lit(false))
+        op || col(vecCol).isNull
+      }
+      val fresh = ApproxAnn.pqEncode(
+          batch.filter(!isDelete).select(col(idCol), col(vecCol)),
+          vecCol, codebooks)
+        .select(col(idCol), col("_pq"))
+      val touchedIds = batch.select(col(idCol)).distinct()
+      val bucket = pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)).cast("int")
+      mergeKeyed(spark, codesPath, idCol, touchedIds, fresh, bucket, nBuckets)
+  }
+
+  /** foreachBatch writer for the IVFADC code store (`_centroid`-partitioned
+    * (id, _pq) rows, the [[graft.operators.ApproxAnn.searchIvfPq]] input):
+    * assignment + encode per upsert, then the same semantic-bucket merge as
+    * the IVF index — a changed vector may move cells, tracked by the
+    * sidecar; only old ∪ new cells rewrite. */
+  def mergeIvfPqBatch(
+      spark: SparkSession,
+      indexPath: String,
+      sidecarPath: String,
+      idCol: String,
+      vecCol: String,
+      opCol: Option[String],
+      centroids: Seq[(Int, Seq[Float])],
+      codebooks: graft.operators.ApproxAnn.PqCodebooks,
+      nBuckets: Int = 64): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, _: Long) =>
+      import graft.operators.ApproxAnn
+      val isDelete = {
+        val op = opCol.map(c => coalesce(upper(col(c)) === "DELETE", lit(false)))
+          .getOrElse(lit(false))
+        op || col(vecCol).isNull
+      }
+      val fresh = ApproxAnn.pqEncode(
+          ApproxAnn.assignToCentroids(
+            batch.filter(!isDelete).select(col(idCol), col(vecCol)),
+            vecCol, centroids),
+          vecCol, codebooks)
+        .select(col(idCol), col("_pq"), col("_centroid").cast("long").as("_centroid"))
+      val touchedIds = batch.select(col(idCol)).distinct()
+      mergeSemanticBuckets(spark, indexPath, sidecarPath, idCol, "_pq",
+        "_centroid", fresh, touchedIds, nBuckets)
+  }
+
+  /** Read the maintained IVFADC code store back (the
+    * [[graft.operators.ApproxAnn.searchIvfPq]] `codes` shape). */
+  def readIvfPqIndex(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read.parquet(indexPath)
+      .withColumn("_centroid", col("_centroid").cast("int"))
+
+  /** foreachBatch writer for the positional span-window store
+    * ((id, _h), the [[graft.operators.TextAnalysis
+    * .duplicatedSpanFractionFromWindows]] input): windows are derived per
+    * row, so maintenance is plain [[mergeKeyed]] like the shingle store. */
+  def mergeSpanBatch(
+      spark: SparkSession,
+      spanPath: String,
+      idCol: String,
+      textCol: String,
+      opCol: Option[String],
+      windowLen: Int = 10,
+      nBuckets: Int = 64): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, _: Long) =>
+      import graft.operators.TextAnalysis
+      val fresh = TextAnalysis.spanWindows(
+        batch.filter(!dedupIsDelete(textCol, opCol)), idCol, textCol, windowLen)
+      val touchedIds = batch.select(col(idCol)).distinct()
+      val bucket = pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)).cast("int")
+      mergeKeyed(spark, spanPath, idCol, touchedIds, fresh, bucket, nBuckets)
+  }
+
+  /** Read the maintained span-window store back. */
+  def readSpanIndex(spark: SparkSession, spanPath: String): DataFrame =
+    spark.read.parquet(spanPath).drop(BucketCol)
+
   /** Read the maintained IVF index back (the [[ApproxAnn.searchIvf]] input
     * shape: id, vector, _centroid int). */
   def readIvfIndex(spark: SparkSession, indexPath: String): DataFrame =

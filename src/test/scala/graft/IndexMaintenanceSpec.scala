@@ -169,6 +169,65 @@ class IndexMaintenanceSpec extends SparkSpec {
     } finally FileUtils.deleteDirectory(dir)
   }
 
+  test("incremental PQ / IVFADC / span stores: == full rebuild of the live rows") {
+    import graft.operators.{ApproxAnn, TextAnalysis}
+    import org.apache.commons.io.FileUtils
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_inc").toFile
+    def p(n: String) = new java.io.File(dir, n).getAbsolutePath
+    // fixed metadata: 2 centroids, 2 subspaces × 2 codewords over dim 4
+    val centroids = Seq(0 -> Seq(1f, 0f, 0f, 0f), 1 -> Seq(-1f, 0f, 0f, 0f))
+    val codebooks: ApproxAnn.PqCodebooks = Seq(
+      Seq(0 -> Seq(1f, 0f), 1 -> Seq(-1f, 0f)),
+      Seq(0 -> Seq(0f, 1f), 1 -> Seq(0f, -1f)))
+    val mergePq = IndexMaintenance.mergePqBatch(
+      spark, p("pq"), "vec_id", "embedding", Some("op"), codebooks)
+    val mergeIvfPq = IndexMaintenance.mergeIvfPqBatch(
+      spark, p("ivfpq"), p("sidecar"), "vec_id", "embedding", Some("op"),
+      centroids, codebooks)
+    val mergeSpan = IndexMaintenance.mergeSpanBatch(
+      spark, p("span"), "vec_id", "text", Some("op"), windowLen = 3)
+    def b(rows: Seq[(Long, Seq[Float], String, String)]) =
+      rows.toDF("vec_id", "embedding", "text", "op")
+    try {
+      val b0 = b(Seq(
+        (1L, Seq(0.9f, 0.2f, 0f, 0.5f), "one two three four five", "UPSERT"),
+        (2L, Seq(-0.8f, -0.3f, 0.1f, 0f), "six seven eight nine", "UPSERT"),
+        (3L, Seq(0.7f, 0f, -0.2f, 0.1f), "one two three four six", "UPSERT")))
+      Seq(mergePq, mergeIvfPq, mergeSpan).foreach(_(b0, 0L))
+      // v1 flips sign (moves IVF cell, changes codes), v3 deleted
+      val b1 = b(Seq(
+        (1L, Seq(-0.9f, 0.2f, 0f, -0.5f), "one two three four five", "UPSERT"),
+        (3L, null, null, "DELETE")))
+      Seq(mergePq, mergeIvfPq, mergeSpan).foreach(_(b1, 1L))
+
+      val live = Seq(
+        (1L, Seq(-0.9f, 0.2f, 0f, -0.5f), "one two three four five"),
+        (2L, Seq(-0.8f, -0.3f, 0.1f, 0f), "six seven eight nine"))
+        .toDF("vec_id", "embedding", "text")
+      // flat PQ store == fresh encode of the live rows
+      val pqGot = spark.read.parquet(p("pq")).select("vec_id", "_pq")
+        .as[(Long, Seq[Int])].collect().toSet
+      val pqWant = ApproxAnn.pqEncode(live, "embedding", codebooks)
+        .select("vec_id", "_pq").as[(Long, Seq[Int])].collect().toSet
+      assert(pqGot == pqWant)
+      // IVFADC store == fresh assign+encode; cells reflect the move
+      val ipqGot = IndexMaintenance.readIvfPqIndex(spark, p("ivfpq"))
+        .select("vec_id", "_pq", "_centroid").as[(Long, Seq[Int], Int)].collect().toSet
+      val ipqWant = ApproxAnn.pqEncode(
+          ApproxAnn.assignToCentroids(live, "embedding", centroids),
+          "embedding", codebooks)
+        .select("vec_id", "_pq", "_centroid").as[(Long, Seq[Int], Int)].collect().toSet
+      assert(ipqGot == ipqWant)
+      assert(ipqGot.forall(_._3 == 1)) // both live vectors now in cell 1
+      // span store == fresh windows of the live rows
+      val spanGot = IndexMaintenance.readSpanIndex(spark, p("span"))
+        .as[(Long, Long)].collect().toSet
+      val spanWant = TextAnalysis.spanWindows(live, "vec_id", "text", 3)
+        .as[(Long, Long)].collect().toSet
+      assert(spanGot == spanWant)
+    } finally FileUtils.deleteDirectory(dir)
+  }
+
   test("incremental dedup stores: shingles + signatures == full rebuild; store-served query correct") {
     import graft.operators.Dedup
     import org.apache.commons.io.FileUtils
