@@ -2,7 +2,7 @@ package graft
 
 import graft.api.HttpShell
 import graft.functions.VectorFunctions.{Cosine, Euclidean}
-import graft.operators.{Catalog, Engine}
+import graft.operators.{ApproxAnn, Catalog, Engine}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
 
@@ -14,7 +14,11 @@ import org.apache.spark.sql.functions.col
   *
   * Registered indexes (the serving catalog a user of the reference would
   * recognize):
-  *  - `vs/emb_euclidean`, `vs/emb_cosine` — ANN over embeddings
+  *  - `vs/emb_euclidean`, `vs/emb_cosine` — ANN over embeddings; the
+  *    euclidean index serves through the adaptive LSH store (materialized
+  *    at startup — the approximate default, like the reference's usearch
+  *    index, with the coverage-certified exact fallback), unless
+  *    `SPARK_GRAFT_EXACT=1`
   *  - `fts/doc_text` — BM25 over documents
   */
 object Serve {
@@ -50,6 +54,20 @@ object Serve {
       "fts", "doc_text", "documents", "text",
       primaryKeyColumns = Seq("doc_id"),
       kind = Catalog.Fts(Catalog.IndexOptionsFts())), docs)
+
+    // approximate serving default for the euclidean index: a bucketed LSH
+    // store materialized once at startup (partition-pruned probes), the
+    // adaptive policy falling back to the exact scan when coverage is thin
+    if (!sys.env.get("SPARK_GRAFT_EXACT").contains("1")) {
+      val lsh = graft.sources.IndexStorage.materializeCached(
+          spark, s"$sfDir/embeddings.parquet",
+          s"/tmp/graft-indexes/serve-lsh8-${new java.io.File(sfDir).getName}",
+          Seq("_bucket")) {
+        ApproxAnn.buildLshIndex(emb, "embedding", nbits = 8, dims = dims)
+      }
+      engine.setApproxServing("vs", "emb_euclidean",
+        Engine.ApproxServing(lsh, nbits = 8))
+    }
 
     val shell = HttpShell.start(engine, port = port)
     // scalastyle:off println — operator console, not a log
