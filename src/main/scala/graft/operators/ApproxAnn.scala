@@ -556,6 +556,31 @@ object ApproxAnn {
       base, vecCol, pkCols, space, req, codebooks, oversample)
   }
 
+  /** Adaptive filtered IVFADC: the same coverage certification as
+    * [[searchIvfAdaptive]], run over the narrow code store (the decision
+    * scan reads `_centroid` + filter columns — codes and vectors stay on
+    * disk). A selective predicate whose matching rows are NOT concentrated
+    * in the probed cells would silently lose recall under a fixed nprobe;
+    * here the first nprobe holding `limit·oversample` matching rows AND
+    * `minCoverage` of all matching rows wins, else the plan falls back to
+    * the exact scan over `base` (recall 1.0, cheap precisely when it
+    * triggers). Note [[searchPq]] itself needs no such compensation — its
+    * stage 1 scans every row, so a selective filter only SHRINKS the ADC
+    * shortlist toward the exact answer (pinned in ApproxAnnSpec). */
+  def searchIvfPqAdaptive(
+      codes: DataFrame, base: DataFrame, vecCol: String, pkCols: Seq[String],
+      space: Space, req: AnnRequest,
+      centroids: Seq[(Int, Seq[Float])], codebooks: PqCodebooks,
+      nprobes: Seq[Int] = Seq(1, 2, 4, 8), oversample: Double = 4.0,
+      minCoverage: Double = 0.9): DataFrame =
+    chooseIvfProbes(codes, "_pq", req, centroids, nprobes,
+      oversample, minCoverage) match {
+      case Some(np) =>
+        searchIvfPq(codes, base, vecCol, pkCols, space, req, centroids,
+          codebooks, np, oversample)
+      case None => Ann.plan(base, vecCol, pkCols, space, req)
+    }
+
   /** Two-stage rescoring over a prebuilt quantized store: stage 1 scans ONLY
     * the narrow (pk, _q) columns (check ReadSchema in the plan — no float
     * vectors move until stage 2), stage 2 joins the k·oversample candidate

@@ -226,6 +226,49 @@ class ApproxAnnSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("pq under selective filters: shortlist shrinks toward the exact answer") {
+    // searchPq's stage 1 scans every row (no pruning), so a selective
+    // predicate can only SHRINK the ADC shortlist: once matching rows ≤
+    // stage1K, every matching row is exact-rescored and the result IS the
+    // exact filtered top-k — PQ needs no adaptive compensation
+    import graft.operators.Restriction
+    val cb = ApproxAnn.selectPqCodebooks(emb, "embedding", "vec_id", m = 8, k = 16)
+    val codes = ApproxAnn.pqEncode(emb, "embedding", cb)
+      .select("vec_id", "_pq")
+    val tight = Restriction.Lt("vec_id", 30L) // 30 matching < stage1K = 80
+    val got = ApproxAnn.searchPq(codes, emb, "embedding", Seq("vec_id"),
+      Euclidean,
+      AnnRequest(qv, 10, restrictions = Seq(tight), allowFiltering = true),
+      cb, oversample = 8.0)
+      .select("vec_id", "distance").as[(Long, Double)].collect().toSeq
+    val exact = Ann.plan(emb, "embedding", Seq("vec_id"), Euclidean,
+      AnnRequest(qv, 10, restrictions = Seq(tight), allowFiltering = true))
+      .select("vec_id", "distance").as[(Long, Double)].collect().toSeq
+    assert(got == exact)
+  }
+
+  test("ivfpq adaptive: selective filter falls back to the exact scan") {
+    import graft.operators.Restriction
+    val (assigned, centroids) = ApproxAnn.buildIvfIndex(emb, "embedding", k = 16)
+    val cb = ApproxAnn.trainPqCodebooks(emb, "embedding", m = 8, k = 16)
+    val codes = ApproxAnn.pqEncode(assigned, "embedding", cb)
+      .select("vec_id", "_centroid", "_pq")
+    val tight = Restriction.Lt("vec_id", 5L) // 5 matching « limit·oversample
+    val req = AnnRequest(qv, 10, restrictions = Seq(tight), allowFiltering = true)
+    // no nprobe can hold limit·oversample matching candidates ⇒ fail
+    assert(ApproxAnn.chooseIvfProbes(codes, "_pq", req, centroids,
+      Seq(1, 2, 4, 8)).isEmpty)
+    val got = ApproxAnn.searchIvfPqAdaptive(codes, emb, "embedding",
+      Seq("vec_id"), Euclidean, req, centroids, cb)
+      .select("vec_id", "distance").as[(Long, Double)].collect().toSeq
+    val exact = Ann.plan(emb, "embedding", Seq("vec_id"), Euclidean, req)
+      .select("vec_id", "distance").as[(Long, Double)].collect().toSeq
+    assert(got == exact) // recall 1.0 in the fallback regime
+    // probing ALL cells always certifies (coverage 1.0) ⇒ pruned branch
+    assert(ApproxAnn.chooseIvfProbes(codes, "_pq",
+      AnnRequest(qv, 10, restrictions = Nil), centroids, Seq(16)) == Some(16))
+  }
+
   test("pq adc rejects non-decomposable spaces") {
     val cb = ApproxAnn.selectPqCodebooks(emb, "embedding", "vec_id", m = 8, k = 16)
     intercept[IllegalArgumentException] {
