@@ -419,6 +419,50 @@ object Dedup {
       .select("id_a", "id_b", "cos_sim")
   }
 
+  /** Probe NEW embeddings against a maintained LSH vector store — the
+    * cross-modal twin of [[nearDupProbe]] (see
+    * [[graft.streaming.StreamingDedup.embeddingNearDupBatch]]). Candidates
+    * are (probe, store-or-probe) pairs whose sign-LSH buckets differ in at
+    * most `radius` bits (the probe side explodes its Hamming-ball masks;
+    * the store side keeps its materialized `_bucket`), verified by exact
+    * cosine ≥ threshold, emitted canonically (id_a < id_b). Store rows
+    * whose id is being re-delivered are excluded — fresh vectors win. */
+  def embeddingNearDupProbe(
+      probe: DataFrame, store: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nbits: Int = 8, radius: Int = 2,
+      excludeIds: Option[DataFrame] = None): DataFrame = {
+    import graft.functions.VectorFunctions.{dot, norm}
+    val dimsOpt = probe.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).limit(1).collect().headOption.map(_.getInt(0))
+    val dims = dimsOpt.getOrElse(
+      return probe.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
+        lit(0.0).as("cos_sim")).limit(0))
+    val planes = ApproxAnn.hyperplanes(nbits, dims)
+    val pIds = excludeIds.getOrElse(probe.select(col(idCol)).distinct())
+    val p = probe.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol),
+        ApproxAnn.lshBucket(col(vecCol), planes).as("_b"))
+    val s = store.join(pIds, Seq(idCol), "left_anti")
+      .select(col(idCol), col(vecCol), col("_bucket").as("_b"))
+    val all = s.unionByName(p)
+    val masks = ApproxAnn.hammingMasks(nbits, radius)
+    val pa = p.select(col(idCol).as("_pid"),
+      explode(array(masks.map(m => col("_b").bitwiseXOR(lit(m))): _*)).as("_b"))
+    val cand = pa.join(all.select(col(idCol).as("_cid"), col("_b")), Seq("_b"))
+      .filter(col("_pid") =!= col("_cid"))
+      .select(least(col("_pid"), col("_cid")).as("id_a"),
+        greatest(col("_pid"), col("_cid")).as("id_b"))
+      .distinct()
+    val va = all.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      norm(col(vecCol)).as("na"))
+    val vb = all.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      norm(col(vecCol)).as("nb"))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .withColumn("cos_sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
+
   /** Exact all-pairs cosine near-dup — O(n²) BroadcastNestedLoopJoin. The
     * oracle baseline ONLY; use [[embeddingNearDups]] (LSH-bucketed) as the
     * serving path. */

@@ -92,6 +92,47 @@ object StreamingDedup {
     }
   }
 
+  /** Cross-modal twin of [[nearDupBatch]]: per micro-batch, probe the
+    * incoming EMBEDDINGS against the maintained LSH vector store
+    * ([[graft.operators.Dedup.embeddingNearDupProbe]]: Hamming-ball bucket
+    * candidates, exact cosine verify), write pairs to `pairsPath/epoch=N`
+    * (overwrite ⇒ replay-idempotent), then merge the batch into the store
+    * ([[IndexMaintenance.mergeVsBatch]]: touched-cell rewrites + sidecar).
+    * Same probe-before-merge contract and event-stream semantics as the
+    * text path. */
+  def embeddingNearDupBatch(
+      spark: SparkSession,
+      indexPath: String,
+      sidecarPath: String,
+      pairsPath: String,
+      idCol: String,
+      vecCol: String,
+      opCol: Option[String],
+      dims: Int,
+      threshold: Double,
+      nbits: Int = 8,
+      radius: Int = 2,
+      nBuckets: Int = 64): (DataFrame, Long) => Unit = {
+    import graft.operators.Dedup
+    import graft.sources.IndexStorage
+    val merge = IndexMaintenance.mergeVsBatch(
+      spark, indexPath, sidecarPath, idCol, vecCol, opCol, dims, nbits, nBuckets)
+    (batch: DataFrame, epoch: Long) => {
+      val upserts = batch.filter(!IndexMaintenance.dedupIsDelete(vecCol, opCol))
+      val touched = batch.select(col(idCol)).distinct()
+      val store =
+        if (IndexStorage.exists(spark, indexPath))
+          IndexMaintenance.readVsIndex(spark, indexPath)
+        else upserts.select(col(idCol), col(vecCol)).limit(0)
+          .withColumn("_bucket", lit(0L))
+      Dedup.embeddingNearDupProbe(
+          upserts.select(col(idCol), col(vecCol)), store, idCol, vecCol,
+          threshold, nbits, radius, excludeIds = Some(touched))
+        .write.mode("overwrite").parquet(s"$pairsPath/epoch=$epoch")
+      merge(batch, epoch)
+    }
+  }
+
   /** First-seen-wins streaming dedup: emits each distinct digest's first
     * arrival (ties within a micro-batch broken by min id — deterministic
     * under replay, matching the batch operator's min(id) survivor rule). */

@@ -187,6 +187,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming embedding near-dup: pair log == batch LSH operator on the final corpus") {
+    import graft.operators.Dedup
+    import graft.streaming.StreamingDedup
+    import org.apache.commons.io.FileUtils
+    val dir = java.nio.file.Files.createTempDirectory("graft_embdup").toFile
+    def p(n: String) = new java.io.File(dir, n).getAbsolutePath
+    def v(seed: Int, eps: Float = 0f): Seq[Float] =
+      (0 until 8).map(d => math.sin(seed * 2.3 + d * 0.9).toFloat + (if (d == 0) eps else 0f))
+    val rows = Seq( // two near-dup clusters split across epochs + singletons
+      (1L, v(1)), (2L, v(1, 0.01f)), (3L, v(7)),       // epoch 0
+      (4L, v(1, 0.02f)), (5L, v(12)),                  // epoch 1: joins cluster {1,2}
+      (6L, v(12, 0.015f)))                             // epoch 2: pairs with 5
+    val batches = Seq(rows.take(3), rows.slice(3, 5), rows.drop(5))
+    val fn = StreamingDedup.embeddingNearDupBatch(
+      spark, p("lsh"), p("sidecar"), p("pairs"),
+      "vec_id", "embedding", opCol = None, dims = 8, threshold = 0.99)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      fn(b.toDF("vec_id", "embedding"), i.toLong) }
+    val streamed = spark.read.parquet(p("pairs"))
+      .select("id_a", "id_b", "cos_sim").as[(Long, Long, Double)].collect().toSeq
+    assert(streamed.map(x => (x._1, x._2)).distinct.length == streamed.length)
+    val batch = Dedup.embeddingNearDups(
+        rows.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        threshold = 0.99)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(streamed.toSet == batch.toSet, s"streamed=$streamed batch=$batch")
+    assert(streamed.map(x => (x._1, x._2)).toSet
+      .intersect(Set((1L, 2L), (1L, 4L), (2L, 4L), (5L, 6L))).size >= 3)
+    FileUtils.deleteDirectory(dir)
+  }
+
   test("streaming near-dup: re-delivered id probes with fresh text, replay idempotent") {
     import graft.streaming.StreamingDedup
     import org.apache.commons.io.FileUtils
