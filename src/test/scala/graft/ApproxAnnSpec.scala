@@ -276,6 +276,31 @@ class ApproxAnnSpec extends SparkSpec {
     }
   }
 
+  test("pq dot-product path; cosine = unit-normalize then dot") {
+    import graft.functions.VectorFunctions.{DotProduct, Cosine}
+    // dot decomposes additively across subspaces, so the DotProduct LUT
+    // serves directly; cosine is served by normalizing at build time and
+    // ranking by dot — the documented standard practice
+    val unit = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        VectorFunctions.unitNormalize(col("embedding")).as("embedding"))
+    val cb = ApproxAnn.selectPqCodebooks(unit, "embedding", "vec_id", m = 8, k = 16)
+    val codes = ApproxAnn.pqEncode(unit, "embedding", cb).select("vec_id", "_pq")
+    val qUnit = {
+      val n = math.sqrt(qv.map(x => x.toDouble * x.toDouble).sum)
+      qv.map(x => (x / n).toFloat)
+    }
+    val got = ApproxAnn.searchPq(codes, unit, "embedding", Seq("vec_id"),
+      DotProduct, AnnRequest(qUnit, 10), cb, oversample = 8.0)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got.length == 10)
+    // rescored dot ranking over unit vectors == cosine ranking of the originals
+    val cosExact = Ann.plan(emb, "embedding", Seq("vec_id"), Cosine,
+      AnnRequest(qv, 10)).select("vec_id").as[Long].collect().toSeq
+    val recall = cosExact.count(got.toSet) / 10.0
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
   test("f16/bf16 simulation: coarser mantissa, order preserved") {
     val v = Seq(Tuple1(Seq(0.1f, 0.2f, 0.3f, 1000.5f)))
       .toDF("v")
