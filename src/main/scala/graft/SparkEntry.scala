@@ -3,8 +3,8 @@ package graft
 import graft.functions.VectorFunctions._
 import graft.operators.Ann.AnnRequest
 import graft.operators.{Ann, ApproxAnn, Bm25, Catalog, Curation, Dedup,
-  Engine, Lww, Multimodal, Restriction, RestrictionCompiler, ResultFormat,
-  Sessionize, TextAnalysis}
+  Engine, Lww, Multimodal, QualityMetrics, Restriction, RestrictionCompiler,
+  ResultFormat, Sessionize, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -626,6 +626,37 @@ object SparkEntry {
       ApproxAnn.searchIvfPq(codes, emb, "embedding", Seq("vec_id"), Euclidean,
           AnnRequest(qv, limit = 10), centroids, cb, nprobe = 4, oversample = 4.0)
         .select(col("vec_id"), (round(col("distance"), 6) + lit(0.0)).as("distance"))
+    }),
+
+    // Search-quality metrics oracle-checked end-to-end (the reference's
+    // harness measurements: recall@k / precision@k / MRR / nDCG@k,
+    // benchmark/src/main.rs:608-634 + latte FTS README): retrieved = the
+    // LSH radius-2 kNN of queries 0..4 (self excluded, exact-ranked within
+    // candidates), relevant = the exact kNN — both replayed in SQL, then
+    // the metric arithmetic itself is replayed term-for-term.
+    "search_quality" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      def ranked(df: DataFrame, outCol: String, k: Int) =
+        df.groupBy("query_id")
+          .agg(slice(transform(
+            sort_array(collect_list(struct(col("rank"), col("vec_id")))),
+            x => x.getField("vec_id")), 1, k).as(outCol))
+      val ret = ranked(
+        ApproxAnn.knnJoinLsh(emb, "embedding", "vec_id", Euclidean, k = 10,
+          nbits = 8, radius = 2, queryFilter = col("vec_id") < 5),
+        "retrieved", 10)
+      val rel = ranked(
+        Ann.searchBatch(queries, emb, "embedding", Seq("vec_id"), Euclidean, 11)
+          .filter(col("vec_id") =!= col("query_id")),
+        "relevant", 10)
+      QualityMetrics.evaluate(ret.join(rel, "query_id"), "retrieved", "relevant", 10)
+        .select(col("query_id"),
+          (round(col("recall_at_10"), 6) + lit(0.0)).as("recall10"),
+          (round(col("precision_at_10"), 6) + lit(0.0)).as("precision10"),
+          (round(col("mrr"), 6) + lit(0.0)).as("mrr"),
+          (round(col("ndcg_at_10"), 6) + lit(0.0)).as("ndcg10"))
     }),
 
     // Multimodal plumbing: deterministic stub decode (no media libs in this
@@ -1720,6 +1751,51 @@ object SparkEntry {
          |        (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rn FROM p)
          |SELECT query_id, vec_id, round(dist, 6) + 0.0 AS distance, CAST(rn AS INT) AS rank
          |FROM r WHERE rn <= 3""".stripMargin
+    },
+
+    // Replays the retrieved/relevant construction AND the metric
+    // arithmetic: recall/precision via list_intersect, MRR via the first
+    // contained position, nDCG via the ascending 1/log2(rank+1) sums
+    // (generate_series → list_sum keeps Spark's fold order).
+    "search_quality" -> {
+      val l2AB = "list_sum(list_transform(list_zip(a.embedding, b.embedding), " +
+        "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
+        "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+      s"""WITH d AS (SELECT vec_id, embedding, ${duckLshBucket("embedding")} AS bkt
+         |           FROM embeddings WHERE embedding IS NOT NULL),
+         |p AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id, $l2AB AS dist
+         |      FROM d a, d b
+         |      WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id
+         |        AND bit_count(xor(a.bkt, b.bkt)) <= 2),
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rn FROM p),
+         |ret AS (SELECT query_id, list(vec_id ORDER BY rn) AS retrieved
+         |        FROM r WHERE rn <= 10 GROUP BY query_id),
+         |e0 AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id, $l2AB AS dist
+         |       FROM d a, d b WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id),
+         |er AS (SELECT *, row_number() OVER
+         |         (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rn FROM e0),
+         |rel AS (SELECT query_id, list(vec_id ORDER BY rn) AS relevant
+         |        FROM er WHERE rn <= 10 GROUP BY query_id),
+         |j AS (SELECT ret.query_id, retrieved, relevant
+         |      FROM ret JOIN rel USING (query_id)),
+         |m AS (SELECT query_id, retrieved, relevant,
+         |        CAST(len(list_intersect(retrieved, relevant)) AS DOUBLE) AS hits,
+         |        list_position(list_transform(retrieved,
+         |          x -> list_contains(relevant, x)), true) AS firsthit,
+         |        list_sum(list_transform(generate_series(1, len(retrieved)),
+         |          i -> CASE WHEN list_contains(relevant, retrieved[i])
+         |               THEN 1.0 / log2(i + 1.0) ELSE 0.0 END)) AS dcg,
+         |        list_sum(list_transform(generate_series(1, least(len(relevant), 10)),
+         |          i -> 1.0 / log2(i + 1.0))) AS ideal
+         |      FROM j)
+         |SELECT query_id,
+         |  round(hits / greatest(len(relevant), 1), 6) + 0.0 AS recall10,
+         |  round(hits / 10.0, 6) + 0.0 AS precision10,
+         |  round(CASE WHEN firsthit IS NULL OR firsthit = 0 THEN 0.0
+         |        ELSE 1.0 / firsthit END, 6) + 0.0 AS mrr,
+         |  round(CASE WHEN ideal > 0 THEN dcg / ideal ELSE 0.0 END, 6) + 0.0 AS ndcg10
+         |FROM m""".stripMargin
     },
 
     "dedup_embedding_lsh" ->

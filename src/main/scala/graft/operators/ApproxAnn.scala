@@ -347,7 +347,8 @@ object ApproxAnn {
     * `radius` sign bits are missed; distances of returned rows are exact. */
   def knnJoinLsh(
       df: DataFrame, vecCol: String, idCol: String, space: Space, k: Int,
-      nbits: Int = 8, radius: Int = 2): DataFrame = {
+      nbits: Int = 8, radius: Int = 2,
+      queryFilter: Column = lit(true)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dimsOpt = df.filter(col(vecCol).isNotNull)
       .select(size(col(vecCol))).limit(1).collect().headOption.map(_.getInt(0))
@@ -358,8 +359,11 @@ object ApproxAnn {
     val base = df.filter(col(vecCol).isNotNull)
       .select(col(idCol), col(vecCol), lshBucket(col(vecCol), planes).as("_b"))
     val masks = hammingMasks(nbits, radius)
-    val q = base.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
-      explode(array(masks.map(m => col("_b").bitwiseXOR(lit(m))): _*)).as("_b"))
+    // queryFilter restricts WHICH rows get neighbors (e.g. an evaluation
+    // sample); the candidate side stays the full corpus
+    val q = base.filter(queryFilter)
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+        explode(array(masks.map(m => col("_b").bitwiseXOR(lit(m))): _*)).as("_b"))
     val cand = base.select(col(idCol).as("vec_id"), col(vecCol).as("_cv"), col("_b"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("distance").asc, col("vec_id").asc)
