@@ -38,8 +38,13 @@ class ContinuousIngestSpec extends SparkSpec {
     val mergeVs = IndexMaintenance.mergeVsBatch(
       spark, p("lsh"), p("sidecar"), "doc_id", "embedding",
       opCol = Some("op"), dims = dims)
-    val mergeDedup = IndexMaintenance.mergeDedupBatch(
-      spark, p("shingles"), p("sigs"), "doc_id", "text", opCol = Some("op"))
+    // near-dup probe + dedup-store merge in one body (probe-before-merge):
+    // the CDC loop also emits the streaming pair log
+    val mergeDedup = graft.streaming.StreamingDedup.nearDupBatch(
+      spark, p("shingles"), p("sigs"), p("pairs"), "doc_id", "text",
+      opCol = Some("op"), threshold = 0.5)
+    val mergeSpan = IndexMaintenance.mergeSpanBatch(
+      spark, p("span"), "doc_id", "text", opCol = Some("op"), windowLen = 5)
 
     val mem = MemoryStream[DocEvent](spark)
     val q = mem.toDF().writeStream
@@ -60,6 +65,7 @@ class ContinuousIngestSpec extends SparkSpec {
         mergeFts(cur, id)
         mergeVs(cur, id)
         mergeDedup(cur, id)
+        mergeSpan(cur, id)
       }
       .start()
 
@@ -133,6 +139,22 @@ class ContinuousIngestSpec extends SparkSpec {
       assert(ftsHits("fox") == Set(1L, 2L) && ftsHits("spark").isEmpty)
       assert(annTop(Seq(0f, 0f, 0f, 0.9f)) == 2L)
       assert(nearDups() == Set((1L, 2L)))
+
+      // the streaming pair log: nothing in the first epoch, the pair lands
+      // in the epoch its duplicate EMERGED (batch 2), and the redelivery
+      // re-confirms it under its own epoch (event-stream contract)
+      val pairLog = spark.read.parquet(p("pairs"))
+        .select("epoch", "id_a", "id_b").as[(Long, Long, Long)].collect().toSet
+      assert(pairLog == Set((1L, 1L, 2L), (2L, 1L, 2L)), pairLog)
+
+      // the span store tracks the LWW-authoritative live rows exactly
+      val spanGot = IndexMaintenance.readSpanIndex(spark, p("span"))
+        .as[(Long, Long)].collect().toSet
+      val spanWant = graft.operators.TextAnalysis.spanWindows(
+          Seq((1L, fox1), (2L, fox2)).toDF("doc_id", "text"),
+          "doc_id", "text", 5)
+        .as[(Long, Long)].collect().toSet
+      assert(spanGot == spanWant)
     } finally {
       q.stop()
       FileUtils.deleteDirectory(dir)
