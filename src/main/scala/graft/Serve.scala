@@ -59,9 +59,13 @@ object Serve {
     // store materialized once at startup (partition-pruned probes), the
     // adaptive policy falling back to the exact scan when coverage is thin
     if (!sys.env.get("SPARK_GRAFT_EXACT").contains("1")) {
+      // cache key = full canonical path (two datasets sharing a basename
+      // must not share — or clobber — one store directory)
+      val dirKey = org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(new java.io.File(sfDir).getCanonicalPath).take(12)
       val lsh = graft.sources.IndexStorage.materializeCached(
           spark, s"$sfDir/embeddings.parquet",
-          s"/tmp/graft-indexes/serve-lsh8-${new java.io.File(sfDir).getName}",
+          s"/tmp/graft-indexes/serve-lsh8-$dirKey",
           Seq("_bucket")) {
         ApproxAnn.buildLshIndex(emb, "embedding", nbits = 8, dims = dims)
       }

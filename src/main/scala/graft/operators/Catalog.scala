@@ -156,8 +156,14 @@ final class Catalog {
           .filter(_.status == Serving)
           .flatMap(e => scoreIndex(e.meta, equalityColumns, rangeColumns)
             .map(score => (e, score)))
-          .sortBy { case (e, score) => (score, e.meta.version) }(
-            Ordering.Tuple2(needsFilteringOrdering, Ordering.Long))
+          // final tiebreak: at equal (score, version) the REQUESTED index
+          // wins — group members may differ in distance space, and a query
+          // addressed to an index that can serve must get that index's
+          // semantics (and its attached serving config), not whichever
+          // member map iteration happened to order last
+          .sortBy { case (e, score) =>
+            (score, e.meta.version, if (e.meta.key == key) 1 else 0) }(
+            Ordering.Tuple3(needsFilteringOrdering, Ordering.Long, Ordering.Int))
           .lastOption
         best match {
           case Some((e, score)) => ServingIndex(e.meta, score)

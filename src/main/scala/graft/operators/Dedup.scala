@@ -430,14 +430,18 @@ object Dedup {
   def embeddingNearDupProbe(
       probe: DataFrame, store: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nbits: Int = 8, radius: Int = 2,
-      excludeIds: Option[DataFrame] = None): DataFrame = {
+      excludeIds: Option[DataFrame] = None,
+      dims: Option[Int] = None): DataFrame = {
     import graft.functions.VectorFunctions.{dot, norm}
-    val dimsOpt = probe.filter(col(vecCol).isNotNull)
-      .select(size(col(vecCol))).limit(1).collect().headOption.map(_.getInt(0))
-    val dims = dimsOpt.getOrElse(
+    // dims is INDEX metadata — callers maintaining a store must pass the
+    // store's dims (a batch-inferred value could silently disagree with
+    // the store's hyperplanes AND costs a driver job per micro-batch)
+    val dimsOpt = dims.orElse(probe.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).limit(1).collect().headOption.map(_.getInt(0)))
+    val dimsV = dimsOpt.getOrElse(
       return probe.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
         lit(0.0).as("cos_sim")).limit(0))
-    val planes = ApproxAnn.hyperplanes(nbits, dims)
+    val planes = ApproxAnn.hyperplanes(nbits, dimsV)
     val pIds = excludeIds.getOrElse(probe.select(col(idCol)).distinct())
     val p = probe.filter(col(vecCol).isNotNull)
       .select(col(idCol), col(vecCol),

@@ -71,6 +71,22 @@ object IndexStorage {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** True when the store path holds at least one parquet data file. A store
+    * whose every row was deleted keeps its directory (markers/_SUCCESS) but
+    * no part-files — `spark.read.parquet` on it fails schema inference, so
+    * readers that survive a delete-everything epoch must probe THIS, not
+    * bare [[exists]]. */
+  def hasData(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) return true
+    }
+    false
+  }
+
   /** Hadoop-FS recursive delete (no-op when absent) — same rationale as
     * [[exists]]: bucket-directory cleanup must work on HDFS/S3, not only on
     * the local filesystem. */

@@ -166,7 +166,7 @@ object IndexMaintenance {
 
       // 1. old semantic buckets of the touched ids, via the pruned sidecar
       val oldBuckets: Seq[Long] =
-        if (graft.sources.IndexStorage.exists(spark, sidecarPath)) {
+        if (graft.sources.IndexStorage.hasData(spark, sidecarPath)) {
           val touchedPk = touchedIds.select(pkBucket.as(BucketCol)).distinct()
             .collect().map(_.getInt(0)).toSeq
           spark.read.parquet(sidecarPath)
@@ -181,7 +181,7 @@ object IndexMaintenance {
 
       // 2-3. rewrite only the touched semantic bucket directories
       val merged =
-        if (graft.sources.IndexStorage.exists(spark, indexPath))
+        if (graft.sources.IndexStorage.hasData(spark, indexPath))
           spark.read.parquet(indexPath)
             .filter(col(semCol).isin(touched: _*)) // prune on the raw partition col
             .select(col(idCol), col(vecCol), col(semCol).cast("long"))
@@ -211,13 +211,8 @@ object IndexMaintenance {
       nBuckets: Int = 64): (DataFrame, Long) => Unit = {
     (batch: DataFrame, _: Long) =>
       import graft.operators.ApproxAnn
-      val isDelete = {
-        val op = opCol.map(c => coalesce(upper(col(c)) === "DELETE", lit(false)))
-          .getOrElse(lit(false))
-        op || col(vecCol).isNull
-      }
       val fresh = ApproxAnn.pqEncode(
-          batch.filter(!isDelete).select(col(idCol), col(vecCol)),
+          batch.filter(!dedupIsDelete(vecCol, opCol)).select(col(idCol), col(vecCol)),
           vecCol, codebooks)
         .select(col(idCol), col("_pq"))
       val touchedIds = batch.select(col(idCol)).distinct()
@@ -242,14 +237,9 @@ object IndexMaintenance {
       nBuckets: Int = 64): (DataFrame, Long) => Unit = {
     (batch: DataFrame, _: Long) =>
       import graft.operators.ApproxAnn
-      val isDelete = {
-        val op = opCol.map(c => coalesce(upper(col(c)) === "DELETE", lit(false)))
-          .getOrElse(lit(false))
-        op || col(vecCol).isNull
-      }
       val fresh = ApproxAnn.pqEncode(
           ApproxAnn.assignToCentroids(
-            batch.filter(!isDelete).select(col(idCol), col(vecCol)),
+            batch.filter(!dedupIsDelete(vecCol, opCol)).select(col(idCol), col(vecCol)),
             vecCol, centroids),
           vecCol, codebooks)
         .select(col(idCol), col("_pq"), col("_centroid").cast("long").as("_centroid"))
@@ -381,7 +371,7 @@ object IndexMaintenance {
       fresh: DataFrame,
       bucket: org.apache.spark.sql.Column,
       nBuckets: Int): Unit = {
-    val exists = graft.sources.IndexStorage.exists(spark, path)
+    val exists = graft.sources.IndexStorage.hasData(spark, path)
     val touched: Seq[Int] =
       if (exists) touchedIds.select(bucket.as(BucketCol)).distinct()
         .collect().map(_.getInt(0)).toSeq

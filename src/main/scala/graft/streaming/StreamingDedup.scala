@@ -81,7 +81,7 @@ object StreamingDedup {
         .localCheckpoint(true)
       val probeSigs = Dedup.minhashSignaturesFromShingles(probeSh, idCol, numHashes)
       val (storeSh, storeSigs) =
-        if (IndexStorage.exists(spark, shinglePath) && IndexStorage.exists(spark, sigPath))
+        if (IndexStorage.hasData(spark, shinglePath) && IndexStorage.hasData(spark, sigPath))
           IndexMaintenance.readDedupIndex(spark, shinglePath, sigPath)
         else (probeSh.limit(0), probeSigs.limit(0))
       Dedup.nearDupProbe(probeSh, probeSigs, storeSh, storeSigs,
@@ -121,13 +121,14 @@ object StreamingDedup {
       val upserts = batch.filter(!IndexMaintenance.dedupIsDelete(vecCol, opCol))
       val touched = batch.select(col(idCol)).distinct()
       val store =
-        if (IndexStorage.exists(spark, indexPath))
+        if (IndexStorage.hasData(spark, indexPath))
           IndexMaintenance.readVsIndex(spark, indexPath)
         else upserts.select(col(idCol), col(vecCol)).limit(0)
           .withColumn("_bucket", lit(0L))
       Dedup.embeddingNearDupProbe(
           upserts.select(col(idCol), col(vecCol)), store, idCol, vecCol,
-          threshold, nbits, radius, excludeIds = Some(touched))
+          threshold, nbits, radius, excludeIds = Some(touched),
+          dims = Some(dims))
         .write.mode("overwrite").parquet(s"$pairsPath/epoch=$epoch")
       merge(batch, epoch)
     }

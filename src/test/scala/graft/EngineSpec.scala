@@ -156,6 +156,40 @@ class EngineSpec extends SparkSpec {
     assert(e.counters().getOrElse("ann-approx-queries", 0L) == approxCount) // exact route
   }
 
+  test("routing: requested index wins at equal (score, version) within its group") {
+    // the Serve shape: euclidean + cosine indexes over the SAME column are
+    // one routing group with equal score and version — a query addressed
+    // to either must get THAT index's distance semantics (and consult its
+    // approx config), not whichever member map order yields
+    import graft.functions.VectorFunctions.Cosine
+    val rows = (1 to 12).map(i =>
+      (i, (0 until 8).map(d => math.sin(i * 1.3 + d).toFloat)))
+    val df = rows.toDF("pk", "embedding")
+    def m(name: String, space: graft.functions.VectorFunctions.Space) =
+      IndexMetadata("ks", name, "items", "embedding",
+        primaryKeyColumns = Seq("pk"),
+        kind = Vs(IndexOptionsVs(dims = 8, space = space)))
+    val e = new Engine
+    e.addIndex(m("emb_e", Euclidean), df)
+    e.addIndex(m("emb_c", Cosine), df)
+    val qv = rows.head._2
+    val de = e.ann("ks", "emb_e", AnnRequest(qv, 3))
+      .select("pk", "distance").as[(Int, Double)].collect().toSeq
+    val dc = e.ann("ks", "emb_c", AnnRequest(qv, 3))
+      .select("pk", "distance").as[(Int, Double)].collect().toSeq
+    assert(de == Ann.plan(df, "embedding", Seq("pk"), Euclidean, AnnRequest(qv, 3))
+      .select("pk", "distance").as[(Int, Double)].collect().toSeq)
+    assert(dc == Ann.plan(df, "embedding", Seq("pk"), Cosine, AnnRequest(qv, 3))
+      .select("pk", "distance").as[(Int, Double)].collect().toSeq)
+    // and the attached approx config follows the euclidean index only
+    e.setApproxServing("ks", "emb_e", Engine.ApproxServing(
+      ApproxAnn.buildLshIndex(df, "embedding", 8, 8), 8))
+    e.ann("ks", "emb_c", AnnRequest(qv, 3))
+    assert(e.counters().getOrElse("ann-approx-queries", 0L) == 0L)
+    e.ann("ks", "emb_e", AnnRequest(qv, 3))
+    assert(e.counters().getOrElse("ann-approx-queries", 0L) == 1L)
+  }
+
   test("bm25 route: 404 / kind mismatch / search") {
     val e = new Engine
     val ftsMeta = IndexMetadata("ks", "fts1", "docs", "body",

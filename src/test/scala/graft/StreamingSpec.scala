@@ -218,6 +218,31 @@ class StreamingSpec extends SparkSpec {
     FileUtils.deleteDirectory(dir)
   }
 
+  test("streaming near-dup: delete-everything epoch leaves an empty-but-readable store") {
+    // an emptied store keeps its directory with no parquet files —
+    // the next epoch must treat it as empty, not crash schema inference
+    import graft.streaming.StreamingDedup
+    import org.apache.commons.io.FileUtils
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndempty").toFile
+    def p(n: String) = new java.io.File(dir, n).getAbsolutePath
+    val text = "one two three four five six seven eight nine ten eleven twelve"
+    val fnT = StreamingDedup.nearDupBatch(
+      spark, p("sh"), p("sg"), p("tp"), "id", "text", opCol = Some("op"))
+    fnT(Seq((1L, text, "UPSERT")).toDF("id", "text", "op"), 0L)
+    fnT(Seq((1L, null.asInstanceOf[String], "DELETE")).toDF("id", "text", "op"), 1L)
+    fnT(Seq((2L, text, "UPSERT")).toDF("id", "text", "op"), 2L) // must not throw
+    assert(spark.read.parquet(p("tp")).count() == 0) // doc 1 was gone
+    val fnE = StreamingDedup.embeddingNearDupBatch(
+      spark, p("lsh"), p("sc"), p("ep"), "id", "vec", opCol = Some("op"),
+      dims = 4, threshold = 0.9)
+    val v = Seq(0.5f, 0.1f, -0.3f, 0.8f)
+    fnE(Seq((1L, v, "UPSERT")).toDF("id", "vec", "op"), 0L)
+    fnE(Seq((1L, null.asInstanceOf[Seq[Float]], "DELETE")).toDF("id", "vec", "op"), 1L)
+    fnE(Seq((2L, v, "UPSERT")).toDF("id", "vec", "op"), 2L) // must not throw
+    assert(spark.read.parquet(p("ep")).count() == 0)
+    FileUtils.deleteDirectory(dir)
+  }
+
   test("streaming near-dup: re-delivered id probes with fresh text, replay idempotent") {
     import graft.streaming.StreamingDedup
     import org.apache.commons.io.FileUtils
