@@ -71,6 +71,11 @@ object Serve {
       }
       engine.setApproxServing("vs", "emb_euclidean",
         Engine.ApproxServing(lsh, nbits = 8))
+      // the same sign-bucket store serves the cosine index — random
+      // hyperplane LSH is the cosine family; each route ranks in its own
+      // index's space within the probed buckets
+      engine.setApproxServing("vs", "emb_cosine",
+        Engine.ApproxServing(lsh, nbits = 8))
     }
 
     val shell = HttpShell.start(engine, port = port)
