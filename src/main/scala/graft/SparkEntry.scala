@@ -602,6 +602,30 @@ object SparkEntry {
         .select(col("vec_id"), (round(col("distance"), 6) + lit(0.0)).as("distance"))
     }),
 
+    // Adaptive filtered IVF, oracle-checked end-to-end: the escalation
+    // decision (first nprobe whose nearest cells hold limit·oversample
+    // matching rows AND 0.9 coverage, else exact fallback) is a
+    // deterministic function of the data, so DuckDB replays the per-nprobe
+    // counts, the same choice, and the same result set — the IVF twin of
+    // ann_lsh_filtered.
+    "ann_ivf_filtered" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0)
+      val centroids = emb.filter(col("vec_id") < 16 && col("embedding").isNotNull)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
+        .sortBy(_._1).toSeq
+      val assigned = ApproxAnn.assignToCentroids(emb, "embedding", centroids)
+      ApproxAnn.searchIvfAdaptive(assigned, emb, "embedding", Seq("vec_id"),
+          Euclidean,
+          AnnRequest(qv, limit = 10,
+            restrictions = Seq(Restriction.In("label", Seq(3, 7))),
+            allowFiltering = true),
+          centroids)
+        .select(col("vec_id"), (round(col("distance"), 6) + lit(0.0)).as("distance"))
+    }),
+
     // IVFADC (the FAISS IndexIVFPQ shape): IVF cells prune the scan, PQ
     // codes bound the bytes (partition-pruned (vec_id, _pq) read), exact
     // rescore bounds the error. Selection centroids + selection codebooks
@@ -1684,6 +1708,54 @@ object SparkEntry {
          |cand AS (SELECT vec_id FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 40),
          |dd AS (SELECT e.vec_id, $duckL2 AS dist
          |       FROM embeddings e JOIN cand USING (vec_id), q)
+         |SELECT vec_id, round(dist, 6) + 0.0 AS distance
+         |FROM dd ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin
+    },
+
+    // Replays searchIvfAdaptive: cells ranked by query distance, rows
+    // assigned by the (d, cid) argmin; for each candidate nprobe, the
+    // count of matching rows within the top-np cells; the first np with
+    // ≥ 20 (= limit·oversample) matches AND ≥ 0.9 coverage wins, else
+    // np = 99 ≡ the exact-scan fallback (every matching row eligible).
+    "ann_ivf_filtered" -> {
+      val distCQ = "list_sum(list_transform(list_zip(c.cv, q.qv), x -> " +
+        "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
+        "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+      val distCE = "list_sum(list_transform(list_zip(c.cv, e.embedding), x -> " +
+        "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
+        "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+      val cnts = Seq(1, 2, 4, 8).map(np =>
+        s"sum(CASE WHEN pos <= $np THEN 1 ELSE 0 END) AS c$np").mkString(",\n|        ")
+      val pick = Seq(1, 2, 4, 8).map(np =>
+        s"WHEN c$np >= 20 AND CAST(c$np AS DOUBLE) >= 0.9 * total THEN $np")
+        .mkString(" ")
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+         |      WHERE vec_id < 16 AND embedding IS NOT NULL),
+         |crank AS (SELECT cid, row_number() OVER (ORDER BY d ASC, cid ASC) AS pos
+         |          FROM (SELECT c.cid, $distCQ AS d FROM c, q)),
+         |ad0 AS (SELECT e.vec_id, c.cid, $distCE AS d
+         |        FROM embeddings e, c WHERE e.embedding IS NOT NULL),
+         |asn AS (SELECT vec_id, cid FROM
+         |          (SELECT *, row_number() OVER
+         |             (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+         |           FROM ad0) WHERE rn = 1),
+         |mt AS (SELECT a.vec_id, cr.pos FROM asn a
+         |       JOIN crank cr ON a.cid = cr.cid
+         |       JOIN embeddings e ON e.vec_id = a.vec_id
+         |       WHERE e.label IN (3, 7)),
+         |cn AS (SELECT
+         |        $cnts,
+         |        count(*) AS total
+         |      FROM mt),
+         |sel AS (SELECT CASE $pick ELSE 99 END AS np FROM cn),
+         |el AS (SELECT m.vec_id FROM mt m, sel
+         |       WHERE sel.np = 99 OR m.pos <= sel.np),
+         |dd AS (SELECT e.vec_id,
+         |         list_sum(list_transform(list_zip(e.embedding, q.qv), x ->
+         |           (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) *
+         |           (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS dist
+         |       FROM embeddings e JOIN el USING (vec_id), q)
          |SELECT vec_id, round(dist, 6) + 0.0 AS distance
          |FROM dd ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin
     },
