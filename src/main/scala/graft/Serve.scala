@@ -78,7 +78,8 @@ object Serve {
         Engine.ApproxServing(lsh, nbits = 8))
     }
 
-    val shell = HttpShell.start(engine, port = port)
+    val shell = HttpShell.start(engine, port = port,
+      host = sys.env.getOrElse("SPARK_GRAFT_BIND", "127.0.0.1"))
     // scalastyle:off println — operator console, not a log
     println(s"[graft] serving ${shell.port} over $sfDir " +
       s"(GET /api/v1/indexes, POST /api/v1/indexes/{ks}/{idx}/ann|bm25, GET /metrics)")

@@ -1223,7 +1223,8 @@ object SparkEntry {
          |cnt AS (SELECT doc_id, n_tokens, bigram, count(*) AS c
          |  FROM bg GROUP BY 1, 2, 3)
          |SELECT doc_id, n_tokens, CAST(max(c) AS BIGINT) AS top_bigram_count,
-         |  round(CAST(max(c) AS BIGINT) * CAST(2 AS DOUBLE) / n_tokens, 6) + 0.0 AS rep_ratio
+         |  round(least(1.0,
+         |    CAST(max(c) AS BIGINT) * CAST(2 AS DOUBLE) / n_tokens), 6) + 0.0 AS rep_ratio
          |FROM cnt GROUP BY doc_id, n_tokens""".stripMargin,
 
     "chunk_documents" ->

@@ -32,8 +32,11 @@ object HttpShell {
     def stop(): Unit = { underlying.stop(0); pool.shutdown() }
   }
 
-  def start(engine: Engine, port: Int = 0, threads: Int = 8): Server = {
-    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  def start(engine: Engine, port: Int = 0, threads: Int = 8,
+      host: String = "127.0.0.1"): Server = {
+    // default loopback (safe out of the box); a deployment passes its
+    // bind address (e.g. "0.0.0.0" behind an ingress)
+    val server = HttpServer.create(new InetSocketAddress(host, port), 0)
     server.createContext("/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
         val response =

@@ -229,9 +229,9 @@ object Routes {
         case ("GET", List("api", "internals", "counters")) =>
           Response(200, countersJson(engine.counters()))
         case ("DELETE", List("api", "internals", "counters")) =>
-          engine.clearCounters(); Response(200, "")
+          engine.clearCounters(); Response(200, "{}")
         case ("PUT", List("api", "internals", "counters", id)) =>
-          engine.startCounter(id); Response(200, "")
+          engine.startCounter(id); Response(200, "{}")
         case ("GET", List("api", "internals", "session-counters")) =>
           Response(200, countersJson(engine.sessionCounters()))
 

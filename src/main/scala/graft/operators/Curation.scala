@@ -36,8 +36,13 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   /** Connected components over an undirected pair list: returns one row per
-    * node with `component_id` = the minimum node id reachable from it.
-    * Nodes absent from `pairs` are singletons (their own component).
+    * node with `component_id` = the minimum id reachable from it. Nodes
+    * absent from `pairs` are singletons (their own component). Pair
+    * endpoints absent from `nodes` act as connectors (paths through them
+    * still merge components) but produce no output row — and can become a
+    * component's id if they are its minimum, so draw `pairs` from the same
+    * universe as `nodes` when ids double as canonical picks
+    * ([[dedupClusters]] does).
     *
     * Min-label propagation: each round every node adopts the smallest label
     * among itself and its neighbors; a fixpoint is reached within
@@ -58,8 +63,18 @@ object Curation {
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
       .localCheckpoint(true) // scanned every round — materialize once
-    var labels = nodes
-      .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("comp"))
+    val nodeIds = nodes.select(col(idCol).cast("long").as("id")).distinct()
+      .localCheckpoint(true)
+    // the label universe is FIXED up front as nodes ∪ edge endpoints: over
+    // a fixed id set each label is monotone non-increasing, so an unchanged
+    // sum proves the fixpoint. (Adding edge-only ids mid-iteration instead
+    // would inflate the sum and could exactly mask a real decrease —
+    // declaring convergence on a wrong answer.) Edge-only ids participate
+    // as connectors and are dropped from the output (one row per node).
+    var labels = nodeIds
+      .union(edges.select(col("src").as("id")))
+      .distinct()
+      .select(col("id"), col("id").as("comp"))
       .localCheckpoint(true)
     // decimal(38,0) sum: overflow-proof fixpoint witness at any node count
     // (sum over zero rows is NULL → ZERO, so an empty node set converges
@@ -82,7 +97,8 @@ object Curation {
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds " +
       "— component diameter exceeds the cap; raise maxIter")
-    labels.select(col("id").as(idCol), col("comp").as("component_id"))
+    labels.join(nodeIds, Seq("id"), "left_semi")
+      .select(col("id").as(idCol), col("comp").as("component_id"))
   }
 
   /** Duplicate-cluster resolution: near-dup pairs → components → canonical
@@ -113,12 +129,19 @@ object Curation {
     *                   string equality on `stratumCol`
     * @param defaultFraction  keep probability for unlisted strata
     */
+  /** Per-stratum value as a CASE expression (string equality on
+    * `stratumCol`, deterministic key order) — the one definition of
+    * stratum matching shared by both samplers. */
+  private def stratumCase[T](
+      stratumCol: String, values: Map[String, T], default: T): org.apache.spark.sql.Column =
+    values.toSeq.sortBy(_._1).foldLeft(lit(default)) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+
   def stratifiedSample(
       df: DataFrame, idCol: String, stratumCol: String,
       fractions: Map[String, Double], defaultFraction: Double = 0.0): DataFrame = {
-    val frac = fractions.toSeq.sortBy(_._1).foldLeft(lit(defaultFraction)) {
-      case (acc, (k, f)) => when(col(stratumCol) === k, lit(f)).otherwise(acc)
-    }
+    val frac = stratumCase(stratumCol, fractions, defaultFraction)
     df.withColumn("_u", sampleUnit(col(idCol)))
       .filter(col("_u") < frac)
       .withColumn("u", round(col("_u"), 6) + lit(0.0))
@@ -160,9 +183,7 @@ object Curation {
       df: DataFrame, idCol: String, textCol: String, stratumCol: String,
       budgets: Map[String, Long], defaultBudget: Long = 0L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
-      case (acc, (k, b)) => when(col(stratumCol) === k, lit(b)).otherwise(acc)
-    }
+    val budget = stratumCase(stratumCol, budgets, defaultBudget)
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(col("u"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)

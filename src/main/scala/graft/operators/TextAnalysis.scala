@@ -118,10 +118,13 @@ object TextAnalysis {
         sum(length(col(textCol))).as("chars"))
 
   /** Repetition score (the Gopher-rules repetition filter family): the
-    * fraction of a document's tokens covered by its single most frequent
-    * word bigram — boilerplate and degenerate generations repeat short
-    * n-grams; clean prose doesn't. `rep_ratio = 2 · max_bigram_count / n`,
-    * deterministic ratio arithmetic, exactly SQL-replayable.
+    * share of a document's tokens claimed by its single most frequent word
+    * bigram — boilerplate and degenerate generations repeat short n-grams;
+    * clean prose doesn't. `rep_ratio = min(1, 2 · max_bigram_count / n)`:
+    * the raw product double-counts tokens shared by self-overlapping
+    * occurrences ("a a a a" has 3 occurrences of "a a" over 4 tokens), so
+    * the cap keeps the signal a true [0, 1] fraction for threshold
+    * filters. Deterministic ratio arithmetic, exactly SQL-replayable.
     *
     * Scale shape: per-doc explode → (doc, bigram) count → per-doc max —
     * all partial-aggregatable; nothing crosses documents. */
@@ -137,7 +140,8 @@ object TextAnalysis {
       .groupBy(col(idCol), col("n_tokens"))
       .agg(max(col("cnt")).as("top_bigram_count"))
       .select(col(idCol), col("n_tokens"), col("top_bigram_count"),
-        (round(col("top_bigram_count") * lit(2).cast("double") / col("n_tokens"), 6) + lit(0.0))
+        (round(least(lit(1.0),
+          col("top_bigram_count") * lit(2).cast("double") / col("n_tokens")), 6) + lit(0.0))
           .as("rep_ratio"))
   }
 

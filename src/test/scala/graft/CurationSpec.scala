@@ -55,6 +55,24 @@ class CurationSpec extends SparkSpec {
     assert(cc == expected)
   }
 
+  test("connected components: edge-only ids connect but don't fake convergence") {
+    // regression: phantom ids entering the label frame mid-iteration once
+    // inflated the fixpoint sum enough to exactly mask a real decrease —
+    // nodes {1,2,3} with pairs {(1,2),(2,3),(1,4),(1,5)} declared
+    // convergence after one round with 3 still in its own component
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 4L), (1L, 5L)).toDF("id_a", "id_b")
+    val r = Curation.connectedComponents(pairs, nodes, "id")
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), r) // one component, no phantoms
+    // a path THROUGH an edge-only id still merges components
+    val r2 = Curation.connectedComponents(
+        Seq((10L, 99L), (99L, 20L)).toDF("id_a", "id_b"),
+        Seq(10L, 20L).toDF("id"), "id")
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(10L -> 10L, 20L -> 10L), r2)
+  }
+
   test("connected components: maxIter too small fails loudly") {
     // a 6-node chain needs ~5 rounds; cap at 1 must throw, not silently
     // return half-merged components

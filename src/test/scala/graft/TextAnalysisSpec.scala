@@ -63,12 +63,15 @@ class TextAnalysisSpec extends SparkSpec {
     val docs = Seq(
       (0L, "buy now buy now buy now buy now"), // 'buy now'/'now buy' dominate
       (1L, "every word here is entirely distinct prose"),
-      (2L, "solo")) // < 2 tokens → no bigrams, dropped
+      (2L, "solo"), // < 2 tokens → no bigrams, dropped
+      (3L, "a a a a")) // self-overlapping bigram: raw 2·3/4 > 1 → capped
       .toDF("doc_id", "text")
     val r = TextAnalysis.repetitionScore(docs, "doc_id", "text")
       .as[(Long, Int, Long, Double)].collect().map(x => x._1 -> x).toMap
     // doc 0: 8 tokens, 'buy now' appears 4x → ratio 8/8 = 1.0
     assert(r(0L)._3 == 4L && r(0L)._4 == 1.0)
+    // doc 3: the ratio is a true fraction — capped at 1.0
+    assert(r(3L)._3 == 3L && r(3L)._4 == 1.0)
     // doc 1: 7 tokens, every bigram unique → 2/7
     assert(r(1L)._3 == 1L)
     assert(math.abs(r(1L)._4 - math.round(2.0 / 7.0 * 1e6) / 1e6) < 1e-9)
