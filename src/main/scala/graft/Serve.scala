@@ -14,11 +14,11 @@ import org.apache.spark.sql.functions.col
   *
   * Registered indexes (the serving catalog a user of the reference would
   * recognize):
-  *  - `vs/emb_euclidean`, `vs/emb_cosine` — ANN over embeddings; the
-  *    euclidean index serves through the adaptive LSH store (materialized
-  *    at startup — the approximate default, like the reference's usearch
-  *    index, with the coverage-certified exact fallback), unless
-  *    `SPARK_GRAFT_EXACT=1`
+  *  - `vs/emb_euclidean`, `vs/emb_cosine` — ANN over embeddings; BOTH
+  *    serve through one shared sign-LSH store materialized at startup
+  *    (each ranking in its own space within the probed buckets) — the
+  *    approximate default, like the reference's usearch index, with the
+  *    coverage-certified exact fallback — unless `SPARK_GRAFT_EXACT=1`
   *  - `fts/doc_text` — BM25 over documents
   */
 object Serve {

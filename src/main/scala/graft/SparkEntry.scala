@@ -28,6 +28,15 @@ object SparkEntry {
 
   /** Scratch location for materialized index stores (per scale factor, so
     * sf0.01 and sf0.1 runs never read each other's indexes). */
+  /** The deterministic vec_id<16 selection centroids shared by the
+    * IVF-family oracle queries (k-means' float iterations are not
+    * SQL-replayable; the TRAINED path is pinned in ApproxAnnSpec). */
+  private def selectionCentroids(emb: DataFrame): Seq[(Int, Seq[Float])] =
+    emb.filter(col("vec_id") < 16 && col("embedding").isNotNull)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
+      .sortBy(_._1).toSeq
+
   private def indexDir(dir: String, name: String): String =
     s"${sys.props("java.io.tmpdir")}/graft-indexes/${new java.io.File(dir).getName}/$name"
 
@@ -61,6 +70,18 @@ object SparkEntry {
 
   /** DuckDB equivalents of the distance expressions (element order preserved,
     * double accumulation — mirrors VectorFunctions). */
+  /** Centroid↔query / centroid↔row L2² strings shared by the IVF-family
+    * oracles (ann_ivf, ann_ivf_filtered, ann_ivfpq) — one definition so the
+    * replays cannot desynchronize. */
+  private val duckDistCQ =
+    "list_sum(list_transform(list_zip(c.cv, q.qv), x -> " +
+      "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
+      "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+  private val duckDistCE =
+    "list_sum(list_transform(list_zip(c.cv, e.embedding), x -> " +
+      "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
+      "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+
   private val duckL2 =
     "list_sum(list_transform(list_zip(e.embedding, q.qv), x -> " +
       "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
@@ -569,10 +590,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val qv = emb.filter(col("vec_id") === 0).select("embedding")
         .head.getSeq[Float](0)
-      val centroids = emb.filter(col("vec_id") < 16 && col("embedding").isNotNull)
-        .select("vec_id", "embedding").collect()
-        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
-        .sortBy(_._1).toSeq
+      val centroids = selectionCentroids(emb)
       val assigned = ApproxAnn.assignToCentroids(emb, "embedding", centroids)
       ApproxAnn.searchIvf(assigned, "embedding", Seq("vec_id"), Euclidean,
           AnnRequest(qv, limit = 10), centroids, nprobe = 4)
@@ -612,10 +630,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val qv = emb.filter(col("vec_id") === 0).select("embedding")
         .head.getSeq[Float](0)
-      val centroids = emb.filter(col("vec_id") < 16 && col("embedding").isNotNull)
-        .select("vec_id", "embedding").collect()
-        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
-        .sortBy(_._1).toSeq
+      val centroids = selectionCentroids(emb)
       val assigned = ApproxAnn.assignToCentroids(emb, "embedding", centroids)
       ApproxAnn.searchIvfAdaptive(assigned, emb, "embedding", Seq("vec_id"),
           Euclidean,
@@ -635,10 +650,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val qv = emb.filter(col("vec_id") === 0).select("embedding")
         .head.getSeq[Float](0)
-      val centroids = emb.filter(col("vec_id") < 16 && col("embedding").isNotNull)
-        .select("vec_id", "embedding").collect()
-        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
-        .sortBy(_._1).toSeq
+      val centroids = selectionCentroids(emb)
       val cb = ApproxAnn.selectPqCodebooks(emb, "embedding", "vec_id", m = 8, k = 16)
       val codes = graft.sources.IndexStorage.materializeCached(
           s, s"$dir/embeddings.parquet", indexDir(dir, "ivfpq"), Seq("_centroid")) {
@@ -1652,12 +1664,8 @@ object SparkEntry {
     // Replays IVF assignment + probe: same (distance, cid) argmin per row,
     // same 4 nearest probe cells, exact ranking within them.
     "ann_ivf" -> {
-      val distCQ = "list_sum(list_transform(list_zip(c.cv, q.qv), x -> " +
-        "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
-        "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
-      val distCE = "list_sum(list_transform(list_zip(c.cv, e.embedding), x -> " +
-        "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
-        "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+      val distCQ = duckDistCQ
+      val distCE = duckDistCE
       val distSQ = "list_sum(list_transform(list_zip(s.embedding, q.qv), x -> " +
         "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
         "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
@@ -1719,12 +1727,8 @@ object SparkEntry {
     // ≥ 20 (= limit·oversample) matches AND ≥ 0.9 coverage wins, else
     // np = 99 ≡ the exact-scan fallback (every matching row eligible).
     "ann_ivf_filtered" -> {
-      val distCQ = "list_sum(list_transform(list_zip(c.cv, q.qv), x -> " +
-        "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
-        "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
-      val distCE = "list_sum(list_transform(list_zip(c.cv, e.embedding), x -> " +
-        "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
-        "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+      val distCQ = duckDistCQ
+      val distCE = duckDistCE
       val cnts = Seq(1, 2, 4, 8).map(np =>
         s"sum(CASE WHEN pos <= $np THEN 1 ELSE 0 END) AS c$np").mkString(",\n|        ")
       val pick = Seq(1, 2, 4, 8).map(np =>
@@ -1765,12 +1769,8 @@ object SparkEntry {
     // CTEs, with the ADC ranking restricted to rows assigned to the 4
     // probed cells.
     "ann_ivfpq" -> {
-      val distCQ = "list_sum(list_transform(list_zip(c.cv, q.qv), x -> " +
-        "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
-        "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
-      val distCE = "list_sum(list_transform(list_zip(c.cv, e.embedding), x -> " +
-        "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
-        "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+      val distCQ = duckDistCQ
+      val distCE = duckDistCE
       val sliceE = "list_slice(e.embedding, cb.j*8+1, cb.j*8+8)"
       val sliceQ = "list_slice(q.qv, cb.j*8+1, cb.j*8+8)"
       def l2(a: String) =

@@ -102,12 +102,17 @@ object Curation {
   }
 
   /** Duplicate-cluster resolution: near-dup pairs → components → canonical
-    * doc per cluster (`keep` = this row IS the cluster minimum). The
-    * output is a complete dedup assignment over `docs` — singletons keep
-    * themselves. */
-  def dedupClusters(pairs: DataFrame, docs: DataFrame, idCol: String): DataFrame =
+    * doc per cluster (`keep` = this row IS the cluster's minimum DOC id).
+    * The output is a complete dedup assignment over `docs` — singletons
+    * keep themselves, and every cluster keeps exactly one member even if
+    * its `component_id` names an edge-only connector (pairs referencing
+    * ids outside `docs`): the keeper is always a real doc. */
+  def dedupClusters(pairs: DataFrame, docs: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val canon = min(col(idCol)).over(Window.partitionBy(col("component_id")))
     connectedComponents(pairs, docs, idCol)
-      .withColumn("keep", col(idCol) === col("component_id"))
+      .withColumn("keep", col(idCol) === canon)
+  }
 
   /** 2^60 as double — the divisor turning [[Dedup.stableHash]] (60-bit)
     * into a uniform double in [0,1). Division by a power of two is exact,
@@ -120,15 +125,6 @@ object Curation {
   def sampleUnit(idc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     Dedup.stableHash(idc.cast("string")) / HashUnitDivisor
 
-  /** Stratified / weighted sampling ("domain mixing"): keep each row with
-    * the probability assigned to its stratum. Stateless filter — no
-    * shuffle, fully pushdown-friendly; rates are exact in expectation and
-    * deterministic in realization (same ids survive every run).
-    *
-    * @param fractions  per-stratum keep probability; strata are matched by
-    *                   string equality on `stratumCol`
-    * @param defaultFraction  keep probability for unlisted strata
-    */
   /** Per-stratum value as a CASE expression (string equality on
     * `stratumCol`, deterministic key order) — the one definition of
     * stratum matching shared by both samplers. */
@@ -138,6 +134,15 @@ object Curation {
       case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
     }
 
+  /** Stratified / weighted sampling ("domain mixing"): keep each row with
+    * the probability assigned to its stratum. Stateless filter — no
+    * shuffle, fully pushdown-friendly; rates are exact in expectation and
+    * deterministic in realization (same ids survive every run).
+    *
+    * @param fractions  per-stratum keep probability; strata are matched by
+    *                   string equality on `stratumCol`
+    * @param defaultFraction  keep probability for unlisted strata
+    */
   def stratifiedSample(
       df: DataFrame, idCol: String, stratumCol: String,
       fractions: Map[String, Double], defaultFraction: Double = 0.0): DataFrame = {

@@ -71,6 +71,13 @@ class CurationSpec extends SparkSpec {
         Seq(10L, 20L).toDF("id"), "id")
       .as[(Long, Long)].collect().toMap
     assert(r2 == Map(10L -> 10L, 20L -> 10L), r2)
+    // dedupClusters keeps exactly one REAL doc per cluster even when the
+    // component minimum is an edge-only connector id
+    val dk = Curation.dedupClusters(
+        Seq((10L, 5L)).toDF("id_a", "id_b"),
+        Seq(10L, 20L).toDF("id"), "id")
+      .select("id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(dk == Map(10L -> true, 20L -> true), dk)
   }
 
   test("connected components: maxIter too small fails loudly") {
