@@ -269,6 +269,24 @@ class ApproxAnnSpec extends SparkSpec {
       AnnRequest(qv, 10, restrictions = Nil), centroids, Seq(16)) == Some(16))
   }
 
+  test("pq encode picks the true argmin codeword per subspace (property)") {
+    // replays the argmin on the driver over every (row, subspace): the
+    // stored code's subvector distance must be ≤ every other codeword's,
+    // with the (d, code) tiebreak
+    val cb = ApproxAnn.selectPqCodebooks(emb, "embedding", "vec_id", m = 8, k = 16)
+    val rows = ApproxAnn.pqEncode(emb, "embedding", cb)
+      .select("embedding", "_pq").as[(Seq[Float], Seq[Int])].take(64)
+    def l2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
+    rows.foreach { case (v, codes) =>
+      codes.zipWithIndex.foreach { case (c, j) =>
+        val sub = v.slice(j * 8, (j + 1) * 8)
+        val dists = cb(j).map { case (code, cw) => (l2(sub, cw), code) }
+        assert((dists(c)._1, c) == dists.min, s"subspace $j")
+      }
+    }
+  }
+
   test("pq adc rejects non-decomposable spaces") {
     val cb = ApproxAnn.selectPqCodebooks(emb, "embedding", "vec_id", m = 8, k = 16)
     intercept[IllegalArgumentException] {

@@ -70,6 +70,30 @@ class HttpShellSpec extends SparkSpec {
     } finally shell.stop()
   }
 
+  test("concurrent requests share the engine and session safely") {
+    val eng = engineFixture()
+    eng.startCounter("ann-queries")
+    val shell = HttpShell.start(eng)
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val bodies = (0 until 8).map { i =>
+        s"""{"vector": [0.0, ${i / 10.0}, 1.0], "limit": 2}"""
+      }
+      val rs = Await.result(
+        Future.sequence(bodies.map(b => Future(
+          post(shell.port, "/api/v1/indexes/ks/vidx/ann", b)))),
+        2.minutes)
+      assert(rs.forall(_.statusCode == 200), rs.map(_.statusCode))
+      rs.foreach { r =>
+        val n = om.readTree(r.body)
+        assert(n.get("primary_keys").get("pk").size == 2)
+      }
+      assert(eng.counters()("ann-queries") == 8L)
+    } finally shell.stop()
+  }
+
   test("stopped shell releases the port") {
     val shell = HttpShell.start(engineFixture())
     val port = shell.port
