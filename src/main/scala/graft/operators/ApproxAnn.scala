@@ -412,6 +412,12 @@ object ApproxAnn {
       val model = new org.apache.spark.ml.clustering.KMeans()
         .setK(k).setSeed(seed + j).setMaxIter(maxIter)
         .fit(train)
+      // KMeans may return < k centers when a subspace has < k distinct
+      // subvectors; a ragged codebook would silently shift every later
+      // subspace's offset in the flattened LUT (j·k + code), so fail loudly.
+      require(model.clusterCenters.length == k,
+        s"subspace $j trained ${model.clusterCenters.length} centers, expected $k " +
+          "(too few distinct subvectors — lower k or m)")
       model.clusterCenters.zipWithIndex.map { case (c, i) =>
         (i, c.toArray.map(_.toFloat).toSeq)
       }.toSeq
@@ -428,7 +434,8 @@ object ApproxAnn {
     val rows = df.filter(col(vecCol).isNotNull)
       .orderBy(col(orderCol).asc).limit(k)
       .select(col(vecCol)).collect().map(_.getSeq[Float](0))
-    require(rows.nonEmpty, "no non-null vectors to select codebooks from")
+    require(rows.length == k,
+      s"only ${rows.length} non-null vectors available for k=$k selection codebooks")
     val dims = rows.head.length
     require(dims % m == 0, s"dims=$dims not divisible by m=$m")
     val subDim = dims / m
@@ -477,6 +484,10 @@ object ApproxAnn {
     * standard practice. Driver-side doubles summed in element order, so the
     * table is bit-identical to a SQL replay. */
   def pqLut(queryVec: Seq[Float], codebooks: PqCodebooks, space: Space): Seq[Double] = {
+    // adcDistance indexes the flat table with a uniform k = codebooks.head.length;
+    // a ragged codebook set would misalign every subspace after the short one.
+    require(codebooks.forall(_.length == codebooks.head.length),
+      s"ragged codebooks: sizes ${codebooks.map(_.length).distinct.mkString(",")}")
     val subDim = codebooks.head.head._2.length
     codebooks.zipWithIndex.flatMap { case (cb, j) =>
       val qsub = queryVec.slice(j * subDim, (j + 1) * subDim)

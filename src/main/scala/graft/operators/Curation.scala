@@ -52,9 +52,11 @@ object Curation {
     * @param pairs     (id_a, id_b) undirected edges, e.g. a [[Dedup]]
     *                  near-dup pair output
     * @param nodes     frame containing `idCol` — the full node universe
-    * @param maxIter   safety cap on rounds; near-dup graphs converge in a
-    *                  handful (require() fails loudly if the cap is hit,
-    *                  rather than returning silently-unmerged components)
+    * @param maxIter   safety cap on scheduled rounds (each round propagates
+    *                  TWO hops, so the cap covers 2·maxIter hops of
+    *                  diameter); near-dup graphs converge in a handful
+    *                  (require() fails loudly if the cap is hit, rather
+    *                  than returning silently-unmerged components)
     */
   def connectedComponents(
       pairs: DataFrame, nodes: DataFrame, idCol: String,
@@ -85,11 +87,19 @@ object Curation {
     var prevSum = labelSum(labels)
     var converged = false
     var it = 0
-    while (!converged && it < maxIter) {
-      val msgs = edges.join(labels.withColumnRenamed("id", "src"), "src")
+    def propagate(l: DataFrame): DataFrame = {
+      val msgs = edges.join(l.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("comp"))
-      labels = labels.union(msgs).groupBy("id").agg(min("comp").as("comp"))
-        .localCheckpoint(true) // truncate lineage; old blocks GC via ContextCleaner
+      l.union(msgs).groupBy("id").agg(min("comp").as("comp"))
+    }
+    while (!converged && it < maxIter) {
+      // TWO hops per job: each label still only decreases, so the sum
+      // witness stays valid, but a diameter-d graph needs d/2 scheduled
+      // rounds — and the checkpoint is LAZY, so the labelSum action below
+      // materializes it and each round is ONE job (propagate×2 + sum)
+      // instead of three (two eager checkpoints + sum). Lineage still
+      // truncates; old blocks GC via ContextCleaner.
+      labels = propagate(propagate(labels)).localCheckpoint(false)
       val s = labelSum(labels)
       converged = s.compareTo(prevSum) == 0
       prevSum = s

@@ -27,8 +27,11 @@ final class Engine {
   import Catalog._
 
   val catalog = new Catalog
-  private var frames: Map[IndexKey, DataFrame] = Map.empty
-  private var queryCounts: Map[IndexKey, Long] = Map.empty.withDefaultValue(0L)
+  // @volatile: HttpShell serves from an 8-thread pool while attach/detach
+  // (addIndex/dropIndex/setApproxServing) may run on a maintenance thread —
+  // immutable-map snapshot per read, volatile publish per write.
+  @volatile private var frames: Map[IndexKey, DataFrame] = Map.empty
+  @volatile private var queryCounts: Map[IndexKey, Long] = Map.empty.withDefaultValue(0L)
 
   private def f(name: String, t: String): StructField =
     StructField(name, DataType.fromDDL(t))
@@ -76,7 +79,7 @@ final class Engine {
     approxServing = approxServing.removed(meta.key)
   }
 
-  private var approxServing: Map[IndexKey, Engine.ApproxServing] = Map.empty
+  @volatile private var approxServing: Map[IndexKey, Engine.ApproxServing] = Map.empty
 
   /** Route this index's ANN queries through the adaptive LSH path
     * ([[ApproxAnn.searchLshAdaptive]]: partition-pruned probe at a
