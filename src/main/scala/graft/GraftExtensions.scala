@@ -31,5 +31,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction(fn("vector_l2sq", VectorDistanceExpr.L2Sq))
     extensions.injectFunction(fn("vector_dot", VectorDistanceExpr.Dot))
     extensions.injectFunction(fn("vector_hamming", VectorDistanceExpr.HammingSign))
+    Seq("NFC", "NFKC").foreach { form =>
+      val name = s"unicode_${form.toLowerCase}"
+      extensions.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[graft.functions.UnicodeNormalize].getName, name),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 1, s"$name expects exactly 1 argument")
+          graft.functions.UnicodeNormalize(exprs.head, form)
+        }))
+    }
   }
 }

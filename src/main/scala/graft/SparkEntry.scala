@@ -4,7 +4,7 @@ import graft.functions.VectorFunctions._
 import graft.operators.Ann.AnnRequest
 import graft.operators.{Ann, ApproxAnn, Bm25, Catalog, Curation, Dedup,
   Engine, Lww, Multimodal, QualityMetrics, Restriction, RestrictionCompiler,
-  ResultFormat, Sessionize, TextAnalysis}
+  ResultFormat, Sessionize, Temporal, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -401,6 +401,60 @@ object SparkEntry {
           count(lit(1)).as("n"),
           round(sum(col("value").cast("decimal(18,6)")), 4).cast("double").as("sum_value"))
     }),
+    // Backward as-of join (union+window formulation, ONE shuffle on the
+    // key, no join operator): each error event matched to the same user's
+    // most recent click at-or-before it. The oracle replays it through
+    // DuckDB's NATIVE ASOF JOIN — an independent algorithm agreeing on
+    // every row is the strongest semantics check available.
+    "asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts_us")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      Temporal.asofJoin(errors, clicks, Seq("user_id"), "ts_us",
+        Seq("click_id", "click_value"))
+    }),
+
+    // Banded interval join on (user, time-bucket): every error within 6 h
+    // AFTER each click. The bucketed equi-join bounds candidate volume per
+    // (key, bucket); the oracle is the plain inequality join.
+    "range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      Temporal.rangeJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "error"),
+        Seq("user_id"), "ts_us",
+        lowMicros = 0L, highMicros = 6L * 3600L * 1000000L,
+        leftValCols = Seq("event_id"), rightValCols = Seq("event_id"))
+    }),
+
+    // PII detection + redaction over deterministically seeded text (the
+    // corpus itself carries no PII, so each doc gets a derived email / IP /
+    // phone appended — same fixture-derivation pattern as
+    // writetime_projection); counts on the original, replacement in
+    // PiiPatterns order.
+    "pii_scrub" -> ((s, dir) => {
+      val seeded = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@mail.example.com or 10."),
+          col("doc_id") % 200, lit(".0.7 tel +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text2"))
+      TextAnalysis.piiScrub(seeded, "doc_id", "text2")
+    }),
+
+    // Canonical normalization: NFC (native UnicodeNormalize expression) →
+    // lower → collapse whitespace → trim, over text seeded with decomposed
+    // accents / mixed case / tab runs; the oracle replays via DuckDB's
+    // nfc_normalize — again an independent Unicode implementation.
+    "text_normalize" -> ((s, dir) => {
+      val seeded = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("  Café ÉSTA\t"), col("text"),
+          lit("  MiXeD  CASE ")).as("messy"))
+      TextAnalysis.normalized(seeded, "doc_id", "messy")
+    }),
+
     // O2/O4: local (partitioned) index — routed through the Engine; the
     // partition-key Eq is consumed by pruning, no ALLOW FILTERING needed.
     "ann_local" -> ((s, dir) => {
@@ -1987,5 +2041,52 @@ object SparkEntry {
          |  FROM d)
          |SELECT query_id, vec_id, round(dist, 6) AS distance, rank
          |FROM r WHERE rank <= 3""".stripMargin,
+
+    // DuckDB's NATIVE ASOF JOIN — an independent as-of implementation
+    // agreeing row-for-row with the union+window formulation.
+    "asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'error'),
+        |c AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id AS click_id, value AS click_value
+        |      FROM events WHERE event_type = 'click')
+        |SELECT e.event_id, e.user_id, e.ts_us,
+        |       c.ts_us AS asof_ts_us, c.click_id AS asof_click_id, c.click_value AS asof_click_value
+        |FROM e ASOF JOIN c ON e.user_id = c.user_id AND e.ts_us >= c.ts_us""".stripMargin,
+
+    "range_join" ->
+      """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click'),
+        |e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'error')
+        |SELECT c.user_id, c.event_id AS l_event_id, e.event_id AS r_event_id,
+        |       e.ts_us - c.ts_us AS delta_us
+        |FROM c JOIN e ON c.user_id = e.user_id
+        |  AND e.ts_us - c.ts_us > 0 AND e.ts_us - c.ts_us <= 21600000000""".stripMargin,
+
+    "pii_scrub" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+      val phone = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}"
+      s"""WITH d AS (SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com or 10.' ||
+         |  CAST(doc_id % 200 AS VARCHAR) || '.0.7 tel +1-555-' ||
+         |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text2 FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text2, '$email')) AS n_email,
+         |  len(regexp_extract_all(text2, '$ip')) AS n_ip,
+         |  len(regexp_extract_all(text2, '$phone')) AS n_phone,
+         |  regexp_replace(regexp_replace(regexp_replace(text2,
+         |    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$phone', '<PHONE>', 'g') AS redacted
+         |FROM d""".stripMargin
+    },
+
+    // nfc_normalize = DuckDB's independent (utf8proc) NFC — both engines
+    // implement the same Unicode canonical composition, so norm_text must
+    // agree byte-for-byte; chr(769) is the combining acute the Spark side
+    // embeds as a ́ literal.
+    "text_normalize" ->
+      """WITH d AS (SELECT doc_id,
+        |  '  Cafe' || chr(769) || ' E' || chr(769) || 'STA' || chr(9) || text || '  MiXeD  CASE ' AS messy
+        |  FROM documents),
+        |n AS (SELECT doc_id, messy,
+        |  trim(regexp_replace(lower(nfc_normalize(messy)), '\s+', ' ', 'g')) AS norm_text FROM d)
+        |SELECT doc_id, norm_text, (norm_text <> messy) AS changed FROM n""".stripMargin,
   )
 }

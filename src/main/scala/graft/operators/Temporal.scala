@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Temporal join operators for event-shaped data (beyond-the-reference
+  * surface — the reference has no time-keyed joins at all; these are the
+  * standard operators an event/training-log pipeline needs that Spark lacks
+  * as built-ins).
+  *
+  * Scale design:
+  *  - [[asofJoin]] never materializes a join: both sides union into one
+  *    frame, ONE shuffle on the key, and a running `last(ignoreNulls)`
+  *    window carries the latest right row onto each left row. This is the
+  *    merge-join formulation of as-of — per-key sorted streams — and it is
+  *    immune to the candidate blow-up a band-join formulation has when a
+  *    left row's lookback spans many right rows.
+  *  - [[rangeJoin]] bounds the pair space by compound key (key, time-bucket):
+  *    the left side explodes to the buckets its band covers (≤ span/width+1
+  *    rows), the right side keeps its exact bucket, and the exact band
+  *    predicate filters after the equi-join. Shuffle keys are (key, long);
+  *    a hot key's history splits across buckets instead of colliding into
+  *    one task the way a plain key-equi-join + post-filter would.
+  */
+object Temporal {
+
+  /** Backward as-of join (inner): for each left row, the single most recent
+    * right row of the same key with `right.tsCol <= left.tsCol` (inclusive —
+    * a right row AT the left timestamp matches), optionally within
+    * `toleranceMicros`. Left rows with no qualifying right row are dropped
+    * (inner semantics; DuckDB/pandas `ASOF JOIN` parity).
+    *
+    * Output = all left columns + the matched right timestamp as
+    * `<prefix><rightTsCol>` + each `rightValCols` as `<prefix><col>`.
+    *
+    * Ties: right rows sharing (key, ts) are resolved deterministically by
+    * the largest carried struct (field order `rightTsCol +: rightValCols`);
+    * callers wanting external-engine parity should keep (key, ts) unique on
+    * the right, which native ASOF implementations also assume.
+    *
+    * Timestamps are plain numeric columns (e.g. epoch micros) so the same
+    * arithmetic replays exactly in any engine.
+    */
+  def asofJoin(
+      left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      tsCol: String, rightValCols: Seq[String],
+      prefix: String = "asof_",
+      toleranceMicros: Option[Long] = None): DataFrame = {
+    require(keyCols.nonEmpty, "asofJoin requires at least one key column")
+    val carriedCols = tsCol +: rightValCols
+    val rv = struct(carriedCols.map(col): _*)
+    val rvType = {
+      val rs = right.select(carriedCols.map(col): _*).schema
+      StructType(rs.fields)
+    }
+    val leftPayload = struct(left.columns.map(col).toSeq: _*)
+    val lvType = StructType(left.schema.fields)
+    val l = left.select(
+      keyCols.map(col) ++ Seq(
+        col(tsCol).as("_ts"), lit(1).as("_side"),
+        leftPayload.as("_lv"), lit(null).cast(rvType).as("_rv")): _*)
+    val r = right.select(
+      keyCols.map(col) ++ Seq(
+        col(tsCol).as("_ts"), lit(0).as("_side"),
+        lit(null).cast(lvType).as("_lv"), rv.as("_rv")): _*)
+    // right rows order BEFORE left rows at the same timestamp (side 0 < 1)
+    // ⇒ inclusive match; _rv last in the ordering makes same-ts right rows
+    // deterministic (max struct wins)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_ts").asc, col("_side").asc, col("_rv").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = last(col("_rv"), ignoreNulls = true).over(w)
+    val matched = l.unionByName(r)
+      .withColumn("_m", carried)
+      .filter(col("_side") === 1 && col("_m").isNotNull)
+    val tolerant = toleranceMicros match {
+      case Some(t) => matched.filter(col("_ts") - col("_m")(tsCol) <= t)
+      case None    => matched
+    }
+    val outRight = carriedCols.map(c => col("_m")(c).as(prefix + c))
+    tolerant.select(col("_lv.*") +: outRight: _*)
+  }
+
+  /** Banded interval join: all pairs (l, r) with equal `keyCols` and
+    * `r.tsCol − l.tsCol` in `(lowMicros, highMicros]` — e.g. "every error
+    * within 6 hours after each click". Output = `leftValCols` (aliased
+    * `l_*`) + `rightValCols` (aliased `r_*`) + `delta_us`.
+    *
+    * The equi-join key is (keyCols…, bucket): the left row explodes to every
+    * `bucketMicros`-wide bucket its band `[ts+low, ts+high]` covers, the
+    * right row lives in exactly one. `bucketMicros` defaults to the band
+    * width ⇒ ≤ 2 buckets per left row — candidate volume is bounded by
+    * 2·|L| + band density, never |L_key|·|R_key|.
+    */
+  def rangeJoin(
+      left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      tsCol: String, lowMicros: Long, highMicros: Long,
+      leftValCols: Seq[String], rightValCols: Seq[String],
+      bucketMicros: Long = 0L): DataFrame = {
+    require(highMicros > lowMicros, s"empty band ($lowMicros, $highMicros]")
+    val width = if (bucketMicros > 0) bucketMicros else highMicros - lowMicros
+    val l = left.select(
+      keyCols.map(col) ++
+        (col(tsCol).as("_lts") +: leftValCols.map(c => col(c).as(s"l_$c"))) :+
+        explode(sequence(
+          floor((col(tsCol) + lowMicros) / width).cast("long"),
+          floor((col(tsCol) + highMicros) / width).cast("long"))).as("_bkt"): _*)
+    val r = right.select(
+      keyCols.map(col) ++
+        (col(tsCol).as("_rts") +: rightValCols.map(c => col(c).as(s"r_$c"))) :+
+        floor(col(tsCol) / width).cast("long").as("_bkt"): _*)
+    l.join(r, keyCols :+ "_bkt")
+      .filter(col("_rts") - col("_lts") > lowMicros &&
+        col("_rts") - col("_lts") <= highMicros)
+      .withColumn("delta_us", col("_rts") - col("_lts"))
+      .drop("_bkt", "_lts", "_rts")
+  }
+}

@@ -294,4 +294,46 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select(col(idCol), col("term"), col("score"), col("rank"))
   }
+
+  /** PII patterns: (name, regex, replacement token). Kept to RE2-compatible
+    * constructs (no backrefs/lookaround) so an external engine replays the
+    * same scan; `\b` is the ASCII word boundary in both RE2 and Java for
+    * these all-ASCII patterns. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    // ip AFTER email: a bare dotted-quad inside a hostname must not re-match
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("phone", "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}", "<PHONE>"))
+
+  /** PII detection + redaction (per-row projection, no shuffle): emits one
+    * `n_<name>` match count per pattern and `redacted` = the text with every
+    * match replaced by its token, applied in [[PiiPatterns]] order (earlier
+    * patterns consume their spans first — email eats its dotted hostname
+    * before the ip pattern can). Counts are measured on the ORIGINAL text.
+    * Standard corpus-hygiene pass (the C4/Dolma-style cleanup rules). */
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = PiiPatterns.map { case (name, re, _) =>
+      size(regexp_extract_all(col(textCol), lit(re), lit(0))).as(s"n_$name")
+    }
+    val redacted = PiiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, re, token)) => regexp_replace(c, re, token)
+    }
+    df.select(col(idCol) +: counts :+ redacted.as("redacted"): _*)
+  }
+
+  /** Canonical text normalization (per-row projection, no shuffle): Unicode
+    * NFC (native [[graft.functions.NormalizeExpr]] expression) → lowercase →
+    * collapse whitespace runs to one space → trim. The idempotent first step
+    * of every text pipeline here — digests, shingles and tokens all assume
+    * one canonical byte form per logical string. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(graft.functions.NormalizeExpr.nfc(text)), "\\s+", " "))
+
+  /** [[normalizeText]] as a frame op: id, normalized text, and a
+    * did-anything-change flag (cheap pre-filter for rewrite-only sinks). */
+  def normalized(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = normalizeText(col(textCol))
+    df.select(col(idCol), n.as("norm_text"),
+      (n =!= col(textCol)).as("changed"))
+  }
 }

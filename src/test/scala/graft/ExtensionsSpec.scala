@@ -43,6 +43,17 @@ class ExtensionsSpec extends AnyFunSuite {
     val e = intercept[Exception](spark.sql("SELECT vector_l2sq(array(1.0F))").collect())
     assert(e.getMessage.contains("2 arguments") || e.getMessage.contains("vector_l2sq"))
   }
+
+  test("unicode_nfc / unicode_nfkc usable from SQL text") {
+    // 'e' + U+0301 composes to é under NFC; U+FB01 (ﬁ ligature) only
+    // decomposes under the compatibility (NFKC) form
+    val row = spark.sql(
+      "SELECT unicode_nfc('Café') AS c, unicode_nfkc('ﬁn') AS f, unicode_nfc(NULL) AS n")
+      .head()
+    assert(row.getString(0) == "Café")
+    assert(row.getString(1) == "fin")
+    assert(row.isNullAt(2))
+  }
 }
 
 /** ST6: FTS commit batching — a streaming corpus becomes searchable batch by

@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.Temporal
+import org.apache.spark.sql.functions._
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // left: (key, ts, lid)   right: (key, ts, rid, rv)
+  private lazy val left = Seq(
+    (1L, 100L, "l1"),
+    (1L, 200L, "l2"),
+    (1L, 50L, "l0"), // before any right row ⇒ dropped (inner)
+    (2L, 500L, "l3"),
+    (3L, 10L, "l4")) // key with no right rows at all
+    .toDF("k", "ts", "lid")
+
+  private lazy val right = Seq(
+    (1L, 100L, 10L, 1.5), // exactly AT l1's ts ⇒ inclusive match
+    (1L, 150L, 11L, 2.5),
+    (2L, 100L, 12L, 3.5),
+    (2L, 400L, 13L, 4.5))
+    .toDF("k", "ts", "rid", "rv")
+
+  test("asof: latest right at-or-before each left, inner semantics") {
+    val out = Temporal.asofJoin(left, right, Seq("k"), "ts", Seq("rid", "rv"))
+      .select("lid", "asof_ts", "asof_rid", "asof_rv")
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(out == Set(
+      ("l1", 100L, 10L, 1.5), // tie at ts=100 matches (inclusive)
+      ("l2", 150L, 11L, 2.5), // skips older rid=10
+      ("l3", 400L, 13L, 4.5))) // l0 (nothing before) and l4 (no rights) dropped
+  }
+
+  test("asof == naive per-left max-ts join on random data") {
+    // dense collisions on a tiny key/time domain exercise ties and ordering
+    val l = spark.range(300).select(
+      (col("id") % 7).as("k"), ((col("id") * 37) % 50).as("ts"), col("id").as("lid"))
+    val r = spark.range(120).select(
+      (col("id") % 7).as("k"), ((col("id") * 13) % 50 * 2).as("ts"), col("id").as("rid"))
+      // unique (k, ts) on the right — the precondition every asof impl shares
+      .groupBy("k", "ts").agg(max("rid").as("rid"))
+    val got = Temporal.asofJoin(l, r, Seq("k"), "ts", Seq("rid"))
+      .select("lid", "asof_ts", "asof_rid").as[(Long, Long, Long)].collect().toSet
+    val naive = l.join(r.withColumnRenamed("ts", "rts"), Seq("k"))
+      .filter(col("rts") <= col("ts"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("lid").orderBy(col("rts").desc)))
+      .filter(col("rk") === 1)
+      .select("lid", "rts", "rid").as[(Long, Long, Long)].collect().toSet
+    assert(got == naive && got.nonEmpty)
+  }
+
+  test("asof tolerance drops stale matches") {
+    val out = Temporal.asofJoin(left, right, Seq("k"), "ts", Seq("rid"),
+      toleranceMicros = Some(60L))
+      .select("lid").as[String].collect().toSet
+    // l2 matches rid=11 at gap 50 ≤ 60; l3's best is 100 µs stale ⇒ dropped
+    assert(out == Set("l1", "l2"))
+  }
+
+  test("asof plan: one shuffle on the key, no join operator") {
+    val out = Temporal.asofJoin(left, right, Seq("k"), "ts", Seq("rid"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"asof must not plan a join:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected exactly one shuffle, got $shuffles:\n$plan")
+  }
+
+  test("range join == naive theta join, band boundaries (low exclusive, high inclusive]") {
+    val l = spark.range(200).select(
+      (col("id") % 5).as("k"), ((col("id") * 31) % 97).as("ts"), col("id").as("lv"))
+    val r = spark.range(200).select(
+      (col("id") % 5).as("k"), ((col("id") * 17) % 97).as("ts"), col("id").as("rv"))
+    val got = Temporal.rangeJoin(l, r, Seq("k"), "ts", lowMicros = 0L,
+      highMicros = 10L, leftValCols = Seq("lv"), rightValCols = Seq("rv"))
+      .select("l_lv", "r_rv", "delta_us").as[(Long, Long, Long)].collect().toSet
+    val naive = l.join(r.select(col("k"), col("ts").as("rts"), col("rv")), Seq("k"))
+      .filter(col("rts") - col("ts") > 0 && col("rts") - col("ts") <= 10)
+      .select(col("lv"), col("rv"), (col("rts") - col("ts")).as("d"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == naive && got.nonEmpty)
+  }
+
+  test("range join with narrow buckets still exact") {
+    val l = Seq((1L, 0L, "a"), (1L, 95L, "b")).toDF("k", "ts", "lv")
+    val r = Seq((1L, 100L, "x"), (1L, 101L, "y"), (1L, 200L, "z")).toDF("k", "ts", "rv")
+    val got = Temporal.rangeJoin(l, r, Seq("k"), "ts", 0L, 100L,
+      Seq("lv"), Seq("rv"), bucketMicros = 7L)
+      .select("l_lv", "r_rv").as[(String, String)].collect().toSet
+    assert(got == Set(("a", "x"), ("b", "x"), ("b", "y")))
+  }
+
+  test("range join plan: bucketed equi-join, no cartesian/BNLJ") {
+    val l = spark.range(50).select((col("id") % 3).as("k"), col("id").as("ts"), col("id").as("lv"))
+    val plan = Temporal.rangeJoin(l, l.withColumnRenamed("lv", "rv"), Seq("k"),
+      "ts", 0L, 10L, Seq("lv"), Seq("rv"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"range join must stay an equi-join:\n$plan")
+  }
+}

@@ -158,4 +158,40 @@ class TextAnalysisSpec extends SparkSpec {
     // ranks are 1..k, deterministic tiebreak
     assert(top.filter(_._1 == 0L).map(_._4).sorted.toSeq == Seq(1, 2))
   }
+
+  test("piiScrub: counts on original text, pattern-order redaction") {
+    val docs = Seq(
+      (0L, "mail a.b+c@ex.co and b@d.org call +1-555-0001 from 10.0.0.7"),
+      (1L, "no pii here"),
+      (2L, "ping 10.0.0.7@x.io then 1.2.3.4.5 stray"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(docs, "doc_id", "text")
+      .as[(Long, Int, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L) == ((0L, 2, 1, 1,
+      "mail <EMAIL> and <EMAIL> call <PHONE> from <IP>")))
+    assert(out(1L) == ((1L, 0, 0, 0, "no pii here")))
+    // counts are on the ORIGINAL text (the dotted quad inside the email
+    // local part still counts as an ip), but redaction applies in pattern
+    // order: email consumes "10.0.0.7@x.io" whole before the ip pass, which
+    // then only sees the stray "1.2.3.4" prefix of "1.2.3.4.5"
+    assert(out(2L) == ((2L, 1, 2, 0, "ping <EMAIL> then <IP>.5 stray")))
+  }
+
+  test("normalizeText: NFC + lower + whitespace collapse + trim, idempotent") {
+    import org.apache.spark.sql.functions.col
+    val raw = "  Café \t ÉSTA  x\n" // decomposed accents: NFC must compose
+    val got = Seq(Tuple1(raw)).toDF("t")
+      .select(TextAnalysis.normalizeText(col("t")).as("n")).as[String].head()
+    assert(got == "café ésta x")
+    // idempotent: normalizing the normalized form is the identity
+    val twice = Seq(Tuple1(got)).toDF("t")
+      .select(TextAnalysis.normalizeText(col("t")).as("n")).as[String].head()
+    assert(twice == got)
+    // frame op flags changed rows only
+    val fr = TextAnalysis.normalized(
+      Seq((0L, raw), (1L, "already clean")).toDF("id", "text"), "id", "text")
+      .as[(Long, String, Boolean)].collect()
+      .map { case (k, v, c) => k -> ((v, c)) }.toMap
+    assert(fr(0L)._2 && !fr(1L)._2)
+  }
 }
