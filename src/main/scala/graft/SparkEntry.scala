@@ -401,6 +401,18 @@ object SparkEntry {
           count(lit(1)).as("n"),
           round(sum(col("value").cast("decimal(18,6)")), 4).cast("double").as("sum_value"))
     }),
+    // Spark-native session_window (the streaming sessionization path) run
+    // in batch mode over the same events — must agree with the
+    // gaps-and-islands oracle down to the exact-boundary rule (the +1 µs
+    // gap alignment in Sessionize.sessionsStream).
+    "event_sessions_window" -> ((s, dir) =>
+      Sessionize.sessionsStream(
+        t(s, dir, "events")
+          .select(col("user_id"), col("value"),
+            timestamp_micros(expr("ts div 1000")).as("ts_t")),
+        keyCol = "user_id", tsCol = "ts_t", gapMicros = 3600L * 1000000L,
+        valueCol = Some("value"))),
+
     // Backward as-of join (union+window formulation, ONE shuffle on the
     // key, no join operator): each error event matched to the same user's
     // most recent click at-or-before it. The oracle replays it through
@@ -2041,6 +2053,20 @@ object SparkEntry {
          |  FROM d)
          |SELECT query_id, vec_id, round(dist, 6) AS distance, rank
          |FROM r WHERE rank <= 3""".stripMargin,
+
+    // the gaps-and-islands replay of Spark's session_window merge (same
+    // construction as event_sessions, session index dropped from output)
+    "event_sessions_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+        |s AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |                       OR ts_us - lag(ts_us) OVER w > 3600000000 THEN 1 ELSE 0 END AS st
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        |i AS (SELECT *, sum(st) OVER (PARTITION BY user_id ORDER BY ts_us
+        |                              ROWS UNBOUNDED PRECEDING) AS session_id FROM s)
+        |SELECT user_id, min(ts_us) AS session_start, max(ts_us) AS session_end,
+        |       count(*) AS n_events,
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+        |FROM i GROUP BY user_id, session_id""".stripMargin,
 
     // DuckDB's NATIVE ASOF JOIN — an independent as-of implementation
     // agreeing row-for-row with the union+window formulation.

@@ -30,6 +30,40 @@ object Sessionize {
       .drop("_start")
   }
 
+  /** Streaming twin of [[sessions]] via Spark's native
+    * `session_window` (incremental merge semantics; works identically in
+    * batch mode, which is what the equivalence spec pins). `tsCol` must be
+    * a TimestampType column here — streaming needs real event-time for the
+    * watermark the caller attaches.
+    *
+    * Boundary alignment: [[sessions]] keeps an event in the session when
+    * the gap is `<= gapMicros` (strict `>` starts a new one);
+    * `session_window` merges only on OVERLAP, i.e. strict `<` gap. Passing
+    * `gapMicros + 1` µs as the window's gap duration makes the two
+    * definitions agree at every integer-microsecond timestamp.
+    *
+    * Output: key, session_start/session_end (epoch µs of first/last event —
+    * NOT the window's gap-extended end), n_events, optional sum_value —
+    * the same shape and arithmetic as [[sessions]] minus the per-key
+    * session index (a running count is inherently cross-batch; the
+    * (key, session_start) pair is the streaming-stable session identity).
+    */
+  def sessionsStream(
+      df: DataFrame, keyCol: String, tsCol: String, gapMicros: Long,
+      valueCol: Option[String] = None): DataFrame = {
+    val gapExpr = s"INTERVAL ${gapMicros + 1} MICROSECOND"
+    val tsUs = unix_micros(col(tsCol))
+    val aggs = Seq(
+      min(tsUs).as("session_start"),
+      max(tsUs).as("session_end"),
+      count(lit(1)).as("n_events")) ++
+      valueCol.map(v => round(sum(col(v).cast("decimal(18,6)")), 4)
+        .cast("double").as("sum_value"))
+    df.groupBy(col(keyCol), session_window(col(tsCol), gapExpr).as("_w"))
+      .agg(aggs.head, aggs.tail: _*)
+      .drop("_w")
+  }
+
   /** Per-session summary: bounds, event count, value sum. */
   def sessions(
       df: DataFrame, keyCol: String, tsCol: String,
