@@ -848,6 +848,21 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id")
     }),
 
+    // Per-source ADAPTIVE quality gate: keep docs at or above their own
+    // source's p25 token count (two-pass: narrow per-group percentile,
+    // thresholds broadcast back — no global sort).
+    "quality_quantile_filter" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        size(TextAnalysis.wsTokens(col("text"))).cast("double").as("n_tokens"))
+      Curation.quantileFilter(scored, "source", "n_tokens", q = 0.25)
+    }),
+
+    // Corpus-level boilerplate phrases: top-20 bigrams by total occurrences
+    // (tokenizer = the same lower + \p{L}\p{N} split every text operator
+    // uses; TakeOrdered top-k, never a global n-gram sort).
+    "ngram_top" -> ((s, dir) =>
+      TextAnalysis.ngramTop(t(s, dir, "documents"), "doc_id", "text", n = 2, k = 20)),
+
     // Deterministic stratified sampling / domain mixing: md5-derived
     // per-row uniform against per-lang keep rates — stateless, no shuffle,
     // identical survivors every run and in the oracle's replay.
@@ -2053,6 +2068,25 @@ object SparkEntry {
          |  FROM d)
          |SELECT query_id, vec_id, round(dist, 6) AS distance, rank
          |FROM r WHERE rank <= 3""".stripMargin,
+
+    // quantile_cont == Spark percentile: the parity corpus_report pins
+    "quality_quantile_filter" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0)) AS DOUBLE) AS n_tokens
+        |  FROM documents),
+        |t AS (SELECT source, quantile_cont(n_tokens, 0.25) AS thr FROM d GROUP BY source)
+        |SELECT d.source, d.doc_id, d.n_tokens, round(t.thr, 6) + 0.0 AS threshold
+        |FROM d JOIN t USING (source) WHERE d.n_tokens >= t.thr""".stripMargin,
+
+    "ngram_top" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS ngram
+        |      FROM t WHERE len(toks) >= 2),
+        |a AS (SELECT ngram, count(DISTINCT doc_id) AS n_docs, count(*) AS occurrences FROM g GROUP BY ngram),
+        |r AS (SELECT *, row_number() OVER (ORDER BY occurrences DESC, ngram ASC) AS rank FROM a)
+        |SELECT ngram, n_docs, occurrences, rank FROM r WHERE rank <= 20""".stripMargin,
 
     // the gaps-and-islands replay of Spark's session_window merge (same
     // construction as event_sessions, session index dropped from output)

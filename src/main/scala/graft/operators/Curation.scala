@@ -163,6 +163,31 @@ object Curation {
       .drop("_u")
   }
 
+  /** Per-group ADAPTIVE threshold filter: keep rows whose `scoreCol` is at
+    * or above their group's exact interpolated `q`-quantile (same
+    * `percentile` definition [[graft.operators.TextAnalysis.corpusReport]]
+    * pins against quantile_cont). A fixed global cutoff over-prunes weak
+    * sources and under-prunes strong ones; the per-source quantile is the
+    * standard web-corpus fix.
+    *
+    * Scale shape: two passes, no global sort — (1) a narrow (group, score)
+    * aggregate producing one threshold row per group (per-group sort of
+    * scores only, two columns), (2) the thresholds BROADCAST back onto the
+    * corpus for a map-side filter. Survivors keep their score and the
+    * group's threshold (rounded like corpusReport for cross-engine float
+    * parity). */
+  def quantileFilter(
+      df: DataFrame, groupCol: String, scoreCol: String, q: Double): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"quantile must be in (0,1), got $q")
+    val thresholds = df
+      .groupBy(col(groupCol))
+      .agg(expr(s"percentile($scoreCol, ${q}D)").as("_thr"))
+    df.join(broadcast(thresholds), groupCol)
+      .filter(col(scoreCol) >= col("_thr"))
+      .withColumn("threshold", round(col("_thr"), 6) + lit(0.0))
+      .drop("_thr")
+  }
+
   /** Per-key document cap ("no domain dominates"): keep at most `cap` rows
     * per key, selected in deterministic hash order — the FineWeb-style
     * guard against a single domain/source flooding the mixture. The order

@@ -295,6 +295,39 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("score"), col("rank"))
   }
 
+  /** Corpus-level n-gram statistics: the k most frequent word n-grams with
+    * document frequency and total occurrences (rank by occurrences desc,
+    * n-gram asc — fully deterministic). The corpus-hygiene companion to
+    * [[repetitionScore]]: where that flags repetition within a document,
+    * this surfaces the boilerplate phrases repeated ACROSS the corpus.
+    *
+    * Scale shape: per-doc n-grams are a projection; the shuffle carries
+    * (ngram, partial count/df) pairs with map-side partial aggregation, and
+    * the final top-k is a k-row TakeOrdered — never a global sort of the
+    * n-gram universe. */
+  def ngramTop(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, k: Int = 20): DataFrame = {
+    require(n >= 2, s"use token counting for n=1, got n=$n")
+    val toks = Dedup.tokens(col(textCol))
+    // positions 1..size-(n-1); sequence() would count DOWN for size < n,
+    // so the guard is load-bearing
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+    val exploded = df.select(col(idCol), explode(grams).as("ngram"))
+    import org.apache.spark.sql.expressions.Window
+    // TakeOrdered k rows FIRST (per-partition top-k, k-row merge on the
+    // driver), then rank within the k-row result — a global row_number
+    // window here would funnel the whole n-gram universe to one task
+    exploded.groupBy(col("ngram"))
+      .agg(countDistinct(col(idCol)).as("n_docs"), count(lit(1)).as("occurrences"))
+      .orderBy(col("occurrences").desc, col("ngram").asc).limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(
+        col("occurrences").desc, col("ngram").asc)))
+  }
+
   /** PII patterns: (name, regex, replacement token). Kept to RE2-compatible
     * constructs (no backrefs/lookaround) so an external engine replays the
     * same scan; `\b` is the ASCII word boundary in both RE2 and Java for

@@ -218,4 +218,46 @@ class CurationSpec extends SparkSpec {
     assert(!out.contains(3L)) // no overlap
     assert(!out.contains(0L)) // self-pair excluded
   }
+
+  test("quantileFilter: per-group interpolated threshold, boundary kept") {
+    import org.apache.spark.sql.functions.col
+    // group a scores 1..4: p25 interpolates to 1.75 → survivor scores 2,3,4
+    // group b scores 10,20: p25 = 12.5 → survivor 20
+    val rows = Seq(
+      ("a", 0L, 1.0), ("a", 1L, 2.0), ("a", 2L, 3.0), ("a", 3L, 4.0),
+      ("b", 4L, 10.0), ("b", 5L, 20.0))
+      .toDF("src", "id", "score")
+    val out = Curation.quantileFilter(rows, "src", "score", 0.25)
+      .select("id", "threshold").as[(Long, Double)].collect().toMap
+    assert(out == Map(1L -> 1.75, 2L -> 1.75, 3L -> 1.75, 5L -> 12.5))
+    // exact-boundary score survives (>= not >): p50 of {1,2,3} is 2
+    val b = Curation.quantileFilter(
+      Seq(("a", 0L, 1.0), ("a", 1L, 2.0), ("a", 2L, 3.0)).toDF("src", "id", "score"),
+      "src", "score", 0.5).select("id").as[Long].collect().toSet
+    assert(b == Set(1L, 2L))
+    // thresholds reach the corpus via a broadcast join, not a shuffle
+    val plan = Curation.quantileFilter(rows, "src", "score", 0.25)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("ngramTop: occurrences vs document frequency, deterministic rank") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (0L, "big data big data big data"), // 'big data' 3x, 'data big' 2x
+      (1L, "big data pipelines"),
+      (2L, "tiny"), // < n tokens → contributes nothing
+      (3L, "Big, DATA!")) // tokenizer lowercases and strips punctuation
+      .toDF("doc_id", "text")
+    val top = TextAnalysis.ngramTop(docs, "doc_id", "text", n = 2, k = 3)
+      .as[(String, Long, Long, Int)].collect()
+    assert(top.head == (("big data", 3L, 5L, 1))) // df counts docs, not hits
+    // tie between 'data big' (2 in doc 0) — ranks are contiguous from 1
+    assert(top.map(_._4).toSeq == (1 to top.length))
+    assert(top.forall(_._1.split(" ").length == 2))
+    // trigrams: the guard keeps short docs out instead of sequence(1,0) DESC
+    val tri = TextAnalysis.ngramTop(docs, "doc_id", "text", n = 3, k = 5)
+      .as[(String, Long, Long, Int)].collect()
+    assert(tri.exists(_._1 == "big data big") && tri.forall(!_._1.contains("tiny")))
+  }
 }
