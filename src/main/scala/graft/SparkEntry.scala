@@ -429,6 +429,18 @@ object SparkEntry {
         Seq("click_id", "click_value"))
     }),
 
+    // LEFT OUTER as-of: signups keep their row even before the user's
+    // first purchase (null right columns) — DuckDB's ASOF LEFT JOIN twin.
+    "asof_join_left" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select("event_id", "user_id", "ts_us")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id").as("purchase_id"))
+      Temporal.asofJoin(signups, purchases, Seq("user_id"), "ts_us",
+        Seq("purchase_id"), leftOuter = true)
+    }),
+
     // Banded interval join on (user, time-bucket): every error within 6 h
     // AFTER each click. The bucketed equi-join bounds candidate volume per
     // (key, bucket); the oracle is the plain inequality join.
@@ -2111,6 +2123,14 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, e.ts_us,
         |       c.ts_us AS asof_ts_us, c.click_id AS asof_click_id, c.click_value AS asof_click_value
         |FROM e ASOF JOIN c ON e.user_id = c.user_id AND e.ts_us >= c.ts_us""".stripMargin,
+
+    "asof_join_left" ->
+      """WITH s AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id AS purchase_id
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT s.event_id, s.user_id, s.ts_us,
+        |       p.ts_us AS asof_ts_us, p.purchase_id AS asof_purchase_id
+        |FROM s ASOF LEFT JOIN p ON s.user_id = p.user_id AND s.ts_us >= p.ts_us""".stripMargin,
 
     "range_join" ->
       """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click'),

@@ -52,11 +52,12 @@ object Curation {
     * @param pairs     (id_a, id_b) undirected edges, e.g. a [[Dedup]]
     *                  near-dup pair output
     * @param nodes     frame containing `idCol` — the full node universe
-    * @param maxIter   safety cap on scheduled rounds (each round propagates
-    *                  TWO hops, so the cap covers 2·maxIter hops of
-    *                  diameter); near-dup graphs converge in a handful
-    *                  (require() fails loudly if the cap is hit, rather
-    *                  than returning silently-unmerged components)
+    * @param maxIter   safety cap on scheduled rounds; each round is one
+    *                  edge propagation + one pointer jump (path halving),
+    *                  so convergence needs O(log diameter) rounds — the
+    *                  default covers any realistic graph (require() fails
+    *                  loudly if the cap is hit, rather than returning
+    *                  silently-unmerged components)
     */
   def connectedComponents(
       pairs: DataFrame, nodes: DataFrame, idCol: String,
@@ -92,14 +93,23 @@ object Curation {
         .select(col("dst").as("id"), col("comp"))
       l.union(msgs).groupBy("id").agg(min("comp").as("comp"))
     }
+    // pointer jumping (path halving): comp(x) ← comp(comp(x)). Every comp
+    // IS an id of the fixed universe (labels start as self and only adopt
+    // neighbor ids), so the self-join is total. Composed with one edge
+    // propagation per round this converges in O(log d) scheduled rounds
+    // instead of O(d) — a 1000-link near-dup chain (boilerplate docs
+    // chained by successive edits) closes in ~10 rounds, not 500.
+    def jump(l: DataFrame): DataFrame =
+      l.join(l.select(col("id").as("comp"), col("comp").as("_c2")), "comp")
+        .select(col("id"), col("_c2").as("comp"))
     while (!converged && it < maxIter) {
-      // TWO hops per job: each label still only decreases, so the sum
-      // witness stays valid, but a diameter-d graph needs d/2 scheduled
-      // rounds — and the checkpoint is LAZY, so the labelSum action below
-      // materializes it and each round is ONE job (propagate×2 + sum)
-      // instead of three (two eager checkpoints + sum). Lineage still
+      // Both steps are element-wise non-increasing, so the sum witness
+      // stays valid: an unchanged sum ⇒ the propagate step alone changed
+      // nothing ⇒ CC fixpoint. The checkpoint is LAZY — the labelSum
+      // action below materializes it, making each round ONE job
+      // (propagate + jump + sum) instead of three. Lineage still
       // truncates; old blocks GC via ContextCleaner.
-      labels = propagate(propagate(labels)).localCheckpoint(false)
+      labels = jump(propagate(labels)).localCheckpoint(false)
       val s = labelSum(labels)
       converged = s.compareTo(prevSum) == 0
       prevSum = s

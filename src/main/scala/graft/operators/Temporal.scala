@@ -26,11 +26,13 @@ import org.apache.spark.sql.types.StructType
   */
 object Temporal {
 
-  /** Backward as-of join (inner): for each left row, the single most recent
-    * right row of the same key with `right.tsCol <= left.tsCol` (inclusive —
-    * a right row AT the left timestamp matches), optionally within
+  /** Backward as-of join: for each left row, the single most recent right
+    * row of the same key with `right.tsCol <= left.tsCol` (inclusive — a
+    * right row AT the left timestamp matches), optionally within
     * `toleranceMicros`. Left rows with no qualifying right row are dropped
-    * (inner semantics; DuckDB/pandas `ASOF JOIN` parity).
+    * when `leftOuter = false` (inner semantics; DuckDB/pandas `ASOF JOIN`
+    * parity) or kept with null right columns when `leftOuter = true`
+    * (`ASOF LEFT JOIN`). A tolerance-stale match counts as no match.
     *
     * Output = all left columns + the matched right timestamp as
     * `<prefix><rightTsCol>` + each `rightValCols` as `<prefix><col>`.
@@ -47,7 +49,8 @@ object Temporal {
       left: DataFrame, right: DataFrame, keyCols: Seq[String],
       tsCol: String, rightValCols: Seq[String],
       prefix: String = "asof_",
-      toleranceMicros: Option[Long] = None): DataFrame = {
+      toleranceMicros: Option[Long] = None,
+      leftOuter: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty, "asofJoin requires at least one key column")
     val carriedCols = tsCol +: rightValCols
     val rv = struct(carriedCols.map(col): _*)
@@ -72,15 +75,20 @@ object Temporal {
       .orderBy(col("_ts").asc, col("_side").asc, col("_rv").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val carried = last(col("_rv"), ignoreNulls = true).over(w)
-    val matched = l.unionByName(r)
+    val leftRows = l.unionByName(r)
       .withColumn("_m", carried)
-      .filter(col("_side") === 1 && col("_m").isNotNull)
+      .filter(col("_side") === 1)
+    // a stale match (outside tolerance) is NO match: null the struct so
+    // outer keeps the row with null right columns and inner drops it
     val tolerant = toleranceMicros match {
-      case Some(t) => matched.filter(col("_ts") - col("_m")(tsCol) <= t)
-      case None    => matched
+      case Some(t) => leftRows.withColumn("_m",
+        when(col("_ts") - col("_m")(tsCol) <= t, col("_m")))
+      case None => leftRows
     }
+    val matched =
+      if (leftOuter) tolerant else tolerant.filter(col("_m").isNotNull)
     val outRight = carriedCols.map(c => col("_m")(c).as(prefix + c))
-    tolerant.select(col("_lv.*") +: outRight: _*)
+    matched.select(col("_lv.*") +: outRight: _*)
   }
 
   /** Banded interval join: all pairs (l, r) with equal `keyCols` and

@@ -219,6 +219,18 @@ class CurationSpec extends SparkSpec {
     assert(!out.contains(0L)) // self-pair excluded
   }
 
+  test("connected components: 300-link chain converges within the round cap") {
+    import org.apache.spark.sql.functions.col
+    // worst-case diameter for min-label propagation: plain hop-at-a-time
+    // needs ~300 rounds; pointer jumping must close it in O(log d)
+    val edges = spark.range(299)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val nodes = spark.range(300).select(col("id"))
+    val comps = Curation.connectedComponents(edges, nodes, "id")
+      .select("component_id").distinct().as[Long].collect().toSeq
+    assert(comps == Seq(0L))
+  }
+
   test("quantileFilter: per-group interpolated threshold, boundary kept") {
     import org.apache.spark.sql.functions.col
     // group a scores 1..4: p25 interpolates to 1.75 → survivor scores 2,3,4

@@ -52,6 +52,22 @@ class TemporalSpec extends SparkSpec {
     assert(got == naive && got.nonEmpty)
   }
 
+  test("asof left outer: unmatched lefts kept with null right columns") {
+    val out = Temporal.asofJoin(left, right, Seq("k"), "ts", Seq("rid"),
+      leftOuter = true)
+      .select("lid", "asof_rid")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out == Map("l1" -> Some(10L), "l2" -> Some(11L),
+      "l3" -> Some(13L), "l0" -> None, "l4" -> None))
+    // tolerance in outer mode nulls the stale match instead of dropping
+    val tol = Temporal.asofJoin(left, right, Seq("k"), "ts", Seq("rid"),
+      toleranceMicros = Some(60L), leftOuter = true)
+      .select("lid", "asof_rid")
+      .collect().map(r => r.getString(0) -> r.isNullAt(1)).toMap
+    assert(tol("l3") && !tol("l1") && !tol("l2") && tol.size == 5)
+  }
+
   test("asof tolerance drops stale matches") {
     val out = Temporal.asofJoin(left, right, Seq("k"), "ts", Seq("rid"),
       toleranceMicros = Some(60L))
