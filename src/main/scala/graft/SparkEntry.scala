@@ -860,6 +860,17 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id")
     }),
 
+    // Fuzzy string similarity join (edit distance ≤ 3 over 24-char name
+    // prefixes): q-gram candidate equi-join + levenshtein verify — the
+    // oracle replays it as the naive cross join, an independent algorithm.
+    // maxGramDf = None for oracle exactness (serving default caps it).
+    "fuzzy_join" -> ((s, dir) => {
+      val names = t(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("name"))
+      Dedup.editDistancePairs(names, "doc_id", "name", maxDist = 3, q = 4,
+        maxGramDf = None)
+    }),
+
     // Per-source ADAPTIVE quality gate: keep docs at or above their own
     // source's p25 token count (two-pass: narrow per-group percentile,
     // thresholds broadcast back — no global sort).
@@ -2080,6 +2091,13 @@ object SparkEntry {
          |  FROM d)
          |SELECT query_id, vec_id, round(dist, 6) AS distance, rank
          |FROM r WHERE rank <= 3""".stripMargin,
+
+    // the naive all-pairs replay — levenshtein() agrees cross-engine
+    "fuzzy_join" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 24) AS name FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, levenshtein(a.name, b.name) AS dist
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.name, b.name) <= 3""".stripMargin,
 
     // quantile_cont == Spark percentile: the parity corpus_report pins
     "quality_quantile_filter" ->

@@ -123,6 +123,62 @@ object Dedup {
         finally { sh.unpersist(false); () }
     }
 
+  /** Fuzzy string similarity join: all pairs with Levenshtein distance
+    * ≤ `maxDist` over a short string column (names, titles, normalized
+    * keys). Candidate generation is a q-gram equi-join, exact verification
+    * is `levenshtein()` on the candidates only — never the |A|×|B| cross.
+    *
+    * COMPLETENESS: an edit destroys at most q of a string's (l−q+1)
+    * q-grams, so two strings within distance k share at least
+    * min(la,lb) − q + 1 − k·q unpositioned q-grams — positive whenever
+    * min(la,lb) ≥ q·(k+1). Shorter strings can only pair (length filter
+    * |la−lb| ≤ k) with strings of length < q·(k+1)+k, and every string
+    * under that bound also carries a shared `_short` bucket token — so no
+    * qualifying pair can miss candidate generation. Both filters (shared
+    * gram, length delta) are necessary conditions, applied before the
+    * O(l²) distance evaluates.
+    *
+    * `maxGramDf` caps a gram's document frequency (a stop-gram like
+    * `" the"` multiplies candidates without discriminating) — same
+    * serving-default/oracle-passes-None contract as [[DefaultMaxShingleDf]];
+    * with a cap, pairs whose ONLY shared grams are stop-grams are missed.
+    *
+    * Scale shape: shuffle rows are (gram hash, id, short string); the
+    * per-gram join fan-out is df-bounded; `levenshtein` evaluates once per
+    * distinct candidate pair. */
+  def editDistancePairs(
+      df: DataFrame, idCol: String, strCol: String, maxDist: Int,
+      q: Int = 4,
+      maxGramDf: Option[Int] = Some(DefaultMaxShingleDf)): DataFrame = {
+    require(maxDist >= 0 && q >= 2, s"need maxDist >= 0 and q >= 2")
+    val shortMax = q * (maxDist + 1) + maxDist - 1
+    val s = col(strCol)
+    val gramsExpr = when(length(s) >= q,
+      array_distinct(transform(sequence(lit(1), length(s) - (q - 1)),
+        i => s.substr(i, lit(q)))))
+      .otherwise(array().cast("array<string>"))
+    val withShort = when(length(s) <= shortMax,
+      concat(gramsExpr, array(lit("\u0000")))).otherwise(gramsExpr)
+    val exploded = df.select(col(idCol), s, explode(withShort).as("_g"))
+    val capped = maxGramDf match {
+      case None => exploded
+      case Some(cap) =>
+        val hot = exploded.groupBy(col("_g"))
+          .agg(countDistinct(col(idCol)).as("_df"))
+          .filter(col("_df") > cap).select("_g")
+        exploded.join(broadcast(hot), Seq("_g"), "left_anti")
+    }
+    val a = capped.select(col("_g"), col(idCol).as("id_a"), s.as("_sa"))
+    val b = capped.select(col("_g"), col(idCol).as("id_b"), s.as("_sb"))
+    a.join(b, "_g")
+      .filter(col("id_a") < col("id_b") &&
+        abs(length(col("_sa")) - length(col("_sb"))) <= maxDist)
+      .select("id_a", "id_b", "_sa", "_sb").distinct()
+      .withColumn("dist", levenshtein(col("_sa"), col("_sb")))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
   /** Exact-Jaccard tail shared by the exact and MinHash pipelines: intersect
     * via the shingle equi-join (`candFilter` restricts the pair space),
     * |A∪B| = |A|+|B|−|A∩B|, keep pairs ≥ threshold. */

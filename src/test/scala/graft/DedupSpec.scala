@@ -136,4 +136,33 @@ class DedupSpec extends SparkSpec {
     Dedup.jaccardPairsFromShingles(sh, "doc_id", 0.3, maxShingleDf = Some(2)).collect()
     assert(org.apache.spark.sql.GraftSqlBridge.cacheManagerEmpty(spark))
   }
+
+  test("editDistancePairs == brute force, incl. short strings and empty") {
+    import org.apache.spark.sql.functions.{col, levenshtein}
+    val names = Seq(
+      (0L, "the quick brown fox jumps"),
+      (1L, "the quick brown fox jumped"), // dist 2 from 0
+      (2L, "the quiet brown fox jumps"), // dist 2 from 0
+      (3L, "a completely different str"),
+      (4L, "ab"), (5L, "abc"), (6L, "axc"), // short bucket: dists 1,1,2
+      (7L, ""), // empty: pairs only with strings of length <= maxDist
+      (8L, "the quick brown fox jumps")) // exact dup of 0
+      .toDF("id", "name")
+    val got = Dedup.editDistancePairs(names, "id", "name", maxDist = 2,
+        maxGramDf = None)
+      .as[(Long, Long, Int)].collect().toSet
+    val d = names.select(col("id").as("id_a"), col("name").as("na"))
+    val brute = d.crossJoin(names.select(col("id").as("id_b"), col("name").as("nb")))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), levenshtein(col("na"), col("nb")).as("d"))
+      .filter(col("d") <= 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == brute && got.nonEmpty)
+    assert(got.contains((0L, 8L, 0)) && got.contains((4L, 5L, 1)) && got.contains((5L, 6L, 1)))
+    // a hot-gram cap may only REMOVE pairs, never invent or mis-score them
+    val capped = Dedup.editDistancePairs(names, "id", "name", maxDist = 2,
+        maxGramDf = Some(2))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(capped.subsetOf(brute))
+  }
 }
