@@ -861,14 +861,16 @@ object SparkEntry {
     }),
 
     // Fuzzy string similarity join (edit distance ≤ 3 over 24-char name
-    // prefixes): q-gram candidate equi-join + levenshtein verify — the
-    // oracle replays it as the naive cross join, an independent algorithm.
-    // maxGramDf = None for oracle exactness (serving default caps it).
+    // prefixes): q-gram candidate equi-join + levenshtein verify, SERVING
+    // DEFAULT stop-gram cap on (df > 200 grams are boilerplate, not match
+    // signal — uncapped, natural-language prefixes generate 8× the
+    // candidates for zero extra recall at sf0.1). The oracle replays the
+    // whole pipeline — grams, short bucket, cap, length filter, verify —
+    // the way dedup_minhash's oracle replays banding.
     "fuzzy_join" -> ((s, dir) => {
       val names = t(s, dir, "documents")
         .select(col("doc_id"), substring(col("text"), 1, 24).as("name"))
-      Dedup.editDistancePairs(names, "doc_id", "name", maxDist = 3, q = 4,
-        maxGramDf = None)
+      Dedup.editDistancePairs(names, "doc_id", "name", maxDist = 3, q = 4)
     }),
 
     // Per-source ADAPTIVE quality gate: keep docs at or above their own
@@ -2092,12 +2094,26 @@ object SparkEntry {
          |SELECT query_id, vec_id, round(dist, 6) AS distance, rank
          |FROM r WHERE rank <= 3""".stripMargin,
 
-    // the naive all-pairs replay — levenshtein() agrees cross-engine
+    // full pipeline replay: distinct 4-grams (+ chr(1) short-bucket token
+    // for len ≤ q(k+1)+k−1 = 18), stop-gram cap at df > 200, length-delta
+    // prefilter, distinct candidates, levenshtein verify — levenshtein()
+    // agrees cross-engine
     "fuzzy_join" ->
-      """WITH d AS (SELECT doc_id, substr(text, 1, 24) AS name FROM documents)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, levenshtein(a.name, b.name) AS dist
-        |FROM d a JOIN d b ON a.doc_id < b.doc_id
-        |WHERE levenshtein(a.name, b.name) <= 3""".stripMargin,
+      """WITH d AS (SELECT doc_id, substr(text, 1, 24) AS name FROM documents),
+        |g0 AS (
+        |  SELECT doc_id, name, unnest(list_distinct(list_transform(
+        |    range(1, len(name) - 2), i -> substr(name, i, 4)))) AS g
+        |  FROM d WHERE len(name) >= 4
+        |  UNION ALL
+        |  SELECT doc_id, name, chr(1) AS g FROM d WHERE len(name) <= 18),
+        |ok AS (SELECT g FROM g0 GROUP BY g HAVING count(DISTINCT doc_id) <= 200),
+        |gg AS (SELECT g0.doc_id, g0.name, g0.g FROM g0 JOIN ok USING (g)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |                a.name AS na, b.name AS nb
+        |         FROM gg a JOIN gg b ON a.g = b.g AND a.doc_id < b.doc_id
+        |           AND abs(len(a.name) - len(b.name)) <= 3)
+        |SELECT id_a, id_b, levenshtein(na, nb) AS dist
+        |FROM cand WHERE levenshtein(na, nb) <= 3""".stripMargin,
 
     // quantile_cont == Spark percentile: the parity corpus_report pins
     "quality_quantile_filter" ->
