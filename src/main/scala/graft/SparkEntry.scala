@@ -898,6 +898,23 @@ object SparkEntry {
           "es" -> 0.8, "zh" -> 1.0),
         defaultFraction = 0.5)),
 
+    // Temperature-flattened language mix (mC4/PaLM rule): per-lang rates
+    // derived from corpus counts with tau=0.5, expected sample 30% —
+    // narrow count agg + broadcast rates + stateless coin.
+    "temperature_mix" -> ((s, dir) =>
+      Curation.temperatureMix(t(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id", "lang", tau = 0.5, sampleFraction = 0.3)),
+
+    // Weighted epoch repetition: upsample high-value languages k.x times
+    // (floor + deterministic fractional coin), 1-based epoch index.
+    "mixture_epochs" -> ((s, dir) => {
+      val weighted = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        when(col("lang") === "de", 2.5).when(col("lang") === "en", 0.3)
+          .when(col("lang") === "fr", 2.0).when(col("lang") === "zh", 1.5)
+          .otherwise(1.0).as("w"))
+      Curation.repeatByWeight(weighted, "doc_id", "w")
+    }),
+
     // FineWeb-style per-source cap: at most 10 docs per source, selected in
     // deterministic hash order (the md5 coin), so no source floods the
     // mixture; row_number ≤ cap plans as WindowGroupLimit.
@@ -2114,6 +2131,31 @@ object SparkEntry {
         |           AND abs(len(a.name) - len(b.name)) <= 3)
         |SELECT id_a, id_b, levenshtein(na, nb) AS dist
         |FROM cand WHERE levenshtein(na, nb) <= 3""".stripMargin,
+
+    "temperature_mix" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |t AS (SELECT sum(pow(n, 0.5)) AS w, sum(n) AS nn FROM c),
+         |r AS (SELECT lang, least(1.0, 0.3 * t.nn * pow(c.n, 0.5) / t.w / c.n) AS rate FROM c, t),
+         |u AS (SELECT doc_id, lang,
+         |  CAST(${duckHash("CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+         |    / ${Curation.HashUnitDivisor} AS u
+         |  FROM documents)
+         |SELECT u.lang, u.doc_id, round(r.rate, 6) + 0.0 AS rate
+         |FROM u JOIN r USING (lang) WHERE u.u < r.rate""".stripMargin,
+
+    "mixture_epochs" ->
+      s"""WITH w AS (SELECT doc_id, lang,
+         |  CASE lang WHEN 'de' THEN 2.5 WHEN 'en' THEN 0.3 WHEN 'fr' THEN 2.0
+         |            WHEN 'zh' THEN 1.5 ELSE 1.0 END AS w
+         |  FROM documents),
+         |n AS (SELECT doc_id, lang, w,
+         |  CAST(floor(w) AS INT) +
+         |  CASE WHEN CAST(${duckHash("CAST(doc_id AS VARCHAR) || ':' || CAST(w AS VARCHAR)")} AS DOUBLE)
+         |              / ${Curation.HashUnitDivisor} < w - floor(w)
+         |       THEN 1 ELSE 0 END AS nrep
+         |  FROM w)
+         |SELECT doc_id, lang, w, unnest(range(1, nrep + 1)) AS epoch
+         |FROM n WHERE nrep >= 1""".stripMargin,
 
     // quantile_cont == Spark percentile: the parity corpus_report pins
     "quality_quantile_filter" ->

@@ -198,6 +198,58 @@ object Curation {
       .drop("_thr")
   }
 
+  /** Temperature-flattened mixture sampling (the mC4/PaLM language-mix
+    * rule): per-group keep rate ∝ n_g^τ / n_g, scaled so the expected
+    * sample size is `sampleFraction`·N and clamped at 1. τ < 1 flattens the
+    * head — a group's share of the sample grows sub-linearly with its
+    * corpus share, boosting low-resource groups without hand-tuned rates
+    * ([[stratifiedSample]] is the hand-tuned variant; this derives the
+    * rates from the data).
+    *
+    * Scale shape: one narrow count aggregate, a one-row totals frame, and
+    * the per-group rates broadcast back for a stateless coin filter — the
+    * corpus scans once, nothing global sorts. Deterministic: the coin is
+    * the same md5 unit as every sampler here. */
+  def temperatureMix(
+      df: DataFrame, idCol: String, groupCol: String, tau: Double,
+      sampleFraction: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"temperature in (0,1], got $tau")
+    require(sampleFraction > 0.0 && sampleFraction < 1.0,
+      s"sampleFraction in (0,1), got $sampleFraction")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+    val totals = counts.agg(
+      sum(pow(col("_n"), tau)).as("_w"), sum(col("_n")).as("_nn"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .select(col(groupCol),
+        least(lit(1.0),
+          lit(sampleFraction) * col("_nn") * pow(col("_n"), tau)
+            / col("_w") / col("_n")).as("_rate"))
+    df.join(broadcast(rates), groupCol)
+      .filter(sampleUnit(col(idCol)) < col("_rate"))
+      .withColumn("rate", round(col("_rate"), 6) + lit(0.0))
+      .drop("_rate")
+  }
+
+  /** Weighted epoch repetition (upsampling): each row repeats
+    * floor(w) + (coin < frac(w)) times with a 1-based `epoch` index — the
+    * "repeat high-quality sources k.x times" training-mix op. Weight 0 rows
+    * drop; the fractional epoch is granted by the same deterministic md5
+    * coin as the samplers (seeded with the weight so it's independent of
+    * [[stratifiedSample]]'s coin on the same ids). Stateless projection +
+    * explode: no shuffle at any scale. */
+  def repeatByWeight(
+      df: DataFrame, idCol: String, weightCol: String): DataFrame = {
+    val coin = sampleUnit(concat(col(idCol).cast("string"), lit(":"),
+      col(weightCol).cast("string")))
+    val nRep = (floor(col(weightCol)) +
+      when(coin < col(weightCol) - floor(col(weightCol)), 1).otherwise(0))
+      .cast("int")
+    df.withColumn("_nrep", nRep)
+      .filter(col("_nrep") >= 1) // sequence(1,0) would count DOWN
+      .withColumn("epoch", explode(sequence(lit(1), col("_nrep"))))
+      .drop("_nrep")
+  }
+
   /** Per-key document cap ("no domain dominates"): keep at most `cap` rows
     * per key, selected in deterministic hash order — the FineWeb-style
     * guard against a single domain/source flooding the mixture. The order

@@ -253,6 +253,49 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("temperatureMix: tau flattens the head, tau=1 is uniform sampling") {
+    import org.apache.spark.sql.functions.col
+    // heavily skewed corpus: 900 'en' vs 100 'de'
+    val docs = spark.range(1000).select(col("id"),
+      org.apache.spark.sql.functions.when(col("id") < 900, "en").otherwise("de").as("lang"))
+    val rates = Curation.temperatureMix(docs, "id", "lang", tau = 0.5, sampleFraction = 0.3)
+      .select("lang", "rate").distinct()
+      .as[(String, Double)].collect().toMap
+    // sqrt flattening: de's keep rate must exceed en's by ~sqrt(900/100)=3
+    assert(rates("de") > rates("en"))
+    assert(math.abs(rates("de") / rates("en") - 3.0) < 0.01)
+    // tau=1 degenerates to uniform: every group keeps sampleFraction
+    val uni = Curation.temperatureMix(docs, "id", "lang", tau = 1.0, sampleFraction = 0.3)
+      .select("rate").distinct().as[Double].collect().toSeq
+    assert(uni == Seq(0.3))
+    // expected-size sanity: the realized sample is near 30%
+    val n = Curation.temperatureMix(docs, "id", "lang", 0.5, 0.3).count()
+    assert(n > 200 && n < 400, s"realized $n of 1000")
+  }
+
+  test("repeatByWeight: integer weights exact, fractional via coin, zero drops") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = Seq((0L, 2.0), (1L, 0.0), (2L, 1.0), (3L, 0.4), (4L, 2.5))
+      .toDF("id", "w")
+    val out = Curation.repeatByWeight(docs, "id", "w")
+      .select("id", "epoch").as[(Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(out(0L) == Seq(1, 2)) // w=2.0: exactly 2 epochs
+    assert(!out.contains(1L)) // w=0: dropped
+    assert(out(2L) == Seq(1))
+    assert(out.get(3L).forall(e => e == Seq(1))) // 0 or 1, contiguous from 1
+    assert(out(4L) == Seq(1, 2) || out(4L) == Seq(1, 2, 3)) // 2 + coin
+    // deterministic: same input, same epochs
+    val again = Curation.repeatByWeight(docs, "id", "w")
+      .select("id", "epoch").as[(Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(again == out)
+    // fractional coins realize at roughly their rate over many rows
+    val many = Curation.repeatByWeight(
+      spark.range(1000).select(col("id"), lit(0.4).as("w")), "id", "w").count()
+    assert(many > 300 && many < 500, s"realized $many of ~400")
+  }
+
   test("ngramTop: occurrences vs document frequency, deterministic rank") {
     import graft.operators.TextAnalysis
     val docs = Seq(
