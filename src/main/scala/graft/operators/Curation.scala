@@ -72,10 +72,15 @@ object Curation {
     // a fixed id set each label is monotone non-increasing, so an unchanged
     // sum proves the fixpoint. (Adding edge-only ids mid-iteration instead
     // would inflate the sum and could exactly mask a real decrease —
-    // declaring convergence on a wrong answer.) Edge-only ids participate
-    // as connectors and are dropped from the output (one row per node).
-    var labels = nodeIds
-      .union(edges.select(col("src").as("id")))
+    // declaring convergence on a wrong answer.) The universe is the EDGE
+    // ENDPOINTS only: nodes with no edges never change label, so they stay
+    // OUT of the iteration entirely and come back as singletons in the
+    // final left join — in a near-dup graph the endpoint set is ~2·|pairs|,
+    // orders of magnitude below the corpus, which is what the per-round
+    // shuffles now cost instead of |corpus|. Edge-only ids (outside
+    // `nodes`) still participate as connectors and are dropped from the
+    // output (one row per node).
+    var labels = edges.select(col("src").as("id"))
       .distinct()
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint(true)
@@ -117,8 +122,10 @@ object Curation {
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds " +
       "— component diameter exceeds the cap; raise maxIter")
-    labels.join(nodeIds, Seq("id"), "left_semi")
-      .select(col("id").as(idCol), col("comp").as("component_id"))
+    // singletons (no edges) re-enter here with comp = their own id
+    nodeIds.join(labels, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("comp"), col("id")).as("component_id"))
   }
 
   /** Duplicate-cluster resolution: near-dup pairs → components → canonical
