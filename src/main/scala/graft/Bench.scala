@@ -70,23 +70,36 @@ object Bench {
       }
     def jmap(f: ((String, Double, Double, Boolean)) => String): String =
       results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
-    // 3 decimals keeps the line short; Locale.ROOT so a comma-decimal
-    // default locale cannot corrupt the JSON ("24,400")
-    def ms(d: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    val qs = jmap(r => ms(r._2)) // median — the headline per-query number
+    // Locale.ROOT so a comma-decimal default locale cannot corrupt the
+    // JSON ("24,400")
+    def fmt(dec: Int)(d: Double): String =
+      String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(d))
+    val ms = fmt(3) _
+    // 2 decimals in the HEADLINE per-query map: at 90 queries the
+    // 3-decimal map put the line at ~2.02 KB — past the recorder's
+    // 2000-char output tail, which would truncate the total itself (the
+    // r4 failure mode again). 10 ms resolution is noise-level at sf0.1;
+    // the full 3-decimal medians go to the sidecar file + detail line.
+    val qs2 = jmap(r => fmt(2)(r._2))
+    val qs = jmap(r => ms(r._2))
     val qsMin = jmap(r => ms(r._3))
     val qsRebuilt = jmap(_._4.toString)
     val total = results.map(_._2).sum
+    val sfName = new java.io.File(sfDir).getName // "sf0.1", not the full path
     // The recorder keeps only the LAST ~2000 chars of output, so the
-    // headline line must (a) be printed last and (b) fit that window —
-    // r4's single fat line (min + rebuilt flags inline, full-precision
-    // doubles) overflowed it and truncated the total. Detail goes on its
-    // own earlier line; the headline stays compact.
-    println(s"""{"detail":"per-query min + store-rebuilt","queries_min":$qsMin,""" +
-      s""""queries_store_rebuilt":$qsRebuilt,"runs_per_query":$runs}""")
+    // headline line must (a) be printed last and (b) fit that window.
+    // Detail (3-decimal medians + mins + rebuilt flags) goes on its own
+    // earlier line AND to a sidecar file for local analysis.
+    val detail = s"""{"detail":"3-decimal median + min + store-rebuilt",""" +
+      s""""queries_median":$qs,"queries_min":$qsMin,""" +
+      s""""queries_store_rebuilt":$qsRebuilt,"runs_per_query":$runs}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("/tmp/graft-bench-detail.json"),
+      detail.getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(detail)
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
-      s""""queries":$qs,"sf":"$sfDir"}""")
+      s""""queries":$qs2,"sf":"$sfName"}""")
     spark.stop()
   }
 }
