@@ -125,4 +125,40 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("span_dedup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
+
+  test("asof join: window merge — one shuffle, NO join operator") {
+    val p = plan("asof_join")
+    assert(!p.contains("Join"), s"asof must not plan a join:\n${p.take(2000)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(2000))
+  }
+
+  test("range join: bucketed equi-join, never a theta cross product") {
+    val p = plan("range_join")
+    assert(p.contains("Join"), "bucket equi-join expected")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("fuzzy join: gram equi-join candidates, never a cross product") {
+    val p = plan("fuzzy_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("quantile filter: thresholds broadcast back, aggregates partial") {
+    val p = plan("quality_quantile_filter")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // per-group percentile aggregates map-side before its narrow exchange
+    assert(p.contains("partial_percentile"), p.take(2000))
+  }
+
+  test("ngram top-k: TakeOrdered, not a global window over the n-gram universe") {
+    val p = plan("ngram_top")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("mixture sampling: temperature rates broadcast; epoch repeat shuffle-free") {
+    val pt = plan("temperature_mix")
+    assert(pt.contains("BroadcastHashJoin") && !pt.contains("text"), pt.take(2000))
+    val pe = plan("mixture_epochs")
+    assert(!pe.contains("Exchange"), s"repeat-by-weight must not shuffle:\n${pe.take(2000)}")
+  }
 }

@@ -143,6 +143,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming as-of enrichment: epoch log == batch asofJoin over all delivered rows") {
+    import graft.operators.Temporal
+    import graft.streaming.StreamingTemporal
+    import org.apache.commons.io.FileUtils
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof").toFile
+    val out = new java.io.File(dir, "enriched").getAbsolutePath
+    // static right side: per-key reference points
+    val right = Seq((1L, 100L, "r1"), (1L, 300L, "r2"), (2L, 50L, "r3"))
+      .toDF("k", "ts", "tag")
+    val lefts = Seq(
+      Seq((1L, 150L, "a"), (2L, 40L, "b")), // b has nothing at-or-before → dropped
+      Seq((1L, 300L, "c"), (1L, 99L, "d")), // c ties r2 inclusively
+      Seq((2L, 60L, "e")))
+    val mem = MemoryStream[(Long, Long, String)](spark)
+    val q = mem.toDF().toDF("k", "ts", "lid")
+      .writeStream
+      .foreachBatch(StreamingTemporal.asofBatch(right, Seq("k"), "ts", Seq("tag"), out))
+      .start()
+    try {
+      lefts.foreach { b => mem.addData(b); q.processAllAvailable() }
+      val streamed = spark.read.parquet(out)
+        .select("lid", "asof_ts", "asof_tag").as[(String, Long, String)]
+        .collect().toSet
+      val batch = Temporal.asofJoin(
+          lefts.flatten.toDF("k", "ts", "lid"), right, Seq("k"), "ts", Seq("tag"))
+        .select("lid", "asof_ts", "asof_tag").as[(String, Long, String)]
+        .collect().toSet
+      assert(streamed == batch && streamed.nonEmpty)
+      assert(streamed == Set(
+        ("a", 100L, "r1"), ("c", 300L, "r2"), ("e", 50L, "r3")))
+    } finally {
+      q.stop(); FileUtils.deleteDirectory(dir)
+    }
+  }
+
   test("streaming near-dup: pair log over epochs == batch operator on the final corpus") {
     import graft.operators.Dedup
     import graft.streaming.StreamingDedup
