@@ -422,9 +422,14 @@ object SparkEntry {
       val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
       val errors = ev.filter(col("event_type") === "error")
         .select("event_id", "user_id", "ts_us")
+      // dedupe the right side per (key, ts): every native ASOF impl assumes
+      // it, and the µs truncation could collide two ns-distinct clicks —
+      // Spark's max-struct tiebreak and DuckDB's arbitrary pick would then
+      // diverge. max_by keeps the newest click per microsecond.
       val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts_us"),
-          col("event_id").as("click_id"), col("value").as("click_value"))
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("event_id")).as("click_id"),
+          expr("max_by(value, event_id)").as("click_value"))
       Temporal.asofJoin(errors, clicks, Seq("user_id"), "ts_us",
         Seq("click_id", "click_value"))
     }),
@@ -435,8 +440,10 @@ object SparkEntry {
       val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
       val signups = ev.filter(col("event_type") === "signup")
         .select("event_id", "user_id", "ts_us")
+      // (key, ts)-unique right side — see asof_join's note
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts_us"), col("event_id").as("purchase_id"))
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("event_id")).as("purchase_id"))
       Temporal.asofJoin(signups, purchases, Seq("user_id"), "ts_us",
         Seq("purchase_id"), leftOuter = true)
     }),
@@ -2194,16 +2201,17 @@ object SparkEntry {
     // agreeing row-for-row with the union+window formulation.
     "asof_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'error'),
-        |c AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id AS click_id, value AS click_value
-        |      FROM events WHERE event_type = 'click')
+        |c AS (SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS click_id,
+        |             max_by(value, event_id) AS click_value
+        |      FROM events WHERE event_type = 'click' GROUP BY user_id, epoch_us(ts))
         |SELECT e.event_id, e.user_id, e.ts_us,
         |       c.ts_us AS asof_ts_us, c.click_id AS asof_click_id, c.click_value AS asof_click_value
         |FROM e ASOF JOIN c ON e.user_id = c.user_id AND e.ts_us >= c.ts_us""".stripMargin,
 
     "asof_join_left" ->
       """WITH s AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'signup'),
-        |p AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id AS purchase_id
-        |      FROM events WHERE event_type = 'purchase')
+        |p AS (SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS purchase_id
+        |      FROM events WHERE event_type = 'purchase' GROUP BY user_id, epoch_us(ts))
         |SELECT s.event_id, s.user_id, s.ts_us,
         |       p.ts_us AS asof_ts_us, p.purchase_id AS asof_purchase_id
         |FROM s ASOF LEFT JOIN p ON s.user_id = p.user_id AND s.ts_us >= p.ts_us""".stripMargin,

@@ -3,7 +3,7 @@ package graft.functions
 import java.text.Normalizer
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
-import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{DataType, StringType}
@@ -30,6 +30,17 @@ object NormalizeExpr {
 case class UnicodeNormalize(child: Expression, form: String)
   extends UnaryExpression with CodegenFallback {
 
+  // analysis-time rejection of non-string arguments: the SQL-registered
+  // unicode_nfc/unicode_nfkc must fail in the analyzer, not as a per-task
+  // ClassCastException mid-job (ExpectsInputTypes is private[sql] in
+  // Spark 4, so the check is hand-rolled)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    // NullType: a bare NULL literal is fine (always evaluates to null)
+    case _: StringType | org.apache.spark.sql.types.NullType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${other.simpleString}")
+  }
   override def dataType: DataType = StringType
   override def prettyName: String = "unicode_normalize"
 
@@ -40,11 +51,6 @@ case class UnicodeNormalize(child: Expression, form: String)
     val s = u.toString
     if (Normalizer.isNormalized(s, nf)) u
     else UTF8String.fromString(Normalizer.normalize(s, nf))
-  }
-
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null else nullSafeEval(v)
   }
 
   override protected def withNewChildInternal(newChild: Expression): UnicodeNormalize =

@@ -196,9 +196,11 @@ object Curation {
   def quantileFilter(
       df: DataFrame, groupCol: String, scoreCol: String, q: Double): DataFrame = {
     require(q > 0.0 && q < 1.0, s"quantile must be in (0,1), got $q")
+    // backtick-quoted: scoreCol is an arbitrary column name spliced into
+    // SQL text (every other operator here accepts names col() accepts)
     val thresholds = df
       .groupBy(col(groupCol))
-      .agg(expr(s"percentile($scoreCol, ${q}D)").as("_thr"))
+      .agg(expr(s"percentile(`$scoreCol`, ${q}D)").as("_thr"))
     df.join(broadcast(thresholds), groupCol)
       .filter(col(scoreCol) >= col("_thr"))
       .withColumn("threshold", round(col("_thr"), 6) + lit(0.0))

@@ -169,32 +169,47 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
     val withShort = when(length(s) <= shortMax,
       concat(gramsExpr, array(lit("\u0001")))).otherwise(gramsExpr)
-    val exploded = df.select(col(idCol), s, explode(withShort).as("_g"))
-    val capped = maxGramDf match {
-      case None => exploded
-      case Some(cap) =>
-        val hot = exploded.groupBy(col("_g"))
-          .agg(countDistinct(col(idCol)).as("_df"))
-          .filter(col("_df") > cap).select("_g")
-        exploded.join(broadcast(hot), Seq("_g"), "left_anti")
-    }
+    val exploded = df.select(col(idCol), length(s).as("_len"),
+      explode(withShort).as("_g"))
     // candidate join carries (gram, id, length) — never the strings: the
     // per-gram fan-out rows are 3 narrow columns, and the distinct dedups
     // 16-byte id pairs. Strings join back once per DISTINCT candidate for
     // the levenshtein verify.
-    val a = capped.select(col("_g"), col(idCol).as("id_a"), length(s).as("_la"))
-    val b = capped.select(col("_g"), col(idCol).as("id_b"), length(s).as("_lb"))
-    val candIds = a.join(b, "_g")
-      .filter(col("id_a") < col("id_b") &&
-        abs(col("_la") - col("_lb")) <= maxDist)
-      .select("id_a", "id_b").distinct()
-    val names = df.select(col(idCol), s)
-    candIds
-      .join(names.select(col(idCol).as("id_a"), s.as("_sa")), "id_a")
-      .join(names.select(col(idCol).as("id_b"), s.as("_sb")), "id_b")
-      .withColumn("dist", levenshtein(col("_sa"), col("_sb")))
-      .filter(col("dist") <= maxDist)
-      .select("id_a", "id_b", "dist")
+    def pairsFrom(grams: DataFrame): DataFrame = {
+      val a = grams.select(col("_g"), col(idCol).as("id_a"), col("_len").as("_la"))
+      val b = grams.select(col("_g"), col(idCol).as("id_b"), col("_len").as("_lb"))
+      val candIds = a.join(b, "_g")
+        .filter(col("id_a") < col("id_b") &&
+          abs(col("_la") - col("_lb")) <= maxDist)
+        .select("id_a", "id_b").distinct()
+      val names = df.select(col(idCol), s)
+      candIds
+        .join(names.select(col(idCol).as("id_a"), s.as("_sa")), "id_a")
+        .join(names.select(col(idCol).as("id_b"), s.as("_sb")), "id_b")
+        .withColumn("dist", levenshtein(col("_sa"), col("_sb")))
+        .filter(col("dist") <= maxDist)
+        .select("id_a", "id_b", "dist")
+    }
+    maxGramDf match {
+      // oracle path: fully lazy (nothing worth caching without the hot-gram
+      // aggregate; this is also the path whose PHYSICAL PLAN the gate
+      // inspects — the serving path below materializes behind a checkpoint)
+      case None => pairsFrom(exploded)
+      case Some(cap) =>
+        // the gram relation feeds the hot-gram aggregate AND both sides of
+        // the candidate self-join — cache it for the duration of this call
+        // under the same NO-CACHE-LEAK contract as
+        // [[jaccardPairsFromShingles]] (result materialized eagerly, cache
+        // entry dropped before returning)
+        val cached = exploded.cache()
+        try {
+          val hot = cached.groupBy(col("_g"))
+            .agg(countDistinct(col(idCol)).as("_df"))
+            .filter(col("_df") > cap).select("_g")
+          pairsFrom(cached.join(broadcast(hot), Seq("_g"), "left_anti"))
+            .localCheckpoint(true)
+        } finally { cached.unpersist(false); () }
+    }
   }
 
   /** Exact-Jaccard tail shared by the exact and MinHash pipelines: intersect

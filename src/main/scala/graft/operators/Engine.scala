@@ -115,6 +115,13 @@ final class Engine {
   def indexFrame(keyspace: String, index: String): Option[DataFrame] =
     frames.get(IndexKey(keyspace, index))
 
+  /** Frame lookup for serving paths: catalog and frames are SEPARATE
+    * volatile reads, so a concurrent dropIndex between them must surface
+    * as the 404 taxonomy, not a NoSuchElementException-turned-500. */
+  private def frameOr404(key: IndexKey): DataFrame =
+    frames.getOrElse(key,
+      throw new QueryException(404, s"index ${key.keyspace}/${key.index} not found"))
+
   /** Drop an index (DROP INDEX analogue — frees the frame and the catalog
     * entry; subsequent queries 404, routing.rs:329-381). */
   def dropIndex(keyspace: String, index: String): Boolean = {
@@ -149,10 +156,10 @@ final class Engine {
             val options = Ann.validate(meta, req)
             incrementCounter("ann-approx-queries")
             ApproxAnn.searchLshAdaptive(
-              cfg.indexed, frames(meta.key), meta.targetColumn,
+              cfg.indexed, frameOr404(meta.key), meta.targetColumn,
               meta.primaryKeyColumns, options.space, req, cfg.nbits,
               cfg.radii, cfg.oversample, cfg.minCoverage)
-          case None => Ann.search(frames(meta.key), meta, req)
+          case None => Ann.search(frameOr404(meta.key), meta, req)
         } catch {
           case e: Ann.AnnValidationException => throw new QueryException(400, e.getMessage)
         }
@@ -172,7 +179,7 @@ final class Engine {
           case Fts(_) =>
             recordQuery(key)
             incrementCounter("bm25-queries")
-            Bm25.search(frames(key), e.meta.primaryKeyColumns.head,
+            Bm25.search(frameOr404(key), e.meta.primaryKeyColumns.head,
               e.meta.targetColumn, query, limit)
           case _ => throw new QueryException(400, s"index $keyspace/$index is not an FTS index")
         }
@@ -190,42 +197,43 @@ final class Engine {
     * collect of #indexes rows. */
   def metrics(): DataFrame = {
     val entries = catalog.list.sortBy(e => (e.meta.keyspace, e.meta.index))
-    // an empty engine scrapes to an empty frame with the metrics schema —
-    // the reference export simply emits no series; erroring would kill a
-    // scrape loop that polls before the first index registers
-    if (entries.isEmpty) {
-      val spark = SparkSession.active
-      return spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType(Seq(
-          f("keyspace", "string"), f("index_name", "string"), f("kind", "string"),
-          f("status", "string"), f("progress_pct", "double"),
-          f("live_rows", "bigint"), f("total_rows", "bigint"),
-          f("est_size_bytes", "bigint"), f("queries_total", "bigint"))))
-    }
-    entries.map { e =>
-      val df = frames(e.meta.key)
-      val kindStr = e.meta.kind match {
-        case Vs(_) => "vector"
-        case Fts(_) => "fulltext"
+    def emptyFrame: DataFrame = SparkSession.active.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        f("keyspace", "string"), f("index_name", "string"), f("kind", "string"),
+        f("status", "string"), f("progress_pct", "double"),
+        f("live_rows", "bigint"), f("total_rows", "bigint"),
+        f("est_size_bytes", "bigint"), f("queries_total", "bigint"))))
+    // flatMap + getOrElse: an empty engine scrapes to an empty frame with
+    // the metrics schema (the reference export simply emits no series;
+    // erroring would kill a scrape loop that polls before the first index
+    // registers), and an index dropped between the catalog read and the
+    // frames read simply falls out of this scrape (the next one won't
+    // list it) — catalog and frames are separate volatile reads.
+    entries.flatMap { e =>
+      frames.get(e.meta.key).map { df =>
+        val kindStr = e.meta.kind match {
+          case Vs(_) => "vector"
+          case Fts(_) => "fulltext"
+        }
+        val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+          .min(BigInt(Long.MaxValue)).toLong
+        // Engine.count shadows functions.count
+        val cnt = (c: org.apache.spark.sql.Column) => org.apache.spark.sql.functions.count(c)
+        df.agg(
+            cnt(when(col(e.meta.targetColumn).isNotNull, lit(1))).as("live_rows"),
+            cnt(lit(1)).as("total_rows"))
+          .select(
+            lit(e.meta.keyspace).as("keyspace"),
+            lit(e.meta.index).as("index_name"),
+            lit(kindStr).as("kind"),
+            lit(e.status.toString).as("status"),
+            lit(e.progressPct).as("progress_pct"),
+            col("live_rows"), col("total_rows"),
+            lit(estBytes).as("est_size_bytes"),
+            lit(queryCounts(e.meta.key)).as("queries_total"))
       }
-      val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-        .min(BigInt(Long.MaxValue)).toLong
-      // Engine.count shadows functions.count
-      val cnt = (c: org.apache.spark.sql.Column) => org.apache.spark.sql.functions.count(c)
-      df.agg(
-          cnt(when(col(e.meta.targetColumn).isNotNull, lit(1))).as("live_rows"),
-          cnt(lit(1)).as("total_rows"))
-        .select(
-          lit(e.meta.keyspace).as("keyspace"),
-          lit(e.meta.index).as("index_name"),
-          lit(kindStr).as("kind"),
-          lit(e.status.toString).as("status"),
-          lit(e.progressPct).as("progress_pct"),
-          col("live_rows"), col("total_rows"),
-          lit(estBytes).as("est_size_bytes"),
-          lit(queryCounts(e.meta.key)).as("queries_total"))
-    }.reduce(_ unionByName _)
+    }.reduceOption(_ unionByName _).getOrElse(emptyFrame)
   }
 
   /** Live row count of an index (A1; surfaced at httproutes.rs:437-456). */
@@ -233,7 +241,7 @@ final class Engine {
     val key = IndexKey(keyspace, index)
     val entry = catalog.get(key).getOrElse(
       throw new QueryException(404, s"index $keyspace/$index not found"))
-    frames(key).filter(col(entry.meta.targetColumn).isNotNull).count()
+    frameOr404(key).filter(col(entry.meta.targetColumn).isNotNull).count()
   }
 }
 

@@ -109,16 +109,27 @@ object Temporal {
       bucketMicros: Long = 0L): DataFrame = {
     require(highMicros > lowMicros, s"empty band ($lowMicros, $highMicros]")
     val width = if (bucketMicros > 0) bucketMicros else highMicros - lowMicros
+    // exact floor division, no doubles anywhere: a double divide loses
+    // integer precision past 2^53 (nanosecond epochs), where the left
+    // cover and the right bucket could disagree by one at band edges and
+    // silently drop qualifying pairs. Subtracting pmod first makes the
+    // dividend an exact multiple (pmod ≥ 0 ⇒ floor semantics for negative
+    // timestamps too), so the decimal quotient is an exact integer that no
+    // result-scale rounding can perturb.
+    def bucketOf(ts: Column): Column = {
+      val x = ts.cast("long")
+      ((x - pmod(x, lit(width))).cast("decimal(38,0)") / width).cast("long")
+    }
     val l = left.select(
       keyCols.map(col) ++
         (col(tsCol).as("_lts") +: leftValCols.map(c => col(c).as(s"l_$c"))) :+
         explode(sequence(
-          floor((col(tsCol) + lowMicros) / width).cast("long"),
-          floor((col(tsCol) + highMicros) / width).cast("long"))).as("_bkt"): _*)
+          bucketOf(col(tsCol) + lowMicros),
+          bucketOf(col(tsCol) + highMicros))).as("_bkt"): _*)
     val r = right.select(
       keyCols.map(col) ++
         (col(tsCol).as("_rts") +: rightValCols.map(c => col(c).as(s"r_$c"))) :+
-        floor(col(tsCol) / width).cast("long").as("_bkt"): _*)
+        bucketOf(col(tsCol)).as("_bkt"): _*)
     l.join(r, keyCols :+ "_bkt")
       .filter(col("_rts") - col("_lts") > lowMicros &&
         col("_rts") - col("_lts") <= highMicros)

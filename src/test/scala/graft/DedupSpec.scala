@@ -135,6 +135,11 @@ class DedupSpec extends SparkSpec {
     // capped jaccard path (the other internally-caching call) also cleans up
     Dedup.jaccardPairsFromShingles(sh, "doc_id", 0.3, maxShingleDf = Some(2)).collect()
     assert(org.apache.spark.sql.GraftSqlBridge.cacheManagerEmpty(spark))
+    // capped fuzzy-join path follows the same contract
+    Dedup.editDistancePairs(docs.select($"doc_id", $"text".substr(1, 12).as("n")),
+      "doc_id", "n", maxDist = 2, maxGramDf = Some(3)).collect()
+    assert(org.apache.spark.sql.GraftSqlBridge.cacheManagerEmpty(spark),
+      "editDistancePairs serving call leaked CacheManager entries")
   }
 
   test("editDistancePairs == brute force, incl. short strings and empty") {

@@ -53,6 +53,9 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getString(0) == "Café")
     assert(row.getString(1) == "fin")
     assert(row.isNullAt(2))
+    // non-string arguments fail at ANALYSIS, not as a mid-job cast error
+    val e = intercept[Exception](spark.sql("SELECT unicode_nfc(array(1))").collect())
+    assert(e.getMessage.contains("string argument"))
   }
 }
 

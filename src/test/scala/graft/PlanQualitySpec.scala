@@ -126,10 +126,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
-  test("asof join: window merge — one shuffle, NO join operator") {
+  test("asof join: window merge — NO join operator, bounded shuffles") {
     val p = plan("asof_join")
     assert(!p.contains("Join"), s"asof must not plan a join:\n${p.take(2000)}")
-    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(2000))
+    // one shuffle for the right-side (key, ts) dedupe aggregate + one for
+    // the union+window merge; the operator alone is pinned to exactly one
+    // in TemporalSpec
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2, p.take(2000))
   }
 
   test("range join: bucketed equi-join, never a theta cross product") {
@@ -139,7 +142,14 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("fuzzy join: gram equi-join candidates, never a cross product") {
-    val p = plan("fuzzy_join")
+    // the serving (capped) path materializes behind a localCheckpoint, so
+    // inspect the lazy oracle path — identical join skeleton minus the cap
+    import org.apache.spark.sql.functions.{col, substring}
+    val names = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 24).as("name"))
+    val p = graft.operators.Dedup
+      .editDistancePairs(names, "doc_id", "name", maxDist = 3, maxGramDf = None)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
