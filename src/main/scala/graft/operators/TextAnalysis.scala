@@ -170,6 +170,27 @@ object TextAnalysis {
           .map(c => (round(col(c), 6) + lit(0.0)).as(c)): _*)
   }
 
+  /** The at-scale twin of [[corpusReport]]: same shape, percentile_approx
+    * (Greenwald-Khanna sketch, mergeable ⇒ fully partial-aggregating — no
+    * per-group sort at any group size). `accuracy` trades memory for error
+    * (guarantee: rank error ≤ n/accuracy). The swap the exact report's
+    * scaladoc promises when even the (group, count) histogram outgrows a
+    * group; accuracy pinned against the exact report in TextAnalysisSpec. */
+  def corpusReportApprox(
+      df: DataFrame, groupCol: String, textCol: String,
+      accuracy: Int = 10000): DataFrame = {
+    val pcts = Seq("0.5" -> "p50", "0.9" -> "p90", "0.99" -> "p99")
+    val aggs =
+      pcts.map { case (p, n) =>
+        expr(s"percentile_approx(_nt, ${p}D, $accuracy)").as(s"${n}_tokens") } ++
+      pcts.map { case (p, n) =>
+        expr(s"percentile_approx(_nc, ${p}D, $accuracy)").as(s"${n}_chars") }
+    df.select(col(groupCol), size(wsTokens(col(textCol))).as("_nt"),
+        length(col(textCol)).as("_nc"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), aggs: _*)
+  }
+
   /** Exact-substring duplication signal (Lee et al., "Deduplicating
     * Training Data Makes Language Models Better", 2021: substring dedup at
     * 50-token granularity): per document, the fraction of its L-token

@@ -36,4 +36,23 @@ object StreamingTemporal {
       Temporal.asofJoin(batch, right, keyCols, tsCol, rightValCols,
           toleranceMicros = toleranceMicros, leftOuter = leftOuter)
         .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
+
+  /** foreachBatch body: band-join the micro-batch (as the left side)
+    * against `right`, same fixed-right contract and epoch-overwrite sink as
+    * [[asofBatch]] — each left row's band pairs depend only on the right
+    * side, so the accumulated log equals the batch [[Temporal.rangeJoin]]
+    * over all delivered left rows. */
+  def rangeBatch(
+      right: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      lowMicros: Long,
+      highMicros: Long,
+      leftValCols: Seq[String],
+      rightValCols: Seq[String],
+      outPath: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, epoch: Long) =>
+      Temporal.rangeJoin(batch, right, keyCols, tsCol, lowMicros, highMicros,
+          leftValCols, rightValCols)
+        .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
 }

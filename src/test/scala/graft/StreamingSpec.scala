@@ -173,6 +173,26 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch && streamed.nonEmpty)
       assert(streamed == Set(
         ("a", 100L, "r1"), ("c", 300L, "r2"), ("e", 50L, "r3")))
+      // band-join twin: same fixed-right contract
+      val rout = new java.io.File(dir, "banded").getAbsolutePath
+      val mem2 = MemoryStream[(Long, Long, String)](spark)
+      val q2 = mem2.toDF().toDF("k", "ts", "lid")
+        .writeStream
+        .foreachBatch(graft.streaming.StreamingTemporal.rangeBatch(
+          right, Seq("k"), "ts", 0L, 100L, Seq("lid"), Seq("tag"), rout))
+        .start()
+      try {
+        lefts.foreach { b => mem2.addData(b); q2.processAllAvailable() }
+        val got = spark.read.parquet(rout)
+          .select("l_lid", "r_tag", "delta_us").as[(String, String, Long)]
+          .collect().toSet
+        val want = Temporal.rangeJoin(
+            lefts.flatten.toDF("k", "ts", "lid"), right, Seq("k"), "ts",
+            0L, 100L, Seq("lid"), Seq("tag"))
+          .select("l_lid", "r_tag", "delta_us").as[(String, String, Long)]
+          .collect().toSet
+        assert(got == want && got.nonEmpty)
+      } finally q2.stop()
     } finally {
       q.stop(); FileUtils.deleteDirectory(dir)
     }

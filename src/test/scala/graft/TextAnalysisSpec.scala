@@ -159,6 +159,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(top.filter(_._1 == 0L).map(_._4).sorted.toSeq == Seq(1, 2))
   }
 
+  test("corpusReportApprox: sketch percentiles track the exact report") {
+    import org.apache.spark.sql.functions.col
+    // 500 docs per group with token counts 1..500 — percentile ranks are
+    // unambiguous, so the sketch must land within its rank-error bound
+    val docs = spark.range(1000).select(
+      (col("id") % 2).cast("string").as("source"),
+      org.apache.spark.sql.functions.concat_ws(" ",
+        org.apache.spark.sql.functions.transform(
+          org.apache.spark.sql.functions.sequence(
+            org.apache.spark.sql.functions.lit(1),
+            (col("id") / 2 % 500 + 1).cast("int")),
+          _ => org.apache.spark.sql.functions.lit("w"))).as("text"))
+    val exact = TextAnalysis.corpusReport(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("p90_tokens")).toMap
+    val approx = TextAnalysis.corpusReportApprox(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getAs[Int]("p90_tokens").toDouble).toMap
+    for ((g, e) <- exact) {
+      assert(math.abs(approx(g) - e) <= math.max(2.0, e * 0.01),
+        s"group $g: approx ${approx(g)} vs exact $e")
+    }
+    // partial-aggregating: the plan must be HashAggregate/ObjectHashAggregate
+    // with a partial pass, never a per-group Sort
+    val p = TextAnalysis.corpusReportApprox(docs, "source", "text")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_percentile_approx"), p.take(1500))
+  }
+
   test("piiScrub: counts on original text, pattern-order redaction") {
     val docs = Seq(
       (0L, "mail a.b+c@ex.co and b@d.org call +1-555-0001 from 10.0.0.7"),
