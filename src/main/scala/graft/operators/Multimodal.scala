@@ -8,11 +8,15 @@ import org.apache.spark.sql.types._
   *
   * Media are opaque `BinaryType` payloads + a typed metadata struct; decode /
   * feature-extract / resize / frame-sample run per-partition over batches so
-  * a real decoder (JNI/FFI image lib) plugs in without changing the plan
-  * shape. The decode kernels themselves are STUBS — deterministic fakes
-  * clearly marked below, because no image/audio libraries exist in this
-  * container — but the Spark-side plumbing (schema, partitioning, batch
-  * iteration, null/error channels) is real and tested.
+  * a real decoder plugs in without changing the plan shape.
+  *
+  * Kernel status: the IMAGE path is REAL — [[imageDecodeBatch]] and
+  * [[resizeImageBatch]] decode/re-encode PNG/JPEG/BMP/GIF through the JDK's
+  * own `javax.imageio` (no external libraries needed), with undecodable
+  * payloads degrading to empty features instead of failing the job. The
+  * AUDIO/VIDEO kernels remain deterministic STUBS (clearly marked below;
+  * no codec libraries exist in this container), behind the same
+  * [[mapPartitionsDecode]] batch hook a real FFI decoder would use.
   *
   * Scale notes: payload bytes never shuffle — all media operators are
   * per-row projections or mapPartitions; joins against media tables go
@@ -95,7 +99,70 @@ object Multimodal {
     spark.createDataFrame(result.rdd, outSchema)
   }
 
-  /** ======== STUB ======== batch kernel: md5-seeded pseudo features. */
+  /** REAL image kernel (JDK `javax.imageio` — PNG/JPEG/BMP/GIF decode
+    * ships in the Java runtime): per payload, decode and emit an 8-dim
+    * feature vector [width, height, components, mean R, mean G, mean B,
+    * mean luma, luma variance]. Undecodable or empty payloads yield an
+    * EMPTY feature array — a poisoned image must degrade that row, never
+    * fail the 100 TB job. Plug into [[mapPartitionsDecode]]. */
+  def imageDecodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Double]] =
+    payloads.map { bytes =>
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) Array.empty[Double]
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          var sr, sg, sb, sl, sl2 = 0.0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff
+              val g = (rgb >> 8) & 0xff
+              val b = rgb & 0xff
+              val l = 0.299 * r + 0.587 * g + 0.114 * b
+              sr += r; sg += g; sb += b; sl += l; sl2 += l * l
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w.toLong * h).toDouble
+          Array(w.toDouble, h.toDouble,
+            img.getColorModel.getNumComponents.toDouble,
+            sr / n, sg / n, sb / n, sl / n, sl2 / n - (sl / n) * (sl / n))
+        }
+      } catch { case _: Exception => Array.empty[Double] }
+    }
+
+  /** REAL image resize kernel (JDK `Graphics2D` bilinear scale +
+    * `ImageIO.write` PNG re-encode): payload in → resized PNG payload out;
+    * undecodable payloads pass through as null. The batch analogue of
+    * [[resizeStub]] for rows whose modality is actually decodable. */
+  def resizeImageBatch(w: Int, h: Int)(payloads: Seq[Array[Byte]]): Seq[Option[Array[Byte]]] =
+    payloads.map { bytes =>
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val out = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g2 = out.createGraphics()
+          g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g2.drawImage(img, 0, 0, w, h, null)
+          g2.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          Some(bos.toByteArray)
+        }
+      } catch { case _: Exception => None }
+    }
+
+  /** ======== STUB ======== batch kernel: md5-seeded pseudo features (the
+    * AUDIO/VIDEO stand-in — see the image kernels above for the real
+    * path). */
   def stubDecodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Double]] =
     payloads.map { bytes =>
       val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(bytes)

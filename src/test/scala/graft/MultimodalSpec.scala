@@ -56,4 +56,46 @@ class MultimodalSpec extends SparkSpec {
       .as[(Int, Int)].collect()
     assert(m.forall(_ == ((224, 224))))
   }
+
+  // real PNG bytes, generated in-test through the same JDK codec the
+  // kernel decodes with — no fixtures, fully deterministic
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("REAL image decode: exact geometry + channel means via JDK ImageIO") {
+    val rows = Seq(
+      (1L, pngBytes(10, 8, 0xff0000)), // solid red
+      (2L, pngBytes(4, 4, 0x0080ff)), // solid (0,128,255)
+      (3L, "not an image at all".getBytes("UTF-8")), // poisoned payload
+      (4L, Array.emptyByteArray))
+      .toDF("media_id", "payload")
+    val out = Multimodal.mapPartitionsDecode(rows, dims = 8, batchSize = 2,
+        decodeBatch = Multimodal.imageDecodeBatch)
+      .select("media_id", "features").as[(Long, Seq[Double])].collect().toMap
+    // solid red 10x8: [w, h, comps, rMean, gMean, bMean, luma, lumaVar≈0]
+    assert(out(1L).take(6) == Seq(10.0, 8.0, 3.0, 255.0, 0.0, 0.0))
+    assert(math.abs(out(1L)(6) - 0.299 * 255) < 1e-9)
+    assert(math.abs(out(1L)(7)) < 1e-6) // solid color ⇒ ~zero variance (fp sum)
+    assert(out(2L).take(6) == Seq(4.0, 4.0, 3.0, 0.0, 128.0, 255.0))
+    assert(math.abs(out(2L)(7)) < 1e-6)
+    // poisoned rows degrade to empty features, never a job failure
+    assert(out(3L).isEmpty && out(4L).isEmpty)
+  }
+
+  test("REAL image resize: payload re-encodes at the target geometry") {
+    val resized = Multimodal.resizeImageBatch(5, 3)(
+      Seq(pngBytes(10, 8, 0x00ff00), "garbage".getBytes("UTF-8")))
+    assert(resized(1).isEmpty) // undecodable passes through as None
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized(0).get))
+    assert(back.getWidth == 5 && back.getHeight == 3)
+    // bilinear scale of a solid color stays that color
+    assert((back.getRGB(2, 1) & 0xffffff) == 0x00ff00)
+  }
 }
