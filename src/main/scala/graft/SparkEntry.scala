@@ -905,6 +905,24 @@ object SparkEntry {
           "es" -> 0.8, "zh" -> 1.0),
         defaultFraction = 0.5)),
 
+    // REAL image codec round trip (JDK ImageIO end to end): synthesize one
+    // deterministic solid PNG per doc, decode with the real kernel, emit
+    // geometry + channel means. No SQL-expressible oracle (DuckDB has no
+    // image codec) → driver's rows-only check; exactness is pinned in
+    // MultimodalSpec against known pixels.
+    "image_features" -> ((s, dir) => {
+      val media = Multimodal.syntheticImages(
+        t(s, dir, "documents").select("doc_id"), "doc_id")
+      Multimodal.mapPartitionsDecode(media, dims = 8,
+          decodeBatch = Multimodal.imageDecodeBatch)
+        .select(col("media_id"),
+          element_at(col("features"), 1).cast("int").as("width"),
+          element_at(col("features"), 2).cast("int").as("height"),
+          round(element_at(col("features"), 4), 4).as("mean_r"),
+          round(element_at(col("features"), 5), 4).as("mean_g"),
+          round(element_at(col("features"), 6), 4).as("mean_b"))
+    }),
+
     // Temperature-flattened language mix (mC4/PaLM rule): per-lang rates
     // derived from corpus counts with tau=0.5, expected sample 30% —
     // narrow count agg + broadcast rates + stateless coin.

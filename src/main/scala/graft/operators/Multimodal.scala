@@ -174,6 +174,36 @@ object Multimodal {
       }
     }
 
+  /** Synthesize REAL image payloads from any (id) frame: one small solid
+    * PNG per row (geometry/color derived from the id — deterministic),
+    * encoded through the same JDK codec [[imageDecodeBatch]] decodes. The
+    * end-to-end codec harness for the image pipeline where no binary
+    * media column exists in the corpus. */
+  def syntheticImages(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val ids = df.select(col(idCol).cast("long"))
+    val result = ids.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = (id % 13 + 2).toInt
+        val h = (id % 7 + 2).toInt
+        val rgb = (id * 2654435761L & 0xffffffL).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, bos.toByteArray)
+      }
+    }(enc)
+    spark.createDataFrame(result.rdd, outSchema)
+  }
+
   /** Synthesize a media table from any (id, text) corpus — the test harness
     * for the plumbing (payload = utf8 bytes, metadata derived from length). */
   def syntheticMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame =
