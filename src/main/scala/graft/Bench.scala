@@ -75,12 +75,14 @@ object Bench {
     def fmt(dec: Int)(d: Double): String =
       String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(d))
     val ms = fmt(3) _
-    // 2 decimals in the HEADLINE per-query map: at 90 queries the
-    // 3-decimal map put the line at ~2.02 KB — past the recorder's
-    // 2000-char output tail, which would truncate the total itself (the
-    // r4 failure mode again). 10 ms resolution is noise-level at sf0.1;
-    // the full 3-decimal medians go to the sidecar file + detail line.
-    val qs2 = jmap(r => fmt(2)(r._2))
+    // 1 decimal in the HEADLINE per-query map: the recorder keeps only the
+    // last ~2000 chars of output and sbt's trailing "[success] …" line
+    // (~75 chars) lands AFTER the headline, so the headline + "[info] "
+    // prefix must fit ~1925 chars. At 93 queries that rules out 2 decimals
+    // (~1978); 1 decimal is ~1885. 100 ms resolution is enough to spot a
+    // regressed query in the recorded tail; the full 3-decimal medians go
+    // to the sidecar file + detail line.
+    val qs2 = jmap(r => fmt(1)(r._2))
     val qs = jmap(r => ms(r._2))
     val qsMin = jmap(r => ms(r._3))
     val qsRebuilt = jmap(_._4.toString)

@@ -923,6 +923,38 @@ object SparkEntry {
           round(element_at(col("features"), 6), 4).as("mean_b"))
     }),
 
+    // REAL audio codec round trip (JDK javax.sound WAV/PCM end to end):
+    // synthesize one deterministic sine-burst WAV per doc, decode with the
+    // real kernel, emit container + signal stats. No SQL-expressible oracle
+    // (DuckDB has no audio codec) → driver's rows-only check; exactness is
+    // pinned in MultimodalSpec against the known sample stream.
+    "audio_features" -> ((s, dir) => {
+      val media = Multimodal.syntheticAudio(
+        t(s, dir, "documents").select("doc_id"), "doc_id")
+      Multimodal.mapPartitionsDecode(media, dims = 8,
+          decodeBatch = Multimodal.audioDecodeBatch)
+        .select(col("media_id"),
+          element_at(col("features"), 1).cast("int").as("sample_rate"),
+          element_at(col("features"), 3).cast("int").as("n_frames"),
+          element_at(col("features"), 4).cast("long").as("duration_ms"),
+          round(element_at(col("features"), 6), 4).as("rms"),
+          element_at(col("features"), 8).cast("int").as("zero_crossings"))
+    }),
+
+    // REAL video-container round trip (JDK ImageIO animated-GIF demux):
+    // synthesize one deterministic multi-frame GIF per doc, extract every
+    // frame with the real kernel, emit per-frame geometry + exact palette
+    // colors (IndexColorModel round-trips bit-for-bit). Rows-only check;
+    // exactness pinned in MultimodalSpec.
+    "video_frames" -> ((s, dir) =>
+      Multimodal.extractFrames(Multimodal.syntheticVideos(
+          t(s, dir, "documents").select("doc_id"), "doc_id"))
+        .select(col("media_id"), col("frame_idx"), col("n_frames"),
+          col("width"), col("height"),
+          col("mean_r").cast("int").as("r"),
+          col("mean_g").cast("int").as("g"),
+          col("mean_b").cast("int").as("b"))),
+
     // Temperature-flattened language mix (mC4/PaLM rule): per-lang rates
     // derived from corpus counts with tau=0.5, expected sample 30% —
     // narrow count agg + broadcast rates + stateless coin.

@@ -10,13 +10,17 @@ import org.apache.spark.sql.types._
   * feature-extract / resize / frame-sample run per-partition over batches so
   * a real decoder plugs in without changing the plan shape.
   *
-  * Kernel status: the IMAGE path is REAL — [[imageDecodeBatch]] and
-  * [[resizeImageBatch]] decode/re-encode PNG/JPEG/BMP/GIF through the JDK's
-  * own `javax.imageio` (no external libraries needed), with undecodable
-  * payloads degrading to empty features instead of failing the job. The
-  * AUDIO/VIDEO kernels remain deterministic STUBS (clearly marked below;
-  * no codec libraries exist in this container), behind the same
-  * [[mapPartitionsDecode]] batch hook a real FFI decoder would use.
+  * Kernel status: all three modality paths are REAL, on JDK-shipped codecs
+  * (no external libraries needed). IMAGE — [[imageDecodeBatch]] /
+  * [[resizeImageBatch]] decode/re-encode PNG/JPEG/BMP/GIF via
+  * `javax.imageio`. AUDIO — [[audioDecodeBatch]] decodes RIFF/WAVE PCM via
+  * `javax.sound.sampled` and computes signal stats over the samples.
+  * VIDEO — [[extractFrames]] demuxes the animated-GIF container (the one
+  * multi-frame format with an in-JDK codec; MP4/H.264 would need external
+  * codec libs and plugs into the same per-partition hook). Undecodable
+  * payloads degrade to empty features / zero rows instead of failing the
+  * job. [[stubDecodeBatch]] remains as the pluggable-kernel default whose
+  * md5 math is SQL-expressible for the exact-oracle path.
   *
   * Scale notes: payload bytes never shuffle — all media operators are
   * per-row projections or mapPartitions; joins against media tables go
@@ -160,9 +164,101 @@ object Multimodal {
       } catch { case _: Exception => None }
     }
 
-  /** ======== STUB ======== batch kernel: md5-seeded pseudo features (the
-    * AUDIO/VIDEO stand-in — see the image kernels above for the real
-    * path). */
+  /** REAL audio kernel (JDK `javax.sound.sampled` — the WAV/PCM codec
+    * ships in the Java runtime): per payload, decode the RIFF/WAVE
+    * container and emit an 8-dim feature vector [sample_rate, channels,
+    * n_frames, duration_ms, mean, rms, peak, zero-crossing count] over the
+    * 16-bit PCM samples (first channel). Undecodable or empty payloads
+    * yield an EMPTY feature array — a poisoned clip degrades that row,
+    * never fails the 100 TB job. Plug into [[mapPartitionsDecode]]. */
+  def audioDecodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Double]] =
+    payloads.map { bytes =>
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          val chans = fmt.getChannels
+          val bytesPerFrame = fmt.getFrameSize
+          val data = in.readAllBytes()
+          val nFrames = if (bytesPerFrame > 0) data.length / bytesPerFrame else 0
+          if (nFrames == 0 || fmt.getSampleSizeInBits != 16) Array.empty[Double]
+          else {
+            val bb = java.nio.ByteBuffer.wrap(data).order(
+              if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+              else java.nio.ByteOrder.LITTLE_ENDIAN)
+            var sum, sumSq = 0.0
+            var peak = 0.0
+            var zc = 0
+            var prev = 0
+            var i = 0
+            while (i < nFrames) {
+              val s = bb.getShort(i * bytesPerFrame).toInt // first channel
+              sum += s; sumSq += s.toDouble * s
+              val a = math.abs(s.toDouble); if (a > peak) peak = a
+              if (i > 0 && ((s >= 0) != (prev >= 0))) zc += 1
+              prev = s
+              i += 1
+            }
+            val sr = fmt.getSampleRate.toDouble
+            Array(sr, chans.toDouble, nFrames.toDouble,
+              math.round(nFrames * 1000.0 / sr).toDouble,
+              sum / nFrames, math.sqrt(sumSq / nFrames), peak, zc.toDouble)
+          }
+        } finally in.close()
+      } catch { case _: Exception => Array.empty[Double] }
+    }
+
+  /** Synthesize REAL audio payloads from any (id) frame: one short 16-bit
+    * PCM mono WAV per row (frequency / amplitude / length derived from the
+    * id — deterministic), encoded through the same JDK codec
+    * [[audioDecodeBatch]] decodes. PCM16 round-trips exactly, so the
+    * decoded sample stream equals the synthesized one bit-for-bit. */
+  def syntheticAudio(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val ids = df.select(col(idCol).cast("long"))
+    val result = ids.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, synthWavBytes(id))
+      }
+    }(enc)
+    spark.createDataFrame(result.rdd, outSchema)
+  }
+
+  /** One deterministic sine-burst WAV (8 kHz, mono, 16-bit PCM): freq
+    * 200–1300 Hz, amplitude and frame count derived from the id. Shared by
+    * [[syntheticAudio]] and the spec that pins [[audioDecodeBatch]]'s
+    * features against the known sample stream. */
+  def synthWavBytes(id: Long): Array[Byte] = {
+    val sr = 8000f
+    val freq = 200.0 + (id % 23) * 50.0
+    val amp = 0.2 + (id % 5) * 0.15
+    val nFrames = (160 + (id % 11) * 40).toInt
+    val samples = new Array[Byte](nFrames * 2)
+    val bb = java.nio.ByteBuffer.wrap(samples).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < nFrames) {
+      val v = math.round(amp * 32767.0 * math.sin(2.0 * math.Pi * freq * i / sr)).toShort
+      bb.putShort(i * 2, v)
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sr, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** ======== STUB ======== batch kernel: md5-seeded pseudo features (kept
+    * as the pluggable-kernel default and the SQL-expressible oracle path —
+    * see the image/audio/video kernels above/below for the real paths). */
   def stubDecodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Double]] =
     payloads.map { bytes =>
       val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(bytes)
@@ -173,6 +269,125 @@ object Multimodal {
         (h % Dedup.MinhashPrime).toDouble / Dedup.MinhashPrime.toDouble
       }
     }
+
+  /** REAL video-container frame extraction (JDK `ImageIO` GIF sequence
+    * reader — animated GIF is the one multi-frame container with a codec
+    * in the Java runtime; MP4/H.264 demux needs external codec libraries
+    * this container doesn't have, and would plug into the same hook): per
+    * media row, decode every frame of the animated payload and emit one
+    * (media_id, frame_idx, n_frames, width, height, mean_r, mean_g,
+    * mean_b) row. Runs per-partition; undecodable payloads yield zero
+    * rows instead of failing the job. The row explosion happens AFTER
+    * decode, so payload bytes still never shuffle. */
+  def extractFrames(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("mean_r", DoubleType, nullable = false),
+      StructField("mean_g", DoubleType, nullable = false),
+      StructField("mean_b", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex("media_id")
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val result = df.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val bytes = Option(r.getAs[Array[Byte]](payloadIdx)).getOrElse(Array.emptyByteArray)
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) { iis.close(); Seq.empty }
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              val n = reader.getNumImages(true)
+              (0 until n).map { fi =>
+                val img = reader.read(fi)
+                val w = img.getWidth
+                val h = img.getHeight
+                var sr, sg, sb = 0.0
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val rgb = img.getRGB(x, y)
+                    sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+                    x += 1
+                  }
+                  y += 1
+                }
+                val np = (w.toLong * h).toDouble
+                Row(id, fi, n, w, h, sr / np, sg / np, sb / np)
+              }
+            } finally { reader.dispose(); iis.close() }
+          }
+        } catch { case _: Exception => Seq.empty }
+      }
+    }(enc)
+    spark.createDataFrame(result.rdd, outSchema)
+  }
+
+  /** Synthesize REAL multi-frame video payloads from any (id) frame: one
+    * small animated GIF per row (2–6 solid-color frames; geometry and
+    * per-frame palette derived from the id — deterministic), written
+    * through the JDK's own GIF sequence writer. Frames use an explicit
+    * `IndexColorModel`, so the palette — and therefore the decoded pixel
+    * values — round-trip exactly. */
+  def syntheticVideos(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val ids = df.select(col(idCol).cast("long"))
+    val result = ids.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, synthGifBytes(id))
+      }
+    }(enc)
+    spark.createDataFrame(result.rdd, outSchema)
+  }
+
+  /** Deterministic frame color for video `id`, frame `fi` (24-bit RGB). */
+  def synthFrameColor(id: Long, fi: Int): Int =
+    (((id * 31 + fi) * 2654435761L) & 0xffffffL).toInt
+
+  /** One deterministic animated GIF: (id%5)+2 solid frames of
+    * (id%6+2)×(id%4+2) px, each frame's color from [[synthFrameColor]].
+    * Shared by [[syntheticVideos]] and the spec pinning [[extractFrames]]. */
+  def synthGifBytes(id: Long): Array[Byte] = {
+    val w = (id % 6 + 2).toInt
+    val h = (id % 4 + 2).toInt
+    val nFrames = (id % 5 + 2).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var fi = 0
+      while (fi < nFrames) {
+        val c = synthFrameColor(id, fi)
+        val cm = new java.awt.image.IndexColorModel(8, 1,
+          Array(((c >> 16) & 0xff).toByte), Array(((c >> 8) & 0xff).toByte),
+          Array((c & 0xff).toByte))
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        // raster is all zero = palette slot 0 = the frame color; no fill needed
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        fi += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
 
   /** Synthesize REAL image payloads from any (id) frame: one small solid
     * PNG per row (geometry/color derived from the id — deterministic),

@@ -3,9 +3,10 @@ package graft
 import graft.operators.Multimodal
 import org.apache.spark.sql.functions._
 
-/** Multimodal plumbing: schema, batch decode shape, frame explode. The
-  * decode kernels are deterministic stubs (no media libs in-container) —
-  * these tests pin the plan shape and the stub's reproducibility. */
+/** Multimodal plumbing and kernels: schema, batch decode shape, frame
+  * explode, and the REAL JDK-codec paths (ImageIO images, javax.sound WAV
+  * audio, animated-GIF video demux) pinned against known pixel/sample
+  * streams. */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
@@ -86,6 +87,55 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(out(2L)(7)) < 1e-6)
     // poisoned rows degrade to empty features, never a job failure
     assert(out(3L).isEmpty && out(4L).isEmpty)
+  }
+
+  test("REAL audio decode: WAV round trip recovers the exact sample stream stats") {
+    val id = 7L // freq 550 Hz, amp 0.5, 400 frames
+    val rows = Seq(
+      (id, Multimodal.synthWavBytes(id)),
+      (99L, "not audio".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val out = Multimodal.mapPartitionsDecode(rows, dims = 8, batchSize = 2,
+        decodeBatch = Multimodal.audioDecodeBatch)
+      .select("media_id", "features").as[(Long, Seq[Double])].collect().toMap
+    assert(out(99L).isEmpty) // poisoned payload degrades, never fails
+    val f = out(id)
+    // recompute expected stats from the same deterministic synth formula:
+    // PCM16 round-trips bit-for-bit, so equality is exact
+    val freq = 200.0 + (id % 23) * 50.0
+    val amp = 0.2 + (id % 5) * 0.15
+    val n = (160 + (id % 11) * 40).toInt
+    val samples = Array.tabulate(n)(i =>
+      math.round(amp * 32767.0 * math.sin(2.0 * math.Pi * freq * i / 8000.0)).toInt)
+    val rms = math.sqrt(samples.map(s => s.toDouble * s).sum / n)
+    val zc = (1 until n).count(i => (samples(i) >= 0) != (samples(i - 1) >= 0))
+    assert(f(0) == 8000.0 && f(1) == 1.0 && f(2) == n.toDouble)
+    assert(f(3) == math.round(n * 1000.0 / 8000.0).toDouble)
+    assert(f(4) == samples.map(_.toDouble).sum / n)
+    assert(f(5) == rms)
+    assert(f(6) == samples.map(s => math.abs(s.toDouble)).max)
+    assert(f(7) == zc.toDouble)
+  }
+
+  test("REAL video demux: animated GIF frames recover exact palette colors") {
+    val id = 9L // 4x3 px, (9%5)+2 = 6 frames
+    val rows = Seq(
+      (id, Multimodal.synthGifBytes(id)),
+      (98L, "not a gif".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val out = Multimodal.extractFrames(rows)
+      .orderBy("media_id", "frame_idx").collect()
+    assert(out.forall(_.getLong(0) == id)) // poisoned row yields zero rows
+    assert(out.length == 6)
+    out.zipWithIndex.foreach { case (r, fi) =>
+      assert(r.getInt(1) == fi && r.getInt(2) == 6)
+      assert(r.getInt(3) == (id % 6 + 2).toInt && r.getInt(4) == (id % 4 + 2).toInt)
+      val c = Multimodal.synthFrameColor(id, fi)
+      // solid indexed frame: mean == the exact palette entry per channel
+      assert(r.getDouble(5) == ((c >> 16) & 0xff).toDouble)
+      assert(r.getDouble(6) == ((c >> 8) & 0xff).toDouble)
+      assert(r.getDouble(7) == (c & 0xff).toDouble)
+    }
   }
 
   test("REAL image resize: payload re-encodes at the target geometry") {
