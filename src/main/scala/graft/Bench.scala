@@ -75,33 +75,38 @@ object Bench {
     def fmt(dec: Int)(d: Double): String =
       String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(d))
     val ms = fmt(3) _
-    // 1 decimal in the HEADLINE per-query map: the recorder keeps only the
-    // last ~2000 chars of output and sbt's trailing "[success] …" line
-    // (~75 chars) lands AFTER the headline, so the headline + "[info] "
-    // prefix must fit ~1925 chars. At 93 queries that rules out 2 decimals
-    // (~1978); 1 decimal is ~1885. 100 ms resolution is enough to spot a
-    // regressed query in the recorded tail; the full 3-decimal medians go
-    // to the sidecar file + detail line.
-    val qs2 = jmap(r => fmt(1)(r._2))
+    // The recorder keeps only the LAST ~2000 chars of output, and sbt's
+    // trailing "[success] …" line (~75 chars) lands AFTER the headline, so
+    // headline + "[info] " prefix must fit ~1925 chars. At 95 queries even
+    // a 1-decimal full per-query map is ~1918 — zero margin. The HEADLINE
+    // therefore carries the total plus the 30 SLOWEST queries (2-decimal;
+    // the regression-informative slice — everything omitted is sub-noise
+    // at sf0.1) and says so; the full 3-decimal map goes to the sidecar
+    // file and the detail line, whose own tail end lands inside the
+    // recorded window right before the headline.
     val qs = jmap(r => ms(r._2))
     val qsMin = jmap(r => ms(r._3))
     val qsRebuilt = jmap(_._4.toString)
+    val slow = results.sortBy(-_._2).take(30).sortBy(_._1)
+    val qsSlow = slow.map(r => "\"" + r._1 + "\":" + fmt(2)(r._2))
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val sfName = new java.io.File(sfDir).getName // "sf0.1", not the full path
-    // The recorder keeps only the LAST ~2000 chars of output, so the
-    // headline line must (a) be printed last and (b) fit that window.
-    // Detail (3-decimal medians + mins + rebuilt flags) goes on its own
-    // earlier line AND to a sidecar file for local analysis.
+    // queries_median printed LAST inside the detail line: the recorded
+    // window holds [detail tail][headline][success], so ordering the keys
+    // this way preserves as much of the full median map as fits.
     val detail = s"""{"detail":"3-decimal median + min + store-rebuilt",""" +
-      s""""queries_median":$qs,"queries_min":$qsMin,""" +
-      s""""queries_store_rebuilt":$qsRebuilt,"runs_per_query":$runs}"""
+      s""""runs_per_query":$runs,"queries_min":$qsMin,""" +
+      s""""queries_store_rebuilt":$qsRebuilt,"queries_median":$qs}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("/tmp/graft-bench-detail.json"),
       detail.getBytes("UTF-8"))
     catch { case _: Throwable => () }
     println(detail)
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
-      s""""queries":$qs2,"sf":"$sfName"}""")
+      s""""n_queries":${results.length},""" +
+      s""""queries_note":"the 30 slowest by median; full map in detail line + /tmp/graft-bench-detail.json",""" +
+      s""""queries":$qsSlow,"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -895,6 +895,25 @@ object SparkEntry {
     "ngram_top" -> ((s, dir) =>
       TextAnalysis.ngramTop(t(s, dir, "documents"), "doc_id", "text", n = 2, k = 20)),
 
+    // Word-level vocabulary build (the tokenizer-training step): top-1000
+    // terms by total occurrences, dense rank ids 1..V (count desc, term
+    // asc). The rank window runs over the TakeOrdered top slice only,
+    // never the term universe.
+    "vocab_build" -> ((s, dir) =>
+      TextAnalysis.vocabBuild(t(s, dir, "documents"), "doc_id", "text", 1000)),
+
+    // Tokens → ids under that vocabulary (OOV → 0), reassembled in token
+    // order via position-tagged structs; the vocab side is an explicit
+    // broadcast. Ids emitted space-joined for the exact cross-engine
+    // compare.
+    "token_ids" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = TextAnalysis.vocabBuild(docs, "doc_id", "text", 1000)
+      TextAnalysis.encodeTokens(docs, vocab, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          array_join(col("token_ids").cast("array<string>"), " ").as("ids"))
+    }),
+
     // Deterministic stratified sampling / domain mixing: md5-derived
     // per-row uniform against per-lang keep rates — stateless, no shuffle,
     // identical survivors every run and in the oracle's replay.
@@ -1430,6 +1449,29 @@ object SparkEntry {
          |  CAST(len(ts[i*24+1 : i*24+32]) AS INT) AS n_tokens,
          |  array_to_string(ts[i*24+1 : i*24+32], ' ') AS chunk_text
          |FROM c""".stripMargin,
+
+    "vocab_build" ->
+      s"""WITH $duckToks,
+         |t AS (SELECT unnest(ts) AS term FROM toks),
+         |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+         |v AS (SELECT term, cnt,
+         |  row_number() OVER (ORDER BY cnt DESC, term ASC) AS rn FROM c)
+         |SELECT term, CAST(rn AS BIGINT) AS token_id, cnt
+         |FROM v WHERE rn <= 1000""".stripMargin,
+
+    "token_ids" ->
+      s"""WITH $duckToks,
+         |t AS (SELECT doc_id, unnest(ts) AS term,
+         |  unnest(range(len(ts))) AS pos FROM toks),
+         |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+         |v AS (SELECT term,
+         |  row_number() OVER (ORDER BY cnt DESC, term ASC) AS token_id
+         |  FROM c QUALIFY token_id <= 1000),
+         |j AS (SELECT t.doc_id, t.pos, coalesce(v.token_id, 0) AS tid
+         |  FROM t LEFT JOIN v USING (term))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  array_to_string(list(CAST(tid AS VARCHAR) ORDER BY pos), ' ') AS ids
+         |FROM j GROUP BY doc_id""".stripMargin,
 
     // quantile_cont == Spark's exact `percentile` (both linear-interpolate
     // at index p·(n−1) over the sorted values)

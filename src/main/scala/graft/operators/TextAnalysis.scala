@@ -316,6 +316,54 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("score"), col("rank"))
   }
 
+  /** Frequency-ranked vocabulary over the corpus: the top `vocabSize`
+    * terms by total occurrences, assigned dense ids 1..V in rank order
+    * (count desc, term asc — fully deterministic). Id 0 is reserved for
+    * OOV. The tokenizer-training step of an LLM data pipeline — a
+    * word-level stand-in for a learned BPE merge table with the same
+    * output contract (term → id table).
+    *
+    * Scale shape: the (term) aggregate shuffles with map-side partial
+    * combine over the token stream; the global rank then runs over the
+    * TOP-V SLICE ONLY (`orderBy.limit` plans as TakeOrdered — a k-row
+    * per-partition heap + k-row merge, never a global sort), so the
+    * single-partition ranking window touches vocabSize rows, not the
+    * term universe. */
+  def vocabBuild(
+      df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(explode(Dedup.tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    counts.orderBy(col("cnt").desc, col("term").asc).limit(vocabSize)
+      .withColumn("token_id", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("term").asc)).cast("long"))
+      .select(col("term"), col("token_id"), col("cnt"))
+  }
+
+  /** Encode documents to token-id sequences under a [[vocabBuild]]
+    * vocabulary (OOV → id 0) — the tokenize-to-ids step feeding sequence
+    * packing. Emits (id, n_tokens, token_ids) with ids in token order;
+    * zero-token documents drop out (nothing to encode).
+    *
+    * Scale shape: posexplode is a projection; the vocabulary join is an
+    * explicit `broadcast` (a vocab is MBs — never a corpus-sized shuffle
+    * side); the only token-stream shuffle is the per-doc reassembly
+    * groupBy, which any order-preserving encode fundamentally needs.
+    * Position-tagged structs are array_sort'ed per doc, so reassembly is
+    * exact regardless of partial-aggregation order. */
+  def encodeTokens(
+      df: DataFrame, vocab: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(Dedup.tokens(col(textCol))).as(Seq("pos", "term")))
+      .join(broadcast(vocab.select(col("term"), col("token_id"))), Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        transform(
+          array_sort(collect_list(struct(col("pos"),
+            coalesce(col("token_id"), lit(0L)).as("tid")))),
+          x => x.getField("tid")).as("token_ids"))
+
   /** Corpus-level n-gram statistics: the k most frequent word n-grams with
     * document frequency and total occurrences (rank by occurrences desc,
     * n-gram asc — fully deterministic). The corpus-hygiene companion to

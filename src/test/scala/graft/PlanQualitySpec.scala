@@ -165,6 +165,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
+  test("vocab build: TakeOrdered slice, rank window never sees the term universe") {
+    val p = plan("vocab_build")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    // the (term) count aggregate partials map-side before its exchange
+    assert(p.contains("partial_count"), p.take(2000))
+  }
+
+  test("token encode: vocabulary joins as a broadcast, never a corpus-keyed shuffle side") {
+    val p = plan("token_ids")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
   test("mixture sampling: temperature rates broadcast; epoch repeat shuffle-free") {
     val pt = plan("temperature_mix")
     assert(pt.contains("BroadcastHashJoin") && !pt.contains("text"), pt.take(2000))

@@ -204,6 +204,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) == ((2L, 1, 2, 0, "ping <EMAIL> then <IP>.5 stray")))
   }
 
+  test("vocabBuild: dense rank ids by count desc then term asc, capped at V") {
+    val v = TextAnalysis.vocabBuild(docs, "doc_id", "text", vocabSize = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(v.length == 5)
+    // corpus counts: el=2, word=3, the=2, ... rank: word(3) first, then
+    // count-2 terms in term-asc order: el, the; then count-1 alphabetical
+    assert(v.sortBy(_._2).map(x => (x._1, x._3)).toSeq ==
+      Seq(("word", 3L), ("el", 2L), ("the", 2L), ("and", 1L), ("brown", 1L)))
+    assert(v.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L)) // dense 1..V
+  }
+
+  test("encodeTokens: order-exact ids, OOV = 0, empty docs drop out") {
+    val vocab = TextAnalysis.vocabBuild(docs, "doc_id", "text", vocabSize = 3)
+    // vocab: word→1, el→2, the→3; everything else OOV
+    val enc = TextAnalysis.encodeTokens(docs, vocab, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getSeq[Long](2).toList)).toMap
+    assert(enc(3L) == ((4L, List(1L, 1L, 1L, 0L)))) // word word word other
+    // doc 0: the quick brown fox and the lazy dog → the=3 at pos 0 and 5
+    assert(enc(0L)._2.length == 8)
+    assert(enc(0L)._2.zipWithIndex.filter(_._1 == 3L).map(_._2) == List(0, 5))
+    assert(enc(0L)._2.count(_ == 0L) == 6) // the 6 non-vocab tokens
+    // doc 2 ("x") has one token → encodes; a zero-token doc would drop
+    val empty = Seq((9L, "!!! ...")).toDF("doc_id", "text")
+    assert(TextAnalysis.encodeTokens(empty, vocab, "doc_id", "text").count() == 0)
+  }
+
   test("normalizeText: NFC + lower + whitespace collapse + trim, idempotent") {
     import org.apache.spark.sql.functions.col
     val raw = "  Café \t ÉSTA  x\n" // decomposed accents: NFC must compose
