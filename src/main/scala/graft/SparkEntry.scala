@@ -900,7 +900,7 @@ object SparkEntry {
     // asc). The rank window runs over the TakeOrdered top slice only,
     // never the term universe.
     "vocab_build" -> ((s, dir) =>
-      TextAnalysis.vocabBuild(t(s, dir, "documents"), "doc_id", "text", 1000)),
+      TextAnalysis.vocabBuild(t(s, dir, "documents"), "text", 1000)),
 
     // Tokens → ids under that vocabulary (OOV → 0), reassembled in token
     // order via position-tagged structs; the vocab side is an explicit
@@ -908,7 +908,7 @@ object SparkEntry {
     // compare.
     "token_ids" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val vocab = TextAnalysis.vocabBuild(docs, "doc_id", "text", 1000)
+      val vocab = TextAnalysis.vocabBuild(docs, "text", 1000)
       TextAnalysis.encodeTokens(docs, vocab, "doc_id", "text")
         .select(col("doc_id"), col("n_tokens"),
           array_join(col("token_ids").cast("array<string>"), " ").as("ids"))
@@ -934,12 +934,15 @@ object SparkEntry {
         t(s, dir, "documents").select("doc_id"), "doc_id")
       Multimodal.mapPartitionsDecode(media, dims = 8,
           decodeBatch = Multimodal.imageDecodeBatch)
+        // try_element_at, not element_at: a degraded (undecodable) payload
+        // yields an EMPTY features array, and ANSI-mode element_at would
+        // fail the job on it — nulls uphold the degrade-don't-fail contract
         .select(col("media_id"),
-          element_at(col("features"), 1).cast("int").as("width"),
-          element_at(col("features"), 2).cast("int").as("height"),
-          round(element_at(col("features"), 4), 4).as("mean_r"),
-          round(element_at(col("features"), 5), 4).as("mean_g"),
-          round(element_at(col("features"), 6), 4).as("mean_b"))
+          try_element_at(col("features"), lit(1)).cast("int").as("width"),
+          try_element_at(col("features"), lit(2)).cast("int").as("height"),
+          round(try_element_at(col("features"), lit(4)), 4).as("mean_r"),
+          round(try_element_at(col("features"), lit(5)), 4).as("mean_g"),
+          round(try_element_at(col("features"), lit(6)), 4).as("mean_b"))
     }),
 
     // REAL audio codec round trip (JDK javax.sound WAV/PCM end to end):
@@ -952,12 +955,13 @@ object SparkEntry {
         t(s, dir, "documents").select("doc_id"), "doc_id")
       Multimodal.mapPartitionsDecode(media, dims = 8,
           decodeBatch = Multimodal.audioDecodeBatch)
+        // try_element_at: same degrade-don't-fail contract as image_features
         .select(col("media_id"),
-          element_at(col("features"), 1).cast("int").as("sample_rate"),
-          element_at(col("features"), 3).cast("int").as("n_frames"),
-          element_at(col("features"), 4).cast("long").as("duration_ms"),
-          round(element_at(col("features"), 6), 4).as("rms"),
-          element_at(col("features"), 8).cast("int").as("zero_crossings"))
+          try_element_at(col("features"), lit(1)).cast("int").as("sample_rate"),
+          try_element_at(col("features"), lit(3)).cast("int").as("n_frames"),
+          try_element_at(col("features"), lit(4)).cast("long").as("duration_ms"),
+          round(try_element_at(col("features"), lit(6)), 4).as("rms"),
+          try_element_at(col("features"), lit(8)).cast("int").as("zero_crossings"))
     }),
 
     // REAL video-container round trip (JDK ImageIO animated-GIF demux):

@@ -214,17 +214,23 @@ object Multimodal {
     * id — deterministic), encoded through the same JDK codec
     * [[audioDecodeBatch]] decodes. PCM16 round-trips exactly, so the
     * decoded sample stream equals the synthesized one bit-for-bit. */
-  def syntheticAudio(df: DataFrame, idCol: String): DataFrame = {
+  def syntheticAudio(df: DataFrame, idCol: String): DataFrame =
+    synthPayloads(df, idCol)(synthWavBytes)
+
+  /** Shared synthesis scaffold: one (media_id, payload) row per id, bytes
+    * from `bytesFor` — the three per-modality generators differ only in
+    * the JDK codec they encode through. */
+  private def synthPayloads(df: DataFrame, idCol: String)(
+      bytesFor: Long => Array[Byte]): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("payload", BinaryType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
-    val ids = df.select(col(idCol).cast("long"))
-    val result = ids.mapPartitions { it =>
+    val result = df.select(col(idCol).cast("long")).mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
-        Row(id, synthWavBytes(id))
+        Row(id, bytesFor(id))
       }
     }(enc)
     spark.createDataFrame(result.rdd, outSchema)
@@ -298,35 +304,40 @@ object Multimodal {
         val id = r.getLong(idIdx)
         val bytes = Option(r.getAs[Array[Byte]](payloadIdx)).getOrElse(Array.emptyByteArray)
         try {
-          val iis = javax.imageio.ImageIO.createImageInputStream(
+          // memory-backed stream: the payload is already in RAM — the
+          // ImageIO.createImageInputStream default (useCache=true) would
+          // spool every payload to a disk temp file in the decode hot path
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
             new java.io.ByteArrayInputStream(bytes))
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          if (!readers.hasNext) { iis.close(); Seq.empty }
-          else {
-            val reader = readers.next()
-            try {
-              reader.setInput(iis)
-              val n = reader.getNumImages(true)
-              (0 until n).map { fi =>
-                val img = reader.read(fi)
-                val w = img.getWidth
-                val h = img.getHeight
-                var sr, sg, sb = 0.0
-                var y = 0
-                while (y < h) {
-                  var x = 0
-                  while (x < w) {
-                    val rgb = img.getRGB(x, y)
-                    sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
-                    x += 1
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) Seq.empty
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis)
+                val n = reader.getNumImages(true)
+                (0 until n).map { fi =>
+                  val img = reader.read(fi)
+                  val w = img.getWidth
+                  val h = img.getHeight
+                  var sr, sg, sb = 0.0
+                  var y = 0
+                  while (y < h) {
+                    var x = 0
+                    while (x < w) {
+                      val rgb = img.getRGB(x, y)
+                      sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+                      x += 1
+                    }
+                    y += 1
                   }
-                  y += 1
+                  val np = (w.toLong * h).toDouble
+                  Row(id, fi, n, w, h, sr / np, sg / np, sb / np)
                 }
-                val np = (w.toLong * h).toDouble
-                Row(id, fi, n, w, h, sr / np, sg / np, sb / np)
-              }
-            } finally { reader.dispose(); iis.close() }
-          }
+              } finally reader.dispose()
+            }
+          } finally iis.close()
         } catch { case _: Exception => Seq.empty }
       }
     }(enc)
@@ -339,21 +350,8 @@ object Multimodal {
     * through the JDK's own GIF sequence writer. Frames use an explicit
     * `IndexColorModel`, so the palette — and therefore the decoded pixel
     * values — round-trip exactly. */
-  def syntheticVideos(df: DataFrame, idCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("payload", BinaryType)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
-    val ids = df.select(col(idCol).cast("long"))
-    val result = ids.mapPartitions { it =>
-      it.map { r =>
-        val id = r.getLong(0)
-        Row(id, synthGifBytes(id))
-      }
-    }(enc)
-    spark.createDataFrame(result.rdd, outSchema)
-  }
+  def syntheticVideos(df: DataFrame, idCol: String): DataFrame =
+    synthPayloads(df, idCol)(synthGifBytes)
 
   /** Deterministic frame color for video `id`, frame `fi` (24-bit RGB). */
   def synthFrameColor(id: Long, fi: Int): Int =
@@ -394,29 +392,22 @@ object Multimodal {
     * encoded through the same JDK codec [[imageDecodeBatch]] decodes. The
     * end-to-end codec harness for the image pipeline where no binary
     * media column exists in the corpus. */
-  def syntheticImages(df: DataFrame, idCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("payload", BinaryType)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
-    val ids = df.select(col(idCol).cast("long"))
-    val result = ids.mapPartitions { it =>
-      it.map { r =>
-        val id = r.getLong(0)
-        val w = (id % 13 + 2).toInt
-        val h = (id % 7 + 2).toInt
-        val rgb = (id * 2654435761L & 0xffffffL).toInt
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var y = 0
-        while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        Row(id, bos.toByteArray)
-      }
-    }(enc)
-    spark.createDataFrame(result.rdd, outSchema)
+  def syntheticImages(df: DataFrame, idCol: String): DataFrame =
+    synthPayloads(df, idCol)(synthPngBytes)
+
+  /** One deterministic solid PNG: (id%13+2)×(id%7+2) px, color from a
+    * Knuth-hash of the id. Shared by [[syntheticImages]] and the specs. */
+  def synthPngBytes(id: Long): Array[Byte] = {
+    val w = (id % 13 + 2).toInt
+    val h = (id % 7 + 2).toInt
+    val rgb = (id * 2654435761L & 0xffffffL).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Synthesize a media table from any (id, text) corpus — the test harness

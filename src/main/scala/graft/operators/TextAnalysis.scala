@@ -329,9 +329,7 @@ object TextAnalysis {
     * per-partition heap + k-row merge, never a global sort), so the
     * single-partition ranking window touches vocabSize rows, not the
     * term universe. */
-  def vocabBuild(
-      df: DataFrame, idCol: String, textCol: String,
-      vocabSize: Int): DataFrame = {
+  def vocabBuild(df: DataFrame, textCol: String, vocabSize: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = df.select(explode(Dedup.tokens(col(textCol))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))

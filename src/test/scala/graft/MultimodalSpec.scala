@@ -90,7 +90,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("REAL audio decode: WAV round trip recovers the exact sample stream stats") {
-    val id = 7L // freq 550 Hz, amp 0.5, 400 frames
+    val id = 7L // freq 550 Hz, amp 0.5, 440 frames
     val rows = Seq(
       (id, Multimodal.synthWavBytes(id)),
       (99L, "not audio".getBytes("UTF-8")))
@@ -118,7 +118,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("REAL video demux: animated GIF frames recover exact palette colors") {
-    val id = 9L // 4x3 px, (9%5)+2 = 6 frames
+    val id = 9L // 5x3 px, (9%5)+2 = 6 frames
     val rows = Seq(
       (id, Multimodal.synthGifBytes(id)),
       (98L, "not a gif".getBytes("UTF-8")))
@@ -136,6 +136,20 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getDouble(6) == ((c >> 8) & 0xff).toDouble)
       assert(r.getDouble(7) == (c & 0xff).toDouble)
     }
+  }
+
+  test("poisoned payloads survive the driver-surface projection under ANSI") {
+    // the image/audio feature queries project positions out of `features`;
+    // a degraded row's EMPTY array must yield nulls (try_element_at), not
+    // an ANSI INVALID_ARRAY_INDEX job failure
+    val rows = Seq((1L, "garbage, not media".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val out = Multimodal.mapPartitionsDecode(rows, dims = 8,
+        decodeBatch = Multimodal.imageDecodeBatch)
+      .select(col("media_id"),
+        try_element_at(col("features"), lit(1)).cast("int").as("width"))
+      .collect()
+    assert(out.length == 1 && out(0).isNullAt(1))
   }
 
   test("REAL image resize: payload re-encodes at the target geometry") {

@@ -205,7 +205,7 @@ class TextAnalysisSpec extends SparkSpec {
   }
 
   test("vocabBuild: dense rank ids by count desc then term asc, capped at V") {
-    val v = TextAnalysis.vocabBuild(docs, "doc_id", "text", vocabSize = 5)
+    val v = TextAnalysis.vocabBuild(docs, "text", vocabSize = 5)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(v.length == 5)
     // corpus counts: el=2, word=3, the=2, ... rank: word(3) first, then
@@ -216,7 +216,7 @@ class TextAnalysisSpec extends SparkSpec {
   }
 
   test("encodeTokens: order-exact ids, OOV = 0, empty docs drop out") {
-    val vocab = TextAnalysis.vocabBuild(docs, "doc_id", "text", vocabSize = 3)
+    val vocab = TextAnalysis.vocabBuild(docs, "text", vocabSize = 3)
     // vocab: word→1, el→2, the→3; everything else OOV
     val enc = TextAnalysis.encodeTokens(docs, vocab, "doc_id", "text")
       .collect().map(r => r.getLong(0) ->
