@@ -945,6 +945,24 @@ object SparkEntry {
           round(try_element_at(col("features"), lit(6)), 4).as("mean_b"))
     }),
 
+    // REAL image resize round trip (decode → bilinear Graphics2D scale →
+    // PNG re-encode → decode again): geometry comes back as the target,
+    // and a solid-color source keeps its exact channel means through the
+    // bilinear scale. Chains BOTH image kernels end-to-end on the driver
+    // surface. Rows-only check; kernel exactness pinned in MultimodalSpec.
+    "image_resize" -> ((s, dir) => {
+      val media = Multimodal.syntheticImages(
+        t(s, dir, "documents").select("doc_id"), "doc_id")
+      Multimodal.mapPartitionsDecode(
+          Multimodal.resizeImages(media, 5, 3), dims = 8,
+          decodeBatch = Multimodal.imageDecodeBatch)
+        .select(col("media_id"),
+          try_element_at(col("features"), lit(1)).cast("int").as("width"),
+          try_element_at(col("features"), lit(2)).cast("int").as("height"),
+          round(try_element_at(col("features"), lit(4)), 4).as("mean_r"),
+          round(try_element_at(col("features"), lit(6)), 4).as("mean_b"))
+    }),
+
     // REAL audio codec round trip (JDK javax.sound WAV/PCM end to end):
     // synthesize one deterministic sine-burst WAV per doc, decode with the
     // real kernel, emit container + signal stats. No SQL-expressible oracle

@@ -262,6 +262,31 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Whole-table resize through [[resizeImageBatch]]: (media_id, payload)
+    * in → (media_id, payload) out with each payload decoded, bilinear-
+    * scaled to w×h and PNG re-encoded per partition-sized batch;
+    * undecodable payloads come back as NULL payloads (degrade, don't
+    * fail). Same shape as [[mapPartitionsDecode]] — payload bytes never
+    * shuffle. */
+  def resizeImages(
+      df: DataFrame, w: Int, h: Int, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex("media_id")
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val result = df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val out = resizeImageBatch(w, h)(batch.map(r =>
+          Option(r.getAs[Array[Byte]](payloadIdx)).getOrElse(Array.emptyByteArray)))
+        batch.zip(out).map { case (r, p) => Row(r.getLong(idIdx), p.orNull) }
+      }
+    }(enc)
+    spark.createDataFrame(result.rdd, outSchema)
+  }
+
   /** ======== STUB ======== batch kernel: md5-seeded pseudo features (kept
     * as the pluggable-kernel default and the SQL-expressible oracle path —
     * see the image/audio/video kernels above/below for the real paths). */

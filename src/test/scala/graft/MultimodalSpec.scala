@@ -138,6 +138,32 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("codec round trips hold across the id parameter space (sweep 0..24)") {
+    (0L to 24L).foreach { id =>
+      // video: frame count, geometry, exact per-frame palette colors
+      val frames = Multimodal.extractFrames(
+        Seq((id, Multimodal.synthGifBytes(id))).toDF("media_id", "payload"))
+        .orderBy("frame_idx").collect()
+      assert(frames.length == (id % 5 + 2).toInt, s"id=$id frame count")
+      frames.zipWithIndex.foreach { case (r, fi) =>
+        val c = Multimodal.synthFrameColor(id, fi)
+        assert(r.getInt(3) == (id % 6 + 2).toInt && r.getInt(4) == (id % 4 + 2).toInt)
+        assert(r.getDouble(5) == ((c >> 16) & 0xff).toDouble, s"id=$id f=$fi r")
+      }
+      // audio: container fields recover the synth parameters exactly
+      val af = Multimodal.audioDecodeBatch(Seq(Multimodal.synthWavBytes(id))).head
+      assert(af(0) == 8000.0 && af(1) == 1.0, s"id=$id audio format")
+      assert(af(2) == (160 + (id % 11) * 40).toDouble, s"id=$id audio frames")
+      // image: decoded geometry + solid color means match the id formula
+      val imf = Multimodal.imageDecodeBatch(Seq(Multimodal.synthPngBytes(id))).head
+      val rgb = (id * 2654435761L & 0xffffffL).toInt
+      assert(imf(0) == (id % 13 + 2).toDouble && imf(1) == (id % 7 + 2).toDouble)
+      assert(imf(3) == ((rgb >> 16) & 0xff).toDouble &&
+        imf(4) == ((rgb >> 8) & 0xff).toDouble &&
+        imf(5) == (rgb & 0xff).toDouble, s"id=$id image color")
+    }
+  }
+
   test("poisoned payloads survive the driver-surface projection under ANSI") {
     // the image/audio feature queries project positions out of `features`;
     // a degraded row's EMPTY array must yield nulls (try_element_at), not
