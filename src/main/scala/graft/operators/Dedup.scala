@@ -153,9 +153,14 @@ object Dedup {
     * short-bucket token participates in the cap too: a flood of
     * short strings is itself a stop-bucket.
     *
-    * Scale shape: shuffle rows are (gram hash, id, short string); the
-    * per-gram join fan-out is df-bounded; `levenshtein` evaluates once per
-    * distinct candidate pair. */
+    * Scale shape: shuffle rows are (gram hash, id, length, gram count);
+    * the per-gram join fan-out is df-bounded; the count filter (see
+    * `pairsFrom`) discards provably-too-distant pairs from the pair
+    * aggregate itself, so `levenshtein` — and the two string join-backs
+    * feeding it — run only on pairs sharing enough grams to possibly
+    * qualify. At corpus scale that is the difference between verifying
+    * every pair that shares one boilerplate 4-gram and verifying the
+    * near-duplicates. */
   def editDistancePairs(
       df: DataFrame, idCol: String, strCol: String, maxDist: Int,
       q: Int = 4,
@@ -171,17 +176,45 @@ object Dedup {
       concat(gramsExpr, array(lit("\u0001")))).otherwise(gramsExpr)
     val exploded = df.select(col(idCol), length(s).as("_len"),
       explode(withShort).as("_g"))
-    // candidate join carries (gram, id, length) — never the strings: the
-    // per-gram fan-out rows are 3 narrow columns, and the distinct dedups
-    // 16-byte id pairs. Strings join back once per DISTINCT candidate for
-    // the levenshtein verify.
+    // candidate join carries (gram, id, length, gram-count) — never the
+    // strings: the per-gram fan-out rows are 4 narrow columns, and the
+    // pair aggregate dedups 16-byte id pairs. Strings join back once per
+    // SURVIVING candidate for the levenshtein verify.
+    //
+    // COUNT FILTER (Gravano et al., "Approximate String Joins in a
+    // Database (Almost) for Free", VLDB 2001): one edit changes at most q
+    // positional q-grams, so it can remove at most q DISTINCT gram types
+    // from a string's gram set; across k edits the total length drift is
+    // ≤ k, so the `_short` sentinel flips at most once. Hence two strings
+    // within distance k share ≥ max(|G(a)|,|G(b)|) − (k·q + 1) gram
+    // tokens, where G is the per-string distinct gram set AFTER the df
+    // cap — the cap is a global per-gram property, so a gram surviving on
+    // one side survives on the other, and capped sets lose shared grams
+    // in lockstep. Pairs below the bound are PROVABLY beyond maxDist:
+    // the filter only discards pairs the levenshtein verify would reject,
+    // so the operator's output is bit-identical with or without it — the
+    // oracle replays candidate generation WITHOUT the count filter and
+    // still hash-matches. The floor of 1 keeps the candidate definition
+    // itself (≥1 shared gram) when the bound goes non-positive (short
+    // strings, where the sentinel is the candidate channel).
     def pairsFrom(grams: DataFrame): DataFrame = {
+      // one narrow row per id; joins AFTER the pair aggregate, where the
+      // relation has already collapsed to distinct id pairs — carrying the
+      // count through the per-gram fan-out (or a window over it) re-sorts
+      // the fat side for nothing
+      val counts = grams.groupBy(col(idCol)).agg(count(lit(1)).as("_dc"))
       val a = grams.select(col("_g"), col(idCol).as("id_a"), col("_len").as("_la"))
       val b = grams.select(col("_g"), col(idCol).as("id_b"), col("_len").as("_lb"))
       val candIds = a.join(b, "_g")
         .filter(col("id_a") < col("id_b") &&
           abs(col("_la") - col("_lb")) <= maxDist)
-        .select("id_a", "id_b").distinct()
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("_shared"))
+        .join(counts.select(col(idCol).as("id_a"), col("_dc").as("_ca")), "id_a")
+        .join(counts.select(col(idCol).as("id_b"), col("_dc").as("_cb")), "id_b")
+        .filter(col("_shared") >=
+          greatest(lit(1), greatest(col("_ca"), col("_cb")) - lit(maxDist * q + 1)))
+        .select("id_a", "id_b")
       val names = df.select(col(idCol), s)
       candIds
         .join(names.select(col(idCol).as("id_a"), s.as("_sa")), "id_a")
