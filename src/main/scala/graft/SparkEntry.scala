@@ -880,6 +880,17 @@ object SparkEntry {
       Dedup.editDistancePairs(names, "doc_id", "name", maxDist = 3, q = 4)
     }),
 
+    // EXACT edit-distance join (PassJoin segment partitioning): complete
+    // candidate generation, no stop-gram semantics — so the oracle is an
+    // INDEPENDENT brute-force formulation (cross join + levenshtein), not
+    // a replay of the candidate pipeline: two different algorithms must
+    // produce the same pair set.
+    "fuzzy_join_exact" -> ((s, dir) => {
+      val names = t(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("name"))
+      Dedup.editDistancePairsExact(names, "doc_id", "name", maxDist = 3)
+    }),
+
     // Per-source ADAPTIVE quality gate: keep docs at or above their own
     // source's p25 token count (two-pass: narrow per-group percentile,
     // thresholds broadcast back — no global sort).
@@ -2252,6 +2263,17 @@ object SparkEntry {
         |           AND abs(len(a.name) - len(b.name)) <= 3)
         |SELECT id_a, id_b, levenshtein(na, nb) AS dist
         |FROM cand WHERE levenshtein(na, nb) <= 3""".stripMargin,
+
+    // deliberately NOT a replay of the Spark-side PassJoin pipeline: the
+    // exact operator's contract is the bare edit-distance predicate, so
+    // brute force is the strongest possible oracle (independent algorithm)
+    "fuzzy_join_exact" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 24) AS name FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       levenshtein(a.name, b.name) AS dist
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |  AND abs(len(a.name) - len(b.name)) <= 3
+        |WHERE levenshtein(a.name, b.name) <= 3""".stripMargin,
 
     "temperature_mix" ->
       s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),

@@ -245,6 +245,113 @@ object Dedup {
     }
   }
 
+  /** EXACT edit-distance self-join (no df-cap semantics): all pairs with
+    * Levenshtein distance ≤ `maxDist`, via segment-partition candidate
+    * generation (PassJoin — Li, Deng & Feng, "PASS-JOIN: A Partition-based
+    * Method for Similarity Joins", PVLDB 5(3), 2011).
+    *
+    * Pigeonhole: partition each string into m = k+1 segments. Any ≤ k-edit
+    * alignment touches at most one segment per edit, so some segment is
+    * error-free and appears VERBATIM in the partner. Index side = the m
+    * segments of every partitionable string (length ≥ m); probe side = the
+    * partner's substrings at the positions such a surviving segment could
+    * occupy. Taking the LAST error-free segment i: the ≥ (m−1−i) segments
+    * after it each absorb ≥ 1 edit, so ≤ i edits precede it and the
+    * position shift d obeys |d| ≤ i; with e_pre ≥ |d| and
+    * e_post ≥ |Δl − d| and e_pre + e_post ≤ k, probes satisfy
+    * |d| + |Δl − d| ≤ k. Both windows are necessary conditions, so
+    * candidate generation is COMPLETE — unlike [[editDistancePairs]] there
+    * is no stop-gram cap to declare: the output IS the edit-distance
+    * predicate, which is why its oracle can be an independent brute-force
+    * formulation rather than a replay of this pipeline.
+    *
+    * Pairs where BOTH strings are too short to partition (length < m) are
+    * closed by a single tiny short-bucket equi-join (their partners within
+    * distance k are necessarily short too); short × long pairs are already
+    * covered because short strings still PROBE partitionable partners.
+    *
+    * Scale shape: the probe fan-out is O(k²) rows per document of
+    * (partner-length, segment-index, substring) — constants, not corpus
+    * size; candidates come from an equi-join on that composite key, so
+    * the pair space is segment-bucket-shaped, never |A|×|B|. Verbatim
+    * boilerplate (many documents sharing a full segment at the same slot)
+    * makes hot buckets — the price of exactness; AQE skew-join handles
+    * moderate skew, and corpora with pathological boilerplate should
+    * prefer [[editDistancePairs]]' declared-semantics df cap. */
+  def editDistancePairsExact(
+      df: DataFrame, idCol: String, strCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, "need maxDist >= 0")
+    val k = maxDist
+    val m = k + 1
+    val s = col(strCol)
+    // even partition of a length-`ls` string: rem = ls mod m long segments
+    // at the END; segment i has length `quot (+1)` and 1-based start pos
+    // 1 + i·quot + max(0, i − (m − rem)). Integer math stays exact: values
+    // are string lengths (≪ 2^31), so the double division is exact.
+    def remOf(ls: Column) = pmod(ls, lit(m))
+    def quotOf(ls: Column) = ((ls - pmod(ls, lit(m))) / lit(m)).cast("int")
+    def segLen(ls: Column, i: Column) =
+      quotOf(ls) + when(i >= lit(m) - remOf(ls), lit(1)).otherwise(lit(0))
+    def segPos(ls: Column, i: Column) =
+      lit(1) + i * quotOf(ls) + greatest(lit(0), i - (lit(m) - remOf(ls)))
+
+    val l = length(s)
+    // index side: m narrow rows per partitionable string
+    val segs = df.filter(l >= m).select(col(idCol).as("id_x"), l.as("_ls"),
+        explode(transform(sequence(lit(0), lit(m - 1)), i =>
+          struct(i.as("_i"),
+            s.substr(segPos(l, i), segLen(l, i)).as("_seg")))).as("_e"))
+      .select(col("id_x"), col("_ls"), col("_e._i").as("_i"),
+        col("_e._seg").as("_seg"))
+    // probe side: for every partner length ls within k, the substrings at
+    // positions a surviving segment could sit — O(k²) rows per string
+    val probeTpe = "array<struct<_ls:int,_i:int,_seg:string>>"
+    val probeArr = {
+      val lt = l
+      val lss = sequence(greatest(lit(m), lt - k), lt + k)
+      when(lt + k >= m, flatten(transform(lss, ls => {
+        val dl = lt - ls
+        flatten(transform(sequence(lit(0), lit(m - 1)), i => {
+          val li = segLen(ls, i)
+          val pi = segPos(ls, i)
+          val ds = filter(transform(sequence(lit(0) - i, i), d =>
+            struct((pi + d).as("_pos"),
+              (abs(d) + abs(dl - d) <= k && pi + d >= lit(1) &&
+                pi + d <= lt - li + 1).as("_ok"))),
+            x => x("_ok"))
+          transform(ds, x =>
+            struct(ls.as("_ls"), i.as("_i"), s.substr(x("_pos"), li).as("_seg")))
+        }))
+      }))).otherwise(array().cast(probeTpe))
+    }
+    val probes = df.select(col(idCol).as("id_y"), explode(probeArr).as("_p"))
+      .select(col("id_y"), col("_p._ls").as("_ls"), col("_p._i").as("_i"),
+        col("_p._seg").as("_seg"))
+    val partCand = segs.join(probes, Seq("_ls", "_i", "_seg"))
+      .filter(col("id_x") =!= col("id_y"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+    // both-short closure: a pair with both lengths < m can't partition
+    // either side; any such partner is itself short, so one single-bucket
+    // equi-join over the (tiny) short set covers them all. The bucket key
+    // is DERIVED from the row (pmod(len,1) ≡ 0), not a literal — a literal
+    // key constant-folds out of the join condition and the planner falls
+    // back to a nested-loop join, which the plan gate forbids.
+    val shorts = df.filter(l < m).select(col(idCol), pmod(l, lit(1)).as("_b"))
+    val shortCand = shorts.select(col("_b"), col(idCol).as("id_a"))
+      .join(shorts.select(col("_b"), col(idCol).as("id_b")), "_b")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val names = df.select(col(idCol), s)
+    partCand.union(shortCand).distinct()
+      .join(names.select(col(idCol).as("id_a"), s.as("_sa")), "id_a")
+      .join(names.select(col(idCol).as("id_b"), s.as("_sb")), "id_b")
+      .filter(abs(length(col("_sa")) - length(col("_sb"))) <= k)
+      .withColumn("dist", levenshtein(col("_sa"), col("_sb")))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
   /** Exact-Jaccard tail shared by the exact and MinHash pipelines: intersect
     * via the shingle equi-join (`candFilter` restricts the pair space),
     * |A∪B| = |A|+|B|−|A∩B|, keep pairs ≥ threshold. */

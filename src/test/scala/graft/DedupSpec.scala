@@ -170,4 +170,29 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet
     assert(capped.subsetOf(brute))
   }
+
+  test("editDistancePairsExact == brute force for k=0..3 over mixed-length strings") {
+    import org.apache.spark.sql.functions.{col, levenshtein, length, abs}
+    // seeded generator: lengths 0..14 over a 3-letter alphabet — small
+    // alphabet forces heavy segment collisions, repeats, and short-bucket
+    // traffic, the regimes where an incomplete window or a broken
+    // partition arithmetic would show up as missing pairs
+    val rnd = new scala.util.Random(42)
+    val names = (0L until 80L).map { i =>
+      val len = rnd.nextInt(15)
+      (i, (0 until len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    }.toDF("id", "name")
+    for (k <- 0 to 3) {
+      val got = Dedup.editDistancePairsExact(names, "id", "name", maxDist = k)
+        .as[(Long, Long, Int)].collect().toSet
+      val brute = names.select(col("id").as("id_a"), col("name").as("na"))
+        .crossJoin(names.select(col("id").as("id_b"), col("name").as("nb")))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), levenshtein(col("na"), col("nb")).as("d"))
+        .filter(col("d") <= k)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == brute, s"k=$k: missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+      assert(got.nonEmpty, s"k=$k produced no pairs — degenerate fixture")
+    }
+  }
 }

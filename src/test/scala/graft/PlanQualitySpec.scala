@@ -153,6 +153,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("exact fuzzy join: segment equi-join candidates, never a cross product") {
+    // PassJoin candidate generation must stay an equi-join on the
+    // (partner-length, segment-index, segment) composite key — at corpus
+    // scale a nested-loop fallback here IS the |A|×|B| cross the
+    // partitioning exists to avoid
+    val p = plan("fuzzy_join_exact")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("quantile filter: thresholds broadcast back, aggregates partial") {
     val p = plan("quality_quantile_filter")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
