@@ -935,6 +935,13 @@ object SparkEntry {
           "es" -> 0.8, "zh" -> 1.0),
         defaultFraction = 0.5)),
 
+    // Deterministic train/validation/test split: per-row hash coin against
+    // cumulative fraction bounds — stateless, reproducible across runs and
+    // incremental ingest (new docs never reassign old ones).
+    "dataset_split" -> ((s, dir) =>
+      Curation.datasetSplit(t(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id", Seq("train" -> 0.9, "validation" -> 0.05, "test" -> 0.05))),
+
     // REAL image codec round trip (JDK ImageIO end to end): synthesize one
     // deterministic solid PNG per doc, decode with the real kernel, emit
     // geometry + channel means. No SQL-expressible oracle (DuckDB has no
@@ -1386,6 +1393,22 @@ object SparkEntry {
          |            WHEN 'fr' THEN 0.8 WHEN 'zh' THEN 1.0 ELSE 0.5 END AS frac
          |  FROM u)
          |SELECT doc_id, lang, round(u, 6) + 0.0 AS u FROM f WHERE u < frac""".stripMargin,
+
+    // the CASE bounds are Spark's CUMULATIVE sums interpolated at full
+    // double precision (0.9 + 0.05 is 0.9500000000000001, not 0.95) — a
+    // hand-written 0.95 literal would be a different double and could
+    // disagree on a coin landing in the one-ulp gap
+    "dataset_split" ->
+      s"""WITH u AS (SELECT doc_id, lang,
+         |  CAST(${duckHash("CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+         |    / ${Curation.HashUnitDivisor} AS u
+         |  FROM documents)
+         |SELECT doc_id, lang,
+         |  CASE WHEN u < ${0.9} THEN 'train'
+         |       WHEN u < ${0.9 + 0.05} THEN 'validation'
+         |       ELSE 'test' END AS split,
+         |  round(u, 6) + 0.0 AS u
+         |FROM u""".stripMargin,
 
     "source_cap_sample" ->
       s"""WITH r AS (SELECT doc_id, source, row_number() OVER (

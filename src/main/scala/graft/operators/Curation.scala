@@ -180,6 +180,34 @@ object Curation {
       .drop("_u")
   }
 
+  /** Deterministic dataset split (train/validation/test): assign each row
+    * to the first split whose cumulative-fraction upper bound exceeds the
+    * row's [[sampleUnit]] coin. Stateless per-row projection — no shuffle,
+    * no sampling state, and the SAME ids land in the same split on every
+    * run, engine, and partitioning (the property that makes a split
+    * reproducible across pipeline re-runs and incremental ingest: a new
+    * batch of documents never reassigns old ones).
+    *
+    * @param splits ordered (name, fraction) pairs; fractions must sum to 1
+    */
+  def datasetSplit(
+      df: DataFrame, idCol: String, splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0.0) &&
+      math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must be non-negative and sum to 1, got $splits")
+    // cumulative upper bounds; the last is exactly 1.0 so u ∈ [0,1) always
+    // lands somewhere and the fold's base case is unreachable
+    val bounds = splits.map(_._1).zip(splits.scanLeft(0.0)(_ + _._2).tail)
+    def assign(u: org.apache.spark.sql.Column) =
+      bounds.init.foldRight(lit(bounds.last._1): org.apache.spark.sql.Column) {
+        case ((name, hi), acc) => when(u < hi, lit(name)).otherwise(acc)
+      }
+    df.withColumn("_u", sampleUnit(col(idCol)))
+      .withColumn("split", assign(col("_u")))
+      .withColumn("u", round(col("_u"), 6) + lit(0.0))
+      .drop("_u")
+  }
+
   /** Per-group ADAPTIVE threshold filter: keep rows whose `scoreCol` is at
     * or above their group's exact interpolated `q`-quantile (same
     * `percentile` definition [[graft.operators.TextAnalysis.corpusReport]]

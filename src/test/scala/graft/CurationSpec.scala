@@ -117,6 +117,32 @@ class CurationSpec extends SparkSpec {
     assert(us.forall(u => u >= 0.0 && u < 1.0))
   }
 
+  test("dataset split: total partition, deterministic, fraction-proportional") {
+    val docs = (0L until 2000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val splits = Seq("train" -> 0.9, "validation" -> 0.05, "test" -> 0.05)
+    val s1 = Curation.datasetSplit(docs, "doc_id", splits)
+    // TOTAL partition: every row assigned exactly once, no row lost
+    assert(s1.count() == 2000)
+    val byName = s1.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(byName.keySet == Set("train", "validation", "test"), byName)
+    // hash-uniform coin: proportions near fractions (wide tolerance)
+    assert(byName("train") > 1700 && byName("train") < 1900, byName)
+    assert(byName("validation") > 50 && byName("validation") < 150, byName)
+    // deterministic and incremental-safe: the assignment of a doc depends
+    // only on its id — a subset corpus assigns identically
+    val sub = Curation.datasetSplit(docs.filter($"doc_id" < 500), "doc_id", splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val full = s1.select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(sub.forall { case (id, sp) => full(id) == sp })
+    // degenerate single split takes everything
+    val one = Curation.datasetSplit(docs, "doc_id", Seq("all" -> 1.0))
+    assert(one.filter($"split" === "all").count() == 2000)
+    // malformed fractions rejected
+    intercept[IllegalArgumentException] {
+      Curation.datasetSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.6))
+    }
+  }
+
   test("per-key cap: at most cap rows per key, deterministic hash-order survivors") {
     val docs = (0L until 300L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
     val capped = Curation.perKeyCap(docs, "doc_id", "source", cap = 7)
