@@ -942,6 +942,13 @@ object SparkEntry {
       Curation.datasetSplit(t(s, dir, "documents").select("doc_id", "lang"),
         "doc_id", Seq("train" -> 0.9, "validation" -> 0.05, "test" -> 0.05))),
 
+    // Curriculum ordering: GLOBAL rank over (n_chars, doc_id) without an
+    // Exchange SinglePartition (range shuffle + per-partition row_number +
+    // broadcast prefix offsets — plan-gated).
+    "curriculum_order" -> ((s, dir) =>
+      Curation.globalRank(t(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", Seq("n_chars"))),
+
     // REAL image codec round trip (JDK ImageIO end to end): synthesize one
     // deterministic solid PNG per doc, decode with the real kernel, emit
     // geometry + channel means. No SQL-expressible oracle (DuckDB has no
@@ -1409,6 +1416,11 @@ object SparkEntry {
          |       ELSE 'test' END AS split,
          |  round(u, 6) + 0.0 AS u
          |FROM u""".stripMargin,
+
+    "curriculum_order" ->
+      """SELECT doc_id, n_chars,
+        |  row_number() OVER (ORDER BY n_chars, doc_id) AS rank
+        |FROM documents""".stripMargin,
 
     "source_cap_sample" ->
       s"""WITH r AS (SELECT doc_id, source, row_number() OVER (

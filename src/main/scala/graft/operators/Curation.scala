@@ -208,6 +208,51 @@ object Curation {
       .drop("_u")
   }
 
+  /** Scalable GLOBAL rank (curriculum ordering): assign every row its
+    * position in the total order over `orderCols` (+ `idCol` tiebreak, so
+    * the order — and therefore the output — is unique and deterministic)
+    * WITHOUT ever collapsing the corpus into one partition. A naive
+    * `row_number() OVER (ORDER BY …)` plans `Exchange SinglePartition` —
+    * the whole corpus through one task, the canonical 100 TB scale-killer
+    * (plan-gated absent here).
+    *
+    * Two phases over one range shuffle: (1) `repartitionByRange` on the
+    * order key so partition i holds a contiguous key range, (2) per-
+    * partition `row_number` plus each partition's prefix offset. The
+    * offsets come from one (pid, count) row per partition — a driver
+    * materialization bounded by the partition count (the same bounded
+    * class as centroid lists), broadcast back as a tiny join.
+    *
+    * The ranged frame is EAGERLY materialized (localCheckpoint) before
+    * `_pid` is read: the count job and the final plan are separate query
+    * executions, and nothing else guarantees they replan the range
+    * exchange identically — a divergent boundary sample or adaptive
+    * re-plan would silently misalign the pid→offset map. Freezing the
+    * partitioning once makes the consistency structural rather than an
+    * artifact of deterministic sampling. */
+  def globalRank(
+      df: DataFrame, idCol: String, orderCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(orderCols.nonEmpty, "need at least one order column")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val order = orderCols.map(col) :+ col(idCol)
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(nParts, order: _*)
+      .localCheckpoint(true)
+      .withColumn("_pid", spark_partition_id())
+    var acc = 0L
+    val offsets = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      .map { case (pid, n) => val o = (pid, acc); acc += n; o }
+    val offDf = offsets.toSeq.toDF("_pid", "_off")
+    val w = Window.partitionBy(col("_pid")).orderBy(order: _*)
+    ranged.withColumn("_r", row_number().over(w))
+      .join(broadcast(offDf), "_pid")
+      .withColumn("rank", col("_off") + col("_r"))
+      .drop("_pid", "_r", "_off")
+  }
+
   /** Per-group ADAPTIVE threshold filter: keep rows whose `scoreCol` is at
     * or above their group's exact interpolated `q`-quantile (same
     * `percentile` definition [[graft.operators.TextAnalysis.corpusReport]]

@@ -143,6 +143,27 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("global rank == single-window rank; duplicate keys, re-run stable") {
+    import org.apache.spark.sql.expressions.Window
+    // heavy duplication across the order key: every range-partition
+    // boundary falls inside a tie run, the regime where a broken
+    // pid→offset alignment or a non-total order would corrupt ranks
+    val docs = (0L until 5000L).map(i => (i, (i % 7).toInt)).toDF("id", "score")
+    val got = Curation.globalRank(docs, "id", Seq("score"))
+      .select("id", "rank").as[(Long, Long)].collect().toMap
+    val want = docs.withColumn("rank",
+        row_number().over(Window.orderBy($"score", $"id")).cast("long"))
+      .select("id", "rank").as[(Long, Long)].collect().toMap
+    assert(got == want)
+    // deterministic across invocations (fresh range sample + checkpoint)
+    val again = Curation.globalRank(docs, "id", Seq("score"))
+      .select("id", "rank").as[(Long, Long)].collect().toMap
+    assert(again == want)
+    // empty input: empty output, same schema, no crash
+    val empty = Curation.globalRank(docs.filter($"id" < 0), "id", Seq("score"))
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("id", "score", "rank"))
+  }
+
   test("per-key cap: at most cap rows per key, deterministic hash-order survivors") {
     val docs = (0L until 300L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
     val capped = Curation.perKeyCap(docs, "doc_id", "source", cap = 7)

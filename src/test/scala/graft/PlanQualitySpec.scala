@@ -162,6 +162,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("global rank: never an Exchange SinglePartition") {
+    // the naive row_number() OVER (ORDER BY …) formulation collapses the
+    // corpus into one task; globalRank exists to keep the rank computation
+    // partition-parallel (range shuffle + per-partition window + broadcast
+    // offsets)
+    val p = plan("curriculum_order")
+    assert(!p.contains("Exchange SinglePartition"), p.take(2000))
+    assert(p.contains("row_number"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p.take(2000))
+  }
+
   test("quantile filter: thresholds broadcast back, aggregates partial") {
     val p = plan("quality_quantile_filter")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
