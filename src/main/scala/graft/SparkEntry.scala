@@ -846,6 +846,26 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id")
     }),
 
+    // SemDeDup (Abbas et al. 2023): IVF-cell assignment over the selection
+    // centroids, in-cell cosine near-dup prune keeping each group's
+    // centroid-nearest member. The oracle replays assignment (argmin by
+    // (l2², cid), the ann_ivf rule) and the lexicographic removal rule.
+    "semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Dedup.semanticDedup(emb, "vec_id", "embedding",
+        selectionCentroids(emb), eps = 0.4)
+    }),
+
+    // Per-label centroid summary: mean vector per label — class prototypes
+    // / per-domain drift report; the supervised twin of IVF training.
+    // Flattened to (label, dim, m) for the compare (the driver's hash sorts
+    // scalar columns; the operator's API returns the assembled arrays).
+    "label_centroids" -> ((s, dir) =>
+      ApproxAnn.labelCentroids(t(s, dir, "embeddings"), "label", "embedding")
+        .select(col("label"), posexplode(col("centroid")).as(Seq("dim", "m")),
+          col("n_vectors"))
+        .select(col("label"), col("dim"), col("m"), col("n_vectors"))),
+
     // Bulk kNN self-join over LSH buckets (every vector's k nearest within
     // hamming radius 2 of its bucket) — deterministic hyperplanes, so the
     // oracle replays the bucketing exactly like ann_lsh does.
@@ -1070,6 +1090,17 @@ object SparkEntry {
     // dedup_jaccard).
     "decontamination" -> ((s, dir) =>
       Curation.decontaminate(shingleStore(s, dir), "doc_id",
+        t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id").as("bench_id")),
+        minContainment = 0.2, maxShingleDf = None)),
+
+    // Bloom-prefiltered decontamination: the at-scale serving twin — a
+    // broadcast Bloom filter over the bench shingles gates the corpus scan,
+    // the exact join removes false positives, false negatives are
+    // impossible (probe reuses the build's column expressions) — so the
+    // oracle is IDENTICAL to decontamination's: two pipelines, one answer.
+    "decontamination_bloom" -> ((s, dir) =>
+      Curation.decontaminateBloom(shingleStore(s, dir), "doc_id",
         t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
           .select(col("doc_id").as("bench_id")),
         minContainment = 0.2, maxShingleDf = None)),
@@ -1355,6 +1386,20 @@ object SparkEntry {
        |  ON a.doc_id < b.doc_id AND ($bandConds))""".stripMargin
   }
 
+  /** Shared by decontamination and decontamination_bloom (the bloom
+    * prefilter is exact-lossless, so both pipelines answer this query). */
+  private lazy val duckDecontaminationSql: String =
+    s"""WITH $duckToks, ${duckShingles(5)},
+       |bench AS (SELECT doc_id AS bench_id FROM documents WHERE doc_id % 5 = 0),
+       |bsh AS (SELECT bench_id, h FROM sh JOIN bench ON sh.doc_id = bench.bench_id),
+       |bsz AS (SELECT bench_id, count(*) AS bsz FROM bsh GROUP BY 1),
+       |ov AS (SELECT s.doc_id, b.bench_id, count(*) AS ov FROM sh s JOIN bsh b USING (h)
+       |  WHERE s.doc_id <> b.bench_id GROUP BY 1, 2)
+       |SELECT ov.doc_id, ov.bench_id, CAST(ov.ov AS BIGINT) AS overlap,
+       |  round(CAST(ov.ov AS DOUBLE) / bsz, 6) + 0.0 AS containment
+       |FROM ov JOIN bsz USING (bench_id)
+       |WHERE CAST(ov.ov AS DOUBLE) / bsz >= 0.2""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
@@ -1457,17 +1502,11 @@ object SparkEntry {
          |  ("offset" + n_tokens - 1) // 512 AS chunk_end
          |FROM o""".stripMargin,
 
-    "decontamination" ->
-      s"""WITH $duckToks, ${duckShingles(5)},
-         |bench AS (SELECT doc_id AS bench_id FROM documents WHERE doc_id % 5 = 0),
-         |bsh AS (SELECT bench_id, h FROM sh JOIN bench ON sh.doc_id = bench.bench_id),
-         |bsz AS (SELECT bench_id, count(*) AS bsz FROM bsh GROUP BY 1),
-         |ov AS (SELECT s.doc_id, b.bench_id, count(*) AS ov FROM sh s JOIN bsh b USING (h)
-         |  WHERE s.doc_id <> b.bench_id GROUP BY 1, 2)
-         |SELECT ov.doc_id, ov.bench_id, CAST(ov.ov AS BIGINT) AS overlap,
-         |  round(CAST(ov.ov AS DOUBLE) / bsz, 6) + 0.0 AS containment
-         |FROM ov JOIN bsz USING (bench_id)
-         |WHERE CAST(ov.ov AS DOUBLE) / bsz >= 0.2""".stripMargin,
+    "decontamination" -> duckDecontaminationSql,
+
+    // The bloom prefilter is lossless (exact verify after; membership is
+    // per shingle value) — the serving twin answers the SAME query.
+    "decontamination_bloom" -> duckDecontaminationSql,
 
     "dedup_simhash" ->
       s"""WITH $duckToks,
@@ -2180,6 +2219,43 @@ object SparkEntry {
          |SELECT a AS vec_id, CAST(min(b) AS BIGINT) AS component_id,
          |  (min(b) = a) AS keep
          |FROM reach GROUP BY a""".stripMargin,
+
+    // Replays SemDeDup end-to-end: IVF assignment (argmin by (l2², cid) —
+    // the ann_ivf rule over the same selection centroids), in-cell cosine
+    // pairs, lexicographic (dc, id) removal, survivors.
+    "semantic_dedup" -> {
+      val distCE = duckDistCE
+      val dotAB = "list_sum(list_transform(list_zip(a.embedding, b.embedding), " +
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+      def nrm(t: String) =
+        s"sqrt(list_sum(list_transform($t.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+      s"""WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
+         |           FROM embeddings WHERE vec_id < 16 AND embedding IS NOT NULL),
+         |a0 AS (SELECT e.vec_id, e.embedding, c.cid, $distCE AS d
+         |       FROM embeddings e, c WHERE e.embedding IS NOT NULL),
+         |asg AS (SELECT vec_id, embedding, cid, d FROM (
+         |          SELECT *, row_number() OVER
+         |            (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+         |          FROM a0) WHERE rn = 1),
+         |rem AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+         |        ON a.cid = b.cid AND a.vec_id <> b.vec_id
+         |        AND $dotAB / (${nrm("a")} * ${nrm("b")}) >= 0.4
+         |        AND (a.d < b.d OR (a.d = b.d AND a.vec_id < b.vec_id)))
+         |SELECT vec_id, cid AS cell FROM asg
+         |WHERE vec_id NOT IN (SELECT vec_id FROM rem)""".stripMargin
+    },
+
+    // Per-(label, dim) mean reassembled dim-ordered; DuckDB's zipped
+    // unnest(embedding)/unnest(range(len)) mirrors posexplode.
+    "label_centroids" ->
+      """WITH ex AS (SELECT label, unnest(embedding) AS x,
+        |            unnest(range(len(embedding))) AS dim
+        |            FROM embeddings WHERE embedding IS NOT NULL),
+        |pd AS (SELECT label, dim, avg(CAST(x AS DOUBLE)) AS m, count(*) AS n
+        |       FROM ex GROUP BY 1, 2)
+        |SELECT label, CAST(dim AS INT) AS dim, round(m, 6) + 0.0 AS m,
+        |       n AS n_vectors
+        |FROM pd""".stripMargin,
 
     "ann_transposed" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -224,6 +224,29 @@ object ApproxAnn {
     }.toSeq
   }
 
+  /** Per-label centroid summary — the supervised counterpart of
+    * [[trainIvfCentroids]] (mean vector per existing label instead of
+    * k-means cells). Used for class prototypes, per-domain embedding
+    * drift reports, and as warm-start centroids for IVF training.
+    *
+    * Shape: posexplode each vector to (label, dim, value), one
+    * partial-aggregatable HashAggregate on (label, dim), reassemble the
+    * array dim-sorted. Shuffle volume is labels × dims doubles — the
+    * dimensionality of the SUMMARY, not the corpus — and the explode never
+    * materializes row copies (generated in the same stage as the scan).
+    * Stays distributed for any label cardinality (no driver collect). */
+  def labelCentroids(
+      df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+      .select(col(labelCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col(labelCol), col("dim"))
+      .agg(avg(col("x").cast("double")).as("m"), count(lit(1)).as("n"))
+      .groupBy(col(labelCol))
+      .agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => round(s.getField("m"), 6) + lit(0.0)).as("centroid"),
+        max(col("n")).as("n_vectors"))
+
   /** Full IVF build: train centroids, assign every vector. Write the result
     * `partitionBy("_centroid")` (IndexStorage) and probes prune partitions. */
   def buildIvfIndex(

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators a 100 TB training-data pipeline layers on top
@@ -478,5 +478,52 @@ object Curation {
       .filter(col("containment") >= minContainment)
       .select(col(idCol), col("bench_id"),
         col("overlap"), (round(col("containment"), 6) + lit(0.0)).as("containment"))
+  }
+
+  /** Bloom-prefiltered decontamination — the at-scale serving twin of
+    * [[decontaminate]] with an IDENTICAL answer. A Bloom filter over the
+    * benchmark shingle hashes (k positions per hash, bit-or'd into
+    * mBits/64 longs by a distributed aggregate, densified on the driver)
+    * rides into the corpus scan as a broadcast literal; only shingles whose
+    * k bits are all set reach the join. Bloom membership is decided per
+    * shingle VALUE, so every occurrence of a surviving shingle survives —
+    * document frequencies, the df cap, and the containment denominator are
+    * unchanged, false positives are removed by the exact join, and false
+    * negatives are impossible (probe evaluates the same xxhash64 column
+    * expressions the build did). Hence: same result set, but the shuffle
+    * into the join carries ~fpp of the corpus shingles instead of all of
+    * them — at 100 TB that is the difference between shuffling the corpus'
+    * shingle set and shuffling (benchmark-sized ∪ noise) candidates. The
+    * filter itself is mBits/8 bytes (~1.2 MB per 10⁶ bench shingles at
+    * fpp=0.01) — broadcast-sized by construction because eval suites are
+    * small relative to the corpus. */
+  def decontaminateBloom(
+      sh: DataFrame, idCol: String, benchIds: DataFrame,
+      minContainment: Double, fpp: Double = 0.01,
+      maxShingleDf: Option[Int] = Some(Dedup.DefaultMaxShingleDf)): DataFrame = {
+    val bsh = sh.join(benchIds, sh(idCol) === benchIds("bench_id"))
+      .select(col("sh")).distinct()
+    val n = math.max(bsh.count(), 1L)
+    val mRaw = math.ceil(-n.toDouble * math.log(fpp) /
+      (math.log(2) * math.log(2))).toLong
+    val mBits = ((math.max(mRaw, 64L) + 63L) / 64L) * 64L
+    val kHashes = math.max(1, math.round(mBits.toDouble / n * math.log(2)).toInt)
+    def positions(c: Column): Seq[Column] =
+      (0 until kHashes).map(i => pmod(xxhash64(c, lit(i)), lit(mBits)))
+    val wordMap = bsh
+      .select(explode(array(positions(col("sh")): _*)).as("pos"))
+      .groupBy((col("pos") / 64).cast("int").as("w"))
+      .agg(call_function("bit_or",
+        call_function("shiftleft", lit(1L), pmod(col("pos"), lit(64)).cast("int")))
+        .as("bits"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val words = Array.tabulate((mBits / 64).toInt)(i => wordMap.getOrElse(i, 0L))
+    val wordsLit = typedlit(words.toSeq)
+    val member = positions(col("sh")).map { pos =>
+      (call_function("shiftright",
+        element_at(wordsLit, (pos / 64).cast("int") + 1),
+        pmod(pos, lit(64)).cast("int")) bitwiseAND lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+    decontaminate(sh.filter(member), idCol, benchIds, minContainment, maxShingleDf)
   }
 }

@@ -696,6 +696,55 @@ object Dedup {
       .select("id_a", "id_b", "cos_sim")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, then inside each
+    * cluster remove every vector that has a semantic near-duplicate
+    * (cosine >= eps) sitting closer to the shared centroid — i.e. each
+    * in-cell near-dup group keeps exactly its centroid-nearest member.
+    * The reference stops at ANN search (crates/vector-store/src/vs_index/
+    * usearch.rs); this is the corpus-curation step built on the same
+    * geometry.
+    *
+    * Deterministic, iteration-free formulation (engine-replayable):
+    *  - assignment = argmin by (l2², cid) over the given centroids — the
+    *    exact IVF assignment rule ([[ApproxAnn.assignToCentroids]]);
+    *  - v is REMOVED iff ∃ same-cell u with cos(u,v) >= eps and
+    *    (dc(u), id(u)) < (dc(v), id(v)) lexicographically.
+    *
+    * Scale (100 TB): the pair space is an equi-join on the cell id — with
+    * centroid count sized to the corpus (k ≈ √n, trained via
+    * [[ApproxAnn.trainIvfCentroids]]) cells stay small and the join never
+    * degenerates to a cartesian (plan-gated). Shuffles carry (id, cell,
+    * dc) plus vectors for the in-cell cosine verify; centroids ride along
+    * as a broadcast literal, and the per-cell work is exactly SemDeDup's
+    * within-cluster pairwise pass.
+    */
+  def semanticDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Seq[Float])], eps: Double): DataFrame = {
+    import graft.functions.VectorFunctions.{dot, l2sq, norm}
+    val cands = centroids.map { case (cid, cvec) =>
+      struct(l2sq(col(vecCol), typedlit(cvec)).as("d"), lit(cid).as("cid"))
+    }
+    val best = least(cands: _*)
+    val base = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol),
+        best.getField("cid").as("_cell"), best.getField("d").as("_dc"),
+        norm(col(vecCol)).as("_n"))
+    val a = base.select(col(idCol).as("_ia"), col(vecCol).as("_va"),
+      col("_cell"), col("_dc").as("_dca"), col("_n").as("_na"))
+    val b = base.select(col(idCol).as("_ib"), col(vecCol).as("_vb"),
+      col("_cell"), col("_dc").as("_dcb"), col("_n").as("_nb"))
+    val removed = a.join(b, Seq("_cell"))
+      .filter(col("_ia") =!= col("_ib") &&
+        dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")) >= eps &&
+        (col("_dca") < col("_dcb") ||
+          (col("_dca") === col("_dcb") && col("_ia") < col("_ib"))))
+      .select(col("_ib").as(idCol)).distinct()
+    base.join(removed, Seq(idCol), "left_anti")
+      .select(col(idCol), col("_cell").as("cell"))
+  }
+
   /** Exact all-pairs cosine near-dup — O(n²) BroadcastNestedLoopJoin. The
     * oracle baseline ONLY; use [[embeddingNearDups]] (LSH-bucketed) as the
     * serving path. */

@@ -319,6 +319,20 @@ class ApproxAnnSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("label centroids: per-label dim-wise mean, null vectors dropped") {
+    val df = Seq(
+      (0, Seq(1f, 2f, 3f)),
+      (0, Seq(3f, 4f, 5f)),
+      (1, Seq(10f, 20f, 30f)),
+      (1, null.asInstanceOf[Seq[Float]]))
+      .toDF("label", "embedding")
+    val got = ApproxAnn.labelCentroids(df, "label", "embedding")
+      .as[(Int, Seq[Double], Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(0)._1 == Seq(2.0, 3.0, 4.0) && got(0)._2 == 2L)
+    assert(got(1)._1 == Seq(10.0, 20.0, 30.0) && got(1)._2 == 1L)
+  }
+
   test("f16/bf16 simulation: coarser mantissa, order preserved") {
     val v = Seq(Tuple1(Seq(0.1f, 0.2f, 0.3f, 1000.5f)))
       .toDF("v")

@@ -266,6 +266,27 @@ class CurationSpec extends SparkSpec {
     assert(!out.contains(0L)) // self-pair excluded
   }
 
+  test("bloom-prefiltered decontamination equals the exact pipeline (real corpus)") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(sf("documents"))
+    val sh = Dedup.shingles(docs, "doc_id", "text", 5)
+    val bench = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("bench_id"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Double)].collect().toSet
+    // identical answer uncapped and under the df-cap serving default —
+    // bloom membership is per shingle value, so caps see the same dfs
+    assert(rows(Curation.decontaminateBloom(sh, "doc_id", bench, 0.2,
+        maxShingleDf = None)) ==
+      rows(Curation.decontaminate(sh, "doc_id", bench, 0.2,
+        maxShingleDf = None)))
+    assert(rows(Curation.decontaminateBloom(sh, "doc_id", bench, 0.2)) ==
+      rows(Curation.decontaminate(sh, "doc_id", bench, 0.2)))
+    // an empty benchmark set yields an empty (not failing) result
+    assert(Curation.decontaminateBloom(sh, "doc_id",
+      bench.limit(0), 0.2).count() == 0)
+  }
+
   test("connected components: 300-link chain converges within the round cap") {
     import org.apache.spark.sql.functions.col
     // worst-case diameter for min-label propagation: plain hop-at-a-time

@@ -98,6 +98,42 @@ class DedupSpec extends SparkSpec {
     lsh.foreach { case (k, v) => assert(v == exact(k)) }
   }
 
+  test("semantic dedup equals the brute-force removal rule (null vectors dropped)") {
+    val emb = (0L until 24L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 1.7 + d).toFloat).toSeq)
+    }
+    val df = (emb :+ (99L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val centroids = emb.take(4).map { case (id, v) => (id.toInt, v) }
+    val eps = 0.7
+    val got = Dedup.semanticDedup(df, "vec_id", "embedding", centroids, eps)
+      .as[(Long, Int)].collect().toMap
+    // brute force: same fold order as the native expressions (left-to-right
+    // double accumulation), so equality is exact, not approximate
+    def l2(a: Seq[Float], b: Seq[Float]) = a.zip(b)
+      .map { case (x, y) => (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }
+      .foldLeft(0.0)(_ + _)
+    def dot(a: Seq[Float], b: Seq[Float]) = a.zip(b)
+      .map { case (x, y) => x.toDouble * y.toDouble }.foldLeft(0.0)(_ + _)
+    def cos(a: Seq[Float], b: Seq[Float]) =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val assigned = emb.map { case (id, v) =>
+      val (d, cid) = centroids.map { case (cid, cv) => (l2(v, cv), cid) }.min
+      (id, v, cid, d)
+    }
+    val removed = assigned.filter { case (id, v, cell, d) =>
+      assigned.exists { case (id2, v2, cell2, d2) =>
+        id2 != id && cell2 == cell && cos(v2, v) >= eps &&
+          (d2 < d || (d2 == d && id2 < id))
+      }
+    }.map(_._1).toSet
+    val expect = assigned.filterNot(t => removed(t._1))
+      .map(t => t._1 -> t._3).toMap
+    assert(got == expect)
+    assert(removed.nonEmpty, "fixture must exercise the removal rule")
+    assert(!got.contains(99L), "null vectors never survive into the output")
+  }
+
   test("embedding near-dups on empty / all-null-vector input is empty, not a crash") {
     val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
     assert(Dedup.embeddingNearDups(empty, "vec_id", "embedding", 0.9).count() == 0)

@@ -114,6 +114,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("bloom decontamination: prefilter stays a scan-side filter, no cross product") {
+    val p = plan("decontamination_bloom")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the bloom probe is a Filter over the shingle scan, not a join
+    assert(p.contains("xxhash64"), "bloom membership must gate the scan side")
+  }
+
+  test("semantic dedup: in-cell pairs are an equi-join on the cell id") {
+    val p = plan("semantic_dedup")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("per-source cap: WindowGroupLimit partial top-k, narrow scan") {
     val p = plan("source_cap_sample")
     assert(p.contains("WindowGroupLimit"), p.take(2000))
