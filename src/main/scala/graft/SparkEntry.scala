@@ -1151,6 +1151,12 @@ object SparkEntry {
     "lm_score" -> ((s, dir) =>
       TextAnalysis.lmScore(t(s, dir, "documents"), "doc_id", "text")),
 
+    // Second-order fluency: interpolated bigram LM (λ=0.5 — exact in
+    // binary, so the oracle literal folds identically), mean ln p over
+    // each doc's transitions.
+    "lm_score_bigram" -> ((s, dir) =>
+      TextAnalysis.lmScoreBigram(t(s, dir, "documents"), "doc_id", "text")),
+
     // Per-doc top-3 tf·idf terms, ranked on the rounded score with a term
     // tiebreak (stable k-boundary cross-engine).
     "tfidf_topk" -> ((s, dir) =>
@@ -1620,6 +1626,28 @@ object SparkEntry {
          |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
          |  round(sum(tf * ln(CAST(cnt AS DOUBLE) / n_total)) / CAST(sum(tf) AS BIGINT), 4) + 0.0 AS lm_score
          |FROM tf JOIN model USING (term), tot GROUP BY doc_id""".stripMargin,
+
+    // Bigram transitions via zipped unnest of shifted list slices (the
+    // zip_with-over-slices parity); models re-derived term-for-term.
+    "lm_score_bigram" ->
+      s"""WITH $duckToks,
+         |bg AS (SELECT doc_id, unnest(list_slice(ts, 1, len(ts) - 1)) AS w1,
+         |              unnest(list_slice(ts, 2, len(ts))) AS w2
+         |       FROM toks WHERE len(ts) >= 2),
+         |btf AS (SELECT doc_id, w1, w2, count(*) AS btf FROM bg GROUP BY 1, 2, 3),
+         |bmodel AS (SELECT w1, w2, CAST(sum(btf) AS BIGINT) AS bcnt FROM btf GROUP BY 1, 2),
+         |tk AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+         |umodel AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM umodel)
+         |SELECT btf.doc_id, CAST(sum(btf) AS BIGINT) AS n_transitions,
+         |  round(sum(btf * ln(0.5 * CAST(bcnt AS DOUBLE) / c1.cnt
+         |                   + 0.5 * CAST(c2.cnt AS DOUBLE) / n_total))
+         |        / CAST(sum(btf) AS BIGINT), 4) + 0.0 AS lm2_score
+         |FROM btf
+         |JOIN bmodel USING (w1, w2)
+         |JOIN umodel c1 ON c1.term = btf.w1
+         |JOIN umodel c2 ON c2.term = btf.w2, tot
+         |GROUP BY btf.doc_id""".stripMargin,
 
     "tfidf_topk" ->
       s"""WITH $duckToks,

@@ -143,6 +143,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(s(0L) - math.round(math.log(6.0 / 9.0) * 1e4) / 1e4) < 1e-9)
   }
 
+  test("bigram lm score equals the hand-computed interpolated model") {
+    val docs = Seq(
+      (0L, "the cat sat"),
+      (1L, "the cat ran"),
+      (2L, "sat the cat"), // same unigrams as 0, different transitions
+      (3L, "solo"))        // <2 tokens → no transitions → absent
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lmScoreBigram(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // corpus: N=10; c(the)=3 c(cat)=3 c(sat)=2 c(ran)=1 c(solo)=1
+    // bigrams: (the,cat)=3 (cat,sat)=1 (cat,ran)=1 (sat,the)=1
+    val c = Map("the" -> 3.0, "cat" -> 3.0, "sat" -> 2.0, "ran" -> 1.0)
+    val b = Map(("the", "cat") -> 3.0, ("cat", "sat") -> 1.0,
+      ("cat", "ran") -> 1.0, ("sat", "the") -> 1.0)
+    def p(w1: String, w2: String) =
+      0.5 * b((w1, w2)) / c(w1) + 0.5 * c(w2) / 10.0
+    def score(ts: Seq[(String, String)]) =
+      math.round(ts.map { case (a, bb) => math.log(p(a, bb)) }.sum / ts.size * 1e4) / 1e4
+    assert(got(0L)._1 == 2L)
+    assert(math.abs(got(0L)._2 - score(Seq(("the", "cat"), ("cat", "sat")))) < 1e-9)
+    assert(math.abs(got(2L)._2 - score(Seq(("sat", "the"), ("the", "cat")))) < 1e-9)
+    assert(!got.contains(3L))
+    // transition order matters even with identical unigrams
+    assert(got(0L)._2 != got(2L)._2)
+  }
+
   test("tfidf top terms: corpus-wide words rank below distinctive ones") {
     val docs = Seq(
       (0L, "shared shared apple apple apple"),
