@@ -874,6 +874,14 @@ object SparkEntry {
           Euclidean, k = 3, nbits = 8, radius = 2)
         .withColumn("distance", round(col("distance"), 6) + lit(0.0))),
 
+    // Hard-negative mining: each anchor's 3 nearest DIFFERENT-label
+    // neighbors over the same LSH-bucket candidate space (label inequality
+    // prunes pairs before the per-anchor ranking window).
+    "hard_negatives" -> ((s, dir) =>
+      ApproxAnn.hardNegatives(t(s, dir, "embeddings"), "embedding", "vec_id",
+          "label", Euclidean, k = 3, nbits = 8, radius = 2)
+        .withColumn("distance", round(col("distance"), 6) + lit(0.0))),
+
     // Duplicate-cluster RESOLUTION: the minhash near-dup pairs (the same
     // banding + verification the dedup_minhash oracle replays) closed into
     // connected components, one canonical doc per cluster. Iterative
@@ -2180,6 +2188,25 @@ object SparkEntry {
          |r AS (SELECT *, row_number() OVER
          |        (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rn FROM p)
          |SELECT query_id, vec_id, round(dist, 6) + 0.0 AS distance, CAST(rn AS INT) AS rank
+         |FROM r WHERE rn <= 3""".stripMargin
+    },
+
+    // knn_join_lsh's replay plus the label-inequality pair prune.
+    "hard_negatives" -> {
+      val l2AB = "list_sum(list_transform(list_zip(a.embedding, b.embedding), " +
+        "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
+        "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+      s"""WITH d AS (SELECT vec_id, label, embedding, ${duckLshBucket("embedding")} AS bkt
+         |           FROM embeddings),
+         |p AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         |        a.label AS query_label, b.label AS cand_label, $l2AB AS dist
+         |      FROM d a, d b
+         |      WHERE a.vec_id <> b.vec_id AND a.label <> b.label
+         |        AND bit_count(xor(a.bkt, b.bkt)) <= 2),
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rn FROM p)
+         |SELECT query_id, vec_id, round(dist, 6) + 0.0 AS distance,
+         |  CAST(rn AS INT) AS rank, query_label, cand_label
          |FROM r WHERE rn <= 3""".stripMargin
     },
 

@@ -371,32 +371,59 @@ object ApproxAnn {
   def knnJoinLsh(
       df: DataFrame, vecCol: String, idCol: String, space: Space, k: Int,
       nbits: Int = 8, radius: Int = 2,
-      queryFilter: Column = lit(true)): DataFrame = {
+      queryFilter: Column = lit(true),
+      carry: Seq[String] = Nil,
+      pairFilter: Column = lit(true)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val outCols = Seq("query_id", "vec_id", "distance", "rank") ++
+      carry.flatMap(c => Seq(s"query_$c", s"cand_$c"))
     val dimsOpt = df.filter(col(vecCol).isNotNull)
       .select(size(col(vecCol))).limit(1).collect().headOption.map(_.getInt(0))
-    val dims = dimsOpt.getOrElse(
-      return df.select(col(idCol).as("query_id"), col(idCol).as("vec_id"),
-        lit(0.0).as("distance"), lit(0).as("rank")).limit(0))
+    val dims = dimsOpt.getOrElse {
+      val empty = df.select((Seq(col(idCol).as("query_id"),
+        col(idCol).as("vec_id"), lit(0.0).as("distance"), lit(0).as("rank")) ++
+        carry.flatMap(c => Seq(col(c).as(s"query_$c"), col(c).as(s"cand_$c")))): _*)
+      return empty.limit(0)
+    }
     val planes = hyperplanes(nbits, dims)
     val base = df.filter(col(vecCol).isNotNull)
-      .select(col(idCol), col(vecCol), lshBucket(col(vecCol), planes).as("_b"))
+      .select((Seq(col(idCol), col(vecCol),
+        lshBucket(col(vecCol), planes).as("_b")) ++ carry.map(col)): _*)
     val masks = hammingMasks(nbits, radius)
     // queryFilter restricts WHICH rows get neighbors (e.g. an evaluation
-    // sample); the candidate side stays the full corpus
+    // sample); the candidate side stays the full corpus. pairFilter prunes
+    // candidate pairs BEFORE ranking (e.g. hard negatives: labels differ)
+    // and may reference the carried query_*/cand_* columns.
     val q = base.filter(queryFilter)
-      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
-        explode(array(masks.map(m => col("_b").bitwiseXOR(lit(m))): _*)).as("_b"))
-    val cand = base.select(col(idCol).as("vec_id"), col(vecCol).as("_cv"), col("_b"))
+      .select((Seq(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+        explode(array(masks.map(m => col("_b").bitwiseXOR(lit(m))): _*)).as("_b")) ++
+        carry.map(c => col(c).as(s"query_$c"))): _*)
+    val cand = base.select((Seq(col(idCol).as("vec_id"), col(vecCol).as("_cv"),
+      col("_b")) ++ carry.map(c => col(c).as(s"cand_$c"))): _*)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("distance").asc, col("vec_id").asc)
     q.join(cand, "_b")
       .filter(col("query_id") =!= col("vec_id"))
+      .filter(pairFilter)
       .withColumn("distance", VectorFunctions.distance(space, col("_cv"), col("_qv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select("query_id", "vec_id", "distance", "rank")
+      .select(outCols.map(col): _*)
   }
+
+  /** Hard-negative mining for contrastive training: each anchor's k nearest
+    * DIFFERENT-label neighbors — the semantically-closest impostors, found
+    * over the same LSH-bucket candidate space as [[knnJoinLsh]] (the label
+    * inequality prunes pairs before ranking, so the per-anchor window only
+    * sees cross-label candidates). Approximate exactly like knnJoinLsh:
+    * negatives beyond the Hamming radius are missed; distances are exact. */
+  def hardNegatives(
+      df: DataFrame, vecCol: String, idCol: String, labelCol: String,
+      space: Space, k: Int, nbits: Int = 8, radius: Int = 2,
+      queryFilter: Column = lit(true)): DataFrame =
+    knnJoinLsh(df, vecCol, idCol, space, k, nbits, radius, queryFilter,
+      carry = Seq(labelCol),
+      pairFilter = col(s"query_$labelCol") =!= col(s"cand_$labelCol"))
 
   // ===== Product quantization (PQ / ADC) =====
 

@@ -319,6 +319,28 @@ class ApproxAnnSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("hard negatives: nearest cross-label rows only; same-label impostors never returned") {
+    // cluster of label-0 vectors around e1, one label-1 vector near them,
+    // one label-1 vector far away: every label-0 anchor's top negative must
+    // be the NEAR label-1 vector, never a same-label neighbor
+    val emb = Seq(
+      (0L, 0, Seq(1.00f, 0.01f, 0f, 0f)),
+      (1L, 0, Seq(0.99f, 0.02f, 0f, 0f)),
+      (2L, 0, Seq(0.98f, 0.00f, 0f, 0f)),
+      (3L, 1, Seq(0.97f, 0.03f, 0f, 0f)), // near impostor
+      (4L, 1, Seq(0.90f, 0.10f, 0f, 0f))) // farther impostor
+      .toDF("vec_id", "label", "embedding")
+    val got = ApproxAnn.hardNegatives(emb, "embedding", "vec_id", "label",
+      Euclidean, k = 1, nbits = 4, radius = 4)
+      .as[(Long, Long, Double, Int, Int, Int)].collect()
+    // radius = nbits ⇒ candidate space is complete; ranking is exact
+    val forAnchor = got.map(r => r._1 -> r._2).toMap
+    assert(forAnchor(0L) == 3L && forAnchor(1L) == 3L && forAnchor(2L) == 3L)
+    assert(got.forall(r => r._5 != r._6), "labels must differ on every pair")
+    // label-1 anchors can only draw negatives from the label-0 cluster
+    assert(Set(forAnchor(3L), forAnchor(4L)).subsetOf(Set(0L, 1L, 2L)))
+  }
+
   test("label centroids: per-label dim-wise mean, null vectors dropped") {
     val df = Seq(
       (0, Seq(1f, 2f, 3f)),
