@@ -977,6 +977,13 @@ object SparkEntry {
       Curation.globalRank(t(s, dir, "documents").select("doc_id", "n_chars"),
         "doc_id", Seq("n_chars"))),
 
+    // Curriculum stages: the global order quantile-binned into 10 stages
+    // via exact integer arithmetic (floor((rank-1)·10 / n) — never ntile,
+    // whose remainder rule is engine-specific).
+    "curriculum_stages" -> ((s, dir) =>
+      Curation.curriculumBins(t(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", Seq("n_chars"), bins = 10)),
+
     // REAL image codec round trip (JDK ImageIO end to end): synthesize one
     // deterministic solid PNG per doc, decode with the real kernel, emit
     // geometry + channel means. No SQL-expressible oracle (DuckDB has no
@@ -1480,6 +1487,16 @@ object SparkEntry {
       """SELECT doc_id, n_chars,
         |  row_number() OVER (ORDER BY n_chars, doc_id) AS rank
         |FROM documents""".stripMargin,
+
+    // Same rank; DuckDB's BIGINT // floor-div mirrors the Spark side's
+    // exact decimal division of the pmod-divisible numerator.
+    "curriculum_stages" ->
+      """WITH r AS (SELECT doc_id, n_chars,
+        |  row_number() OVER (ORDER BY n_chars, doc_id) AS rank FROM documents),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, n_chars, rank,
+        |  CAST(((rank - 1) * 10) // n AS INT) AS stage
+        |FROM r, n""".stripMargin,
 
     "source_cap_sample" ->
       s"""WITH r AS (SELECT doc_id, source, row_number() OVER (

@@ -253,6 +253,24 @@ object Curation {
       .drop("_pid", "_r", "_off")
   }
 
+  /** Curriculum staging: the [[globalRank]] order quantile-binned into
+    * `bins` equal stages — `stage = floor((rank−1)·bins / n)` with exact
+    * integer arithmetic (divisible numerator via pmod subtraction, decimal
+    * division — double division would drift past 2^53 at corpus scale).
+    * ntile is avoided on purpose: its remainder-distribution rule is
+    * engine-specific; this formula reproduces bit-for-bit anywhere. Cost on
+    * top of globalRank: one broadcast scalar (the corpus count). */
+  def curriculumBins(
+      df: DataFrame, idCol: String, orderCols: Seq[String], bins: Int): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val x = (col("rank") - 1) * bins
+    globalRank(df, idCol, orderCols)
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("_n"))))
+      .withColumn("stage",
+        ((x - pmod(x, col("_n"))).cast("decimal(38,0)") / col("_n")).cast("int"))
+      .drop("_n")
+  }
+
   /** Per-group ADAPTIVE threshold filter: keep rows whose `scoreCol` is at
     * or above their group's exact interpolated `q`-quantile (same
     * `percentile` definition [[graft.operators.TextAnalysis.corpusReport]]
@@ -501,23 +519,32 @@ object Curation {
       sh: DataFrame, idCol: String, benchIds: DataFrame,
       minContainment: Double, fpp: Double = 0.01,
       maxShingleDf: Option[Int] = Some(Dedup.DefaultMaxShingleDf)): DataFrame = {
+    // benchmark-sized (small by definition) — pinned across the two build
+    // actions (size the filter, then bit_or the positions) so the
+    // store-join runs once, not twice
     val bsh = sh.join(benchIds, sh(idCol) === benchIds("bench_id"))
-      .select(col("sh")).distinct()
-    val n = math.max(bsh.count(), 1L)
-    val mRaw = math.ceil(-n.toDouble * math.log(fpp) /
-      (math.log(2) * math.log(2))).toLong
-    val mBits = ((math.max(mRaw, 64L) + 63L) / 64L) * 64L
-    val kHashes = math.max(1, math.round(mBits.toDouble / n * math.log(2)).toInt)
+      .select(col("sh")).distinct().persist()
+    val wordMap =
+      try {
+        val n = math.max(bsh.count(), 1L)
+        val mRaw = math.ceil(-n.toDouble * math.log(fpp) /
+          (math.log(2) * math.log(2))).toLong
+        val mBits = ((math.max(mRaw, 64L) + 63L) / 64L) * 64L
+        val kHashes = math.max(1, math.round(mBits.toDouble / n * math.log(2)).toInt)
+        val posCols = (0 until kHashes)
+          .map(i => pmod(xxhash64(col("sh"), lit(i)), lit(mBits)))
+        (mBits, kHashes, bsh
+          .select(explode(array(posCols: _*)).as("pos"))
+          .groupBy((col("pos") / 64).cast("int").as("w"))
+          .agg(call_function("bit_or",
+            call_function("shiftleft", lit(1L), pmod(col("pos"), lit(64)).cast("int")))
+            .as("bits"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
+      } finally bsh.unpersist()
+    val (mBits, kHashes, words0) = wordMap
     def positions(c: Column): Seq[Column] =
       (0 until kHashes).map(i => pmod(xxhash64(c, lit(i)), lit(mBits)))
-    val wordMap = bsh
-      .select(explode(array(positions(col("sh")): _*)).as("pos"))
-      .groupBy((col("pos") / 64).cast("int").as("w"))
-      .agg(call_function("bit_or",
-        call_function("shiftleft", lit(1L), pmod(col("pos"), lit(64)).cast("int")))
-        .as("bits"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val words = Array.tabulate((mBits / 64).toInt)(i => wordMap.getOrElse(i, 0L))
+    val words = Array.tabulate((mBits / 64).toInt)(i => words0.getOrElse(i, 0L))
     val wordsLit = typedlit(words.toSeq)
     val member = positions(col("sh")).map { pos =>
       (call_function("shiftright",

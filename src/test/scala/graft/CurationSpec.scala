@@ -164,6 +164,25 @@ class CurationSpec extends SparkSpec {
     assert(empty.count() == 0 && empty.columns.toSeq == Seq("id", "score", "rank"))
   }
 
+  test("curriculum bins: exact floor formula, near-equal stages, monotone in rank") {
+    // 5003 rows / 10 bins: n NOT divisible by bins — remainder handling
+    // must still produce stage sizes differing by at most 1
+    val docs = (0L until 5003L).map(i => (i, (i % 11).toInt)).toDF("id", "score")
+    val got = Curation.curriculumBins(docs, "id", Seq("score"), bins = 10)
+      .select("id", "rank", "stage").as[(Long, Long, Int)].collect()
+    assert(got.length == 5003)
+    got.foreach { case (_, r, s) =>
+      assert(s == ((r - 1) * 10 / 5003).toInt, s"rank $r stage $s")
+    }
+    val sizes = got.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes.keySet == (0 until 10).toSet)
+    assert(sizes.values.max - sizes.values.min <= 1, sizes)
+    // divisible case: exactly equal stages
+    val even = Curation.curriculumBins(docs.limit(5000), "id", Seq("score"), 10)
+      .groupBy("stage").count().as[(Int, Long)].collect().toMap
+    assert(even.values.forall(_ == 500), even)
+  }
+
   test("per-key cap: at most cap rows per key, deterministic hash-order survivors") {
     val docs = (0L until 300L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
     val capped = Curation.perKeyCap(docs, "doc_id", "source", cap = 7)
