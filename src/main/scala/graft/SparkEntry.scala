@@ -3,8 +3,8 @@ package graft
 import graft.functions.VectorFunctions._
 import graft.operators.Ann.AnnRequest
 import graft.operators.{Ann, ApproxAnn, Bm25, Catalog, Curation, Dedup,
-  Engine, Lww, Multimodal, QualityMetrics, Restriction, RestrictionCompiler,
-  ResultFormat, Sessionize, Temporal, TextAnalysis}
+  Engine, Layout, Lww, Multimodal, QualityMetrics, Restriction,
+  RestrictionCompiler, ResultFormat, Sessionize, Temporal, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1120,6 +1120,19 @@ object SparkEntry {
           .select(col("doc_id").as("bench_id")),
         minContainment = 0.2, maxShingleDf = None)),
 
+    // Z-order clustering key over (user bucket, time bucket) — the
+    // write-time layout that lets parquet min/max stats prune scans on
+    // EITHER predicate dimension; the operator range-partitions and
+    // locally sorts by the interleaved key (never a global sort).
+    "zorder_key" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val ub = col("user_id").bitwiseAND(lit(65535L))
+      val tb = shiftright(expr("ts div 1000"), 22).bitwiseAND(lit(65535L))
+      Layout.zorder(e.select(col("event_id"), ub.as("ub"), tb.as("tb")),
+          col("ub"), col("tb"))
+        .select("event_id", "ub", "tb", "z")
+    }),
+
     // Text analysis over documents (training-pipeline hygiene operators).
     "text_stats" -> ((s, dir) =>
       TextAnalysis.stats(t(s, dir, "documents"), "doc_id", "text")
@@ -1487,6 +1500,18 @@ object SparkEntry {
       """SELECT doc_id, n_chars,
         |  row_number() OVER (ORDER BY n_chars, doc_id) AS rank
         |FROM documents""".stripMargin,
+
+    // The Morton interleave replayed as the same unrolled shift/and/or
+    // terms; buckets via integer bit ops on micros (epoch_us == ts div
+    // 1000 on the nanos-as-long Spark side).
+    "zorder_key" -> {
+      val z = (0 until 16).flatMap(i => Seq(
+        s"(((ub >> $i) & 1) << ${2 * i})",
+        s"(((tb >> $i) & 1) << ${2 * i + 1})")).mkString("(", " | ", ")")
+      s"""WITH e AS (SELECT event_id, user_id & 65535 AS ub,
+         |  (epoch_us(ts) >> 22) & 65535 AS tb FROM events)
+         |SELECT event_id, ub, tb, $z AS z FROM e""".stripMargin
+    },
 
     // Same rank; DuckDB's BIGINT // floor-div mirrors the Spark side's
     // exact decimal division of the pmod-divisible numerator.
