@@ -1185,6 +1185,14 @@ object SparkEntry {
     "lm_score_bigram" -> ((s, dir) =>
       TextAnalysis.lmScoreBigram(t(s, dir, "documents"), "doc_id", "text")),
 
+    // Classifier-based quality gate (CCNet/fastText-style linear model as
+    // NB log-odds — training and serving are plain aggregations, so the
+    // oracle re-derives the model term-for-term). lang=='en' is the
+    // deterministic proxy label.
+    "quality_classifier" -> ((s, dir) =>
+      TextAnalysis.nbQualityScore(t(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en")),
+
     // Per-doc top-3 tf·idf terms, ranked on the rounded score with a term
     // tiebreak (stable k-boundary cross-engine).
     "tfidf_topk" -> ((s, dir) =>
@@ -1676,6 +1684,29 @@ object SparkEntry {
          |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
          |  round(sum(tf * ln(CAST(cnt AS DOUBLE) / n_total)) / CAST(sum(tf) AS BIGINT), 4) + 0.0 AS lm_score
          |FROM tf JOIN model USING (term), tot GROUP BY doc_id""".stripMargin,
+
+    // Re-derives the NB model: (term, class) counts, Laplace α=1 over the
+    // shared vocab, doc score = prior + Σ tf·log-odds.
+    "quality_classifier" ->
+      s"""WITH $duckToks,
+         |lab AS (SELECT doc_id, (lang = 'en') AS y FROM documents),
+         |tk AS (SELECT t.doc_id, y, unnest(ts) AS term
+         |       FROM toks t JOIN lab USING (doc_id)),
+         |tf AS (SELECT doc_id, y, term, count(*) AS tf FROM tk GROUP BY 1, 2, 3),
+         |cls AS (SELECT term,
+         |    CAST(sum(CASE WHEN y THEN tf ELSE 0 END) AS BIGINT) AS cp,
+         |    CAST(sum(CASE WHEN NOT y THEN tf ELSE 0 END) AS BIGINT) AS cn
+         |  FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
+         |               CAST(sum(cn) AS BIGINT) AS nn, count(*) AS v FROM cls),
+         |pri AS (SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS dp,
+         |               CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS dn
+         |        FROM documents)
+         |SELECT tf.doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |  round(max(ln(CAST(dp + 1 AS DOUBLE) / (dn + 1)))
+         |      + sum(tf * (ln(CAST(cp + 1 AS DOUBLE) / (np + v))
+         |                - ln(CAST(cn + 1 AS DOUBLE) / (nn + v)))), 4) + 0.0 AS nb_score
+         |FROM tf JOIN cls USING (term), tot, pri GROUP BY tf.doc_id""".stripMargin,
 
     // Bigram transitions via zipped unnest of shifted list slices (the
     // zip_with-over-slices parity); models re-derived term-for-term.

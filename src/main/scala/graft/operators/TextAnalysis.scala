@@ -288,6 +288,51 @@ object TextAnalysis {
         (round(col("_s") / col("n_tokens"), 4) + lit(0.0)).as("lm_score"))
   }
 
+  /** Classifier-based quality scoring — the "train a linear classifier on
+    * known-good vs known-bad text, keep what scores well" step of modern
+    * LLM data pipelines (CCNet/fastText-style), as a multinomial Naive
+    * Bayes log-odds model: it IS a linear classifier over token counts,
+    * but unlike an iteratively-fit one both training and serving are plain
+    * aggregations — exactly reproducible in any engine, no opaque
+    * optimizer state.
+    *
+    * `score(d) = ln(P(pos)/P(neg)) + Σ_t tf_t · [ln p(t|pos) − ln p(t|neg)]`
+    * with Laplace smoothing α=1 over the shared vocabulary.
+    *
+    * Scale shape: training = one (term, class) count aggregation (vocab-
+    * sized keys) + two broadcast scalars; serving = one equi-join of doc
+    * term frequencies against the per-term log-odds and a per-doc sum —
+    * the model "weights" never leave the cluster, and every stage is
+    * partial-aggregatable. Train on a labeled sample, serve the corpus. */
+  def nbQualityScore(
+      df: DataFrame, idCol: String, textCol: String, labelCol: Column): DataFrame = {
+    val toks = df.select(col(idCol), labelCol.cast("boolean").as("_y"),
+      explode(Dedup.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("_y"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val cls = tf.groupBy(col("term")).agg(
+      sum(when(col("_y"), col("tf")).otherwise(0L)).as("cp"),
+      sum(when(!col("_y"), col("tf")).otherwise(0L)).as("cn"))
+    val totals = cls.agg(sum(col("cp")).as("np"), sum(col("cn")).as("nn"),
+      count(lit(1)).as("v"))
+    val priors = df.agg(
+      sum(when(labelCol.cast("boolean"), 1L).otherwise(0L)).as("dp"),
+      sum(when(!labelCol.cast("boolean"), 1L).otherwise(0L)).as("dn"))
+    val logOdds =
+      log((col("cp") + 1).cast("double") / (col("np") + col("v"))) -
+        log((col("cn") + 1).cast("double") / (col("nn") + col("v")))
+    tf.join(cls, "term")
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(priors))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * logOdds).as("_s"),
+        max(log((col("dp") + 1).cast("double") / (col("dn") + 1))).as("_prior"))
+      .select(col(idCol), col("n_tokens"),
+        (round(col("_prior") + col("_s"), 4) + lit(0.0)).as("nb_score"))
+  }
+
   /** Interpolated bigram language-model score (Jelinek–Mercer: λ on the
     * bigram MLE, the rest on the corpus unigram):
     * `p(w₂|w₁) = λ·c(w₁w₂)/c(w₁) + (1−λ)·c(w₂)/N`, score = mean ln p over

@@ -143,6 +143,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(s(0L) - math.round(math.log(6.0 / 9.0) * 1e4) / 1e4) < 1e-9)
   }
 
+  test("nb quality score: separable classes split by sign, formula exact") {
+    val fixture = Seq(
+      (0L, true, "good clean prose text"),
+      (1L, true, "clean good text here"),
+      (2L, false, "spam junk noise blob"),
+      (3L, false, "junk spam blob noise"),
+      (4L, true, "good prose"),
+      (5L, false, "mixed good junk"))
+    val docs = fixture.toDF("doc_id", "y", "text")
+    val got = TextAnalysis.nbQualityScore(docs, "doc_id", "text",
+      org.apache.spark.sql.functions.col("y"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    // brute-force model from the same corpus
+    val toks = fixture.map { case (id, y, t) => (id, y, t.split(" ").toSeq) }
+    val pos = toks.filter(_._2).flatMap(_._3)
+    val neg = toks.filterNot(_._2).flatMap(_._3)
+    val v = (pos ++ neg).distinct.size
+    val (np, nn) = (pos.size, neg.size)
+    def lo(t: String) =
+      math.log((pos.count(_ == t) + 1.0) / (np + v)) -
+        math.log((neg.count(_ == t) + 1.0) / (nn + v))
+    val prior = math.log((toks.count(_._2) + 1.0) / (toks.count(!_._2) + 1))
+    toks.foreach { case (id, _, ts) =>
+      val want = math.round((prior + ts.map(lo).sum) * 1e4) / 1e4
+      assert(math.abs(got(id) - want) < 1e-9, s"doc $id")
+    }
+    // class separation: clean docs positive, junk negative, mixed between
+    assert(Seq(0L, 1L, 4L).forall(got(_) > 0))
+    assert(Seq(2L, 3L).forall(got(_) < 0))
+    assert(got(2L) < got(5L) && got(5L) < got(0L))
+  }
+
   test("bigram lm score equals the hand-computed interpolated model") {
     val docs = Seq(
       (0L, "the cat sat"),
