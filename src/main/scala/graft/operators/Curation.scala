@@ -487,7 +487,18 @@ object Curation {
     val bsh = sh.join(benchIds, sh(idCol) === benchIds("bench_id"))
       .select(col("bench_id"), col("sh"))
     val bsz = bsh.groupBy(col("bench_id")).agg(count(lit(1)).as("bsz"))
-    Dedup.capShingleDf(sh, idCol, maxShingleDf).join(bsh, "sh")
+    containmentJoin(Dedup.capShingleDf(sh, idCol, maxShingleDf), idCol,
+      bsh, bsz, minContainment)
+  }
+
+  /** Containment of a prepared benchmark shingle set inside each corpus
+    * doc's shingles — the shared tail of the batch and streaming
+    * decontamination paths. `bsh` = (bench_id, sh), `bsz` = (bench_id,
+    * bsz). */
+  private[graft] def containmentJoin(
+      sh: DataFrame, idCol: String, bsh: DataFrame, bsz: DataFrame,
+      minContainment: Double): DataFrame =
+    sh.join(bsh, "sh")
       .filter(col(idCol) =!= col("bench_id"))
       .groupBy(col(idCol), col("bench_id"))
       .agg(count(lit(1)).as("overlap"))
@@ -496,7 +507,6 @@ object Curation {
       .filter(col("containment") >= minContainment)
       .select(col(idCol), col("bench_id"),
         col("overlap"), (round(col("containment"), 6) + lit(0.0)).as("containment"))
-  }
 
   /** Bloom-prefiltered decontamination — the at-scale serving twin of
     * [[decontaminate]] with an IDENTICAL answer. A Bloom filter over the
@@ -519,38 +529,53 @@ object Curation {
       sh: DataFrame, idCol: String, benchIds: DataFrame,
       minContainment: Double, fpp: Double = 0.01,
       maxShingleDf: Option[Int] = Some(Dedup.DefaultMaxShingleDf)): DataFrame = {
-    // benchmark-sized (small by definition) — pinned across the two build
-    // actions (size the filter, then bit_or the positions) so the
-    // store-join runs once, not twice
     val bsh = sh.join(benchIds, sh(idCol) === benchIds("bench_id"))
-      .select(col("sh")).distinct().persist()
-    val wordMap =
-      try {
-        val n = math.max(bsh.count(), 1L)
-        val mRaw = math.ceil(-n.toDouble * math.log(fpp) /
-          (math.log(2) * math.log(2))).toLong
-        val mBits = ((math.max(mRaw, 64L) + 63L) / 64L) * 64L
-        val kHashes = math.max(1, math.round(mBits.toDouble / n * math.log(2)).toInt)
-        val posCols = (0 until kHashes)
-          .map(i => pmod(xxhash64(col("sh"), lit(i)), lit(mBits)))
-        (mBits, kHashes, bsh
-          .select(explode(array(posCols: _*)).as("pos"))
-          .groupBy((col("pos") / 64).cast("int").as("w"))
-          .agg(call_function("bit_or",
-            call_function("shiftleft", lit(1L), pmod(col("pos"), lit(64)).cast("int")))
-            .as("bits"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
-      } finally bsh.unpersist()
-    val (mBits, kHashes, words0) = wordMap
-    def positions(c: Column): Seq[Column] =
-      (0 until kHashes).map(i => pmod(xxhash64(c, lit(i)), lit(mBits)))
-    val words = Array.tabulate((mBits / 64).toInt)(i => words0.getOrElse(i, 0L))
-    val wordsLit = typedlit(words.toSeq)
-    val member = positions(col("sh")).map { pos =>
+      .select(col("sh")).distinct()
+    val bloom = bloomBuild(bsh, fpp)
+    decontaminate(sh.filter(bloomMember(col("sh"), bloom)), idCol, benchIds,
+      minContainment, maxShingleDf)
+  }
+
+  /** A built Bloom filter: sized bit count, hash count, dense words. */
+  private[graft] final case class Bloom(
+      mBits: Long, kHashes: Int, words: Array[Long])
+
+  private def bloomPositions(c: Column, mBits: Long, kHashes: Int): Seq[Column] =
+    (0 until kHashes).map(i => pmod(xxhash64(c, lit(i)), lit(mBits)))
+
+  /** Build a Bloom filter over a one-column frame of long hashes (`sh`) —
+    * a distributed bit_or aggregate of the k positions per hash, densified
+    * on the driver. The frame is pinned across the two actions (size, then
+    * aggregate) so its lineage runs once. */
+  private[graft] def bloomBuild(hashes: DataFrame, fpp: Double): Bloom = {
+    val pinned = hashes.persist()
+    try {
+      val n = math.max(pinned.count(), 1L)
+      val mRaw = math.ceil(-n.toDouble * math.log(fpp) /
+        (math.log(2) * math.log(2))).toLong
+      val mBits = ((math.max(mRaw, 64L) + 63L) / 64L) * 64L
+      val kHashes = math.max(1, math.round(mBits.toDouble / n * math.log(2)).toInt)
+      val wordMap = pinned
+        .select(explode(array(
+          bloomPositions(col("sh"), mBits, kHashes): _*)).as("pos"))
+        .groupBy((col("pos") / 64).cast("int").as("w"))
+        .agg(call_function("bit_or",
+          call_function("shiftleft", lit(1L), pmod(col("pos"), lit(64)).cast("int")))
+          .as("bits"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      Bloom(mBits, kHashes,
+        Array.tabulate((mBits / 64).toInt)(i => wordMap.getOrElse(i, 0L)))
+    } finally pinned.unpersist()
+  }
+
+  /** Membership test column — evaluates the SAME xxhash64 expressions the
+    * build did, so false negatives are impossible. */
+  private[graft] def bloomMember(c: Column, bloom: Bloom): Column = {
+    val wordsLit = typedlit(bloom.words.toSeq)
+    bloomPositions(c, bloom.mBits, bloom.kHashes).map { pos =>
       (call_function("shiftright",
         element_at(wordsLit, (pos / 64).cast("int") + 1),
         pmod(pos, lit(64)).cast("int")) bitwiseAND lit(1L)) === lit(1L)
     }.reduce(_ && _)
-    decontaminate(sh.filter(member), idCol, benchIds, minContainment, maxShingleDf)
   }
 }

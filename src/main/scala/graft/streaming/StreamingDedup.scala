@@ -134,6 +134,45 @@ object StreamingDedup {
     }
   }
 
+  /** Streaming benchmark-contamination gate: a foreachBatch body that
+    * checks each micro-batch of documents against a STATIC benchmark set
+    * via the bloom-prefiltered containment pipeline
+    * ([[graft.operators.Curation.decontaminateBloom]]'s machinery) and
+    * writes flagged (doc, bench, overlap, containment) rows to
+    * `outPath/epoch=N` (overwrite ⇒ replay-idempotent).
+    *
+    * The benchmark shingles, per-bench sizes and Bloom words are built
+    * ONCE at stream start (the bench set is fixed); each micro-batch pays
+    * its own shingle pass, the broadcast-literal Bloom probe, and the join
+    * restricted to surviving shingles. A doc's containment depends only on
+    * itself and the static bench set, so on an append-only stream the
+    * union of the epoch outputs equals the batch operator over the full
+    * corpus (uncapped semantics — the df cap is corpus-dependent by
+    * design, so the streaming gate runs uncapped; spec-pinned). */
+  def contaminationBatch(
+      spark: SparkSession,
+      benchDocs: DataFrame, // (bench_id, text) — fixed for the stream
+      outPath: String,
+      idCol: String,
+      textCol: String,
+      minContainment: Double,
+      shingleN: Int = 5,
+      fpp: Double = 0.01): (DataFrame, Long) => Unit = {
+    import graft.operators.{Curation, Dedup}
+    val bsh = Dedup.shingles(benchDocs, "bench_id", "text", shingleN)
+      .persist()
+    val bsz = bsh.groupBy(col("bench_id")).agg(count(lit(1)).as("bsz"))
+      .persist()
+    bsz.count() // materialize both (bsz scans bsh) before the stream starts
+    val bloom = Curation.bloomBuild(bsh.select(col("sh")).distinct(), fpp)
+    (batch: DataFrame, epoch: Long) => {
+      val sh = Dedup.shingles(batch, idCol, textCol, shingleN)
+        .filter(Curation.bloomMember(col("sh"), bloom))
+      Curation.containmentJoin(sh, idCol, bsh, bsz, minContainment)
+        .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
+    }
+  }
+
   /** First-seen-wins streaming dedup: emits each distinct digest's first
     * arrival (ties within a micro-batch broken by min id — deterministic
     * under replay, matching the batch operator's min(id) survivor rule). */

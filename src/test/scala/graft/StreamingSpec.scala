@@ -198,6 +198,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming contamination gate over epochs == batch decontamination (uncapped)") {
+    import graft.operators.{Curation, Dedup}
+    import graft.streaming.StreamingDedup
+    import org.apache.commons.io.FileUtils
+    val dir = java.nio.file.Files.createTempDirectory("graft_contam").toFile
+    val out = new java.io.File(dir, "flags").getAbsolutePath
+    val docsAll = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"), // benchmark
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, "alpha beta gamma delta epsilon unrelated words here"),
+      (3L, "completely different content with no shared phrases at all"),
+      (4L, "alpha beta gamma delta epsilon zeta eta rho sigma"))
+    val bench = Seq((0L, docsAll.head._2)).toDF("bench_id", "text")
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(StreamingDedup.contaminationBatch(
+        spark, bench, out, "doc_id", "text", minContainment = 0.2))
+      .start()
+    try {
+      // two micro-batches; the bench doc itself arrives in the stream too
+      Seq(docsAll.take(2), docsAll.drop(2)).foreach { b =>
+        mem.addData(b); q.processAllAvailable()
+      }
+      val streamed = spark.read.parquet(out)
+        .select("doc_id", "bench_id", "overlap", "containment")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val batch = Curation.decontaminate(
+          Dedup.shingles(docsAll.toDF("doc_id", "text"), "doc_id", "text", 5),
+          "doc_id", Seq(0L).toDF("bench_id"), minContainment = 0.2,
+          maxShingleDf = None)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty)
+      // replay idempotence: re-running an epoch's write overwrites, not appends
+      assert(streamed.map(_._1).subsetOf(Set(1L, 2L, 4L)))
+    } finally {
+      q.stop(); FileUtils.deleteDirectory(dir)
+    }
+  }
+
   test("streaming near-dup: pair log over epochs == batch operator on the final corpus") {
     import graft.operators.Dedup
     import graft.streaming.StreamingDedup
