@@ -186,6 +186,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p.take(2000))
   }
 
+  test("text model scoring: partial-aggregatable, scalars broadcast, no cartesian") {
+    for (q <- Seq("lm_score_bigram", "quality_classifier")) {
+      val p = plan(q)
+      assert(p.contains("HashAggregate"), q)
+      assert(p.contains("BroadcastExchange"), s"$q: model totals must broadcast")
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("curriculum stages: rank stays per-partition; only the scalar count is global") {
+    val p = plan("curriculum_stages")
+    // the row_number window partitions by _pid (globalRank's offsets path)
+    assert(p.contains("windowspecdefinition(_pid"), p.take(1500))
+    // exactly ONE single-partition exchange: the broadcast 1-row corpus
+    // count — never the ranked data
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 1, p.take(1500))
+  }
+
   test("quantile filter: thresholds broadcast back, aggregates partial") {
     val p = plan("quality_quantile_filter")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
