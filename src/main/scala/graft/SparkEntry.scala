@@ -418,6 +418,13 @@ object SparkEntry {
     // most recent click at-or-before it. The oracle replays it through
     // DuckDB's NATIVE ASOF JOIN — an independent algorithm agreeing on
     // every row is the strongest semantics check available.
+    // Per-user rolling window over the last 20 events (moving avg/sum/max
+    // baselines): one shuffle on the key, bounded rows-frame, no global
+    // sort. Deterministic (ts, event_id) frame order.
+    "rolling_stats" -> ((s, dir) =>
+      Temporal.rollingStats(t(s, dir, "events"), "user_id", "event_id", "ts",
+        "value", window = 20)),
+
     "asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
       val errors = ev.filter(col("event_type") === "error")
@@ -2574,6 +2581,18 @@ object SparkEntry {
 
     // DuckDB's NATIVE ASOF JOIN — an independent as-of implementation
     // agreeing row-for-row with the union+window formulation.
+    // Same frame, DuckDB WINDOW clause; ns timestamps order identically
+    // on both sides (Spark orders the raw nanos long).
+    "rolling_stats" ->
+      """SELECT user_id, event_id,
+        |  count(*) OVER w AS w_n,
+        |  round(sum(value) OVER w, 6) + 0.0 AS w_sum,
+        |  round(avg(value) OVER w, 6) + 0.0 AS w_avg,
+        |  max(value) OVER w AS w_max
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""".stripMargin,
+
     "asof_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'error'),
         |c AS (SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS click_id,

@@ -136,4 +136,27 @@ object Temporal {
       .withColumn("delta_us", col("_rts") - col("_lts"))
       .drop("_bkt", "_lts", "_rts")
   }
+
+  /** Per-key rolling aggregates over the last `window` events — the moving
+    * average / running stats shape of event analytics (anomaly baselines,
+    * rate smoothing). Ordered by (ts, id) so the frame is total and
+    * deterministic under ties.
+    *
+    * Scale shape: ONE shuffle on the key, then a per-partition sorted pass
+    * with a bounded rows-frame (WindowExec streams each key group; frame
+    * state is `window` rows, never the key's history). No global sort, no
+    * single-partition exchange — the same contract as the asof merge. */
+  def rollingStats(
+      df: DataFrame, keyCol: String, idCol: String, tsCol: String,
+      valCol: String, window: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= 1, "window must be >= 1")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    df.select(col(keyCol), col(idCol),
+      count(lit(1)).over(w).as("w_n"),
+      (round(sum(col(valCol)).over(w), 6) + lit(0.0)).as("w_sum"),
+      (round(avg(col(valCol)).over(w), 6) + lit(0.0)).as("w_avg"),
+      max(col(valCol)).over(w).as("w_max"))
+  }
 }

@@ -108,6 +108,30 @@ class TemporalSpec extends SparkSpec {
     assert(got == Set(("a", "x"), ("b", "x"), ("b", "y")))
   }
 
+  test("rolling stats: per-key bounded frame equals the brute-force windows") {
+    val fixture = Seq(
+      // (key, id, ts, value) — interleaved keys, a tie on ts within key a
+      ("a", 1L, 10L, 1.0), ("a", 2L, 10L, 2.0), ("a", 3L, 30L, 4.0),
+      ("a", 4L, 40L, 8.0), ("b", 5L, 5L, 100.0), ("b", 6L, 50L, 200.0))
+    val got = Temporal.rollingStats(
+        fixture.toDF("k", "id", "ts", "v"), "k", "id", "ts", "v", window = 3)
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._2 -> ((r._3, r._4, r._5, r._6))).toMap
+    // brute force: sort per key by (ts, id), frame = last 3 rows inclusive
+    fixture.groupBy(_._1).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._2))
+      ordered.zipWithIndex.foreach { case ((_, id, _, _), i) =>
+        val frame = ordered.slice(math.max(0, i - 2), i + 1).map(_._4)
+        val (n, s, a, m) = got(id)
+        def r6(d: Double) = math.round(d * 1e6) / 1e6
+        assert(n == frame.size && m == frame.max, s"id $id")
+        assert(s == r6(frame.sum) && a == r6(frame.sum / frame.size), s"id $id")
+      }
+    }
+    // the tie on (a, ts=10) resolves by id: id=2's frame includes id=1
+    assert(got(2L)._1 == 2 && got(2L)._2 == 3.0)
+  }
+
   test("range join plan: bucketed equi-join, no cartesian/BNLJ") {
     val l = spark.range(50).select((col("id") % 3).as("k"), col("id").as("ts"), col("id").as("lv"))
     val plan = Temporal.rangeJoin(l, l.withColumnRenamed("lv", "rv"), Seq("k"),
