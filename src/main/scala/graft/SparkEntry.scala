@@ -413,11 +413,6 @@ object SparkEntry {
         keyCol = "user_id", tsCol = "ts_t", gapMicros = 3600L * 1000000L,
         valueCol = Some("value"))),
 
-    // Backward as-of join (union+window formulation, ONE shuffle on the
-    // key, no join operator): each error event matched to the same user's
-    // most recent click at-or-before it. The oracle replays it through
-    // DuckDB's NATIVE ASOF JOIN — an independent algorithm agreeing on
-    // every row is the strongest semantics check available.
     // Per-user rolling window over the last 20 events (moving avg/sum/max
     // baselines): one shuffle on the key, bounded rows-frame, no global
     // sort. Deterministic (ts, event_id) frame order.
@@ -425,6 +420,11 @@ object SparkEntry {
       Temporal.rollingStats(t(s, dir, "events"), "user_id", "event_id", "ts",
         "value", window = 20)),
 
+    // Backward as-of join (union+window formulation, ONE shuffle on the
+    // key, no join operator): each error event matched to the same user's
+    // most recent click at-or-before it. The oracle replays it through
+    // DuckDB's NATIVE ASOF JOIN — an independent algorithm agreeing on
+    // every row is the strongest semantics check available.
     "asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
       val errors = ev.filter(col("event_type") === "error")
@@ -2389,7 +2389,7 @@ object SparkEntry {
         |pd AS (SELECT label, dim, avg(CAST(x AS DOUBLE)) AS m, count(*) AS n
         |       FROM ex GROUP BY 1, 2)
         |SELECT label, CAST(dim AS INT) AS dim, round(m, 6) + 0.0 AS m,
-        |       n AS n_vectors
+        |       max(n) OVER (PARTITION BY label) AS n_vectors
         |FROM pd""".stripMargin,
 
     "ann_transposed" ->
@@ -2579,8 +2579,6 @@ object SparkEntry {
         |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
         |FROM i GROUP BY user_id, session_id""".stripMargin,
 
-    // DuckDB's NATIVE ASOF JOIN — an independent as-of implementation
-    // agreeing row-for-row with the union+window formulation.
     // Same frame, DuckDB WINDOW clause; ns timestamps order identically
     // on both sides (Spark orders the raw nanos long).
     "rolling_stats" ->
@@ -2593,6 +2591,8 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""".stripMargin,
 
+    // DuckDB's NATIVE ASOF JOIN — an independent as-of implementation
+    // agreeing row-for-row with the union+window formulation.
     "asof_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'error'),
         |c AS (SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS click_id,

@@ -234,7 +234,12 @@ object ApproxAnn {
     * array dim-sorted. Shuffle volume is labels × dims doubles — the
     * dimensionality of the SUMMARY, not the corpus — and the explode never
     * materializes row copies (generated in the same stage as the scan).
-    * Stays distributed for any label cardinality (no driver collect). */
+    * Stays distributed for any label cardinality (no driver collect).
+    *
+    * Ragged inputs: each dim's mean averages only the vectors long enough
+    * to have that dim; `n_vectors` is the label's non-empty vector count
+    * (= max per-dim contributor count — every non-empty vector reaches
+    * dim 0). Spec-pinned. */
   def labelCentroids(
       df: DataFrame, labelCol: String, vecCol: String): DataFrame =
     df.filter(col(vecCol).isNotNull)

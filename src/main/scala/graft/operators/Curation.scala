@@ -231,7 +231,14 @@ object Curation {
     * partitioning once makes the consistency structural rather than an
     * artifact of deterministic sampling. */
   def globalRank(
-      df: DataFrame, idCol: String, orderCols: Seq[String]): DataFrame = {
+      df: DataFrame, idCol: String, orderCols: Seq[String]): DataFrame =
+    globalRankCounted(df, idCol, orderCols)._1
+
+  /** [[globalRank]] plus the total row count — free from the same offsets
+    * job (the final cumulative offset), so callers needing n (binning)
+    * never re-execute the input's lineage to count it. */
+  private[graft] def globalRankCounted(
+      df: DataFrame, idCol: String, orderCols: Seq[String]): (DataFrame, Long) = {
     import org.apache.spark.sql.expressions.Window
     require(orderCols.nonEmpty, "need at least one order column")
     val spark = df.sparkSession
@@ -247,10 +254,11 @@ object Curation {
       .map { case (pid, n) => val o = (pid, acc); acc += n; o }
     val offDf = offsets.toSeq.toDF("_pid", "_off")
     val w = Window.partitionBy(col("_pid")).orderBy(order: _*)
-    ranged.withColumn("_r", row_number().over(w))
+    val ranked = ranged.withColumn("_r", row_number().over(w))
       .join(broadcast(offDf), "_pid")
       .withColumn("rank", col("_off") + col("_r"))
       .drop("_pid", "_r", "_off")
+    (ranked, acc)
   }
 
   /** Curriculum staging: the [[globalRank]] order quantile-binned into
@@ -263,12 +271,13 @@ object Curation {
   def curriculumBins(
       df: DataFrame, idCol: String, orderCols: Seq[String], bins: Int): DataFrame = {
     require(bins > 0, "bins must be positive")
+    // n rides along from the offsets job as a literal — no second pass
+    // over the input, no broadcast join
+    val (ranked, n0) = globalRankCounted(df, idCol, orderCols)
+    val n = lit(math.max(n0, 1L))
     val x = (col("rank") - 1) * bins
-    globalRank(df, idCol, orderCols)
-      .crossJoin(broadcast(df.agg(count(lit(1)).as("_n"))))
-      .withColumn("stage",
-        ((x - pmod(x, col("_n"))).cast("decimal(38,0)") / col("_n")).cast("int"))
-      .drop("_n")
+    ranked.withColumn("stage",
+      ((x - pmod(x, n)).cast("decimal(38,0)") / n).cast("int"))
   }
 
   /** Per-group ADAPTIVE threshold filter: keep rows whose `scoreCol` is at
@@ -529,11 +538,16 @@ object Curation {
       sh: DataFrame, idCol: String, benchIds: DataFrame,
       minContainment: Double, fpp: Double = 0.01,
       maxShingleDf: Option[Int] = Some(Dedup.DefaultMaxShingleDf)): DataFrame = {
+    // ONE derivation of the bench shingle set feeds the bloom build AND
+    // the containment join (bench shingles always pass their own bloom,
+    // and the df cap sees unchanged frequencies — value-level filtering)
     val bsh = sh.join(benchIds, sh(idCol) === benchIds("bench_id"))
-      .select(col("sh")).distinct()
-    val bloom = bloomBuild(bsh, fpp)
-    decontaminate(sh.filter(bloomMember(col("sh"), bloom)), idCol, benchIds,
-      minContainment, maxShingleDf)
+      .select(col("bench_id"), col("sh"))
+    val bsz = bsh.groupBy(col("bench_id")).agg(count(lit(1)).as("bsz"))
+    val bloom = bloomBuild(bsh.select(col("sh")).distinct(), fpp)
+    val filtered = sh.filter(bloomMember(col("sh"), bloom))
+    containmentJoin(Dedup.capShingleDf(filtered, idCol, maxShingleDf), idCol,
+      bsh, bsz, minContainment)
   }
 
   /** A built Bloom filter: sized bit count, hash count, dense words. */

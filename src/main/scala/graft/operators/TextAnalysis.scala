@@ -359,8 +359,10 @@ object TextAnalysis {
     val biTf = bigrams.groupBy(col(idCol), col("w1"), col("w2"))
       .agg(count(lit(1)).as("btf"))
     val biModel = biTf.groupBy(col("w1"), col("w2")).agg(sum(col("btf")).as("bcnt"))
-    val uniModel = termFrequencies(df, idCol, textCol)
-      .groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    // unigram model from the SAME token arrays (toks is unfiltered, so
+    // 1-token docs still count) — never a second tokenization of the corpus
+    val uniModel = toks.select(explode(col("_ts")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
     val total = uniModel.agg(sum(col("cnt")).as("n_total"))
     biTf
       .join(biModel, Seq("w1", "w2"))

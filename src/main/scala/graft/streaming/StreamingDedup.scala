@@ -150,7 +150,6 @@ object StreamingDedup {
     * corpus (uncapped semantics — the df cap is corpus-dependent by
     * design, so the streaming gate runs uncapped; spec-pinned). */
   def contaminationBatch(
-      spark: SparkSession,
       benchDocs: DataFrame, // (bench_id, text) — fixed for the stream
       outPath: String,
       idCol: String,

@@ -353,6 +353,13 @@ class ApproxAnnSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(got(0)._1 == Seq(2.0, 3.0, 4.0) && got(0)._2 == 2L)
     assert(got(1)._1 == Seq(10.0, 20.0, 30.0) && got(1)._2 == 1L)
+    // ragged vectors: trailing dims average only their contributors;
+    // n_vectors stays the label's non-empty vector count
+    val ragged = Seq((7, Seq(2f, 4f, 6f)), (7, Seq(4f)))
+      .toDF("label", "embedding")
+    val r = ApproxAnn.labelCentroids(ragged, "label", "embedding")
+      .as[(Int, Seq[Double], Long)].collect().head
+    assert(r._2 == Seq(3.0, 4.0, 6.0) && r._3 == 2L)
   }
 
   test("f16/bf16 simulation: coarser mantissa, order preserved") {

@@ -195,13 +195,13 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
-  test("curriculum stages: rank stays per-partition; only the scalar count is global") {
+  test("curriculum stages: rank stays per-partition, count rides the offsets job") {
     val p = plan("curriculum_stages")
     // the row_number window partitions by _pid (globalRank's offsets path)
     assert(p.contains("windowspecdefinition(_pid"), p.take(1500))
-    // exactly ONE single-partition exchange: the broadcast 1-row corpus
-    // count — never the ranked data
-    assert("Exchange SinglePartition".r.findAllIn(p).size <= 1, p.take(1500))
+    // n comes back with the offsets as a literal — no single-partition
+    // exchange anywhere, not even a scalar-count one
+    assert(!p.contains("Exchange SinglePartition"), p.take(1500))
   }
 
   test("quantile filter: thresholds broadcast back, aggregates partial") {

@@ -215,7 +215,7 @@ class StreamingSpec extends SparkSpec {
     val q = mem.toDF().toDF("doc_id", "text")
       .writeStream
       .foreachBatch(StreamingDedup.contaminationBatch(
-        spark, bench, out, "doc_id", "text", minContainment = 0.2))
+        bench, out, "doc_id", "text", minContainment = 0.2))
       .start()
     try {
       // two micro-batches; the bench doc itself arrives in the stream too
