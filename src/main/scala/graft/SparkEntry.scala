@@ -114,6 +114,38 @@ object SparkEntry {
         .agg(sum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // Semi-join shape (TPC-H Q4 essence): orders with at least one
+    // returned lineitem, counted per priority — LeftSemi ships no payload
+    // from the probe side and short-circuits on first match.
+    "q_semi_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"))
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // Anti-join twin: orders with NO returned lineitem, per status.
+    "q_anti_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"))
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_anti")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // Rollup (grouping-sets) aggregate with explicit ALL markers so the
+    // subtotal rows hash identically cross-engine.
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem").rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n"))),
+
     // Join + exact decimal money aggregation; dims broadcast.
     "q_join_agg" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -1917,6 +1949,24 @@ object SparkEntry {
          |ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10""".stripMargin,
     "q1_agg" ->
       "SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY l_returnflag",
+
+    "q_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT o_orderstatus, count(*) AS order_count FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
     "q_join_agg" ->
       """SELECT n_name, count(*) AS n_orders,

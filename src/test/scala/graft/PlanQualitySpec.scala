@@ -44,6 +44,15 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("semi/anti joins: hash-join shaped, aggregates partial") {
+    for ((q, kind) <- Seq("q_semi_join" -> "LeftSemi", "q_anti_join" -> "LeftAnti")) {
+      val p = plan(q)
+      assert(p.contains(kind), s"$q must plan as $kind:\n${p.take(1500)}")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), q)
+      assert(p.contains("HashAggregate"), q)
+    }
+  }
+
   test("dedup candidate generation: equi-join shaped, never a cross product") {
     for (q <- Seq("dedup_minhash", "dedup_jaccard", "dedup_embedding_lsh", "knn_join_lsh")) {
       val p = plan(q)
