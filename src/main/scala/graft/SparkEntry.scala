@@ -958,6 +958,14 @@ object SparkEntry {
       Dedup.editDistancePairsExact(names, "doc_id", "name", maxDist = 3)
     }),
 
+    // Per-source winsorization: clip n_chars into the source's [p5, p95]
+    // band (narrow percentile pass, thresholds broadcast back, stateless
+    // clip — the outlier-taming step before mean-sensitive statistics).
+    "winsorize" -> ((s, dir) =>
+      Curation.winsorize(
+        t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+        "source", "n_chars", lo = 0.05, hi = 0.95)),
+
     // Per-source ADAPTIVE quality gate: keep docs at or above their own
     // source's p25 token count (two-pass: narrow per-group percentile,
     // thresholds broadcast back — no global sort).
@@ -2597,6 +2605,16 @@ object SparkEntry {
          |FROM n WHERE nrep >= 1""".stripMargin,
 
     // quantile_cont == Spark percentile: the parity corpus_report pins
+    // quantile_cont == Spark percentile (pinned); least/greatest clip.
+    "winsorize" ->
+      """WITH t AS (SELECT source, quantile_cont(n_chars, 0.05) AS plo,
+        |                  quantile_cont(n_chars, 0.95) AS phi
+        |           FROM documents GROUP BY source)
+        |SELECT d.source, d.doc_id, d.n_chars,
+        |  round(least(greatest(CAST(d.n_chars AS DOUBLE), t.plo), t.phi), 6) + 0.0 AS clipped,
+        |  round(t.plo, 6) + 0.0 AS p_lo, round(t.phi, 6) + 0.0 AS p_hi
+        |FROM documents d JOIN t USING (source)""".stripMargin,
+
     "quality_quantile_filter" ->
       """WITH d AS (SELECT doc_id, source,
         |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0)) AS DOUBLE) AS n_tokens

@@ -307,6 +307,33 @@ object Curation {
       .drop("_thr")
   }
 
+  /** Per-group winsorization: clip `valCol` into its group's
+    * [lo-quantile, hi-quantile] band — the outlier-taming step before any
+    * mean-sensitive statistic or length-based mixing decision (one
+    * pathological 10 MB "document" otherwise owns its source's token
+    * budget). Exact interpolated percentiles, same definition the
+    * corpus_report family pins against quantile_cont.
+    *
+    * Scale shape: one narrow (group, value) percentile aggregate, the
+    * two thresholds broadcast back, and a stateless least/greatest clip —
+    * the corpus scans once, no global sort. */
+  def winsorize(
+      df: DataFrame, groupCol: String, valCol: String,
+      lo: Double, hi: Double): DataFrame = {
+    require(lo >= 0.0 && hi <= 1.0 && lo < hi,
+      s"need 0 <= lo < hi <= 1, got ($lo, $hi)")
+    val thresholds = df.groupBy(col(groupCol)).agg(
+      expr(s"percentile(`$valCol`, ${lo}D)").as("_plo"),
+      expr(s"percentile(`$valCol`, ${hi}D)").as("_phi"))
+    df.join(broadcast(thresholds), groupCol)
+      .withColumn("clipped",
+        round(least(greatest(col(valCol).cast("double"), col("_plo")),
+          col("_phi")), 6) + lit(0.0))
+      .withColumn("p_lo", round(col("_plo"), 6) + lit(0.0))
+      .withColumn("p_hi", round(col("_phi"), 6) + lit(0.0))
+      .drop("_plo", "_phi")
+  }
+
   /** Temperature-flattened mixture sampling (the mC4/PaLM language-mix
     * rule): per-group keep rate ∝ n_g^τ / n_g, scaled so the expected
     * sample size is `sampleFraction`·N and clamped at 1. τ < 1 flattens the

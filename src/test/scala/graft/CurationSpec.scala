@@ -164,6 +164,25 @@ class CurationSpec extends SparkSpec {
     assert(empty.count() == 0 && empty.columns.toSeq == Seq("id", "score", "rank"))
   }
 
+  test("winsorize: per-group clip at exact interpolated percentiles") {
+    // 21 values 0..20 per group: p5 lands exactly on rank 1 (0.05·20),
+    // p95 on rank 19 — no interpolation ambiguity
+    val df = (for (g <- Seq("a", "b"); v <- 0 to 20)
+      yield (g, v.toLong * (if (g == "a") 1 else 10))).toDF("src", "v")
+    val got = Curation.winsorize(df, "src", "v", 0.05, 0.95)
+      .select("src", "v", "clipped", "p_lo", "p_hi")
+      .as[(String, Long, Double, Double, Double)].collect()
+    val a = got.filter(_._1 == "a")
+    assert(a.forall(r => r._4 == 1.0 && r._5 == 19.0))
+    assert(a.find(_._2 == 0L).get._3 == 1.0)   // below band → clipped up
+    assert(a.find(_._2 == 20L).get._3 == 19.0) // above band → clipped down
+    assert(a.filter(r => r._2 >= 1 && r._2 <= 19)
+      .forall(r => r._3 == r._2.toDouble))     // in band → unchanged
+    // group b scales ×10 — thresholds are per-group, not global
+    val b = got.filter(_._1 == "b")
+    assert(b.forall(r => r._4 == 10.0 && r._5 == 190.0))
+  }
+
   test("curriculum bins: exact floor formula, near-equal stages, monotone in rank") {
     // 5003 rows / 10 bins: n NOT divisible by bins — remainder handling
     // must still produce stage sizes differing by at most 1
