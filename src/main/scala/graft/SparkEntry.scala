@@ -861,6 +861,24 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashFingerprints(t(s, dir, "documents"), "doc_id", "text")),
 
+    // Train/test LEAKAGE check: the minhash near-dup pairs that CROSS the
+    // deterministic dataset split — the eval-integrity scan every split
+    // pipeline needs (a test doc with a train near-dup is contamination).
+    // The split is a FUNCTION of the id (hash-coin), so the assignment
+    // attaches as a stateless column on each pair end — no join against
+    // an assignment table, nothing broadcast.
+    "split_leakage" -> ((s, dir) => {
+      val splits = Seq("train" -> 0.9, "validation" -> 0.05, "test" -> 0.05)
+      Dedup.minhashNearDupsFromStores(shingleStore(s, dir),
+          minhashSigStore(s, dir), "doc_id", bands = 4, threshold = 0.5,
+          maxShingleDf = None)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .withColumn("split_a", Curation.splitAssign(col("id_a"), splits))
+        .withColumn("split_b", Curation.splitAssign(col("id_b"), splits))
+        .filter(col("split_a") =!= col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "jaccard")
+    }),
+
     // exact all-pairs form — the oracle baseline for the LSH default below
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDupsExact(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
@@ -1505,6 +1523,26 @@ object SparkEntry {
          |FROM cand JOIN inter USING (id_a, id_b)
          |JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
          |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5""".stripMargin,
+
+    // dedup_minhash's pair replay + dataset_split's hash-coin CASE on
+    // each pair end, equal-split pairs dropped.
+    "split_leakage" ->
+      s"""WITH $duckToks, ${duckShingles(5)}, $duckMinhashCand, $duckJaccardTail,
+         |pairs AS (SELECT id_a, id_b,
+         |    round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+         |  FROM cand JOIN inter USING (id_a, id_b)
+         |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5),
+         |spl AS (SELECT doc_id,
+         |  CASE WHEN u < ${0.9} THEN 'train'
+         |       WHEN u < ${0.9 + 0.05} THEN 'validation'
+         |       ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |    CAST(${duckHash("CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+         |      / ${Curation.HashUnitDivisor} AS u FROM documents))
+         |SELECT id_a, id_b, a.split AS split_a, b.split AS split_b, jaccard
+         |FROM pairs JOIN spl a ON a.doc_id = id_a JOIN spl b ON b.doc_id = id_b
+         |WHERE a.split <> b.split""".stripMargin,
 
     // the SAME minhash pair set as dedup_minhash, closed transitively:
     // symmetric edges + recursive reachability, components labeled by min

@@ -191,21 +191,30 @@ object Curation {
     * @param splits ordered (name, fraction) pairs; fractions must sum to 1
     */
   def datasetSplit(
-      df: DataFrame, idCol: String, splits: Seq[(String, Double)]): DataFrame = {
+      df: DataFrame, idCol: String, splits: Seq[(String, Double)]): DataFrame =
+    df.withColumn("_u", sampleUnit(col(idCol)))
+      .withColumn("split", assignFromUnit(col("_u"), splits))
+      .withColumn("u", round(col("_u"), 6) + lit(0.0))
+      .drop("_u")
+
+  /** The stateless split-assignment COLUMN: hash-coin against cumulative
+    * bounds, computable on any id anywhere — membership checks (leakage
+    * scans, split-aware joins) never need a join against an assignment
+    * table, because the assignment IS a function of the id. */
+  def splitAssign(id: Column, splits: Seq[(String, Double)]): Column =
+    assignFromUnit(sampleUnit(id), splits)
+
+  private def assignFromUnit(
+      u: Column, splits: Seq[(String, Double)]): Column = {
     require(splits.nonEmpty && splits.forall(_._2 >= 0.0) &&
       math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"split fractions must be non-negative and sum to 1, got $splits")
     // cumulative upper bounds; the last is exactly 1.0 so u ∈ [0,1) always
     // lands somewhere and the fold's base case is unreachable
     val bounds = splits.map(_._1).zip(splits.scanLeft(0.0)(_ + _._2).tail)
-    def assign(u: org.apache.spark.sql.Column) =
-      bounds.init.foldRight(lit(bounds.last._1): org.apache.spark.sql.Column) {
-        case ((name, hi), acc) => when(u < hi, lit(name)).otherwise(acc)
-      }
-    df.withColumn("_u", sampleUnit(col(idCol)))
-      .withColumn("split", assign(col("_u")))
-      .withColumn("u", round(col("_u"), 6) + lit(0.0))
-      .drop("_u")
+    bounds.init.foldRight(lit(bounds.last._1): Column) {
+      case ((name, hi), acc) => when(u < hi, lit(name)).otherwise(acc)
+    }
   }
 
   /** Scalable GLOBAL rank (curriculum ordering): assign every row its

@@ -164,6 +164,19 @@ class CurationSpec extends SparkSpec {
     assert(empty.count() == 0 && empty.columns.toSeq == Seq("id", "score", "rank"))
   }
 
+  test("splitAssign column equals datasetSplit's assignment (stateless membership)") {
+    import org.apache.spark.sql.functions.col
+    val splits = Seq("train" -> 0.8, "test" -> 0.2)
+    val ids = (0L until 500L).toDF("id")
+    val viaTable = Curation.datasetSplit(ids, "id", splits)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val viaColumn = ids.select(col("id"),
+        Curation.splitAssign(col("id"), splits).as("split"))
+      .as[(Long, String)].collect().toMap
+    assert(viaColumn == viaTable)
+    assert(viaColumn.values.toSet == Set("train", "test"))
+  }
+
   test("winsorize: per-group clip at exact interpolated percentiles") {
     // 21 values 0..20 per group: p5 lands exactly on rank 1 (0.05·20),
     // p95 on rank 19 — no interpolation ambiguity
