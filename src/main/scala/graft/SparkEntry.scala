@@ -4,7 +4,8 @@ import graft.functions.VectorFunctions._
 import graft.operators.Ann.AnnRequest
 import graft.operators.{Ann, ApproxAnn, Bm25, Catalog, Curation, Dedup,
   Engine, Layout, Lww, Multimodal, QualityMetrics, Restriction,
-  RestrictionCompiler, ResultFormat, Sessionize, Temporal, TextAnalysis}
+  RestrictionCompiler, ResultFormat, Sessionize, Sketches, Temporal,
+  TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1311,6 +1312,37 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id").asc)
         .limit(10)
     }),
+
+    // Count-min-sketch heavy hitters over corpus bigrams: exact top-20 next
+    // to the fixed-size sketch's estimate (d=4 × w=256 counters for a
+    // 931-bigram universe at sf0.1 — real collisions, real overcounts,
+    // deterministic md5 bucketing the oracle replays counter by counter).
+    "heavy_hitters" -> ((s, dir) => {
+      val toks = Dedup.tokens(col("text"))
+      val bigrams = zip_with(toks,
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => when(a.isNotNull && b.isNotNull, concat(a, lit(" "), b)))
+      Sketches.cmsHeavyHitters(
+        t(s, dir, "documents").select(
+          explode(filter(bigrams, g => g.isNotNull)).as("key")),
+        depth = 4, width = 256, k = 20)
+    }),
+
+    // Linear-counting cardinality sketch per event type: exact distinct
+    // users next to the m=4096-bucket estimate (Whang et al. 1990) — the
+    // fixed-state answer to "how many distinct users" at 100 TB.
+    "distinct_sketch" -> ((s, dir) =>
+      Sketches.linearCountingDistinct(
+        t(s, dir, "events").select(col("event_type"), col("user_id")),
+        "event_type", "user_id", m = 4096)),
+
+    // DSIR importance weights (Xie et al. 2023): rank every document by the
+    // hashed-ngram log-likelihood ratio between the English target sample
+    // and the raw corpus — the data-selection step before resampling a
+    // crawl toward a target domain.
+    "importance_weights" -> ((s, dir) =>
+      Curation.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
+        isTarget = col("lang") === "en", numBuckets = 1024)),
   )
 
   /** FTS index stores materialized at "ingest" — the reference builds its
@@ -2752,5 +2784,62 @@ object SparkEntry {
         |n AS (SELECT doc_id, messy,
         |  trim(regexp_replace(lower(nfc_normalize(messy)), '\s+', ' ', 'g')) AS norm_text FROM d)
         |SELECT doc_id, norm_text, (norm_text <> messy) AS changed FROM n""".stripMargin,
+
+    // CMS replayed counter by counter: same md5 bucket hash, same d×w
+    // table, min over the probe row's buckets. Integer end to end.
+    "heavy_hitters" ->
+      s"""WITH $duckToks,
+         |bg AS (SELECT w1 || ' ' || w2 AS key FROM (
+         |  SELECT unnest(list_slice(ts, 1, len(ts) - 1)) AS w1,
+         |         unnest(list_slice(ts, 2, len(ts))) AS w2
+         |  FROM toks WHERE len(ts) >= 2)),
+         |tf AS (SELECT key, count(*) AS cnt FROM bg GROUP BY 1),
+         |rb AS (SELECT key, cnt, j,
+         |  ${duckHash("CAST(j AS VARCHAR) || ':' || key")} % 256 AS bucket
+         |  FROM tf CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) jj),
+         |sk AS (SELECT j, bucket, CAST(sum(cnt) AS BIGINT) AS bcnt FROM rb GROUP BY 1, 2),
+         |topk AS (SELECT key, cnt FROM tf ORDER BY cnt DESC, key LIMIT 20)
+         |SELECT topk.key, topk.cnt AS exact_cnt, min(bcnt) AS cms_estimate,
+         |       min(bcnt) - topk.cnt AS overcount
+         |FROM topk JOIN rb ON rb.key = topk.key
+         |JOIN sk ON rb.j = sk.j AND rb.bucket = sk.bucket
+         |GROUP BY 1, 2""".stripMargin,
+
+    // Linear counting replay: same md5 bucket of the stringified user id,
+    // same −m·ln(empty/m) estimate arithmetic.
+    "distinct_sketch" ->
+      s"""WITH b AS (SELECT event_type, user_id,
+         |  ${duckHash("CAST(user_id AS VARCHAR)")} % 4096 AS bucket FROM events),
+         |a AS (SELECT event_type, count(DISTINCT user_id) AS n_exact,
+         |             count(DISTINCT bucket) AS buckets_occupied FROM b GROUP BY 1)
+         |SELECT event_type, n_exact, buckets_occupied,
+         |  round(-4096.0 * ln((4096.0 - buckets_occupied) / 4096.0), 4) + 0.0 AS lc_estimate
+         |FROM a""".stripMargin,
+
+    // DSIR replay: unigram∪bigram features, md5 bucket hash, add-one
+    // smoothed log-likelihood ratios, length-normalized per-doc sum.
+    "importance_weights" ->
+      s"""WITH $duckToks,
+         |uni AS (SELECT doc_id, unnest(ts) AS f FROM toks),
+         |bgr AS (SELECT doc_id, w1 || ' ' || w2 AS f FROM (
+         |  SELECT doc_id, unnest(list_slice(ts, 1, len(ts) - 1)) AS w1,
+         |         unnest(list_slice(ts, 2, len(ts))) AS w2
+         |  FROM toks WHERE len(ts) >= 2)),
+         |f AS (SELECT doc_id, ${duckHash("f")} % 1024 AS bucket
+         |      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bgr)),
+         |pd AS (SELECT doc_id, bucket, count(*) AS c FROM f GROUP BY 1, 2),
+         |raw AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS rb FROM pd GROUP BY 1),
+         |tgt AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS tb
+         |        FROM pd JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1),
+         |tot AS (SELECT CAST((SELECT sum(rb) FROM raw) AS BIGINT) AS rtot,
+         |               CAST((SELECT sum(tb) FROM tgt) AS BIGINT) AS ttot),
+         |lam AS (SELECT raw.bucket,
+         |  ln(CAST(coalesce(tb, 0) + 1 AS DOUBLE) / (ttot + 1024)) -
+         |  ln(CAST(rb + 1 AS DOUBLE) / (rtot + 1024)) AS lam
+         |  FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket, tot)
+         |SELECT pd.doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+         |  round(sum(CAST(c AS DOUBLE) * lam) / CAST(sum(c) AS BIGINT), 4) + 0.0 AS dsir_weight
+         |FROM pd JOIN lam USING (bucket)
+         |GROUP BY 1""".stripMargin,
   )
 }

@@ -586,6 +586,65 @@ object Curation {
       bsh, bsz, minContainment)
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * how much more likely its hashed n-gram features are under a small
+    * TARGET distribution (the data you want more of) than under the raw
+    * corpus distribution. Resampling by these weights shifts a 100 TB crawl
+    * toward the target domain without training a classifier.
+    *
+    * Features are unigrams ∪ bigrams hashed into `numBuckets` counts; both
+    * bag-of-buckets distributions get add-one smoothing; a document's
+    * weight is the mean per-feature log-likelihood ratio
+    * Σ_b c_b·(ln p̂_target(b) − ln p̂_raw(b)) / n_feats (length-normalized so
+    * long documents don't dominate, like [[TextAnalysis.lmScore]]).
+    *
+    * Scale shape: per-doc bucket counts are one groupBy on (id, bucket);
+    * the two model distributions are `numBuckets`-row aggregates of that
+    * frame (map-side partial); the λ_b = log-ratio table is tiny and
+    * broadcast back. Everything shuffles ids and bucket ints, never text.
+    * Deterministic: md5-derived bucket hash, no sampling — the Gumbel
+    * resampling step of the paper is replaced by rank-by-weight, which is
+    * the top-k limit of it and reproducible across engines.
+    *
+    * @param isTarget boolean Column over `df`'s rows marking the target
+    *                 distribution sample (e.g. `col("lang") === "en"`)
+    */
+  def dsirWeights(
+      df: DataFrame, idCol: String, textCol: String,
+      isTarget: org.apache.spark.sql.Column,
+      numBuckets: Int = 1024): DataFrame = {
+    val toks = Dedup.tokens(col(textCol))
+    val bigrams = zip_with(toks,
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => when(a.isNotNull && b.isNotNull, concat(a, lit(" "), b)))
+    val feats = df
+      .select(col(idCol), isTarget.as("_t"),
+        explode(concat(toks, filter(bigrams, g => g.isNotNull))).as("_f"))
+      .select(col(idCol), col("_t"),
+        (Dedup.stableHash(col("_f")) % numBuckets).as("bucket"))
+    val perDoc = feats.groupBy(col(idCol), col("_t"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val raw = perDoc.groupBy(col("bucket")).agg(sum(col("c")).as("rb"))
+    val tgt = perDoc.filter(col("_t")).groupBy(col("bucket")).agg(sum(col("c")).as("tb"))
+    val totals = raw.agg(sum(col("rb")).as("rtot")).crossJoin(
+      tgt.agg(sum(col("tb")).as("ttot")))
+    // λ_b over the full bucket range observed in raw (target-absent buckets
+    // smooth to ln(1/(T+m))); tiny frame, broadcast into the per-doc join.
+    val lambda = raw.join(tgt, Seq("bucket"), "left").crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log((coalesce(col("tb"), lit(0L)) + lit(1)).cast("double") /
+            (col("ttot") + lit(numBuckets))) -
+          log((col("rb") + lit(1)).cast("double") /
+            (col("rtot") + lit(numBuckets)))).as("lam"))
+    perDoc.join(broadcast(lambda), "bucket")
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_feats"),
+        sum(col("c").cast("double") * col("lam")).as("_s"))
+      .select(col(idCol), col("n_feats"),
+        (round(col("_s") / col("n_feats"), 4) + lit(0.0)).as("dsir_weight"))
+  }
+
   /** A built Bloom filter: sized bit count, hash count, dense words. */
   private[graft] final case class Bloom(
       mBits: Long, kHashes: Int, words: Array[Long])

@@ -219,8 +219,10 @@ object Dedup {
       candIds
         .join(names.select(col(idCol).as("id_a"), s.as("_sa")), "id_a")
         .join(names.select(col(idCol).as("id_b"), s.as("_sb")), "id_b")
-        .withColumn("dist", levenshtein(col("_sa"), col("_sb")))
-        .filter(col("dist") <= maxDist)
+        // threshold overload: banded O(k·n) DP with early exit, -1 when the
+        // distance exceeds maxDist (so >= 0 IS the <= maxDist predicate)
+        .withColumn("dist", levenshtein(col("_sa"), col("_sb"), maxDist))
+        .filter(col("dist") >= 0)
         .select("id_a", "id_b", "dist")
     }
     maxGramDf match {
@@ -347,8 +349,10 @@ object Dedup {
       .join(names.select(col(idCol).as("id_a"), s.as("_sa")), "id_a")
       .join(names.select(col(idCol).as("id_b"), s.as("_sb")), "id_b")
       .filter(abs(length(col("_sa")) - length(col("_sb"))) <= k)
-      .withColumn("dist", levenshtein(col("_sa"), col("_sb")))
-      .filter(col("dist") <= maxDist)
+      // threshold overload: banded O(k·n) DP with early exit, -1 when the
+      // distance exceeds maxDist (so >= 0 IS the <= maxDist predicate)
+      .withColumn("dist", levenshtein(col("_sa"), col("_sb"), maxDist))
+      .filter(col("dist") >= 0)
       .select("id_a", "id_b", "dist")
   }
 

@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.{Curation, Sketches}
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a skewed key stream: key k_i appears i times, i = 1..40 (820 rows)
+  private def stream = (1 to 40).flatMap(i => Seq.fill(i)(f"k$i%02d"))
+    .toDF("key")
+
+  test("cms: one-sided error — estimate >= exact for every reported key") {
+    val out = Sketches.cmsHeavyHitters(stream, depth = 3, width = 8, k = 40)
+      .collect()
+    assert(out.length == 40)
+    assert(out.forall(r => r.getAs[Long]("cms_estimate") >= r.getAs[Long]("exact_cnt")))
+    assert(out.forall(r =>
+      r.getAs[Long]("overcount") ==
+        r.getAs[Long]("cms_estimate") - r.getAs[Long]("exact_cnt")))
+    // width 8 for 40 keys: collisions are certain somewhere
+    assert(out.exists(r => r.getAs[Long]("overcount") > 0))
+  }
+
+  test("cms: wide sketch (no collisions possible to matter) is exact, ordered by count desc") {
+    val out = Sketches.cmsHeavyHitters(stream, depth = 4, width = 4096, k = 10)
+      .collect()
+    assert(out.length == 10)
+    // with 40 keys in 4096 buckets × 4 rows, min over rows dodges any
+    // single collision: estimates collapse to the exact counts
+    assert(out.forall(r => r.getAs[Long]("cms_estimate") == r.getAs[Long]("exact_cnt")))
+    assert(out.map(_.getAs[Long]("exact_cnt")).toSeq == (31 to 40).reverse.map(_.toLong))
+  }
+
+  test("linear counting: occupied <= exact, estimate >= occupied, near-exact when m >> n") {
+    val df = (1 to 500).map(i => ("g" + i % 2, i)).toDF("g", "v")
+    val out = Sketches.linearCountingDistinct(df, "g", "v", m = 65536).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      val exact = r.getAs[Long]("n_exact")
+      val occ = r.getAs[Long]("buckets_occupied")
+      val est = r.getAs[Double]("lc_estimate")
+      assert(exact == 250 && occ <= exact && est >= occ - 1e-9)
+      // m/n = 262: collision probability tiny, estimate within 2%
+      assert(math.abs(est - exact) / exact < 0.02, s"est=$est exact=$exact")
+    }
+  }
+
+  test("linear counting: estimate compensates collisions (est between V and n upper range)") {
+    val df = (1 to 2000).map(i => ("g", i)).toDF("g", "v")
+    val Array(r) = Sketches.linearCountingDistinct(df, "g", "v", m = 1024).collect()
+    val occ = r.getAs[Long]("buckets_occupied")
+    val est = r.getAs[Double]("lc_estimate")
+    // heavy collisions: occupied is far below 2000, the -m ln(empty/m)
+    // inversion recovers most of the gap
+    assert(occ < 1000)
+    assert(est > occ && math.abs(est - 2000) / 2000.0 < 0.15, s"occ=$occ est=$est")
+  }
+
+  test("dsir: target-like docs score above off-target docs; weights finite; n_feats = 2·tokens − 1") {
+    // two disjoint vocabularies: target docs speak 'alpha beta…', raw-only
+    // docs speak 'omega psi…' — the LLR must separate them cleanly
+    val docs = ((1 to 20).map(i => (i.toLong, s"alpha beta gamma delta d$i", true)) ++
+      (21 to 40).map(i => (i.toLong, s"omega psi chi phi d$i", false)))
+      .toDF("doc_id", "text", "is_en")
+    val out = Curation.dsirWeights(docs, "doc_id", "text", col("is_en"), numBuckets = 256)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_feats"), r.getAs[Double]("dsir_weight"))).toMap
+    assert(out.size == 40)
+    // 5 tokens → 5 unigrams + 4 bigrams
+    assert(out.values.forall(_._1 == 9L))
+    val t = (1 to 20).map(i => out(i.toLong)._2)
+    val o = (21 to 40).map(i => out(i.toLong)._2)
+    assert(t.forall(w => !w.isNaN && !w.isInfinite))
+    assert(t.min > o.max, s"target min ${t.min} <= off-target max ${o.max}")
+  }
+}
