@@ -1343,6 +1343,26 @@ object SparkEntry {
     "importance_weights" -> ((s, dir) =>
       Curation.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
         isTarget = col("lang") === "en", numBuckets = 1024)),
+
+    // ROC-AUC of the NB quality classifier against its training label —
+    // rank-sum with tie-averaged ranks over the globalRank order (no
+    // single-partition exchange; (min+max)/2 tie averages are exact halves
+    // so the rank-sum is order-independent cross-engine).
+    "classifier_auc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis.nbQualityScore(docs, "doc_id", "text",
+        col("lang") === "en")
+      QualityMetrics.rocAuc(
+        scored.join(docs.select(col("doc_id"),
+          (col("lang") === "en").as("y")), "doc_id"),
+        "doc_id", "nb_score", "y")
+    }),
+
+    // Per-label cluster quality over the embedding column: cohesion (mean
+    // member→centroid L2), separation (nearest other centroid), DB-style
+    // ratio — the clustering eval after any labeling pass.
+    "cluster_quality" -> ((s, dir) =>
+      QualityMetrics.clusterQuality(t(s, dir, "embeddings"), "label", "embedding")),
   )
 
   /** FTS index stores materialized at "ingest" — the reference builds its
@@ -2841,5 +2861,68 @@ object SparkEntry {
          |  round(sum(CAST(c AS DOUBLE) * lam) / CAST(sum(c) AS BIGINT), 4) + 0.0 AS dsir_weight
          |FROM pd JOIN lam USING (bucket)
          |GROUP BY 1""".stripMargin,
+
+    // Rank-sum AUC over the replayed NB scores: row_number by (score, id),
+    // tie-average = (min+max)/2 of the positional ranks per distinct score
+    // (exact halves — same arithmetic as the Spark side).
+    "classifier_auc" ->
+      s"""WITH $duckToks,
+         |lab AS (SELECT doc_id, (lang = 'en') AS y FROM documents),
+         |tk AS (SELECT t.doc_id, y, unnest(ts) AS term
+         |       FROM toks t JOIN lab USING (doc_id)),
+         |tf AS (SELECT doc_id, y, term, count(*) AS tf FROM tk GROUP BY 1, 2, 3),
+         |cls AS (SELECT term,
+         |    CAST(sum(CASE WHEN y THEN tf ELSE 0 END) AS BIGINT) AS cp,
+         |    CAST(sum(CASE WHEN NOT y THEN tf ELSE 0 END) AS BIGINT) AS cn
+         |  FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
+         |               CAST(sum(cn) AS BIGINT) AS nn, count(*) AS v FROM cls),
+         |pri AS (SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS dp,
+         |               CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS dn
+         |        FROM documents),
+         |scored AS (SELECT tf.doc_id,
+         |  round(max(ln(CAST(dp + 1 AS DOUBLE) / (dn + 1)))
+         |      + sum(tf * (ln(CAST(cp + 1 AS DOUBLE) / (np + v))
+         |                - ln(CAST(cn + 1 AS DOUBLE) / (nn + v)))), 4) + 0.0 AS nb_score
+         |  FROM tf JOIN cls USING (term), tot, pri GROUP BY tf.doc_id),
+         |sy AS (SELECT s.doc_id, nb_score, y FROM scored s JOIN lab USING (doc_id)),
+         |rn AS (SELECT doc_id, nb_score, y,
+         |         row_number() OVER (ORDER BY nb_score, doc_id) AS rn FROM sy),
+         |ar AS (SELECT y, CAST(min(rn) OVER (PARTITION BY nb_score)
+         |                    + max(rn) OVER (PARTITION BY nb_score) AS DOUBLE) / 2 AS ar
+         |       FROM rn),
+         |agg AS (SELECT CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |               CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+         |               sum(CASE WHEN y THEN ar END) AS sp FROM ar)
+         |SELECT n_pos, n_neg,
+         |  round((sp - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2)
+         |      / (CAST(n_pos AS DOUBLE) * n_neg), 6) + 0.0 AS auc
+         |FROM agg""".stripMargin,
+
+    // Cluster-quality replay: centroids from the label_centroids CTE
+    // (rounded to 6 before any downstream arithmetic), member/centroid
+    // distances via list_zip folds in array order like the Spark zip_with.
+    "cluster_quality" ->
+      """WITH ex AS (SELECT vec_id, label, embedding FROM embeddings
+        |            WHERE embedding IS NOT NULL),
+        |pd AS (SELECT label, dim, avg(CAST(x AS DOUBLE)) AS m
+        |       FROM (SELECT label, unnest(embedding) AS x,
+        |                    unnest(range(len(embedding))) AS dim FROM ex)
+        |       GROUP BY 1, 2),
+        |cent AS (SELECT label, list(round(m, 6) + 0.0 ORDER BY dim) AS cv FROM pd GROUP BY 1),
+        |nv AS (SELECT label, count(*) AS n_vectors FROM ex GROUP BY 1),
+        |md AS (SELECT e.label,
+        |         sqrt(list_sum(list_transform(list_zip(e.embedding, c.cv),
+        |           p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))) AS d
+        |       FROM ex e JOIN cent c USING (label)),
+        |coh AS (SELECT label, round(avg(d), 4) + 0.0 AS cohesion FROM md GROUP BY 1),
+        |cd AS (SELECT a.label,
+        |         sqrt(list_sum(list_transform(list_zip(a.cv, b.cv),
+        |           p -> (p[1] - p[2]) * (p[1] - p[2])))) AS cdist
+        |       FROM cent a JOIN cent b ON a.label <> b.label),
+        |sep AS (SELECT label, round(min(cdist), 6) + 0.0 AS separation FROM cd GROUP BY 1)
+        |SELECT nv.label, nv.n_vectors, cohesion, separation,
+        |       round(cohesion / separation, 4) + 0.0 AS ratio
+        |FROM nv JOIN coh USING (label) JOIN sep USING (label)""".stripMargin,
   )
 }

@@ -63,4 +63,68 @@ object QualityMetrics {
       avg(col(s"precision_at_$k")).as(s"precision_at_$k"),
       avg(col("mrr")).as("mrr"),
       avg(col(s"ndcg_at_$k")).as(s"ndcg_at_$k"))
+
+  /** Global ROC-AUC of a score column against a boolean label — the
+    * rank-sum (Mann–Whitney U) formulation with average ranks over ties:
+    * AUC = (Σ_pos avg_rank − n₊(n₊+1)/2) / (n₊·n₋). The standard one-number
+    * eval for a quality classifier gating a corpus.
+    *
+    * Scale shape: ranking uses [[Curation.globalRank]] (range exchange +
+    * per-partition row_number + broadcast offsets — never an Exchange
+    * SinglePartition over the corpus); the tie-average is (min+max)/2 of
+    * the positional ranks per distinct score (exact halves in doubles, so
+    * the rank-sum is order-independent and cross-engine exact); the final
+    * AUC is one scalar aggregate. */
+  def rocAuc(
+      scored: DataFrame, idCol: String, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val ranked = Curation.globalRank(
+      scored.select(col(idCol), col(scoreCol),
+        col(labelCol).cast("boolean").as("_y")),
+      idCol, Seq(scoreCol))
+    val perScore = ranked.groupBy(col(scoreCol))
+      .agg(((min(col("rank")) + max(col("rank"))).cast("double") / 2).as("_ar"))
+    ranked.join(perScore, Seq(scoreCol))
+      .agg(
+        sum(when(col("_y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("_y"), 1L).otherwise(0L)).as("n_neg"),
+        sum(when(col("_y"), col("_ar"))).as("_sp"))
+      .select(col("n_pos"), col("n_neg"),
+        (round((col("_sp") - col("n_pos").cast("double") * (col("n_pos") + 1) / 2) /
+          (col("n_pos").cast("double") * col("n_neg")), 6) + lit(0.0)).as("auc"))
+  }
+
+  /** Per-cluster quality report over a labeled embedding column: cohesion
+    * (mean member→centroid L2), separation (nearest other centroid), and
+    * their Davies–Bouldin-style ratio. The "are these clusters real" eval
+    * after any labeling/clustering pass.
+    *
+    * Scale shape: centroids are the per-(label,dim) average
+    * ([[ApproxAnn.labelCentroids]] — rounded to 6 decimals so downstream
+    * arithmetic is cross-engine exact); member distances are one broadcast
+    * join + per-row array math (zip_with folds in array order); the
+    * centroid-pair matrix is labels², tiny by construction. */
+  def clusterQuality(
+      df: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b,
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), _ + _)
+    val cents = ApproxAnn.labelCentroids(df, labelCol, vecCol)
+    val coh = df.filter(col(vecCol).isNotNull)
+      .join(broadcast(cents), labelCol)
+      .groupBy(col(labelCol))
+      .agg(max(col("n_vectors")).as("n_vectors"),
+        (round(avg(sqrt(d2(col(vecCol), col("centroid")))), 4) + lit(0.0))
+          .as("cohesion"))
+    val a = cents.select(col(labelCol).as("_la"), col("centroid").as("_ca"))
+    val b = cents.select(col(labelCol).as("_lb"), col("centroid").as("_cb"))
+    val sep = a.join(broadcast(b), col("_la") =!= col("_lb"))
+      .groupBy(col("_la").as(labelCol))
+      .agg((round(min(sqrt(d2(col("_ca"), col("_cb")))), 6) + lit(0.0))
+        .as("separation"))
+    coh.join(sep, labelCol)
+      .select(col(labelCol), col("n_vectors"), col("cohesion"), col("separation"),
+        (round(col("cohesion") / col("separation"), 4) + lit(0.0)).as("ratio"))
+  }
 }

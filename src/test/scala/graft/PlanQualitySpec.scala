@@ -245,4 +245,31 @@ class PlanQualitySpec extends SparkSpec {
     val pe = plan("mixture_epochs")
     assert(!pe.contains("Exchange"), s"repeat-by-weight must not shuffle:\n${pe.take(2000)}")
   }
+
+  test("cms heavy hitters: exact top-k is TakeOrdered, sketch probes hash-join, aggregates partial") {
+    val p = plan("heavy_hitters")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
+  test("dsir weights: model tables broadcast back, text never joins") {
+    val p = plan("importance_weights")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      s"per-doc bucket counts must join the tiny λ table broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // scalar totals (rtot/ttot, 1 row) attach to the ≤numBuckets λ frame as
+    // broadcast Cross — allowed; any other nested-loop shape is a regression
+    val bnlj = "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(p).toSeq
+    assert(bnlj.forall(_.contains("Cross")),
+      s"only the scalar-totals Cross attach may nested-loop:\n${bnlj.mkString("\n")}")
+  }
+
+  test("cluster quality: centroids broadcast into the member join, no corpus-side shuffle join") {
+    val p = plan("cluster_quality")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }

@@ -55,4 +55,47 @@ class QualityMetricsSpec extends SparkSpec {
       QualityMetrics.evaluate(df, "retrieved", "relevant", 2), 2).head()
     assert(math.abs(s.getAs[Double]("recall_at_2") - 0.75) < 1e-12)
   }
+
+  test("rocAuc: perfect separation 1.0, inverted 0.0, random-tie 0.5, textbook mixed") {
+    def auc(rows: Seq[(Long, Double, Boolean)]): Double =
+      QualityMetrics.rocAuc(rows.toDF("id", "s", "y"), "id", "s", "y")
+        .head().getAs[Double]("auc")
+    assert(auc(Seq((1L, 1.0, true), (2L, 2.0, true), (3L, 0.5, false))) == 1.0)
+    assert(auc(Seq((1L, 0.1, true), (2L, 2.0, false))) == 0.0)
+    // all scores tied: average rank everywhere → AUC exactly 1/2
+    assert(auc(Seq((1L, 1.0, true), (2L, 1.0, false), (3L, 1.0, true),
+      (4L, 1.0, false))) == 0.5)
+    // scores pos {3,1}, neg {2}: pairs won 1 of 2 → 0.5; with a tie:
+    // pos {3,2}, neg {2} → (1 + 0.5)/2 = 0.75
+    assert(auc(Seq((1L, 3.0, true), (2L, 1.0, true), (3L, 2.0, false))) == 0.5)
+    assert(auc(Seq((1L, 3.0, true), (2L, 2.0, true), (3L, 2.0, false))) == 0.75)
+  }
+
+  test("rocAuc output carries the class counts") {
+    val r = QualityMetrics.rocAuc(
+      Seq((1L, 1.0, true), (2L, 0.0, false), (3L, 0.5, false))
+        .toDF("id", "s", "y"), "id", "s", "y").head()
+    assert(r.getAs[Long]("n_pos") == 1L && r.getAs[Long]("n_neg") == 2L)
+  }
+
+  test("clusterQuality: tight well-separated clusters score low ratio; overlap scores high") {
+    // two clusters on axis 0 at +/-10 with radius 1, one diffuse cluster
+    // straddling both
+    val vecs =
+      (1 to 8).map(i => (0, Array(10f + (i % 3) - 1, 0f))) ++
+        (1 to 8).map(i => (1, Array(-10f - (i % 3) + 1, 0f))) ++
+        (1 to 8).map(i => (2, Array((i % 2) * 18f - 9f, 5f)))
+    val out = QualityMetrics.clusterQuality(
+      vecs.toDF("label", "embedding"), "label", "embedding")
+      .collect().map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n_vectors"), r.getAs[Double]("cohesion"),
+          r.getAs[Double]("separation"), r.getAs[Double]("ratio"))).toMap
+    assert(out.keySet == Set(0, 1, 2))
+    assert(out.values.forall(_._1 == 8L))
+    // tight clusters: cohesion ~ 0.5, separation ~ 20 → ratio << 1
+    assert(out(0)._4 < 0.1 && out(1)._4 < 0.1)
+    // the diffuse cluster's members sit ~9 from its centroid while its
+    // centroid is ~10 from the others → ratio near 1, clearly the worst
+    assert(out(2)._4 > out(0)._4 * 5 && out(2)._4 > out(1)._4 * 5)
+  }
 }

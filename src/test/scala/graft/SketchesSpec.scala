@@ -32,6 +32,32 @@ class SketchesSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("exact_cnt")).toSeq == (31 to 40).reverse.map(_.toLong))
   }
 
+  test("cms: sketch tables merge by counter-wise sum (shard-and-add == single pass)") {
+    // the property that makes the sketch safe to build map-side: the d×w
+    // table from any sharding of the stream, summed counter-wise, equals
+    // the single-pass table — here via disjoint halves of the stream
+    import org.apache.spark.sql.DataFrame
+    def sketchTable(keys: DataFrame): DataFrame = {
+      val tf = keys.groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+      tf.select(col("cnt"), explode(array((0 until 3).map { j =>
+        struct(lit(j).as("row"),
+          (graft.operators.Dedup.stableHash(concat(lit(s"$j:"), col("key"))) % 16)
+            .as("bucket"))
+      }: _*)).as("_rb"))
+        .groupBy(col("_rb.row").as("row"), col("_rb.bucket").as("bucket"))
+        .agg(sum(col("cnt")).as("bcnt"))
+    }
+    val all = stream.withColumn("_i", monotonically_increasing_id())
+    val h1 = all.filter(col("_i") % 2 === 0).select("key")
+    val h2 = all.filter(col("_i") % 2 =!= 0).select("key")
+    val merged = sketchTable(h1).union(sketchTable(h2))
+      .groupBy("row", "bucket").agg(sum("bcnt").as("bcnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val single = sketchTable(stream)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == single)
+  }
+
   test("linear counting: occupied <= exact, estimate >= occupied, near-exact when m >> n") {
     val df = (1 to 500).map(i => ("g" + i % 2, i)).toDF("g", "v")
     val out = Sketches.linearCountingDistinct(df, "g", "v", m = 65536).collect()
