@@ -1363,6 +1363,24 @@ object SparkEntry {
     // ratio — the clustering eval after any labeling pass.
     "cluster_quality" -> ((s, dir) =>
       QualityMetrics.clusterQuality(t(s, dir, "embeddings"), "label", "embedding")),
+
+    // KL mixture monitoring: how far the curated (English) sample's source
+    // distribution drifts from the whole corpus — per-source KL terms.
+    "distribution_shift" -> ((s, dir) =>
+      Curation.distributionShift(t(s, dir, "documents"), "source",
+        isSample = col("lang") === "en")),
+
+    // Reliability curve of the same classifier: 10 equal-width score bins
+    // (scaled-integer arithmetic), per-bin positive rate vs mean score.
+    "classifier_calibration" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis.nbQualityScore(docs, "doc_id", "text",
+        col("lang") === "en")
+      QualityMetrics.calibrationCurve(
+        scored.join(docs.select(col("doc_id"),
+          (col("lang") === "en").as("y")), "doc_id"),
+        "doc_id", "nb_score", "y", nBins = 10)
+    }),
   )
 
   /** FTS index stores materialized at "ingest" — the reference builds its
@@ -1511,6 +1529,30 @@ object SparkEntry {
     """sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
       |  FROM sh a JOIN sh b USING (h) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+
+  /** Shared oracle CTE chain replaying [[graft.operators.TextAnalysis.nbQualityScore]]
+    * with the `lang = 'en'` label — feeds the classifier-eval oracles (AUC,
+    * calibration). Expects `toks` ([[duckToks]]) in scope; yields `lab`
+    * (doc_id, y) and `scored` (doc_id, nb_score). */
+  private val duckNbScored =
+    """lab AS (SELECT doc_id, (lang = 'en') AS y FROM documents),
+      |tk AS (SELECT t.doc_id, y, unnest(ts) AS term
+      |       FROM toks t JOIN lab USING (doc_id)),
+      |tf AS (SELECT doc_id, y, term, count(*) AS tf FROM tk GROUP BY 1, 2, 3),
+      |cls AS (SELECT term,
+      |    CAST(sum(CASE WHEN y THEN tf ELSE 0 END) AS BIGINT) AS cp,
+      |    CAST(sum(CASE WHEN NOT y THEN tf ELSE 0 END) AS BIGINT) AS cn
+      |  FROM tf GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
+      |               CAST(sum(cn) AS BIGINT) AS nn, count(*) AS v FROM cls),
+      |pri AS (SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS dp,
+      |               CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS dn
+      |        FROM documents),
+      |scored AS (SELECT tf.doc_id,
+      |  round(max(ln(CAST(dp + 1 AS DOUBLE) / (dn + 1)))
+      |      + sum(tf * (ln(CAST(cp + 1 AS DOUBLE) / (np + v))
+      |                - ln(CAST(cn + 1 AS DOUBLE) / (nn + v)))), 4) + 0.0 AS nb_score
+      |  FROM tf JOIN cls USING (term), tot, pri GROUP BY tf.doc_id)""".stripMargin
 
   /** Embedding LSH near-dup pair CTEs mirroring Dedup.embeddingNearDups
     * (Hamming-radius-2 bucket candidates, exact cosine verification) —
@@ -2867,24 +2909,7 @@ object SparkEntry {
     // (exact halves — same arithmetic as the Spark side).
     "classifier_auc" ->
       s"""WITH $duckToks,
-         |lab AS (SELECT doc_id, (lang = 'en') AS y FROM documents),
-         |tk AS (SELECT t.doc_id, y, unnest(ts) AS term
-         |       FROM toks t JOIN lab USING (doc_id)),
-         |tf AS (SELECT doc_id, y, term, count(*) AS tf FROM tk GROUP BY 1, 2, 3),
-         |cls AS (SELECT term,
-         |    CAST(sum(CASE WHEN y THEN tf ELSE 0 END) AS BIGINT) AS cp,
-         |    CAST(sum(CASE WHEN NOT y THEN tf ELSE 0 END) AS BIGINT) AS cn
-         |  FROM tf GROUP BY 1),
-         |tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
-         |               CAST(sum(cn) AS BIGINT) AS nn, count(*) AS v FROM cls),
-         |pri AS (SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS dp,
-         |               CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS dn
-         |        FROM documents),
-         |scored AS (SELECT tf.doc_id,
-         |  round(max(ln(CAST(dp + 1 AS DOUBLE) / (dn + 1)))
-         |      + sum(tf * (ln(CAST(cp + 1 AS DOUBLE) / (np + v))
-         |                - ln(CAST(cn + 1 AS DOUBLE) / (nn + v)))), 4) + 0.0 AS nb_score
-         |  FROM tf JOIN cls USING (term), tot, pri GROUP BY tf.doc_id),
+         |$duckNbScored,
          |sy AS (SELECT s.doc_id, nb_score, y FROM scored s JOIN lab USING (doc_id)),
          |rn AS (SELECT doc_id, nb_score, y,
          |         row_number() OVER (ORDER BY nb_score, doc_id) AS rn FROM sy),
@@ -2898,6 +2923,40 @@ object SparkEntry {
          |  round((sp - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2)
          |      / (CAST(n_pos AS DOUBLE) * n_neg), 6) + 0.0 AS auc
          |FROM agg""".stripMargin,
+
+    // KL replay: one facet aggregate, totals + facet count V from a scalar
+    // CTE, identical add-one-smoothed double arithmetic unrounded until the
+    // final per-column round.
+    "distribution_shift" ->
+      """WITH st AS (SELECT source AS facet, count(*) AS n_corpus,
+        |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_sample
+        |       FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_sample) AS BIGINT) AS ns,
+        |               CAST(sum(n_corpus) AS BIGINT) AS nc, count(*) AS v FROM st)
+        |SELECT facet, n_sample, n_corpus,
+        |  round(CAST(n_sample + 1 AS DOUBLE) / (ns + v), 6) + 0.0 AS p_sample,
+        |  round(CAST(n_corpus + 1 AS DOUBLE) / (nc + v), 6) + 0.0 AS p_corpus,
+        |  round((CAST(n_sample + 1 AS DOUBLE) / (ns + v)) *
+        |        (ln(CAST(n_sample + 1 AS DOUBLE) / (ns + v))
+        |       - ln(CAST(n_corpus + 1 AS DOUBLE) / (nc + v))), 6) + 0.0 AS kl_term
+        |FROM st, tot""".stripMargin,
+
+    // Calibration replay: ×10⁴ scaled-integer equal-width binning (integer
+    // floor division — `//` here, the pmod/decimal identity on the Spark
+    // side), bin means as explicit double-cast sums over counts (never avg).
+    "classifier_calibration" ->
+      s"""WITH $duckToks,
+         |$duckNbScored,
+         |si AS (SELECT s.doc_id, CAST(round(nb_score * 10000) AS BIGINT) AS si, y
+         |       FROM scored s JOIN lab USING (doc_id)),
+         |mm AS (SELECT min(si) AS mn, max(si) AS mx FROM si),
+         |bs AS (SELECT y, si, CAST((si - mn) // ((mx - mn + 10) // 10) AS INT) AS bin
+         |       FROM si, mm)
+         |SELECT bin, count(*) AS n,
+         |  round(CAST(sum(si) AS DOUBLE) / count(*) / 10000, 6) + 0.0 AS mean_score,
+         |  round(CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) + 0.0
+         |    AS frac_pos
+         |FROM bs GROUP BY 1""".stripMargin,
 
     // Cluster-quality replay: centroids from the label_centroids CTE
     // (rounded to 6 before any downstream arithmetic), member/centroid

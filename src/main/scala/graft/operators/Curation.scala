@@ -625,24 +625,60 @@ object Curation {
         (Dedup.stableHash(col("_f")) % numBuckets).as("bucket"))
     val perDoc = feats.groupBy(col(idCol), col("_t"), col("bucket"))
       .agg(count(lit(1)).as("c"))
-    val raw = perDoc.groupBy(col("bucket")).agg(sum(col("c")).as("rb"))
-    val tgt = perDoc.filter(col("_t")).groupBy(col("bucket")).agg(sum(col("c")).as("tb"))
-    val totals = raw.agg(sum(col("rb")).as("rtot")).crossJoin(
-      tgt.agg(sum(col("tb")).as("ttot")))
+    // Both model distributions and their totals come from ONE pass over the
+    // per-doc counts (raw + target sums in the same aggregate; totals as a
+    // window over the ≤numBuckets-row frame) — the tokenize→explode lineage
+    // runs twice in the whole query (model build + final join), not 5×.
+    import org.apache.spark.sql.expressions.Window
+    val everything = Window.partitionBy()
+    val bucketStats = perDoc.groupBy(col("bucket"))
+      .agg(sum(col("c")).as("rb"),
+        sum(when(col("_t"), col("c"))).as("tb"))
     // λ_b over the full bucket range observed in raw (target-absent buckets
     // smooth to ln(1/(T+m))); tiny frame, broadcast into the per-doc join.
-    val lambda = raw.join(tgt, Seq("bucket"), "left").crossJoin(broadcast(totals))
+    val lambda = bucketStats
       .select(col("bucket"),
         (log((coalesce(col("tb"), lit(0L)) + lit(1)).cast("double") /
-            (col("ttot") + lit(numBuckets))) -
+            (sum(col("tb")).over(everything) + lit(numBuckets))) -
           log((col("rb") + lit(1)).cast("double") /
-            (col("rtot") + lit(numBuckets)))).as("lam"))
+            (sum(col("rb")).over(everything) + lit(numBuckets)))).as("lam"))
     perDoc.join(broadcast(lambda), "bucket")
       .groupBy(col(idCol))
       .agg(sum(col("c")).as("n_feats"),
         sum(col("c").cast("double") * col("lam")).as("_s"))
       .select(col(idCol), col("n_feats"),
         (round(col("_s") / col("n_feats"), 4) + lit(0.0)).as("dsir_weight"))
+  }
+
+  /** Distribution-shift report between a sample and the full corpus over a
+    * categorical facet: per facet, counts, add-one-smoothed probabilities
+    * under both distributions, and the facet's signed KL contribution
+    * p_s·(ln p_s − ln p_c) — Σ over facets = KL(sample ‖ corpus). The
+    * mixture-monitoring eval after any curation/sampling pass: a large
+    * positive term means the sample over-represents that facet.
+    *
+    * Scale shape: one groupBy(facet) with conditional counts (map-side
+    * partial); totals and the facet count V are windows over the ≤|facets|
+    * frame — never a corpus-wide single partition. Add-one smoothing over
+    * observed facets keeps empty-sample facets finite.
+    *
+    * @param isSample boolean Column over `df`'s rows marking the sample
+    */
+  def distributionShift(
+      df: DataFrame, facetCol: String, isSample: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val everything = Window.partitionBy()
+    val stats = df.groupBy(col(facetCol).as("facet"))
+      .agg(sum(when(isSample, 1L).otherwise(0L)).as("n_sample"),
+        count(lit(1)).as("n_corpus"))
+    val denomS = sum(col("n_sample")).over(everything) + count(lit(1)).over(everything)
+    val denomC = sum(col("n_corpus")).over(everything) + count(lit(1)).over(everything)
+    val ps = (col("n_sample") + 1).cast("double") / denomS
+    val pc = (col("n_corpus") + 1).cast("double") / denomC
+    stats.select(col("facet"), col("n_sample"), col("n_corpus"),
+      (round(ps, 6) + lit(0.0)).as("p_sample"),
+      (round(pc, 6) + lit(0.0)).as("p_corpus"),
+      (round(ps * (log(ps) - log(pc)), 6) + lit(0.0)).as("kl_term"))
   }
 
   /** A built Bloom filter: sized bit count, hash count, dense words. */

@@ -82,16 +82,55 @@ object QualityMetrics {
       scored.select(col(idCol), col(scoreCol),
         col(labelCol).cast("boolean").as("_y")),
       idCol, Seq(scoreCol))
+    // one shuffle by score; Σ_pos avg_rank folds to Σ_s n_pos(s)·ar(s), so
+    // the corpus never joins back to the per-score frame (exact: ar is a
+    // half-integer and the products stay < 2^53)
     val perScore = ranked.groupBy(col(scoreCol))
-      .agg(((min(col("rank")) + max(col("rank"))).cast("double") / 2).as("_ar"))
-    ranked.join(perScore, Seq(scoreCol))
+      .agg(((min(col("rank")) + max(col("rank"))).cast("double") / 2).as("_ar"),
+        sum(when(col("_y"), 1L).otherwise(0L)).as("_np"),
+        count(lit(1)).as("_n"))
+    perScore
       .agg(
-        sum(when(col("_y"), 1L).otherwise(0L)).as("n_pos"),
-        sum(when(!col("_y"), 1L).otherwise(0L)).as("n_neg"),
-        sum(when(col("_y"), col("_ar"))).as("_sp"))
+        sum(col("_np")).as("n_pos"),
+        sum(col("_n") - col("_np")).as("n_neg"),
+        sum(col("_np") * col("_ar")).as("_sp"))
       .select(col("n_pos"), col("n_neg"),
         (round((col("_sp") - col("n_pos").cast("double") * (col("n_pos") + 1) / 2) /
           (col("n_pos").cast("double") * col("n_neg")), 6) + lit(0.0)).as("auc"))
+  }
+
+  /** Reliability (calibration) curve of a score column against a boolean
+    * label: equal-width bins over the observed score range; per bin the
+    * member count, mean score, and positive rate — the "is the classifier's
+    * confidence honest" eval next to [[rocAuc]] (a well-calibrated gate has
+    * frac_pos monotone in mean_score).
+    *
+    * Cross-engine exactness: scores are 4-decimal-rounded upstream, so
+    * binning runs in ×10⁴ scaled-integer space — bin width ceil(range/bins)
+    * and the bin index are integer arithmetic (floor division via the
+    * pmod/decimal identity, never double division); bin means divide an
+    * explicit long sum, never avg(). Scale shape: one scalar min/max
+    * aggregate broadcast back (1-row Cross attach), then one shuffle by
+    * bin id. */
+  def calibrationCurve(
+      scored: DataFrame, idCol: String, scoreCol: String,
+      labelCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    def fdiv(x: Column, w: Column): Column =
+      ((x - pmod(x, w)).cast("decimal(38,0)") / w).cast("long")
+    val base = scored.select(
+      round(col(scoreCol) * 10000).cast("long").as("_si"),
+      col(labelCol).cast("boolean").as("_y"))
+    val mm = base.agg(min(col("_si")).as("_mn"), max(col("_si")).as("_mx"))
+    base.crossJoin(broadcast(mm))
+      .withColumn("_w",
+        fdiv(col("_mx") - col("_mn") + lit(nBins.toLong), lit(nBins.toLong)))
+      .groupBy(fdiv(col("_si") - col("_mn"), col("_w")).cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        (round(sum(col("_si")).cast("double") / count(lit(1)) / 10000, 6) +
+          lit(0.0)).as("mean_score"),
+        (round(sum(when(col("_y"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 6) + lit(0.0)).as("frac_pos"))
   }
 
   /** Per-cluster quality report over a labeled embedding column: cohesion

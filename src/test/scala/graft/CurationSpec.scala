@@ -415,6 +415,26 @@ class CurationSpec extends SparkSpec {
     assert(many > 300 && many < 500, s"realized $many of ~400")
   }
 
+  test("distributionShift: over-represented facets get positive KL terms; uniform sample ~0") {
+    // corpus 60/40 across two facets; sample drawn only from facet a
+    val df = ((1 to 60).map(i => ("a", i <= 30)) ++ (1 to 40).map(_ => ("b", false)))
+      .toDF("facet", "samp")
+    val out = Curation.distributionShift(df.toDF("src", "samp"), "src", col("samp"))
+      .collect().map(r => r.getAs[String]("facet") ->
+        (r.getAs[Long]("n_sample"), r.getAs[Double]("p_sample"),
+          r.getAs[Double]("kl_term"))).toMap
+    assert(out("a")._1 == 30L && out("b")._1 == 0L)
+    // sample mass concentrates on a: positive term there, negative on b
+    assert(out("a")._3 > 0 && out("b")._3 < 0)
+    // probabilities are add-one smoothed over 2 facets: (30+1)/(30+2)
+    assert(math.abs(out("a")._2 - 31.0 / 32) < 1e-6)
+    // a sample matching the corpus mix: both terms ≈ 0
+    val even = Curation.distributionShift(
+      df.toDF("src", "samp"), "src", lit(true))
+    assert(even.collect().forall(r =>
+      math.abs(r.getAs[Double]("kl_term")) < 1e-4))
+  }
+
   test("ngramTop: occurrences vs document frequency, deterministic rank") {
     import graft.operators.TextAnalysis
     val docs = Seq(

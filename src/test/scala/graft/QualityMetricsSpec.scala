@@ -78,6 +78,29 @@ class QualityMetricsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_pos") == 1L && r.getAs[Long]("n_neg") == 2L)
   }
 
+  test("calibrationCurve: equal-width bins, exact counts and rates; degenerate range is one bin") {
+    // scores i/10000 for i in 0..99 → si = i, width = (99+10)/10 = 10,
+    // bin = i/10; label flips at i = 50
+    val df = (0 until 100).map(i => (i.toLong, i / 10000.0, i >= 50))
+      .toDF("id", "s", "y")
+    val out = QualityMetrics.calibrationCurve(df, "id", "s", "y", nBins = 10)
+      .collect().map(r => r.getAs[Int]("bin") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("mean_score"),
+          r.getAs[Double]("frac_pos"))).toMap
+    assert(out.keySet == (0 to 9).toSet)
+    assert(out.values.forall(_._1 == 10L))
+    (0 to 9).foreach { b =>
+      assert(out(b)._3 == (if (b < 5) 0.0 else 1.0))
+      assert(math.abs(out(b)._2 - (10 * b + 4.5) / 10000) < 1e-9)
+    }
+    // all rows share one score: a single bin 0 carrying the base rate
+    val one = QualityMetrics.calibrationCurve(
+      Seq((1L, 0.5, true), (2L, 0.5, false), (3L, 0.5, false), (4L, 0.5, true))
+        .toDF("id", "s", "y"), "id", "s", "y", nBins = 10).collect()
+    assert(one.length == 1 && one.head.getAs[Int]("bin") == 0 &&
+      one.head.getAs[Double]("frac_pos") == 0.5)
+  }
+
   test("clusterQuality: tight well-separated clusters score low ratio; overlap scores high") {
     // two clusters on axis 0 at +/-10 with radius 1, one diffuse cluster
     // straddling both
