@@ -23,6 +23,15 @@ class ExtensionsSpec extends AnyFunSuite {
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
+      // MUST carry the same data-affecting confs as SparkSpec.session:
+      // this session becomes the JVM default, and with parallel suite
+      // scheduling another suite's lazy SparkSpec.session can resolve to
+      // it via getOrCreate — without nanosAsLong the events.parquet ts
+      // column then infers as TIMESTAMP_NTZ and every events-based spec
+      // fails on (ts div 1000)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
