@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Raw stdout passthrough for the forked run: the driver's bench recorder
+// parses Bench's single JSON line from stdout, and sbt's default
+// LoggedOutput strategy prefixes every line with "[info] ", which breaks
+// that parse (BENCH_r1..r6 all recorded "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
