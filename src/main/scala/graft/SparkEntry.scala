@@ -1052,9 +1052,9 @@ object SparkEntry {
 
     // REAL image codec round trip (JDK ImageIO end to end): synthesize one
     // deterministic solid PNG per doc, decode with the real kernel, emit
-    // geometry + channel means. No SQL-expressible oracle (DuckDB has no
-    // image codec) → driver's rows-only check; exactness is pinned in
-    // MultimodalSpec against known pixels.
+    // geometry + channel means. Oracle-checked: the payload is a pure
+    // function of the id, so DuckDB recomputes the expected features from
+    // the generation parameters while Spark round-trips actual bytes.
     "image_features" -> ((s, dir) => {
       val media = Multimodal.syntheticImages(
         t(s, dir, "documents").select("doc_id"), "doc_id")
@@ -1075,7 +1075,8 @@ object SparkEntry {
     // PNG re-encode → decode again): geometry comes back as the target,
     // and a solid-color source keeps its exact channel means through the
     // bilinear scale. Chains BOTH image kernels end-to-end on the driver
-    // surface. Rows-only check; kernel exactness pinned in MultimodalSpec.
+    // surface; oracle-checked against the id-derived expected geometry
+    // and color (kernel exactness also pinned in MultimodalSpec).
     "image_resize" -> ((s, dir) => {
       val media = Multimodal.syntheticImages(
         t(s, dir, "documents").select("doc_id"), "doc_id")
@@ -1091,9 +1092,9 @@ object SparkEntry {
 
     // REAL audio codec round trip (JDK javax.sound WAV/PCM end to end):
     // synthesize one deterministic sine-burst WAV per doc, decode with the
-    // real kernel, emit container + signal stats. No SQL-expressible oracle
-    // (DuckDB has no audio codec) → driver's rows-only check; exactness is
-    // pinned in MultimodalSpec against the known sample stream.
+    // real kernel, emit container + signal stats. Oracle-checked: PCM16
+    // round-trips bit-for-bit, so DuckDB regenerates the sample stream
+    // from the id and replays the signal arithmetic term-for-term.
     "audio_features" -> ((s, dir) => {
       val media = Multimodal.syntheticAudio(
         t(s, dir, "documents").select("doc_id"), "doc_id")
@@ -1111,8 +1112,8 @@ object SparkEntry {
     // REAL video-container round trip (JDK ImageIO animated-GIF demux):
     // synthesize one deterministic multi-frame GIF per doc, extract every
     // frame with the real kernel, emit per-frame geometry + exact palette
-    // colors (IndexColorModel round-trips bit-for-bit). Rows-only check;
-    // exactness pinned in MultimodalSpec.
+    // colors (IndexColorModel round-trips bit-for-bit). Oracle-checked:
+    // DuckDB replays the frame explosion + palette hash from the id.
     "video_frames" -> ((s, dir) =>
       Multimodal.extractFrames(Multimodal.syntheticVideos(
           t(s, dir, "documents").select("doc_id"), "doc_id"))
@@ -2630,6 +2631,78 @@ object SparkEntry {
         |unnest(range(0, greatest(length(text) * 10 - 1, 0) + 1, 50)) AS t_ms,
         |CAST(unnest(range(0, greatest(length(text) * 10 - 1, 0) + 1, 50)) / 50 AS INT) AS frame_idx
         |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+
+    // The real-codec round trips ARE oracle-checkable: the synthetic
+    // payloads are deterministic functions of the id (solid PNG / palette
+    // GIF frames / 16-bit PCM sine burst), every decode step is lossless,
+    // and the features the queries emit are therefore pure id arithmetic —
+    // the oracle recomputes them from the generation parameters while the
+    // Spark side actually encodes and decodes bytes through the JDK codecs.
+    // A codec regression on either side breaks the hash match.
+    "image_features" ->
+      """WITH f AS (SELECT doc_id, CAST(doc_id % 13 + 2 AS INT) AS w,
+        |  CAST(doc_id % 7 + 2 AS INT) AS h,
+        |  (doc_id * 2654435761) & 16777215 AS rgb FROM documents)
+        |SELECT doc_id AS media_id, w AS width, h AS height,
+        |  round(CAST((rgb >> 16) & 255 AS DOUBLE), 4) AS mean_r,
+        |  round(CAST((rgb >> 8) & 255 AS DOUBLE), 4) AS mean_g,
+        |  round(CAST(rgb & 255 AS DOUBLE), 4) AS mean_b
+        |FROM f""".stripMargin,
+
+    // bilinear scale of a solid image is that color at every target pixel,
+    // and the PNG re-encode round-trips it losslessly
+    "image_resize" ->
+      """WITH f AS (SELECT doc_id, (doc_id * 2654435761) & 16777215 AS rgb
+        |  FROM documents)
+        |SELECT doc_id AS media_id, CAST(5 AS INT) AS width,
+        |  CAST(3 AS INT) AS height,
+        |  round(CAST((rgb >> 16) & 255 AS DOUBLE), 4) AS mean_r,
+        |  round(CAST(rgb & 255 AS DOUBLE), 4) AS mean_b
+        |FROM f""".stripMargin,
+
+    // the PCM16 sample stream round-trips bit-for-bit, so the oracle
+    // regenerates it sample-by-sample: floor(x + 0.5) replays Java's
+    // Math.round (half-up, not DuckDB round()'s half-away-from-zero),
+    // and the expression mirrors synthWavBytes' evaluation order so both
+    // engines run the same IEEE double chain into sin()
+    "audio_features" ->
+      """WITH p AS (SELECT doc_id,
+        |    200.0 + (doc_id % 23) * 50.0 AS freq,
+        |    0.2 + (doc_id % 5) * 0.15 AS amp,
+        |    160 + (doc_id % 11) * 40 AS nf
+        |  FROM documents),
+        |s AS (SELECT doc_id, nf, unnest(range(nf)) AS i, freq, amp FROM p),
+        |v AS (SELECT doc_id, nf, i,
+        |    CAST(floor(amp * 32767.0 * sin(2.0 * pi() * freq * i / 8000.0) + 0.5)
+        |         AS BIGINT) AS v
+        |  FROM s),
+        |z AS (SELECT doc_id, nf, v,
+        |    CASE WHEN i > 0 AND ((v >= 0) <>
+        |      (lag(v) OVER (PARTITION BY doc_id ORDER BY i) >= 0))
+        |    THEN 1 ELSE 0 END AS zc
+        |  FROM v)
+        |SELECT doc_id AS media_id, CAST(8000 AS INT) AS sample_rate,
+        |  CAST(nf AS INT) AS n_frames,
+        |  CAST(floor(nf * 1000.0 / 8000.0 + 0.5) AS BIGINT) AS duration_ms,
+        |  round(sqrt(sum(v * v) / nf), 4) AS rms,
+        |  CAST(sum(zc) AS INT) AS zero_crossings
+        |FROM z GROUP BY doc_id, nf""".stripMargin,
+
+    // IndexColorModel palette colors round-trip exactly through the GIF
+    // sequence writer/reader, so per-frame means are the palette entries
+    "video_frames" ->
+      """WITH f AS (SELECT doc_id, CAST(doc_id % 6 + 2 AS INT) AS w,
+        |    CAST(doc_id % 4 + 2 AS INT) AS h,
+        |    CAST(doc_id % 5 + 2 AS INT) AS nf FROM documents),
+        |e AS (SELECT doc_id, w, h, nf, unnest(range(nf)) AS fi FROM f),
+        |c AS (SELECT doc_id, w, h, nf, fi,
+        |    ((doc_id * 31 + fi) * 2654435761) & 16777215 AS rgb FROM e)
+        |SELECT doc_id AS media_id, CAST(fi AS INT) AS frame_idx,
+        |  nf AS n_frames, w AS width, h AS height,
+        |  CAST((rgb >> 16) & 255 AS INT) AS r,
+        |  CAST((rgb >> 8) & 255 AS INT) AS g,
+        |  CAST(rgb & 255 AS INT) AS b
+        |FROM c""".stripMargin,
 
     "lww_state" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsn, event_type, value FROM events),

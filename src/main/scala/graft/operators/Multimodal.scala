@@ -219,7 +219,16 @@ object Multimodal {
 
   /** Shared synthesis scaffold: one (media_id, payload) row per id, bytes
     * from `bytesFor` — the three per-modality generators differ only in
-    * the JDK codec they encode through. */
+    * the JDK codec they encode through.
+    *
+    * The id frame is repartitioned to the session's default parallelism
+    * BEFORE synthesis: the corpus tables are single parquet files, so
+    * without it the whole synthesize→encode→decode chain (mapPartitions
+    * all the way down) runs in ONE task — measured 45 s single-threaded
+    * vs ~2 s spread over local[32] for the resize round trip at sf0.1.
+    * Only the narrow id column shuffles; payload bytes are created after
+    * the exchange and never move. A real media table read from parquet
+    * splits by file bytes instead and skips this. */
   private def synthPayloads(df: DataFrame, idCol: String)(
       bytesFor: Long => Array[Byte]): DataFrame = {
     val spark = df.sparkSession
@@ -227,12 +236,14 @@ object Multimodal {
       StructField("media_id", LongType, nullable = false),
       StructField("payload", BinaryType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
-    val result = df.select(col(idCol).cast("long")).mapPartitions { it =>
-      it.map { r =>
-        val id = r.getLong(0)
-        Row(id, bytesFor(id))
-      }
-    }(enc)
+    val result = df.select(col(idCol).cast("long"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          Row(id, bytesFor(id))
+        }
+      }(enc)
     spark.createDataFrame(result.rdd, outSchema)
   }
 
