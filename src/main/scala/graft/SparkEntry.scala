@@ -51,7 +51,8 @@ object SparkEntry {
   val indexBackedQueries: Seq[String] =
     Seq("ann_lsh", "ann_lsh_filtered", "ann_rescored", "ann_b1", "ann_pq",
       "ann_ivfpq", "bm25_single", "span_dedup",
-      "dedup_jaccard", "dedup_minhash", "dedup_clusters", "decontamination")
+      "dedup_jaccard", "dedup_minhash", "dedup_clusters", "decontamination",
+      "doc_novelty", "source_overlap")
 
   // ---- ANN helpers ---------------------------------------------------------
 
@@ -880,6 +881,23 @@ object SparkEntry {
         .select("id_a", "id_b", "split_a", "split_b", "jaccard")
     }),
 
+    // Prefix-novelty contribution score: fraction of each doc's shingles
+    // unseen in any earlier (smaller-id) doc — the "does this doc add
+    // anything" curation signal, served from the same shingle store.
+    "doc_novelty" -> ((s, dir) =>
+      Dedup.docNovelty(shingleStore(s, dir), "doc_id")),
+
+    // Cross-source duplication matrix: the minhash near-dup pairs
+    // cross-tabbed by endpoint source — the corpus-composition diagnostic
+    // behind mixture weights (how much of source A is already in B).
+    "source_overlap" -> ((s, dir) => {
+      val pairs = Dedup.minhashNearDupsFromStores(shingleStore(s, dir),
+        minhashSigStore(s, dir), "doc_id", bands = 4, threshold = 0.5,
+        maxShingleDf = None)
+      Curation.crossSourceOverlap(pairs, t(s, dir, "documents"),
+        "doc_id", "source")
+    }),
+
     // exact all-pairs form — the oracle baseline for the LSH default below
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDupsExact(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
@@ -1618,6 +1636,31 @@ object SparkEntry {
          |FROM cand JOIN inter USING (id_a, id_b)
          |JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
          |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5""".stripMargin,
+
+    // first-seen id per shingle, then the per-doc unseen fraction — the
+    // novelty arithmetic replayed term-for-term over the same shingle set
+    "doc_novelty" ->
+      s"""WITH $duckToks, ${duckShingles(5)},
+         |fs AS (SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY h)
+         |SELECT s.doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN first_doc < s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+         |  round(1.0 - CAST(sum(CASE WHEN first_doc < s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / count(*), 6) AS novelty
+         |FROM sh s JOIN fs USING (h) GROUP BY s.doc_id""".stripMargin,
+
+    // dedup_minhash's pair replay joined to each endpoint's source,
+    // folded into the canonical (least, greatest) cell
+    "source_overlap" ->
+      s"""WITH $duckToks, ${duckShingles(5)}, $duckMinhashCand, $duckJaccardTail,
+         |pairs AS (SELECT id_a, id_b FROM cand JOIN inter USING (id_a, id_b)
+         |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5),
+         |s AS (SELECT doc_id, source FROM documents)
+         |SELECT least(a.source, b.source) AS source_x,
+         |  greatest(a.source, b.source) AS source_y, count(*) AS n_pairs
+         |FROM pairs JOIN s a ON a.doc_id = pairs.id_a
+         |  JOIN s b ON b.doc_id = pairs.id_b
+         |GROUP BY 1, 2""".stripMargin,
 
     // dedup_minhash's pair replay + dataset_split's hash-coin CASE on
     // each pair end, equal-split pairs dropped.

@@ -141,6 +141,31 @@ object Curation {
       .withColumn("keep", col(idCol) === canon)
   }
 
+  /** Cross-source duplication matrix: near-dup pair counts cross-tabbed by
+    * an attribute of each endpoint (source, domain, snapshot…). The corpus-
+    * composition diagnostic behind mixture decisions — how much of source A
+    * is already in source B decides which one a dedup pass should keep and
+    * how much a mixture weight double-counts. Symmetric pairs fold into one
+    * canonical (least, greatest) cell.
+    *
+    * Plan shape: two equi-joins on the id to attach endpoint attributes
+    * (the pair set is orders of magnitude smaller than the corpus — AQE
+    * broadcasts it against the narrow (id, attr) projection), then one
+    * low-cardinality aggregate. Nothing wider than (id, id, attr) ever
+    * shuffles. */
+  def crossSourceOverlap(
+      pairs: DataFrame, docs: DataFrame, idCol: String, attrCol: String)
+      : DataFrame = {
+    val d = docs.select(col(idCol), col(attrCol))
+    pairs.select("id_a", "id_b")
+      .join(d.toDF("id_a", "_attr_a"), "id_a")
+      .join(d.toDF("id_b", "_attr_b"), "id_b")
+      .select(least(col("_attr_a"), col("_attr_b")).as("source_x"),
+        greatest(col("_attr_a"), col("_attr_b")).as("source_y"))
+      .groupBy("source_x", "source_y")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** 2^60 as double — the divisor turning [[Dedup.stableHash]] (60-bit)
     * into a uniform double in [0,1). Division by a power of two is exact,
     * so the value is reproducible bit-for-bit cross-engine. */

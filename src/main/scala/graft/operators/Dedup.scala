@@ -764,4 +764,32 @@ object Dedup {
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
   }
+
+  /** Prefix-novelty (contribution) score: for each document, the fraction
+    * of its distinct n-gram shingles that NO earlier document (smaller id —
+    * ingest order) already contains. The curation signal for "does this doc
+    * add anything", used to prioritize unique content and down-weight
+    * boilerplate re-crawls; docs with novelty ≈ 0 are pure repetition of
+    * the earlier corpus even when no single near-dup pair exists.
+    *
+    * Input is the materialized shingle store (id, sh) — the same index
+    * artifact the Jaccard/minhash paths probe. Plan shape: one partial-
+    * aggregating groupBy on the shingle hash (first-seen id per shingle),
+    * one equi-join back on that hash (co-partitioned with the aggregate's
+    * output — no extra exchange on the aggregated side), one narrow
+    * aggregate on the id. Only (long, long) pairs ever shuffle, so the
+    * shape survives a 100 TB corpus; shingle-frequency skew is bounded
+    * because the store is distinct-per-doc and the join key carries no
+    * payload. Docs below the shingle width are absent by construction. */
+  def docNovelty(shingles: DataFrame, idCol: String): DataFrame = {
+    val firstSeen = shingles.groupBy(col("sh"))
+      .agg(min(col(idCol)).as("_first_doc"))
+    shingles.join(firstSeen, "sh")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("_first_doc") < col(idCol), 1L).otherwise(0L)).as("n_seen"))
+      .withColumn("novelty",
+        round(lit(1.0) - col("n_seen").cast("double") / col("n_shingles"), 6))
+  }
 }

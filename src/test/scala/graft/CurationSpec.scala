@@ -454,4 +454,16 @@ class CurationSpec extends SparkSpec {
       .as[(String, Long, Long, Int)].collect()
     assert(tri.exists(_._1 == "big data big") && tri.forall(!_._1.contains("tiny")))
   }
+
+  test("cross-source overlap: symmetric fold, per-cell counts") {
+    val pairs = pairsDf((1L, 2L), (1L, 3L), (2L, 4L), (5L, 6L))
+    val docs = Seq((1L, "web"), (2L, "wiki"), (3L, "web"), (4L, "web"),
+      (5L, "books"), (6L, "wiki")).toDF("doc_id", "source")
+    val cells = Curation.crossSourceOverlap(pairs, docs, "doc_id", "source")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // (1,2) web-wiki and (2,4) wiki-web fold into the same canonical cell
+    assert(cells == Map(("web", "wiki") -> 2L, ("web", "web") -> 1L,
+      ("books", "wiki") -> 1L))
+  }
 }

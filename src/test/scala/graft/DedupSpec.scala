@@ -231,4 +231,17 @@ class DedupSpec extends SparkSpec {
       assert(got.nonEmpty, s"k=$k produced no pairs — degenerate fixture")
     }
   }
+
+  test("doc novelty: first occurrence fully novel, exact dup fully seen") {
+    val nov = Dedup.docNovelty(Dedup.shingles(docs, "doc_id", "text", 5), "doc_id")
+      .select("doc_id", "n_shingles", "n_seen", "novelty")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(nov(0L) == ((9L, 0L, 1.0)))        // earliest doc: all shingles new
+    assert(nov(3L) == ((9L, 9L, 0.0)))        // exact dup of 0: nothing new
+    assert(nov(2L)._3 == 1.0)                 // unrelated content: fully novel
+    val (n1, seen1, nv1) = nov(1L)            // near-dup of 0: mostly seen
+    assert(seen1 > 0 && seen1 < n1 && nv1 > 0.0 && nv1 < 1.0)
+    assert(!nov.contains(4L))                 // sub-shingle doc absent
+  }
 }

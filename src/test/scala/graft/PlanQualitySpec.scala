@@ -54,7 +54,8 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("dedup candidate generation: equi-join shaped, never a cross product") {
-    for (q <- Seq("dedup_minhash", "dedup_jaccard", "dedup_embedding_lsh", "knn_join_lsh")) {
+    for (q <- Seq("dedup_minhash", "dedup_jaccard", "dedup_embedding_lsh",
+        "knn_join_lsh", "doc_novelty", "source_overlap")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), q)
       assert(!p.contains("BroadcastNestedLoopJoin"), q)
