@@ -52,7 +52,7 @@ object SparkEntry {
     Seq("ann_lsh", "ann_lsh_filtered", "ann_rescored", "ann_b1", "ann_pq",
       "ann_ivfpq", "bm25_single", "span_dedup",
       "dedup_jaccard", "dedup_minhash", "dedup_clusters", "decontamination",
-      "doc_novelty", "source_overlap")
+      "doc_novelty", "source_overlap", "dedup_containment")
 
   // ---- ANN helpers ---------------------------------------------------------
 
@@ -881,6 +881,14 @@ object SparkEntry {
         .select("id_a", "id_b", "split_a", "split_b", "jaccard")
     }),
 
+    // Containment near-dup pairs (|A∩B| / min(|A|,|B|)): the quoted-inside
+    // / partial-crawl case Jaccard structurally misses; same shingle-store
+    // equi-join shape. Uncapped for the oracle replay, like dedup_jaccard.
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairsFromShingles(shingleStore(s, dir), "doc_id",
+          threshold = 0.8, maxShingleDf = None)
+        .withColumn("containment", round(col("containment"), 6))),
+
     // Prefix-novelty contribution score: fraction of each doc's shingles
     // unseen in any earlier (smaller-id) doc — the "does this doc add
     // anything" curation signal, served from the same shingle store.
@@ -1636,6 +1644,14 @@ object SparkEntry {
          |FROM cand JOIN inter USING (id_a, id_b)
          |JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
          |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5""".stripMargin,
+
+    // same (sz, inter) tail as dedup_jaccard, containment denominator
+    "dedup_containment" ->
+      s"""WITH $duckToks, ${duckShingles(5)}, $duckJaccardTail
+         |SELECT id_a, id_b,
+         |  round(CAST(i AS DOUBLE) / least(sa.sz, sb.sz), 6) AS containment
+         |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |WHERE CAST(i AS DOUBLE) / least(sa.sz, sb.sz) >= 0.8""".stripMargin,
 
     // first-seen id per shingle, then the per-doc unseen fraction — the
     // novelty arithmetic replayed term-for-term over the same shingle set

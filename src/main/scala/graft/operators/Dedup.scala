@@ -765,6 +765,45 @@ object Dedup {
       .select("id_a", "id_b", "cos_sim")
   }
 
+  /** Containment near-dup pairs: |A∩B| / min(|A|,|B|) ≥ threshold over the
+    * shingle store. Catches a short document fully QUOTED inside a long one
+    * — the partial-crawl / boilerplate-wrapper case Jaccard structurally
+    * misses (|A∩B|/|A∪B| shrinks as the long side grows, so a page that
+    * embeds a whole article can sit far below any Jaccard threshold while
+    * its containment is 1.0). Broder's two resemblance measures; near-dup
+    * pipelines need both.
+    *
+    * Same scale shape as the Jaccard path: candidates are an equi-join on
+    * the shingle hash (never the |A|×|B| cross), intersections counted on
+    * the join, sizes from a narrow per-id aggregate, with the same
+    * df-cap serving default and no-cache-leak contract as
+    * [[jaccardPairsFromShingles]]. */
+  def containmentPairsFromShingles(
+      sh0: DataFrame, idCol: String, threshold: Double,
+      maxShingleDf: Option[Int] = Some(DefaultMaxShingleDf)): DataFrame = {
+    def verify(sh: DataFrame): DataFrame = {
+      val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+      val a = sh.select(col(idCol).as("id_a"), col("sh"))
+      val b = sh.select(col(idCol).as("id_b"), col("sh"))
+      a.join(b, "sh").filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
+        .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+        .withColumn("containment",
+          col("inter").cast("double") / least(col("sz_a"), col("sz_b")))
+        .filter(col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    }
+    maxShingleDf match {
+      case None => verify(sh0)
+      case some =>
+        val sh = capShingleDf(sh0, idCol, some).cache()
+        try verify(sh).localCheckpoint(true)
+        finally { sh.unpersist(false); () }
+    }
+  }
+
   /** Prefix-novelty (contribution) score: for each document, the fraction
     * of its distinct n-gram shingles that NO earlier document (smaller id —
     * ingest order) already contains. The curation signal for "does this doc

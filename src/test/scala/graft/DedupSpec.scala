@@ -232,6 +232,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containment: embedded doc scores 1.0 where jaccard stays low") {
+    val quoted = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"), // 2 shingles
+      (1L, "intro words first alpha beta gamma delta epsilon zeta middle " +
+        "filler content keeps growing with many extra tokens at the end"),
+      (2L, "unrelated text about something else entirely different here"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingles(quoted, "doc_id", "text", 5)
+    val cont = Dedup.containmentPairsFromShingles(sh, "doc_id", 0.9, None)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(cont((0L, 1L)) == 1.0) // doc 0 fully inside doc 1
+    assert(!cont.contains((0L, 2L)) && !cont.contains((1L, 2L)))
+    // the same pair sits far below any jaccard threshold
+    val jac = Dedup.jaccardPairsFromShingles(sh, "doc_id", 0.5, None)
+      .as[(Long, Long, Double)].collect()
+    assert(!jac.exists(p => p._1 == 0L && p._2 == 1L))
+  }
+
   test("doc novelty: first occurrence fully novel, exact dup fully seen") {
     val nov = Dedup.docNovelty(Dedup.shingles(docs, "doc_id", "text", 5), "doc_id")
       .select("doc_id", "n_shingles", "n_seen", "novelty")

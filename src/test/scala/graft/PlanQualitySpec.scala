@@ -55,7 +55,8 @@ class PlanQualitySpec extends SparkSpec {
 
   test("dedup candidate generation: equi-join shaped, never a cross product") {
     for (q <- Seq("dedup_minhash", "dedup_jaccard", "dedup_embedding_lsh",
-        "knn_join_lsh", "doc_novelty", "source_overlap")) {
+        "knn_join_lsh", "doc_novelty", "source_overlap",
+        "dedup_containment")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), q)
       assert(!p.contains("BroadcastNestedLoopJoin"), q)
