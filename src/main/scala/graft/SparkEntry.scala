@@ -52,7 +52,7 @@ object SparkEntry {
     Seq("ann_lsh", "ann_lsh_filtered", "ann_rescored", "ann_b1", "ann_pq",
       "ann_ivfpq", "bm25_single", "span_dedup",
       "dedup_jaccard", "dedup_minhash", "dedup_clusters", "decontamination",
-      "doc_novelty", "source_overlap", "dedup_containment")
+      "doc_novelty", "source_overlap", "dedup_containment", "hybrid_rrf")
 
   // ---- ANN helpers ---------------------------------------------------------
 
@@ -1237,6 +1237,16 @@ object SparkEntry {
         .withColumn("stopword_ratio", round(col("stopword_ratio"), 6))
         .withColumn("mean_word_len", round(col("mean_word_len"), 6))),
 
+    // The full Gopher rule battery (every signal + per-rule composite
+    // keep) — the pre-model filter pass; oracle replays each count and
+    // threshold over the same tokenizations.
+    // minRequiredWords relaxed to 1 for the synthetic corpus (its
+    // vocabulary rarely carries 2 of the 8 English function words —
+    // canonical web text uses the Gopher default of 2)
+    "gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(t(s, dir, "documents"), "doc_id", "text",
+        minWords = 30, minRequiredWords = 1)),
+
     "text_langid" -> ((s, dir) =>
       TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text")
         .withColumn("hit_ratio", round(col("hit_ratio"), 6))),
@@ -1316,6 +1326,24 @@ object SparkEntry {
     // ln/sum cannot flip the k-boundary.
     "bm25_single" -> (bm25("data") _),
     "bm25_multi" -> (bm25("spark merge window") _),
+
+    // Hybrid search: BM25 lexical top-10 + exact-ANN semantic top-10 fused
+    // by reciprocal rank (k=60) — the canonical two-tower serving pattern
+    // over a vector store. Ranks derive from each list's own rounded
+    // ordering (score desc / distance asc, id tiebreak), so the fusion is
+    // deterministic and the oracle replays both towers + the 1/(k+r) sum.
+    "hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lex = bm25("data")(s, dir)
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)))
+        .select(col("doc_id").as("id"), col("r"))
+      val sem = ann(Euclidean)(s, dir)
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("distance").asc, col("vec_id").asc)))
+        .select(col("vec_id").as("id"), col("r"))
+      QualityMetrics.rrfFuse(Seq(lex, sem), "id", "r", kConst = 60, topK = 10)
+    }),
 
     // F11: boolean query operators (tantivy QueryParser semantics — validator
     // fts.rs:248-315,561-599): AND joins, OR unions, NOT anti-joins, groups.
@@ -2007,6 +2035,39 @@ object SparkEntry {
          |FROM m""".stripMargin
     },
 
+    // every Gopher count/threshold replayed over the same tokenizations;
+    // thresholds compare the UNROUNDED ratios, like the Spark side
+    "gopher_rules" ->
+      s"""WITH $duckToks,
+         |w AS (SELECT d.doc_id, d.text, ts,
+         |    list_filter(regexp_split_to_array(d.text, '\\s+'), t -> len(t) > 0) AS ws,
+         |    list_filter(string_split(d.text, chr(10)), l -> len(trim(l)) > 0) AS lines
+         |  FROM documents d JOIN toks USING (doc_id)),
+         |c AS (SELECT doc_id, len(ws) AS n_words, greatest(len(ws), 1) AS nw,
+         |    CAST(coalesce(list_sum(list_transform(ws, t -> len(t))), 0) AS DOUBLE) AS sumlen,
+         |    len(list_filter(ws, t -> regexp_matches(t, '\\p{L}'))) AS n_alpha,
+         |    (len(string_split(text, '#')) - 1) + (len(string_split(text, '...')) - 1)
+         |      + (len(string_split(text, '…')) - 1) AS n_sym,
+         |    greatest(len(lines), 1) AS nl,
+         |    len(list_filter(lines, l -> regexp_matches(trim(l), '^[-•*]\\s'))) AS n_bullet,
+         |    len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$'))) AS n_ell,
+         |    len(list_distinct(list_intersect(ts,
+         |      ['the','be','to','of','and','that','have','with']))) AS req
+         |  FROM w)
+         |SELECT doc_id, CAST(n_words AS INT) AS n_words,
+         |  round(sumlen / nw, 6) AS mean_word_len,
+         |  round(CAST(n_alpha AS DOUBLE) / nw, 6) AS alpha_word_frac,
+         |  round(CAST(n_sym AS DOUBLE) / nw, 6) AS symbol_word_ratio,
+         |  round(CAST(n_bullet AS DOUBLE) / nl, 6) AS bullet_line_frac,
+         |  round(CAST(n_ell AS DOUBLE) / nl, 6) AS ellipsis_line_frac,
+         |  CAST(req AS INT) AS n_required_words,
+         |  (n_words BETWEEN 30 AND 100000 AND sumlen / nw BETWEEN 3.0 AND 10.0
+         |   AND CAST(n_alpha AS DOUBLE) / nw > 0.8
+         |   AND CAST(n_sym AS DOUBLE) / nw < 0.1
+         |   AND CAST(n_bullet AS DOUBLE) / nl < 0.9
+         |   AND CAST(n_ell AS DOUBLE) / nl < 0.3 AND req >= 1) AS keep
+         |FROM c""".stripMargin,
+
     "text_langid" -> {
       val structs = TextAnalysis.LangStopwords.zipWithIndex.map { case ((lang, words), i) =>
         val list = words.map(w => s"'$w'").mkString(", ")
@@ -2069,6 +2130,26 @@ object SparkEntry {
 
     "bm25_single" -> duckBm25(Bm25.tokenizeQuery("data")),
     "bm25_multi" -> duckBm25(Bm25.tokenizeQuery("spark merge window")),
+
+    // both towers replayed (the bm25_single term scores + the ann_euclidean
+    // distance scan), ranked on their rounded orderings, then the 1/(60+r)
+    // sum — rank fusion is exact arithmetic, so the hybrid is hash-checked
+    "hybrid_rrf" ->
+      s"""WITH ${duckTermScores(Seq("data"))},
+         |lex AS (SELECT doc_id AS id,
+         |    row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS r
+         |  FROM ts WHERE term = 'data' QUALIFY r <= 10),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |d AS (SELECT e.vec_id, $duckL2 AS dist FROM embeddings e, q),
+         |sem AS (SELECT vec_id AS id,
+         |    row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS r
+         |  FROM d QUALIFY r <= 10),
+         |u AS (SELECT id, 1.0 / (60 + r) AS c FROM lex
+         |      UNION ALL SELECT id, 1.0 / (60 + r) FROM sem)
+         |SELECT id, round(sum(c), 6) AS rrf_score,
+         |  CAST(count(*) AS INT) AS n_lists
+         |FROM u GROUP BY id
+         |ORDER BY round(sum(c), 6) DESC, id ASC LIMIT 10""".stripMargin,
 
     "bm25_bool_and" ->
       s"""WITH ${duckTermScores(Seq("spark", "data"))},

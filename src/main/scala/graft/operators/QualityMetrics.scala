@@ -166,4 +166,29 @@ object QualityMetrics {
       .select(col(labelCol), col("n_vectors"), col("cohesion"), col("separation"),
         (round(col("cohesion") / col("separation"), 4) + lit(0.0)).as("ratio"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009): combine ranked result
+    * lists from heterogeneous retrievers (BM25 lexical + ANN semantic is
+    * the canonical hybrid-search pair) by summing 1/(k + rank) per id —
+    * score-scale-free, so a raw BM25 score never has to be calibrated
+    * against a distance.
+    *
+    * Each input must carry the id and a 1-based `rankCol`; inputs are
+    * already top-k lists (k rows each), so the union/aggregate work is
+    * k·lists rows regardless of corpus size — fusion cost is the RESULT
+    * size. Ties break on the id for a deterministic final order. */
+  def rrfFuse(
+      lists: Seq[DataFrame], idCol: String, rankCol: String,
+      kConst: Int = 60, topK: Int = 10): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    lists.map(df => df.select(col(idCol),
+        (lit(1.0) / (lit(kConst.toDouble) + col(rankCol).cast("double")))
+          .as("_rrf_c")))
+      .reduce(_.unionByName(_))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("_rrf_c")), 6).as("rrf_score"),
+        count(lit(1)).cast("int").as("n_lists"))
+      .orderBy(col("rrf_score").desc, col(idCol).asc)
+      .limit(topK)
+  }
 }

@@ -532,4 +532,57 @@ object TextAnalysis {
     df.select(col(idCol), n.as("norm_text"),
       (n =!= col(textCol)).as("changed"))
   }
+
+  /** Gopher-style heuristic rule battery (Rae et al. 2021 §A1.1 — the
+    * standard pre-model web-corpus filter): word-count bounds, mean word
+    * length in [3,10], ≥80% words containing a letter, symbol-to-word
+    * ratio (#/ellipsis) < 0.1, < 90% bullet-started lines, < 30%
+    * ellipsis-ended lines, and ≥2 of the eight English "required words".
+    * Emits every signal plus the composite keep — one stateless
+    * projection over the text, no shuffle, whole-stage-codegen'd; the
+    * rule battery a 100 TB crawl pass applies before anything
+    * model-based. Thresholds compare UNROUNDED values (the rounded
+    * columns are for reporting), and every count is left-to-right
+    * non-overlapping so an oracle can replay it. */
+  def gopherRules(
+      df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minRequiredWords: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val words = wsTokens(t)
+    val nw = greatest(size(words), lit(1))
+    val meanLen =
+      aggregate(words, lit(0L), (a, w) => a + length(w)).cast("double") / nw
+    val alphaFrac =
+      size(filter(words, w => w.rlike("\\p{L}"))).cast("double") / nw
+    // split with limit -1 keeps trailing empties: "a#" must count one '#'
+    val symbols = (size(split(t, "#", -1)) - 1) +
+      (size(split(t, "\\.\\.\\.", -1)) - 1) + (size(split(t, "…", -1)) - 1)
+    val symbolRatio = symbols.cast("double") / nw
+    val lines = filter(split(t, "\n"), l => length(trim(l)) > 0)
+    val nl = greatest(size(lines), lit(1))
+    val bulletFrac =
+      size(filter(lines, l => trim(l).rlike("^[-•*]\\s"))).cast("double") / nl
+    val ellLineFrac =
+      size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$")))
+        .cast("double") / nl
+    val required = size(array_intersect(array_distinct(Dedup.tokens(t)),
+      array(Seq("the", "be", "to", "of", "and", "that", "have", "with")
+        .map(lit): _*)))
+    df.select(col(idCol),
+      size(words).as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(alphaFrac, 6).as("alpha_word_frac"),
+      round(symbolRatio, 6).as("symbol_word_ratio"),
+      round(bulletFrac, 6).as("bullet_line_frac"),
+      round(ellLineFrac, 6).as("ellipsis_line_frac"),
+      required.as("n_required_words"),
+      (size(words).between(minWords, maxWords) &&
+        meanLen.between(3.0, 10.0) &&
+        alphaFrac > 0.8 &&
+        symbolRatio < 0.1 &&
+        bulletFrac < 0.9 &&
+        ellLineFrac < 0.3 &&
+        required >= minRequiredWords).as("keep"))
+  }
 }

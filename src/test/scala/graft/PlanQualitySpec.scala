@@ -186,6 +186,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("gopher rules: one stateless projection, no shuffle") {
+    val p = plan("gopher_rules")
+    assert(!p.contains("Exchange"), s"rule battery must not shuffle:\n${p.take(1500)}")
+    assert(!p.contains("Join"), "rule battery must not join")
+  }
+
+  test("hybrid rrf: fusion over top-k lists only, never a cross product") {
+    val p = plan("hybrid_rrf")
+    // the BM25 tower's 1-row corpus-stats frame broadcasts as a nested-loop
+    // join by design (a scalar, not a pair space) — only a true cartesian
+    // over row sets is forbidden here
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // both towers keep their top-k shape before fusion
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    // fusion aggregates partially before its exchange
+    assert(p.contains("partial_sum"), p.take(1500))
+  }
+
   test("global rank: never an Exchange SinglePartition") {
     // the naive row_number() OVER (ORDER BY …) formulation collapses the
     // corpus into one task; globalRank exists to keep the rank computation

@@ -121,4 +121,22 @@ class QualityMetricsSpec extends SparkSpec {
     // centroid is ~10 from the others → ratio near 1, clearly the worst
     assert(out(2)._4 > out(0)._4 * 5 && out(2)._4 > out(1)._4 * 5)
   }
+
+  test("rrf fusion: both-list ids outrank single-list, ties break on id") {
+    val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "r")
+    val sem = Seq((20L, 1), (40L, 2), (10L, 3)).toDF("id", "r")
+    val fused = QualityMetrics.rrfFuse(Seq(lex, sem), "id", "r", 60, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    // 20: 1/62 + 1/61, 10: 1/61 + 1/63, then singles 40 (1/62) before 30 (1/63)
+    assert(fused.map(_._1).toSeq == Seq(20L, 10L, 40L, 30L))
+    assert(fused.head._3 == 2 && fused.last._3 == 1)
+    val expected20 = BigDecimal(1.0 / 62 + 1.0 / 61)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(fused.head._2 == expected20)
+    // equal-rank singles tie exactly → id ascending decides
+    val tied = QualityMetrics.rrfFuse(
+      Seq(Seq((7L, 1)).toDF("id", "r"), Seq((3L, 1)).toDF("id", "r")),
+      "id", "r", 60, 10).collect().map(_.getLong(0)).toSeq
+    assert(tied == Seq(3L, 7L))
+  }
 }

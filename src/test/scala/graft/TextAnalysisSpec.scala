@@ -306,4 +306,29 @@ class TextAnalysisSpec extends SparkSpec {
       .map { case (k, v, c) => k -> ((v, c)) }.toMap
     assert(fr(0L)._2 && !fr(1L)._2)
   }
+
+  test("gopher rules: each rule trips independently") {
+    val clean = ("the data " + Seq.tabulate(30)(i => s"word$i").mkString(" "))
+    val docs = Seq(
+      (0L, clean),                                      // passes everything
+      (1L, "the be to"),                                // too few words
+      (2L, clean + " ### ## # # #"),                    // symbol ratio
+      (3L, (1 to 32).map(i => s"- item the $i\n").mkString), // bullets
+      (4L, clean.replace("word", "0000")),              // alpha fraction
+      (5L, Seq.tabulate(32)(i => s"w$i").mkString(" ")) // no required words
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text",
+        minWords = 30, minRequiredWords = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("keep"), r.getAs[Int]("n_words"),
+          r.getAs[Double]("symbol_word_ratio"),
+          r.getAs[Double]("bullet_line_frac"),
+          r.getAs[Double]("alpha_word_frac")))).toMap
+    assert(out(0L)._1, out(0L).toString)
+    assert(!out(1L)._1 && out(1L)._2 == 3)
+    assert(!out(2L)._1 && out(2L)._3 > 0.1)
+    assert(!out(3L)._1 && out(3L)._4 == 1.0)
+    assert(!out(4L)._1 && out(4L)._5 < 0.8)
+    assert(!out(5L)._1)
+  }
 }
