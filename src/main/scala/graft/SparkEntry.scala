@@ -621,6 +621,18 @@ object SparkEntry {
     // store — the i8 column is an index artifact built once at write time;
     // stage 1 scans only the narrow quantized columns, stage 2 joins the
     // candidate pks back to the base table for exact rescoring.
+    // Matryoshka two-stage: rank on the 16-dim embedding prefix (4× fewer
+    // stage-1 bytes), exact full-dim rescore of the 5× oversampled
+    // candidates — deterministic, so the oracle replays both stages.
+    "ann_matryoshka" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0)
+      ApproxAnn.searchMatryoshka(emb, "embedding", Seq("vec_id"), Euclidean,
+          AnnRequest(qv, limit = 10), prefixDims = 16, oversample = 5.0)
+        .select(col("vec_id"), (round(col("distance"), 6) + lit(0.0)).as("distance"))
+    }),
+
     "ann_rescored" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val qv = emb.filter(col("vec_id") === 0).select("embedding")
@@ -2378,6 +2390,19 @@ object SparkEntry {
          |SELECT vec_id, round(dist, 6) + 0.0 AS distance,
          |       round((2.0 - dist) / 2.0, 6) + 0.0 AS similarity
          |FROM d ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // stage-1 prefix ranking over embedding[1:16] replayed raw (identical
+    // double chains on both engines), then the exact full-dim rescore
+    "ann_matryoshka" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |s1 AS (SELECT e.vec_id,
+         |    list_sum(list_transform(list_zip(e.embedding[1:16], q.qv[1:16]), x ->
+         |      (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) *
+         |      (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS dp
+         |  FROM embeddings e, q ORDER BY dp ASC, e.vec_id ASC LIMIT 50)
+         |SELECT e.vec_id, round($duckL2, 6) + 0.0 AS distance
+         |FROM embeddings e JOIN s1 USING (vec_id), q
+         |ORDER BY $duckL2 ASC, e.vec_id ASC LIMIT 10""".stripMargin,
 
     "ann_rescored" -> {
       // mirror Quantization.i8 -> dequant -> stage1 top-50 on quantized

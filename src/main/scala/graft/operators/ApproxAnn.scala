@@ -668,4 +668,27 @@ object ApproxAnn {
     Ann.plan(base.join(cand, pkCols), vecCol, pkCols, space,
       req.copy(restrictions = Nil))
   }
+
+  /** Matryoshka (MRL, Kusupati et al. 2022) two-stage ANN: an MRL-trained
+    * embedding's PREFIX is itself a valid lower-dimensional embedding, so
+    * stage 1 ranks on the first `prefixDims` components only and stage 2
+    * exactly rescores the oversampled candidate set at full dimension
+    * (broadcast candidate pks, same shape as [[searchRescoredIndexed]]'s
+    * stage 2). The dimension analogue of int8 rescoring: at 100 TB a
+    * 64→16 prefix cuts stage-1 scan bytes 4× — and composes with a
+    * prefix-only columnar store the way `_q` does for quantization.
+    * Restrictions apply in stage 1 (candidates already satisfy them). */
+  def searchMatryoshka(
+      df: DataFrame, vecCol: String, pkCols: Seq[String], space: Space,
+      req: AnnRequest, prefixDims: Int, oversample: Double = 5.0): DataFrame = {
+    require(prefixDims >= 1 && prefixDims <= req.vector.length,
+      s"prefixDims $prefixDims out of range for ${req.vector.length}-dim query")
+    val stage1K = math.max(req.limit, (req.limit * oversample).toInt)
+    val prefixed = df.withColumn("_vp", slice(col(vecCol), 1, prefixDims))
+    val stage1 = Ann.plan(prefixed, "_vp", pkCols, space,
+      req.copy(vector = req.vector.take(prefixDims), limit = stage1K))
+    val cand = broadcast(stage1.select(pkCols.map(col): _*))
+    Ann.plan(df.join(cand, pkCols), vecCol, pkCols, space,
+      req.copy(restrictions = Nil))
+  }
 }

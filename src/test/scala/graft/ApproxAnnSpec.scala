@@ -372,4 +372,34 @@ class ApproxAnnSpec extends SparkSpec {
     v._2.zip(Seq(0.1f, 0.2f, 0.3f, 1000.5f)).foreach { case (q, o) =>
       assert(math.abs(q - o) <= math.abs(o) / 64 + 1e-6) } // ≥7-bit mantissa
   }
+
+  test("matryoshka prefix rescore: recall grows with prefix, exact at full") {
+    val exact = exactIds(10).toSet
+    def recallAt(prefix: Int, oversample: Double): Int =
+      ApproxAnn.searchMatryoshka(emb, "embedding", Seq("vec_id"),
+          Euclidean, AnnRequest(qv, 10), prefixDims = prefix, oversample = oversample)
+        .select("vec_id").as[Long].collect().toSet.intersect(exact).size
+    val rs = Seq(8, 16, 32, 48).map(p => p -> recallAt(p, 5.0))
+    System.err.println(s"[graft] matryoshka recall@10 by prefix: $rs")
+    // NOTE: the fixture embeddings are isotropic, not MRL-trained — a
+    // 16/64 prefix is only a random projection here, so absolute recall is
+    // structurally capped; what the operator must guarantee is that (a)
+    // recall grows as the prefix keeps more of the vector, (b) returned
+    // distances are exact full-dim values, (c) the full prefix degenerates
+    // to the exact plan. An MRL-trained column concentrates variance in
+    // the prefix and lifts (a)'s curve; the mechanism is identical.
+    assert(rs.last._2 >= 8, s"48/64 prefix should recall ≥8/10: $rs")
+    assert(rs.last._2 >= rs.head._2, s"recall must not shrink with prefix: $rs")
+    val ds = ApproxAnn.searchMatryoshka(emb, "embedding", Seq("vec_id"),
+        Euclidean, AnnRequest(qv, 10), prefixDims = 16, oversample = 5.0)
+      .select("vec_id", "distance").as[(Long, Double)].collect().toMap
+    val exactDs = Ann.plan(emb, "embedding", Seq("vec_id"), Euclidean,
+        AnnRequest(qv, emb.count().toInt))
+      .select("vec_id", "distance").as[(Long, Double)].collect().toMap
+    ds.foreach { case (id, d) => assert(d == exactDs(id), s"distance of $id not exact") }
+    val full = ApproxAnn.searchMatryoshka(emb, "embedding", Seq("vec_id"),
+        Euclidean, AnnRequest(qv, 10), prefixDims = qv.length, oversample = 1.0)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(full == exactIds(10))
+  }
 }
