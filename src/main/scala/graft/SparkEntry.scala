@@ -1294,6 +1294,12 @@ object SparkEntry {
     "lm_score" -> ((s, dir) =>
       TextAnalysis.lmScore(t(s, dir, "documents"), "doc_id", "text")),
 
+    // Lexical diversity: per-doc unigram entropy + type-token ratio —
+    // the low-entropy template/mash detector complementing repetition's
+    // bigram view.
+    "token_entropy" -> ((s, dir) =>
+      TextAnalysis.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")),
+
     // Second-order fluency: interpolated bigram LM (λ=0.5 — exact in
     // binary, so the oracle literal folds identically), mean ln p over
     // each doc's transitions.
@@ -1963,6 +1969,21 @@ object SparkEntry {
          |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
          |  round(sum(tf * ln(CAST(cnt AS DOUBLE) / n_total)) / CAST(sum(tf) AS BIGINT), 4) + 0.0 AS lm_score
          |FROM tf JOIN model USING (term), tot GROUP BY doc_id""".stripMargin,
+
+    // H = ln n − (Σ tf·ln tf)/n and the type/token ratio, replayed over
+    // the same per-doc term frequencies
+    "token_entropy" ->
+      s"""WITH $duckToks,
+         |tk AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |    count(*) AS n_types,
+         |    sum(CAST(tf AS DOUBLE) * ln(CAST(tf AS DOUBLE))) AS stl
+         |  FROM tf GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_types,
+         |  round(ln(CAST(n_tokens AS DOUBLE)) - stl / n_tokens, 4) AS entropy,
+         |  round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS type_token_ratio
+         |FROM agg""".stripMargin,
 
     // Re-derives the NB model: (term, class) counts, Laplace α=1 over the
     // shared vocab, doc score = prior + Σ tf·log-odds.

@@ -267,6 +267,29 @@ object TextAnalysis {
     lmScoreFromTf(termFrequencies(df, idCol, textCol), idCol)
   }
 
+  /** Unigram-distribution shape per document: Shannon entropy (nats) and
+    * type-token ratio — the lexical-diversity quality signals (template
+    * text and keyboard-mash sit at low entropy even when no span repeats,
+    * complementing [[repetitionScore]]'s bigram view). H computed as
+    * ln n − (Σ tf·ln tf)/n over the per-doc term frequencies — one (id,
+    * term) aggregate plus a narrow per-id aggregate; the float sum order
+    * is absorbed by the 4-decimal rounding like every sum-ordered score
+    * here. Token-less docs are absent by construction. */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokenEntropyFromTf(termFrequencies(df, idCol, textCol), idCol)
+
+  /** [[tokenEntropy]] over a prebuilt (id, term, tf) store. */
+  def tokenEntropyFromTf(tf: DataFrame, idCol: String): DataFrame =
+    tf.groupBy(col(idCol)).agg(
+        sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("tf").cast("double") * log(col("tf").cast("double"))).as("_stl"))
+      .select(col(idCol), col("n_tokens"), col("n_types"),
+        round(log(col("n_tokens").cast("double")) - col("_stl") / col("n_tokens"), 4)
+          .as("entropy"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6)
+          .as("type_token_ratio"))
+
   /** (id, term, tf) aggregate over the raw (unfiltered) tokens — the store
     * shape [[lmScoreFromTf]]/[[tfidfTopTermsFromTf]] serve from. */
   def termFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame =

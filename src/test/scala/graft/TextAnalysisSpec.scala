@@ -307,6 +307,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fr(0L)._2 && !fr(1L)._2)
   }
 
+  test("token entropy: known distributions, uniform max, degenerate zero") {
+    val docs = Seq(
+      (0L, "a a a b"),     // skewed: H = ln4 − 3·ln3/4
+      (1L, "a b c d"),     // uniform: H = ln4, TTR 1
+      (2L, "x"),           // single token: H = 0
+      (3L, "")             // token-less: absent
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"),
+          r.getAs[Double]("entropy"), r.getAs[Double]("type_token_ratio")))).toMap
+    assert(out(0L) == ((4L, 2L,
+      BigDecimal(math.log(4) - 3 * math.log(3) / 4)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, 0.5)))
+    assert(out(1L)._3 == 1.3863 && out(1L)._4 == 1.0)
+    assert(out(2L) == ((1L, 1L, 0.0, 1.0)))
+    assert(!out.contains(3L))
+  }
+
   test("gopher rules: each rule trips independently") {
     val clean = ("the data " + Seq.tabulate(30)(i => s"word$i").mkString(" "))
     val docs = Seq(
