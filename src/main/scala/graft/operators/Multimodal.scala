@@ -117,20 +117,20 @@ object Multimodal {
         else {
           val w = img.getWidth
           val h = img.getHeight
+          // bulk getRGB into one int array: the per-pixel getRGB(x,y) path
+          // re-resolves the color model per call — the bulk read is the
+          // same conversion vectorized over the raster
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
           var sr, sg, sb, sl, sl2 = 0.0
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              val r = (rgb >> 16) & 0xff
-              val g = (rgb >> 8) & 0xff
-              val b = rgb & 0xff
-              val l = 0.299 * r + 0.587 * g + 0.114 * b
-              sr += r; sg += g; sb += b; sl += l; sl2 += l * l
-              x += 1
-            }
-            y += 1
+          var i = 0
+          while (i < px.length) {
+            val rgb = px(i)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            val l = 0.299 * r + 0.587 * g + 0.114 * b
+            sr += r; sg += g; sb += b; sl += l; sl2 += l * l
+            i += 1
           }
           val n = (w.toLong * h).toDouble
           Array(w.toDouble, h.toDouble,
@@ -357,16 +357,14 @@ object Multimodal {
                   val img = reader.read(fi)
                   val w = img.getWidth
                   val h = img.getHeight
+                  // bulk raster read — see imageDecodeBatch
+                  val px = img.getRGB(0, 0, w, h, null, 0, w)
                   var sr, sg, sb = 0.0
-                  var y = 0
-                  while (y < h) {
-                    var x = 0
-                    while (x < w) {
-                      val rgb = img.getRGB(x, y)
-                      sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
-                      x += 1
-                    }
-                    y += 1
+                  var i = 0
+                  while (i < px.length) {
+                    val rgb = px(i)
+                    sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+                    i += 1
                   }
                   val np = (w.toLong * h).toDouble
                   Row(id, fi, n, w, h, sr / np, sg / np, sb / np)
