@@ -9,6 +9,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // explicit, not inherited from javaOptions: Tables.load's NTZ→instant
+      // ts normalization is timezone-dependent and must always run in UTC
+      .config("spark.sql.session.timeZone", "UTC")
       // direct task commits: halves the per-directory rename cost of
       // partitionBy index materialization (local FS, no job-abort risk)
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
@@ -98,16 +101,22 @@ object Bench {
       detail.getBytes("UTF-8"))
     catch { case _: Throwable => () }
     System.err.println(detail)
-    // headline queries map: slowest-first greedy fill into a ~1600-char
+    // headline queries map: the slowest-first PREFIX that fits a ~1600-char
     // budget (2-decimal) — the regression-informative slice; everything
-    // omitted is sub-noise at sf0.1 and lives in the sidecar/stderr detail
+    // omitted is sub-noise at sf0.1 and lives in the sidecar/stderr detail.
+    // The fill stops at the first entry that doesn't fit (never skip-and-
+    // continue): "the N slowest" must mean exactly that, or a slow long-
+    // named query could silently drop while a faster short-named one stays.
     val budget = 1600
     val bySlow = results.sortBy(-_._2)
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var used = 0
+    var full = false
     bySlow.foreach { r =>
       val entry = "\"" + r._1 + "\":" + fmt(2)(r._2)
-      if (used + entry.length + 1 <= budget) { kept += ((r._1, r._2)); used += entry.length + 1 }
+      if (!full && used + entry.length + 1 <= budget) {
+        kept += ((r._1, r._2)); used += entry.length + 1
+      } else full = true
     }
     val qsSlow = kept.sortBy(_._1)
       .map { case (n, v) => "\"" + n + "\":" + fmt(2)(v) }

@@ -2083,7 +2083,7 @@ object SparkEntry {
          |      + (len(string_split(text, '…')) - 1) AS n_sym,
          |    greatest(len(lines), 1) AS nl,
          |    len(list_filter(lines, l -> regexp_matches(trim(l), '^[-•*]\\s'))) AS n_bullet,
-         |    len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$'))) AS n_ell,
+         |    len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)\\z'))) AS n_ell,
          |    len(list_distinct(list_intersect(ts,
          |      ['the','be','to','of','and','that','have','with']))) AS req
          |  FROM w)
@@ -2175,7 +2175,7 @@ object SparkEntry {
          |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
          |d AS (SELECT e.vec_id, $duckL2 AS dist FROM embeddings e, q),
          |sem AS (SELECT vec_id AS id,
-         |    row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS r
+         |    row_number() OVER (ORDER BY round(dist, 6) + 0.0 ASC, vec_id ASC) AS r
          |  FROM d QUALIFY r <= 10),
          |u AS (SELECT id, 1.0 / (60 + r) AS c FROM lex
          |      UNION ALL SELECT id, 1.0 / (60 + r) FROM sem)

@@ -120,11 +120,22 @@ object Dedup {
   def jaccardPairsFromShingles(
       sh0: DataFrame, idCol: String, threshold: Double,
       maxShingleDf: Option[Int] = Some(DefaultMaxShingleDf)): DataFrame =
+    withCappedShingles(sh0, idCol, maxShingleDf) { sh =>
+      jaccardVerify(sh, sh, idCol, threshold)
+    }
+
+  /** The df-cap scaffold with the no-cache-leak contract (scaladoc above):
+    * cap + cache only for the duration of `probe`, materialize the result
+    * eagerly (localCheckpoint), drop the cache entry before returning. The
+    * one definition both resemblance probes go through. */
+  private def withCappedShingles(
+      sh0: DataFrame, idCol: String, maxShingleDf: Option[Int])(
+      probe: DataFrame => DataFrame): DataFrame =
     maxShingleDf match {
-      case None => jaccardVerify(sh0, sh0, idCol, threshold)
+      case None => probe(sh0)
       case some =>
         val sh = capShingleDf(sh0, idCol, some).cache()
-        try jaccardVerify(sh, sh, idCol, threshold).localCheckpoint(true)
+        try probe(sh).localCheckpoint(true)
         finally { sh.unpersist(false); () }
     }
 
@@ -356,11 +367,13 @@ object Dedup {
       .select("id_a", "id_b", "dist")
   }
 
-  /** Exact-Jaccard tail shared by the exact and MinHash pipelines: intersect
-    * via the shingle equi-join (`candFilter` restricts the pair space),
-    * |A∪B| = |A|+|B|−|A∩B|, keep pairs ≥ threshold. */
-  private def jaccardVerify(
-      sh: DataFrame, shSizes: DataFrame, idCol: String, threshold: Double,
+  /** Candidate pairs + set stats shared by every shingle resemblance
+    * measure (Jaccard, containment): (id_a, id_b, inter, sz_a, sz_b) over
+    * pairs sharing ≥1 shingle — intersections counted ON the equi-join
+    * (`candidates` restricts the pair space; the composite (id, sh) key
+    * never materializes the |A|×|B| per-pair cross of shingle rows). */
+  private def pairShingleStats(
+      sh: DataFrame, shSizes: DataFrame, idCol: String,
       candidates: Option[DataFrame] = None): DataFrame = {
     val sizes = shSizes.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val inter = candidates match {
@@ -373,8 +386,6 @@ object Dedup {
       case Some(cand) =>
         cand
           .join(sh.select(col(idCol).as("id_a"), col("sh")), "id_a")
-          // composite (id_b, sh) key: the join IS the set intersection —
-          // never materializes the |A|×|B| per-pair cross of shingle rows
           .join(sh.select(col(idCol).as("id_b"), col("sh")), Seq("id_b", "sh"))
           .groupBy(col("id_a"), col("id_b"))
           .agg(count(lit(1)).as("inter"))
@@ -382,11 +393,18 @@ object Dedup {
     inter
       .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
       .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+  }
+
+  /** Exact-Jaccard tail shared by the exact and MinHash pipelines:
+    * |A∪B| = |A|+|B|−|A∩B| over [[pairShingleStats]], keep ≥ threshold. */
+  private def jaccardVerify(
+      sh: DataFrame, shSizes: DataFrame, idCol: String, threshold: Double,
+      candidates: Option[DataFrame] = None): DataFrame =
+    pairShingleStats(sh, shSizes, idCol, candidates)
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-  }
 
   // ---- MinHash + LSH -------------------------------------------------------
 
@@ -780,29 +798,14 @@ object Dedup {
     * [[jaccardPairsFromShingles]]. */
   def containmentPairsFromShingles(
       sh0: DataFrame, idCol: String, threshold: Double,
-      maxShingleDf: Option[Int] = Some(DefaultMaxShingleDf)): DataFrame = {
-    def verify(sh: DataFrame): DataFrame = {
-      val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-      val a = sh.select(col(idCol).as("id_a"), col("sh"))
-      val b = sh.select(col(idCol).as("id_b"), col("sh"))
-      a.join(b, "sh").filter(col("id_a") < col("id_b"))
-        .groupBy(col("id_a"), col("id_b"))
-        .agg(count(lit(1)).as("inter"))
-        .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
-        .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+      maxShingleDf: Option[Int] = Some(DefaultMaxShingleDf)): DataFrame =
+    withCappedShingles(sh0, idCol, maxShingleDf) { sh =>
+      pairShingleStats(sh, sh, idCol)
         .withColumn("containment",
           col("inter").cast("double") / least(col("sz_a"), col("sz_b")))
         .filter(col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     }
-    maxShingleDf match {
-      case None => verify(sh0)
-      case some =>
-        val sh = capShingleDf(sh0, idCol, some).cache()
-        try verify(sh).localCheckpoint(true)
-        finally { sh.unpersist(false); () }
-    }
-  }
 
   /** Prefix-novelty (contribution) score: for each document, the fraction
     * of its distinct n-gram shingles that NO earlier document (smaller id —

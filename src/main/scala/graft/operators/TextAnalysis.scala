@@ -586,8 +586,11 @@ object TextAnalysis {
     val nl = greatest(size(lines), lit(1))
     val bulletFrac =
       size(filter(lines, l => trim(l).rlike("^[-•*]\\s"))).cast("double") / nl
+    // \z, not $: Java's $ also matches before a trailing \r (a CRLF line
+    // split on \n keeps it), where RE2's $ is end-of-text — \z means
+    // end-of-text in both, so the oracle can replay CRLF corpora exactly
     val ellLineFrac =
-      size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$")))
+      size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)\\z")))
         .cast("double") / nl
     val required = size(array_intersect(array_distinct(Dedup.tokens(t)),
       array(Seq("the", "be", "to", "of", "and", "that", "have", "with")
