@@ -414,4 +414,33 @@ class StreamingSpec extends SparkSpec {
       assert(state == Map("a" -> 200L, "b" -> 100L))
     } finally FileUtils.deleteDirectory(dir)
   }
+
+  test("gopher rule gate runs unchanged on a stream (stateless projection)") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "the " + Seq.tabulate(35)(i => s"word$i").mkString(" ")),
+      (2L, "too short"),
+      (3L, "- a\n- b\n- c\n- the bullet wall\n" * 8))
+    val mem = MemoryStream[(Long, String)](spark)
+    // the SAME operator, applied to a streaming frame: stateless per-row
+    // projections are streaming-safe by construction — the ingest gate and
+    // the batch curation pass cannot drift because they are one function
+    val q = TextAnalysis.gopherRules(
+        mem.toDS().toDF("doc_id", "text"), "doc_id", "text",
+        minWords = 30, minRequiredWords = 1)
+      .writeStream.format("memory").queryName(s"gopher_${System.nanoTime()}")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs)
+      q.processAllAvailable()
+      val streamed = spark.table(q.name)
+        .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+      val batch = TextAnalysis.gopherRules(
+          docs.toDF("doc_id", "text"), "doc_id", "text",
+          minWords = 30, minRequiredWords = 1)
+        .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+      assert(streamed == batch)
+      assert(streamed(1L) && !streamed(2L) && !streamed(3L))
+    } finally q.stop()
+  }
 }
