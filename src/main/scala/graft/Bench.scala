@@ -59,6 +59,15 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
         val rebuildsBefore = graft.sources.IndexStorage.rebuilds.get()
+        // one GC per query, before its first timed run: localCheckpoint
+        // blocks (capped dedup/fuzzy paths) are only reclaimed by the
+        // ContextCleaner after a GC notices the orphaned references, and
+        // without this the storage pressure they accumulate over a
+        // 120+-query run lands on whatever queries sort LAST — the r7 full
+        // run showed an alphabetical tail block (winsorize/writetime/
+        // zorder) at 10-15× its standalone cost, median ≈ min, with zero
+        // code difference.
+        System.gc()
         val times = (1 to runs).map { i =>
           // operators may materialize eager intermediates scoped to their own
           // query; release before timing so queries don't inherit GC pressure

@@ -186,6 +186,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("token entropy: both aggregates partial, no join") {
+    val p = plan("token_entropy")
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p.take(1500))
+    assert(!p.contains("Join"), "entropy is two aggregates, never a join")
+  }
+
   test("gopher rules: one stateless projection, no shuffle") {
     val p = plan("gopher_rules")
     assert(!p.contains("Exchange"), s"rule battery must not shuffle:\n${p.take(1500)}")
