@@ -1194,6 +1194,21 @@ object SparkEntry {
         "lang", budgets = Map("en" -> 5000L, "zh" -> 2000L),
         defaultBudget = 1500L)),
 
+    // Quality-ordered budget selection: per-source token budgets filled in
+    // descending NB-classifier-score order (the "best docs under a budget"
+    // selection step) — same per-stratum running-sum shape as the sampler,
+    // ordered by quality instead of the hash coin.
+    "quality_budget_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis.nbQualityScore(docs, "doc_id", "text",
+          col("lang") === "en")
+        .join(docs.select("doc_id", "source"), "doc_id")
+      Curation.scoredBudgetSelect(scored, "doc_id", "source",
+          "nb_score", "n_tokens",
+          budgets = Map("src0" -> 4000L), defaultBudget = 1500L)
+        .select("source", "doc_id", "n_tokens", "nb_score", "taken_before")
+    }),
+
     // Sequence packing: concatenate-and-chunk into 512-token windows, one
     // pack stream per source shard (parallel by construction — a global
     // order would serialize the corpus through one partition).
@@ -1823,6 +1838,22 @@ object SparkEntry {
          |      / ${Curation.HashUnitDivisor} ASC, doc_id ASC) AS rn
          |  FROM documents)
          |SELECT doc_id, source FROM r WHERE rn <= 10""".stripMargin,
+
+    // the classifier-score replay + per-source budget window ordered by
+    // the ROUNDED score (the Spark side orders the same rounded column,
+    // so the boundary cannot flip on float ulps)
+    "quality_budget_select" ->
+      s"""WITH $duckToks, $duckNbScored,
+         |ntk AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens FROM tf GROUP BY 1),
+         |j AS (SELECT s.doc_id, d.source, ntk.n_tokens, s.nb_score
+         |  FROM scored s JOIN ntk USING (doc_id) JOIN documents d USING (doc_id)),
+         |o AS (SELECT source, doc_id, n_tokens, nb_score,
+         |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY nb_score DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS taken_before
+         |  FROM j)
+         |SELECT source, doc_id, n_tokens, nb_score, taken_before FROM o
+         |WHERE taken_before < CASE WHEN source = 'src0' THEN 4000 ELSE 1500 END""".stripMargin,
 
     "token_budget_sample" ->
       s"""WITH $duckToks,

@@ -451,6 +451,31 @@ object Curation {
     * parallelism argument as [[packSequences]]); the coin and token count
     * are per-row projections.
     */
+  /** Quality-ordered token-budget selection (the DataComp/DsDm "best docs
+    * under a budget" step): within each stratum, take documents in
+    * DESCENDING score order until the token budget is crossed (boundary
+    * doc kept — budgets are lower bounds, like [[tokenBudgetSample]],
+    * whose hash-coin order this replaces with a quality ranking). The
+    * running sum is windowed PER STRATUM like every budget/packing op
+    * here — a global quality order would serialize the corpus through one
+    * partition; per-stratum both scales and matches how budgets are set
+    * (per source/language, not globally). Order ties break on the id, and
+    * callers should pass an already-rounded score so the boundary cannot
+    * flip on float ulps cross-engine. */
+  def scoredBudgetSelect(
+      scored: DataFrame, idCol: String, stratumCol: String,
+      scoreCol: String, nTokensCol: String,
+      budgets: Map[String, Long], defaultBudget: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = stratumCase(stratumCol, budgets, defaultBudget)
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    scored
+      .withColumn("taken_before", coalesce(sum(col(nTokensCol)).over(w), lit(0L)))
+      .filter(col("taken_before") < budget)
+  }
+
   def tokenBudgetSample(
       df: DataFrame, idCol: String, textCol: String, stratumCol: String,
       budgets: Map[String, Long], defaultBudget: Long = 0L): DataFrame = {

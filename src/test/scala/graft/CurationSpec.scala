@@ -455,6 +455,25 @@ class CurationSpec extends SparkSpec {
     assert(tri.exists(_._1 == "big data big") && tri.forall(!_._1.contains("tiny")))
   }
 
+  test("scored budget select: quality order, boundary kept, per-stratum") {
+    val scored = Seq(
+      // stratum a, budget 100: scores 9 > 7 > 5; 60+60 crosses at doc 2
+      (1L, "a", 9.0, 60L), (2L, "a", 7.0, 60L), (3L, "a", 5.0, 60L),
+      // stratum b, default budget 50: only the best fits (boundary kept)
+      (4L, "b", 2.0, 80L), (5L, "b", 1.0, 10L),
+      // stratum c: score tie → lower id first
+      (6L, "c", 4.0, 30L), (7L, "c", 4.0, 30L))
+      .toDF("doc_id", "source", "score", "n_tokens")
+    val kept = Curation.scoredBudgetSelect(scored, "doc_id", "source",
+        "score", "n_tokens", budgets = Map("a" -> 100L, "c" -> 40L),
+        defaultBudget = 50L)
+      .select("doc_id", "taken_before").as[(Long, Long)].collect().toMap
+    // a: doc1 (0 before), doc2 (60 before < 100, boundary kept), doc3 dropped
+    // b: doc4 (best, kept though 80 > 50), doc5 dropped (80 before >= 50)
+    // c: tie → doc6 first, doc7 kept at 30 < 40
+    assert(kept == Map(1L -> 0L, 2L -> 60L, 4L -> 0L, 6L -> 0L, 7L -> 30L))
+  }
+
   test("cross-source overlap: symmetric fold, per-cell counts") {
     val pairs = pairsDf((1L, 2L), (1L, 3L), (2L, 4L), (5L, 6L))
     val docs = Seq((1L, "web"), (2L, "wiki"), (3L, "web"), (4L, "web"),
