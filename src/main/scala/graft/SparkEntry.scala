@@ -475,6 +475,23 @@ object SparkEntry {
         Seq("click_id", "click_value"))
     }),
 
+    // FORWARD as-of: each click matched to the same user's NEAREST error
+    // at-or-after it (the time-to-failure / next-event query) — the same
+    // union+window merge with the scan direction flipped; the oracle is
+    // DuckDB's native forward ASOF (l.ts <= r.ts), an independent
+    // implementation again.
+    "asof_join_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      // (key, ts)-unique right side — see asof_join's note
+      val errors = ev.filter(col("event_type") === "error")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("event_id")).as("error_id"))
+      Temporal.asofJoin(clicks, errors, Seq("user_id"), "ts_us",
+        Seq("error_id"), forward = true)
+    }),
+
     // LEFT OUTER as-of: signups keep their row even before the user's
     // first purchase (null right columns) — DuckDB's ASOF LEFT JOIN twin.
     "asof_join_left" -> ((s, dir) => {
@@ -3091,6 +3108,14 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, e.ts_us,
         |       c.ts_us AS asof_ts_us, c.click_id AS asof_click_id, c.click_value AS asof_click_value
         |FROM e ASOF JOIN c ON e.user_id = c.user_id AND e.ts_us >= c.ts_us""".stripMargin,
+
+    "asof_join_forward" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click'),
+        |e AS (SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS error_id
+        |      FROM events WHERE event_type = 'error' GROUP BY user_id, epoch_us(ts))
+        |SELECT c.event_id, c.user_id, c.ts_us,
+        |       e.ts_us AS asof_ts_us, e.error_id AS asof_error_id
+        |FROM c ASOF JOIN e ON c.user_id = e.user_id AND c.ts_us <= e.ts_us""".stripMargin,
 
     "asof_join_left" ->
       """WITH s AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'signup'),

@@ -26,10 +26,13 @@ import org.apache.spark.sql.types.StructType
   */
 object Temporal {
 
-  /** Backward as-of join: for each left row, the single most recent right
-    * row of the same key with `right.tsCol <= left.tsCol` (inclusive — a
-    * right row AT the left timestamp matches), optionally within
-    * `toleranceMicros`. Left rows with no qualifying right row are dropped
+  /** As-of join, backward by default: for each left row, the single most
+    * recent right row of the same key with `right.tsCol <= left.tsCol`
+    * (inclusive — a right row AT the left timestamp matches), optionally
+    * within `toleranceMicros`. With `forward = true`, the NEAREST right
+    * row at-or-after instead (`right.tsCol >= left.tsCol` — "signup →
+    * first purchase after"), mirroring DuckDB's `ASOF JOIN ... ON l.ts <=
+    * r.ts`. Left rows with no qualifying right row are dropped
     * when `leftOuter = false` (inner semantics; DuckDB/pandas `ASOF JOIN`
     * parity) or kept with null right columns when `leftOuter = true`
     * (`ASOF LEFT JOIN`). A tolerance-stale match counts as no match.
@@ -50,7 +53,8 @@ object Temporal {
       tsCol: String, rightValCols: Seq[String],
       prefix: String = "asof_",
       toleranceMicros: Option[Long] = None,
-      leftOuter: Boolean = false): DataFrame = {
+      leftOuter: Boolean = false,
+      forward: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty, "asofJoin requires at least one key column")
     val carriedCols = tsCol +: rightValCols
     val rv = struct(carriedCols.map(col): _*)
@@ -70,9 +74,14 @@ object Temporal {
         lit(null).cast(lvType).as("_lv"), rv.as("_rv")): _*)
     // right rows order BEFORE left rows at the same timestamp (side 0 < 1)
     // ⇒ inclusive match; _rv last in the ordering makes same-ts right rows
-    // deterministic (max struct wins)
+    // deterministic (max struct wins). `forward` flips only the timestamp
+    // scan direction: the descending window sees exactly the rows with
+    // ts >= current, turning "most recent at-or-before" into "nearest
+    // at-or-after" with every other property (inclusivity, tie rule,
+    // ONE shuffle on the key, no join operator) unchanged.
+    val tsOrd = if (forward) col("_ts").desc else col("_ts").asc
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_ts").asc, col("_side").asc, col("_rv").asc)
+      .orderBy(tsOrd, col("_side").asc, col("_rv").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val carried = last(col("_rv"), ignoreNulls = true).over(w)
     val leftRows = l.unionByName(r)
@@ -81,8 +90,10 @@ object Temporal {
     // a stale match (outside tolerance) is NO match: null the struct so
     // outer keeps the row with null right columns and inner drops it
     val tolerant = toleranceMicros match {
-      case Some(t) => leftRows.withColumn("_m",
-        when(col("_ts") - col("_m")(tsCol) <= t, col("_m")))
+      case Some(t) =>
+        val gap = if (forward) col("_m")(tsCol) - col("_ts")
+          else col("_ts") - col("_m")(tsCol)
+        leftRows.withColumn("_m", when(gap <= t, col("_m")))
       case None => leftRows
     }
     val matched =

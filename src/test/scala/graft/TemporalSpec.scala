@@ -52,6 +52,42 @@ class TemporalSpec extends SparkSpec {
     assert(got == naive && got.nonEmpty)
   }
 
+  test("asof forward: nearest right at-or-after, inclusive, tolerance") {
+    val out = Temporal.asofJoin(left, right, Seq("k"), "ts", Seq("rid", "rv"),
+        forward = true)
+      .select("lid", "asof_ts", "asof_rid")
+      .as[(String, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("l1", 100L, 10L),  // tie at ts=100 matches (inclusive)
+      ("l0", 100L, 10L)), // l0 at 50 → nearest AFTER is 100
+      // l2 (200) and l3 (500) have nothing after; l4's key has no rights
+      s"got $out")
+    // forward tolerance measures the FORWARD gap: l0's 50µs gap > 40 drops
+    // it, l1's 0 gap survives
+    val tol = Temporal.asofJoin(left, right, Seq("k"), "ts", Seq("rid", "rv"),
+        toleranceMicros = Some(40L), forward = true)
+      .select("lid").as[String].collect().toSet
+    assert(tol == Set("l1"))
+  }
+
+  test("asof forward == naive per-left min-ts join on random data") {
+    val l = spark.range(300).select(
+      (col("id") % 7).as("k"), ((col("id") * 37) % 50).as("ts"), col("id").as("lid"))
+    val r = spark.range(120).select(
+      (col("id") % 7).as("k"), ((col("id") * 13) % 50 * 2).as("ts"), col("id").as("rid"))
+      .groupBy("k", "ts").agg(max("rid").as("rid"))
+    val got = Temporal.asofJoin(l, r, Seq("k"), "ts", Seq("rid"), forward = true)
+      .select("lid", "asof_ts", "asof_rid").as[(Long, Long, Long)].collect().toSet
+    val naive = l.join(r.withColumnRenamed("ts", "rts"), Seq("k"))
+      .filter(col("rts") >= col("ts"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("lid").orderBy(col("rts").asc)))
+      .filter(col("rk") === 1)
+      .select("lid", "rts", "rid").as[(Long, Long, Long)].collect().toSet
+    assert(got == naive)
+  }
+
   test("asof left outer: unmatched lefts kept with null right columns") {
     val out = Temporal.asofJoin(left, right, Seq("k"), "ts", Seq("rid"),
       leftOuter = true)
