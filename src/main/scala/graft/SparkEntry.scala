@@ -1084,6 +1084,14 @@ object SparkEntry {
           "es" -> 0.8, "zh" -> 1.0),
         defaultFraction = 0.5)),
 
+    // Weighted sampling without replacement (Efraimidis–Spirakis): per
+    // language, the 20 docs maximizing u^(1/n_chars) — length-weighted
+    // deterministic selection, rank ≤ k ⇒ WindowGroupLimit partial top-k.
+    "weighted_sample" -> ((s, dir) =>
+      Curation.weightedSample(
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        "doc_id", "lang", "n_chars", k = 20)),
+
     // Deterministic train/validation/test split: per-row hash coin against
     // cumulative fraction bounds — stateless, reproducible across runs and
     // incremental ingest (new docs never reassign old ones).
@@ -1793,6 +1801,19 @@ object SparkEntry {
          |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component_id,
          |  (min(b) = a) AS keep
          |FROM reach GROUP BY a""".stripMargin,
+
+    // A-ES keys replayed: same hash-uniform, same rounded ln(u)/w rank
+    "weighted_sample" ->
+      s"""WITH u AS (SELECT doc_id, lang, n_chars,
+         |  CAST(${duckHash("CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+         |    / ${Curation.HashUnitDivisor} AS u
+         |  FROM documents),
+         |kk AS (SELECT doc_id, lang, n_chars,
+         |  round(ln(u) / CAST(n_chars AS DOUBLE), 6) + 0.0 AS es_key FROM u),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+         |    ORDER BY es_key DESC, doc_id ASC) AS rank FROM kk)
+         |SELECT doc_id, lang, n_chars, es_key, CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= 20""".stripMargin,
 
     "stratified_sample" ->
       s"""WITH u AS (SELECT doc_id, lang,

@@ -205,6 +205,32 @@ object Curation {
       .drop("_u")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006,
+    * A-ES): per stratum, the k rows maximizing u^(1/w), where u is the
+    * deterministic per-row hash-uniform ([[sampleUnit]]) and w the row's
+    * weight — one pass, no sampling state, the same rows selected on every
+    * run, engine, and partitioning. Ranked on round(ln(u)/w, 6) (monotone
+    * in u^(1/w)) with an id tiebreak so the k-boundary cannot flip on
+    * cross-engine log ulps — the same rounded-ordering discipline as every
+    * k-boundary here. rank ≤ k per stratum ⇒ WindowGroupLimit ships ≤ k
+    * rows per stratum into the exchange; weights must be positive (a
+    * zero-or-negative weight would sort the row as never/always sampled
+    * engine-dependently — filter first). */
+  def weightedSample(
+      df: DataFrame, idCol: String, stratumCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be >= 1")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("_es_key").desc, col(idCol).asc)
+    df.withColumn("_es_key",
+        round(log(sampleUnit(col(idCol))) / col(weightCol).cast("double"), 6)
+          + lit(0.0))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumnRenamed("_es_key", "es_key")
+  }
+
   /** Deterministic dataset split (train/validation/test): assign each row
     * to the first split whose cumulative-fraction upper bound exceeds the
     * row's [[sampleUnit]] coin. Stateless per-row projection — no shuffle,

@@ -455,6 +455,24 @@ class CurationSpec extends SparkSpec {
     assert(tri.exists(_._1 == "big data big") && tri.forall(!_._1.contains("tiny")))
   }
 
+  test("weighted sample: deterministic, k-bounded, weight-biased") {
+    val rows = (0L until 200L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", if (i < 100) 50.0 else 0.1))
+      .toDF("doc_id", "stratum", "w")
+    val s1 = Curation.weightedSample(rows, "doc_id", "stratum", "w", k = 20)
+      .select("doc_id", "rank").as[(Long, Int)].collect().toMap
+    val s2 = Curation.weightedSample(rows, "doc_id", "stratum", "w", k = 20)
+      .select("doc_id", "rank").as[(Long, Int)].collect().toMap
+    assert(s1 == s2) // same hash coins → same selection every run
+    val perStratum = Curation.weightedSample(rows, "doc_id", "stratum", "w", 20)
+      .groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(perStratum == Map("a" -> 20L, "b" -> 20L))
+    // 500x weight ratio dominates the A-ES keys: the heavy half (ids<100)
+    // should take nearly every slot
+    val heavy = s1.keys.count(_ < 100L)
+    assert(heavy >= 35, s"heavy rows took only $heavy/40 slots")
+  }
+
   test("scored budget select: quality order, boundary kept, per-stratum") {
     val scored = Seq(
       // stratum a, budget 100: scores 9 > 7 > 5; 60+60 crosses at doc 2
