@@ -1299,6 +1299,22 @@ object SparkEntry {
       TextAnalysis.gopherRules(t(s, dir, "documents"), "doc_id", "text",
         minWords = 30, minRequiredWords = 1)),
 
+    // Per-source curation funnel: docs/kept/keep-rate by source over the
+    // gopher gate — the monitoring aggregate a filter pass reports (a
+    // source whose keep rate collapses is a crawler or boilerplate
+    // regression). Low-cardinality aggregate over the stateless gate.
+    "gopher_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.gopherRules(docs, "doc_id", "text",
+          minWords = 30, minRequiredWords = 1)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          round(sum(when(col("keep"), 1L).otherwise(0L)).cast("double") /
+            count(lit(1)), 6).as("keep_rate"))
+    }),
+
     "text_langid" -> ((s, dir) =>
       TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text")
         .withColumn("hit_ratio", round(col("hit_ratio"), 6))),
@@ -1642,6 +1658,35 @@ object SparkEntry {
     """sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
       |  FROM sh a JOIN sh b USING (h) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+
+  /** Gopher signal CTE chain (expects `toks` in scope; yields `c` with the
+    * per-doc counts) shared by the per-doc rule replay and the per-source
+    * funnel report. */
+  private val duckGopherCalc =
+    """w AS (SELECT d.doc_id, d.text, ts,
+      |    list_filter(regexp_split_to_array(d.text, '\s+'), t -> len(t) > 0) AS ws,
+      |    list_filter(string_split(d.text, chr(10)), l -> len(trim(l)) > 0) AS lines
+      |  FROM documents d JOIN toks USING (doc_id)),
+      |c AS (SELECT doc_id, len(ws) AS n_words, greatest(len(ws), 1) AS nw,
+      |    CAST(coalesce(list_sum(list_transform(ws, t -> len(t))), 0) AS DOUBLE) AS sumlen,
+      |    len(list_filter(ws, t -> regexp_matches(t, '\p{L}'))) AS n_alpha,
+      |    (len(string_split(text, '#')) - 1) + (len(string_split(text, '...')) - 1)
+      |      + (len(string_split(text, '…')) - 1) AS n_sym,
+      |    greatest(len(lines), 1) AS nl,
+      |    len(list_filter(lines, l -> regexp_matches(trim(l), '^[-•*]\s'))) AS n_bullet,
+      |    len(list_filter(lines, l -> regexp_matches(trim(l), '(\.\.\.|…)\z'))) AS n_ell,
+      |    len(list_distinct(list_intersect(ts,
+      |      ['the','be','to','of','and','that','have','with']))) AS req
+      |  FROM w)""".stripMargin
+
+  /** The composite keep predicate over `c`'s columns — one definition for
+    * both gopher oracles. */
+  private val duckGopherKeep =
+    """(n_words BETWEEN 30 AND 100000 AND sumlen / nw BETWEEN 3.0 AND 10.0
+      | AND CAST(n_alpha AS DOUBLE) / nw > 0.8
+      | AND CAST(n_sym AS DOUBLE) / nw < 0.1
+      | AND CAST(n_bullet AS DOUBLE) / nl < 0.9
+      | AND CAST(n_ell AS DOUBLE) / nl < 0.3 AND req >= 1)""".stripMargin
 
   /** Shared oracle CTE chain replaying [[graft.operators.TextAnalysis.nbQualityScore]]
     * with the `lang = 'en'` label — feeds the classifier-eval oracles (AUC,
@@ -2140,22 +2185,7 @@ object SparkEntry {
     // every Gopher count/threshold replayed over the same tokenizations;
     // thresholds compare the UNROUNDED ratios, like the Spark side
     "gopher_rules" ->
-      s"""WITH $duckToks,
-         |w AS (SELECT d.doc_id, d.text, ts,
-         |    list_filter(regexp_split_to_array(d.text, '\\s+'), t -> len(t) > 0) AS ws,
-         |    list_filter(string_split(d.text, chr(10)), l -> len(trim(l)) > 0) AS lines
-         |  FROM documents d JOIN toks USING (doc_id)),
-         |c AS (SELECT doc_id, len(ws) AS n_words, greatest(len(ws), 1) AS nw,
-         |    CAST(coalesce(list_sum(list_transform(ws, t -> len(t))), 0) AS DOUBLE) AS sumlen,
-         |    len(list_filter(ws, t -> regexp_matches(t, '\\p{L}'))) AS n_alpha,
-         |    (len(string_split(text, '#')) - 1) + (len(string_split(text, '...')) - 1)
-         |      + (len(string_split(text, '…')) - 1) AS n_sym,
-         |    greatest(len(lines), 1) AS nl,
-         |    len(list_filter(lines, l -> regexp_matches(trim(l), '^[-•*]\\s'))) AS n_bullet,
-         |    len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)\\z'))) AS n_ell,
-         |    len(list_distinct(list_intersect(ts,
-         |      ['the','be','to','of','and','that','have','with']))) AS req
-         |  FROM w)
+      s"""WITH $duckToks, $duckGopherCalc
          |SELECT doc_id, CAST(n_words AS INT) AS n_words,
          |  round(sumlen / nw, 6) AS mean_word_len,
          |  round(CAST(n_alpha AS DOUBLE) / nw, 6) AS alpha_word_frac,
@@ -2163,12 +2193,18 @@ object SparkEntry {
          |  round(CAST(n_bullet AS DOUBLE) / nl, 6) AS bullet_line_frac,
          |  round(CAST(n_ell AS DOUBLE) / nl, 6) AS ellipsis_line_frac,
          |  CAST(req AS INT) AS n_required_words,
-         |  (n_words BETWEEN 30 AND 100000 AND sumlen / nw BETWEEN 3.0 AND 10.0
-         |   AND CAST(n_alpha AS DOUBLE) / nw > 0.8
-         |   AND CAST(n_sym AS DOUBLE) / nw < 0.1
-         |   AND CAST(n_bullet AS DOUBLE) / nl < 0.9
-         |   AND CAST(n_ell AS DOUBLE) / nl < 0.3 AND req >= 1) AS keep
+         |  $duckGopherKeep AS keep
          |FROM c""".stripMargin,
+
+    // the same signal chain + keep predicate, folded per source
+    "gopher_report" ->
+      s"""WITH $duckToks, $duckGopherCalc,
+         |k AS (SELECT doc_id, $duckGopherKeep AS keep FROM c)
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / count(*), 6) AS keep_rate
+         |FROM k JOIN documents d USING (doc_id) GROUP BY d.source""".stripMargin,
 
     "text_langid" -> {
       val structs = TextAnalysis.LangStopwords.zipWithIndex.map { case ((lang, words), i) =>
