@@ -52,7 +52,8 @@ object SparkEntry {
     Seq("ann_lsh", "ann_lsh_filtered", "ann_rescored", "ann_b1", "ann_pq",
       "ann_ivfpq", "bm25_single", "span_dedup",
       "dedup_jaccard", "dedup_minhash", "dedup_clusters", "decontamination",
-      "doc_novelty", "source_overlap", "dedup_containment", "hybrid_rrf")
+      "doc_novelty", "source_overlap", "dedup_containment", "hybrid_rrf",
+      "jsonl_roundtrip", "cluster_size_report")
 
   // ---- ANN helpers ---------------------------------------------------------
 
@@ -588,6 +589,20 @@ object SparkEntry {
         "progress_pct", "live_rows", "total_rows")
     }),
 
+    // JSONL source/sink round trip: the documents table exported once to
+    // newline-delimited JSON (the LLM-pipeline interchange format) and read
+    // back under the explicit schema contract — no inference, corrupt lines
+    // quarantined not job-failed. The oracle is the original parquet, so a
+    // hash match proves value-exact round-trip fidelity.
+    "jsonl_roundtrip" -> ((s, dir) => {
+      import graft.sources.Jsonl
+      val docs = t(s, dir, "documents")
+      Jsonl.materializeCached(s, s"$dir/documents.parquet",
+          indexDir(dir, "docs_jsonl"), docs.schema)(docs)
+        .filter(col(Jsonl.CorruptCol).isNull)
+        .drop(Jsonl.CorruptCol)
+    }),
+
     // S7/F14 end-to-end: the embeddings table re-encoded into Alternator's
     // `:attrs` map<text,blob> shape (even ids tag-5 big-endian binary, odd
     // ids tag-4 DynamoDB JSON — db_index_backend.rs:22-62, vector.rs:62-129),
@@ -1008,6 +1023,26 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id")
     }),
 
+    // Duplicate-cluster size distribution: how much of the corpus sits in
+    // clusters of each size — the dedup monitoring report (a power-law
+    // tail here is boilerplate/SEO farms; `dup_docs` = rows a
+    // keep-one-per-cluster pass would remove). Low-cardinality aggregate
+    // over the resolved components.
+    "cluster_size_report" -> ((s, dir) => {
+      val pairs = Dedup.minhashNearDupsFromStores(shingleStore(s, dir),
+        minhashSigStore(s, dir), "doc_id", bands = 4, threshold = 0.5,
+        maxShingleDf = None)
+      Curation.dedupClusters(pairs.select("id_a", "id_b"),
+          t(s, dir, "documents"), "doc_id")
+        .groupBy(col("component_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"),
+          ((col("cluster_size") - 1) * col("n_clusters")).as("dup_docs"))
+    }),
+
     // Fuzzy string similarity join (edit distance ≤ 3 over 24-char name
     // prefixes): q-gram candidate equi-join + levenshtein verify, SERVING
     // DEFAULT stop-gram cap on (df > 200 grams are boilerplate, not match
@@ -1333,6 +1368,12 @@ object SparkEntry {
     "span_dedup" -> ((s, dir) =>
       TextAnalysis.duplicatedSpanFractionFromWindows(spanStore(s, dir), "doc_id")),
 
+    // Exact-substring REMOVAL (Lee et al. 2022's rewrite step): drop every
+    // token covered by a cross-doc duplicated 10-token window, emit the
+    // scrubbed token stream + drop counts. The rewrite twin of span_dedup.
+    "span_scrub" -> ((s, dir) =>
+      TextAnalysis.spanScrub(t(s, dir, "documents"), "doc_id", "text")),
+
     // Per-source corpus audit: exact interpolated percentiles of token and
     // char counts (the pre-mixture "what does each source look like" report).
     "corpus_report" -> ((s, dir) =>
@@ -1349,6 +1390,20 @@ object SparkEntry {
     // bm25 scores (sum-order float tolerance).
     "lm_score" -> ((s, dir) =>
       TextAnalysis.lmScore(t(s, dir, "documents"), "doc_id", "text")),
+
+    // CCNet head/middle/tail (Wenzek et al. 2020): per-source tercile tiers
+    // of the LM fluency score — the standard perplexity-bucketed mixture
+    // knob (train on the head, sample the middle, drop the tail). Bucket
+    // comparisons are 6-rounded on both sides so an interpolation ulp
+    // cannot flip a boundary doc cross-engine.
+    "perplexity_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis.lmScore(docs, "doc_id", "text")
+        .join(docs.select("doc_id", "source"), "doc_id")
+      Curation.scoreBuckets(scored, "source", "lm_score")
+        .withColumn("tier", when(col("bucket") === 2, "head")
+          .when(col("bucket") === 1, "middle").otherwise("tail"))
+    }),
 
     // Lexical diversity: per-doc unigram entropy + type-token ratio —
     // the low-entropy template/mash detector complementing repetition's
@@ -1645,6 +1700,16 @@ object SparkEntry {
   /** DuckDB building blocks for the dedup oracles: 60-bit stable hash and
     * 5-gram shingle CTEs mirroring Dedup.stableHash / Dedup.shingles. */
   private def duckHash(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+  // the lm_score pipeline as a reusable CTE chain (expects $duckToks before
+  // it): lm(doc_id, n_tokens, lm_score) — the corpus-self unigram model
+  private val duckLmScored =
+    """tk AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+      |model AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM model),
+      |lm AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |  round(sum(tf * ln(CAST(cnt AS DOUBLE) / n_total)) / CAST(sum(tf) AS BIGINT), 4) + 0.0 AS lm_score
+      |  FROM tf JOIN model USING (term), tot GROUP BY doc_id)""".stripMargin
   private val duckToks =
     """toks AS (SELECT doc_id,
       |  list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), t -> len(t) > 0) AS ts
@@ -1846,6 +1911,26 @@ object SparkEntry {
          |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component_id,
          |  (min(b) = a) AS keep
          |FROM reach GROUP BY a""".stripMargin,
+
+    // the dedup_clusters replay folded into the size histogram
+    "cluster_size_report" ->
+      s"""WITH RECURSIVE $duckToks, ${duckShingles(5)}, $duckMinhashCand, $duckJaccardTail,
+         |pairs AS (SELECT id_a, id_b FROM cand JOIN inter USING (id_a, id_b)
+         |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+         |comp AS (SELECT a AS doc_id, min(b) AS cid FROM reach GROUP BY a),
+         |cz AS (SELECT cid, count(*) AS cluster_size FROM comp GROUP BY cid)
+         |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+         |  count(*) AS n_clusters,
+         |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+         |  CAST((cluster_size - 1) * count(*) AS BIGINT) AS dup_docs
+         |FROM cz GROUP BY cluster_size""".stripMargin,
 
     // A-ES keys replayed: same hash-uniform, same rounded ln(u)/w rank
     "weighted_sample" ->
@@ -2074,15 +2159,51 @@ object SparkEntry {
          |    / count(*), 6) + 0.0 AS dup_fraction
          |FROM w JOIN d USING (h) GROUP BY w.doc_id""".stripMargin,
 
-    "lm_score" ->
+    // Replays spanScrub: duplicated window starts (df >= 2 distinct docs)
+    // explode to covered 0-based positions; the rewrite is an indexed
+    // list_filter (DuckDB lambda index i is 1-based, Spark's is 0-based).
+    "span_scrub" ->
       s"""WITH $duckToks,
-         |tk AS (SELECT doc_id, unnest(ts) AS term FROM toks),
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
-         |model AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
-         |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM model)
-         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-         |  round(sum(tf * ln(CAST(cnt AS DOUBLE) / n_total)) / CAST(sum(tf) AS BIGINT), 4) + 0.0 AS lm_score
-         |FROM tf JOIN model USING (term), tot GROUP BY doc_id""".stripMargin,
+         |w AS (SELECT doc_id, u.i AS s,
+         |  ${duckHash("array_to_string(ts[u.i + 1 : u.i + 10], ' ')")} AS h
+         |  FROM toks, unnest(range(len(ts) - 9)) AS u(i)
+         |  WHERE len(ts) >= 10),
+         |d AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |cov AS (SELECT DISTINCT wd.doc_id, wd.s + r.j AS ci
+         |  FROM (SELECT w.doc_id, w.s FROM w JOIN d USING (h)) wd,
+         |       unnest(range(10)) AS r(j)),
+         |cs AS (SELECT doc_id, list(ci) AS cv FROM cov GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.ts) AS INT) AS n_tokens,
+         |  CAST(coalesce(len(cs.cv), 0) AS INT) AS n_dropped,
+         |  coalesce(array_to_string(list_filter(t.ts,
+         |    (x, i) -> NOT list_contains(coalesce(cs.cv, []), i - 1)), ' '), '') AS clean_text
+         |FROM toks t LEFT JOIN cs USING (doc_id)""".stripMargin,
+
+    "lm_score" ->
+      s"""WITH $duckToks, $duckLmScored
+         |SELECT doc_id, n_tokens, lm_score FROM lm""".stripMargin,
+
+    // lm_score replay + per-source quantile_cont terciles; bucket CASE on
+    // 6-rounded score and thresholds, exactly as the Spark side
+    "perplexity_buckets" ->
+      s"""WITH $duckToks, $duckLmScored,
+         |j AS (SELECT lm.doc_id, lm.n_tokens, lm.lm_score, d.source
+         |  FROM lm JOIN documents d USING (doc_id)),
+         |thr AS (SELECT source,
+         |  quantile_cont(lm_score, ${1.0 / 3}) AS t0,
+         |  quantile_cont(lm_score, ${2.0 / 3}) AS t1
+         |  FROM j GROUP BY source),
+         |b AS (SELECT j.*,
+         |  CASE WHEN round(j.lm_score, 6) < round(t.t0, 6) THEN 0
+         |       WHEN round(j.lm_score, 6) < round(t.t1, 6) THEN 1
+         |       ELSE 2 END AS bucket,
+         |  round(t.t0, 6) + 0.0 AS threshold_0,
+         |  round(t.t1, 6) + 0.0 AS threshold_1
+         |  FROM j JOIN thr t USING (source))
+         |SELECT doc_id, source, n_tokens, lm_score,
+         |  CAST(bucket AS INT) AS bucket, threshold_0, threshold_1,
+         |  CASE bucket WHEN 2 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS tier
+         |FROM b""".stripMargin,
 
     // H = ln n − (Σ tf·ln tf)/n and the type/token ratio, replayed over
     // the same per-doc term frequencies
@@ -2894,6 +3015,10 @@ object SparkEntry {
     // encode→decode through the :attrs map is lossless on f32, so the
     // alternator-routed query must equal the plain L2 ANN
     "ann_alternator" -> duckAnn(duckL2),
+
+    // round-trip fidelity: the JSONL re-read must hash-match the parquet
+    "jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
     "writetime_projection" ->
       s"""WITH i AS (SELECT CAST(c_custkey % 97 AS INT) AS pk, c_custkey AS ck,

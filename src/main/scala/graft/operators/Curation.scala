@@ -367,6 +367,46 @@ object Curation {
       .drop("_thr")
   }
 
+  /** CCNet-style score bucketing (Wenzek et al. 2020 §4.3): partition each
+    * group's documents into quantile tiers of a quality/fluency score —
+    * CCNet's head/middle/tail by LM perplexity, the standard "train on the
+    * head, sample the middle, drop the tail" mixture knob. `cuts` are the
+    * ascending quantile boundaries (default terciles); bucket b means the
+    * score sits in [q(cuts(b-1)), q(cuts(b))) of its group, so with
+    * ascending scores the TOP tier has index `cuts.length` (for a
+    * higher-is-better score like the unigram lm_score, that is the head).
+    *
+    * Exact interpolated percentiles (the quantile_cont definition the
+    * corpus_report family pins); bucket comparisons use 6-decimal-rounded
+    * score and thresholds on BOTH sides so an interpolation ulp cannot
+    * flip a boundary doc cross-engine.
+    *
+    * Scale shape: one narrow (group, score) percentile aggregate, the
+    * cuts.length thresholds broadcast back, and a stateless comparison
+    * chain — the corpus scans once, no global sort. */
+  def scoreBuckets(
+      df: DataFrame, groupCol: String, scoreCol: String,
+      cuts: Seq[Double] = Seq(1.0 / 3, 2.0 / 3)): DataFrame = {
+    require(cuts.nonEmpty && cuts.forall(q => q > 0.0 && q < 1.0) &&
+      cuts == cuts.sorted && cuts.distinct == cuts,
+      s"cuts must be ascending distinct quantiles in (0,1), got $cuts")
+    val aggs = cuts.zipWithIndex.map { case (q, i) =>
+      expr(s"percentile(`$scoreCol`, ${q}D)").as(s"_t$i")
+    }
+    val thresholds = df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    val r = round(col(scoreCol).cast("double"), 6)
+    val bucket = coalesce(
+      (cuts.indices.map(i =>
+        when(r < round(col(s"_t$i"), 6), lit(i))) :+
+        lit(cuts.length)): _*)
+    val thrCols = cuts.indices.map(i =>
+      (round(col(s"_t$i"), 6) + lit(0.0)).as(s"threshold_$i"))
+    df.join(broadcast(thresholds), groupCol)
+      .select(Seq(col(groupCol)) ++
+        df.columns.filter(_ != groupCol).map(col) ++
+        Seq(bucket.as("bucket")) ++ thrCols: _*)
+  }
+
   /** Per-group winsorization: clip `valCol` into its group's
     * [lo-quantile, hi-quantile] band — the outlier-taming step before any
     * mean-sensitive statistic or length-based mixing decision (one

@@ -247,6 +247,63 @@ object TextAnalysis {
         round(col("dup_windows").cast("double") / col("n_windows"), 6) + lit(0.0))
   }
 
+  /** Exact-substring scrub — the REMOVAL step of Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better"):
+    * rewrite each document's token stream with every token covered by a
+    * cross-document duplicated L-token window dropped.
+    * [[duplicatedSpanFraction]] is the scoring view of the same window
+    * relation; this produces the scrubbed corpus — boilerplate headers,
+    * license blocks and syndicated paragraphs survive document-LEVEL
+    * dedup verbatim, and sub-document removal is what actually takes
+    * them out of the training mix. Output is the canonical token stream
+    * (lowercased, delimiter-normalized — what a tokenizer consumes), not
+    * the raw bytes; `n_tokens`/`n_dropped` quantify the rewrite.
+    *
+    * Scale shape: the window relation shuffles (hash, id, start) longs —
+    * never text; duplicated starts explode to ≤ L ints each and collapse
+    * to ONE covered-position set per touched doc; the rewrite is a
+    * stateless position-indexed array filter in the final projection.
+    * Document text never shuffles — the only join against the corpus is
+    * an id equi-join of the narrow covered-set side. Within-doc repeats
+    * are NOT scrubbed (df counts distinct docs), matching the scoring
+    * view's cross-doc-only definition. */
+  def spanScrub(
+      df: DataFrame, idCol: String, textCol: String,
+      windowLen: Int = 10, minDocs: Int = 2): DataFrame = {
+    require(windowLen >= 1 && minDocs >= 2,
+      s"need windowLen >= 1, minDocs >= 2, got ($windowLen, $minDocs)")
+    // (id, 0-based window start, window hash) — one row per POSITION,
+    // the same relation spanWindows builds minus the slide offset
+    val wins = df
+      .select(col(idCol), Dedup.tokens(col(textCol)).as("_ts"))
+      .filter(size(col("_ts")) >= windowLen)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(1), size(col("_ts")) - (windowLen - 1)),
+        s => Dedup.stableHash(
+          concat_ws(" ", slice(col("_ts"), s, lit(windowLen)))))))
+      .toDF(idCol, "_s", "_h")
+    val dupHashes = wins.groupBy(col("_h"))
+      .agg(countDistinct(col(idCol)).as("_docs"))
+      .filter(col("_docs") >= minDocs)
+      .select(col("_h"))
+    // one covered-position set per touched doc (positions are ints
+    // bounded by the doc's token count — the set is doc-sized worst case)
+    val covered = wins.join(dupHashes, "_h")
+      .select(col(idCol),
+        explode(sequence(col("_s"), col("_s") + (windowLen - 1))).as("_ci"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("_ci")).as("_cov"))
+    val ts = Dedup.tokens(col(textCol))
+    df.join(covered, Seq(idCol), "left")
+      .select(col(idCol), ts.as("_ts"),
+        coalesce(col("_cov"), array().cast("array<int>")).as("_cov"))
+      .select(col(idCol),
+        size(col("_ts")).as("n_tokens"),
+        size(col("_cov")).as("n_dropped"),
+        concat_ws(" ", filter(col("_ts"),
+          (t, i) => !array_contains(col("_cov"), i))).as("clean_text"))
+  }
+
   /** Corpus unigram language-model score: mean per-token log-probability
     * of each document under the corpus's own unigram distribution —
     * `(1/|d|) Σ_t ln(count(t)/N)`. The CCNet-style fluency signal: gibberish

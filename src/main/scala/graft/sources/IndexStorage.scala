@@ -40,13 +40,22 @@ object IndexStorage {
   def materializeCached(
       spark: SparkSession, baseFile: String, path: String,
       partitionCols: Seq[String])(build: => DataFrame): DataFrame = {
+    buildOnce(baseFile, path)(writePartitioned(build, path, partitionCols))
+    read(spark, path)
+  }
+
+  /** The build-once skeleton [[materializeCached]] wraps: run `doBuild`
+    * only when `path` was not built from the CURRENT `baseFile` vintage
+    * (size+mtime fingerprint marker), count and log rebuild-vs-reuse.
+    * Format-agnostic — the JSONL store reuses it with a json writer. */
+  def buildOnce(baseFile: String, path: String)(doBuild: => Unit): Unit = {
     val base = new java.io.File(baseFile)
     val fp = s"${base.length}:${base.lastModified}"
     val marker = new java.io.File(path, "_graft_base_fingerprint")
     val fresh = marker.exists &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == fp
     if (!fresh) {
-      writePartitioned(build, path, partitionCols)
+      doBuild
       java.nio.file.Files.write(marker.toPath, fp.getBytes("UTF-8"))
       rebuilds.incrementAndGet()
     }
@@ -54,7 +63,6 @@ object IndexStorage {
     // run prove whether probe timings included a build
     System.err.println(
       s"[graft] index store ${if (fresh) "reused" else "rebuilt"}: $path")
-    read(spark, path)
   }
 
   /** Monotonic count of store (re)builds this JVM — lets a bench run prove

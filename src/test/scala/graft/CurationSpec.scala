@@ -372,6 +372,39 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("scoreBuckets: per-group terciles, boundary rule, top tier = cuts.length") {
+    import org.apache.spark.sql.functions.col
+    // group a scores 1..4: t0 = q(1/3) = 2.0, t1 = q(2/3) = 3.0
+    //   1 → bucket 0 (< t0), 2 → 1 (boundary: NOT < its own threshold),
+    //   3 → 2 (>= t1), 4 → 2
+    // group b gets its own thresholds (10,20,30 → t0=16.667, t1=23.333)
+    val rows = Seq(
+      ("a", 0L, 1.0), ("a", 1L, 2.0), ("a", 2L, 3.0), ("a", 3L, 4.0),
+      ("b", 4L, 10.0), ("b", 5L, 20.0), ("b", 6L, 30.0))
+      .toDF("src", "id", "score")
+    val out = Curation.scoreBuckets(rows, "src", "score")
+      .select("id", "bucket", "threshold_0", "threshold_1")
+      .as[(Long, Int, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L)._2 == 0 && out(1L)._2 == 1 && out(2L)._2 == 2 && out(3L)._2 == 2)
+    assert(out(4L)._2 == 0 && out(5L)._2 == 1 && out(6L)._2 == 2)
+    assert(out(0L)._3 == 2.0 && out(0L)._4 == 3.0)
+    assert(out(4L)._3 == 16.666667 && out(4L)._4 == 23.333333)
+    // every input row lands in exactly one bucket
+    assert(out.size == 7)
+    // custom cuts: a single median cut gives two buckets
+    val halves = Curation.scoreBuckets(rows, "src", "score", Seq(0.5))
+      .select("id", "bucket").as[(Long, Int)].collect().toMap
+    assert(halves(0L) == 0 && halves(3L) == 1 && halves(6L) == 1)
+    // thresholds reach the corpus via a broadcast join, not a shuffle
+    val plan = Curation.scoreBuckets(rows, "src", "score")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // invalid cuts rejected
+    intercept[IllegalArgumentException] {
+      Curation.scoreBuckets(rows, "src", "score", Seq(0.7, 0.3))
+    }
+  }
+
   test("temperatureMix: tau flattens the head, tau=1 is uniform sampling") {
     import org.apache.spark.sql.functions.col
     // heavily skewed corpus: 900 'en' vs 100 'de'

@@ -127,6 +127,51 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!w.queryExecution.executedPlan.toString.contains("CartesianProduct"))
   }
 
+  test("span scrub: cross-doc duplicated windows removed, everything else kept") {
+    val corpus = Seq(
+      // docs 10/11 share the 6-token prefix; doc 10 keeps its unique tail
+      (10L, "alpha beta gamma delta epsilon zeta unique1 unique2"),
+      (11L, "alpha beta gamma delta epsilon zeta"),
+      // within-doc repetition only — NOT scrubbed (df counts distinct docs)
+      (12L, "one two three four one two three four"),
+      (13L, "totally different words with no overlap at all"),
+      (14L, "tiny"), // under the window length → untouched
+      (15L, "")) // token-less → empty stream, not a crash
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.spanScrub(corpus, "doc_id", "text", windowLen = 4)
+      .collect().map(x => x.getLong(0) ->
+        (x.getAs[Int]("n_tokens"), x.getAs[Int]("n_dropped"),
+          x.getAs[String]("clean_text"))).toMap
+    // every row of the input survives (scrub rewrites, never drops docs)
+    assert(r.keySet == Set(10L, 11L, 12L, 13L, 14L, 15L))
+    // the shared 6-token prefix is fully covered by duplicated 4-windows
+    assert(r(10L) == ((8, 6, "unique1 unique2")), r(10L))
+    assert(r(11L) == ((6, 6, "")), r(11L))
+    // within-doc repeats and unique docs keep their full token stream
+    assert(r(12L) == ((8, 0, "one two three four one two three four")))
+    assert(r(13L)._2 == 0 && r(13L)._3 == "totally different words with no overlap at all")
+    assert(r(14L) == ((1, 0, "tiny")))
+    assert(r(15L) == ((0, 0, "")))
+    // consistency with the scoring view: zero dup_fraction ⇒ zero dropped
+    val frac = TextAnalysis.duplicatedSpanFraction(corpus, "doc_id", "text", windowLen = 4)
+      .collect().map(x => x.getLong(0) -> x.getAs[Double]("dup_fraction")).toMap
+    frac.foreach { case (id, f) => assert((f > 0.0) == (r(id)._2 > 0)) }
+    // partially-overlapping windows: covered positions form the UNION, not
+    // a double count — doc sharing two overlapping windows drops 5 tokens
+    val ov = Seq(
+      (20L, "a b c d e tail1 tail2"), // windows abcd + bcde both duplicated
+      (21L, "a b c d e other thing"))
+      .toDF("doc_id", "text")
+    val r2 = TextAnalysis.spanScrub(ov, "doc_id", "text", windowLen = 4)
+      .collect().map(x => x.getLong(0) -> x.getAs[String]("clean_text")).toMap
+    assert(r2(20L) == "tail1 tail2", r2(20L))
+    assert(r2(21L) == "other thing")
+    // no cartesian anywhere in the plan
+    val plan = TextAnalysis.spanScrub(corpus, "doc_id", "text", windowLen = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+  }
+
   test("lm score: common-token docs score higher than rare-token docs") {
     // corpus: 'common' appears 6x, rare words once each → the all-common doc
     // has the highest mean token log-probability
