@@ -53,7 +53,7 @@ object SparkEntry {
       "ann_ivfpq", "bm25_single", "span_dedup",
       "dedup_jaccard", "dedup_minhash", "dedup_clusters", "decontamination",
       "doc_novelty", "source_overlap", "dedup_containment", "hybrid_rrf",
-      "jsonl_roundtrip", "cluster_size_report")
+      "jsonl_roundtrip", "cluster_size_report", "warc_roundtrip")
 
   // ---- ANN helpers ---------------------------------------------------------
 
@@ -1374,6 +1374,108 @@ object SparkEntry {
     "span_scrub" -> ((s, dir) =>
       TextAnalysis.spanScrub(t(s, dir, "documents"), "doc_id", "text")),
 
+    // HTML → text extraction (the crawl-ingest step): each doc wrapped in a
+    // deterministic page shell — script/style/comment noise, block tags,
+    // entities, markup-free prose — then extracted by the RE2-replayable
+    // regex pipeline. Same fixture-derivation pattern as pii_scrub (the
+    // corpus carries no HTML of its own).
+    "html_extract" -> ((s, dir) => {
+      val seeded = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          lit("<html><head><script type=\"text/javascript\">var x = 1 < 2;" +
+            "</script><style>p { color: red }</style></head><body><h1>Doc "),
+          col("doc_id"),
+          lit("</h1><!-- hidden\ncomment --><ul><li>item &lt;one&gt;" +
+            "</li><li>src &amp;amp; "), col("source"),
+          lit("</li></ul><p>"), col("text"),
+          lit("</p><div>tail &quot;cell&quot;&nbsp;&#39;q&#39;</div>" +
+            "<table><tr><td>last</td></tr></table></body></html>"))
+          .as("html"))
+      TextAnalysis.htmlExtract(seeded, "doc_id", "html")
+    }),
+
+    // Cross-doc duplicated-LINE removal (CCNet/RefinedWeb line dedup):
+    // line structure seeded by newline-splitting the prose plus a shared
+    // banner line (df = all docs) and a per-source footer (df = docs per
+    // source); the operator drops every line whose trimmed content appears
+    // in ≥2 docs and reassembles survivors in order.
+    "line_dedup" -> ((s, dir) => {
+      val seeded = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("subscribe to our newsletter\n"),
+          regexp_replace(col("text"), " (the|a) ", "\n"),
+          lit("\ncopyright "), col("source"),
+          lit(" all rights reserved")).as("text2"))
+      TextAnalysis.lineDedup(seeded, "doc_id", "text2")
+    }),
+
+    // BPE merge learning (tokenizer training): 6 merge rounds over the
+    // corpus vocabulary — each round one pair aggregation + a 1-row
+    // driver decision, the standard distributed BPE iteration. The oracle
+    // replays every round as a chained CTE (count → argmax → rewrite).
+    "bpe_merges" -> ((s, dir) =>
+      TextAnalysis.bpeTrain(t(s, dir, "documents"), "text", nMerges = BpeMerges)),
+
+    // BPE ENCODE (the tokenizer-serving half): learn the 6 merges, then
+    // apply them to every document as one stateless replace-cascade
+    // projection (word boundaries = double spaces, so merges can't fire
+    // across words).
+    "bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = TextAnalysis.bpeTrain(docs, "text", nMerges = BpeMerges)
+        .collect()
+        .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+      TextAnalysis.bpeEncode(docs, "doc_id", "text", m)
+    }),
+
+    // Full Gopher repetition battery over seeded structure: a twice-
+    // repeated header line (within-doc dup lines), newline-split prose,
+    // and a doubled 12-token block (duplicated 5- and 10-grams with
+    // overlap — the union-of-positions counting is what's under test).
+    "gopher_repetition" -> ((s, dir) => {
+      val seeded = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("shared header line\nshared header line\n"),
+          regexp_replace(col("text"), " (value|data) ", "\n"),
+          lit("\nalpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu " +
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
+          .as("text3"))
+      TextAnalysis.gopherRepetition(seeded, "doc_id", "text3")
+    }),
+
+    // URL provenance gate (C4/RefinedWeb stage 1): deterministic per-doc
+    // URLs covering scheme rejection (ftp), blocked-domain subdomains on
+    // dot boundaries (tracker.ads.example.com blocked, badads.example.com
+    // NOT), and case-insensitive host matching (SPAM.example.org vs a
+    // mixed-case blocklist entry).
+    "url_host_filter" -> ((s, dir) => {
+      val d = col("doc_id")
+      val seeded = t(s, dir, "documents").select(d,
+        concat(
+          when(d % 11 === 0, lit("ftp://"))
+            .when(d % 7 === 0, lit("http://")).otherwise(lit("https://")),
+          when(d % 13 === 0, lit("SPAM.example.org"))
+            .when(d % 5 === 0, lit("tracker.ads.example.com"))
+            .when(d % 3 === 0, lit("badads.example.com"))
+            .otherwise(concat(col("source"), lit(".example.org"))),
+          lit("/doc/"), d,
+          when(d % 2 === 0, lit("?utm=1")).otherwise(lit(""))).as("url"))
+      Curation.urlFacets(seeded, "doc_id", "url",
+        Seq("ads.example.com", "Spam.example.org"))
+    }),
+
+    // WARC archive round trip (the crawl-container source): documents
+    // exported once as length-delimited WARC files (one per task), read
+    // back per-file under the explicit schema. The oracle is the original
+    // parquet — a hash match proves byte-exact framing (payloads parsed by
+    // Content-Length, so embedded header-lookalike bytes can't break it).
+    "warc_roundtrip" -> ((s, dir) => {
+      import graft.sources.Warc
+      val docs = t(s, dir, "documents")
+      Warc.materializeCached(s, s"$dir/documents.parquet",
+          indexDir(dir, "docs_warc"), docs.schema, "doc_id", "text")(docs)
+        .filter(col(Warc.CorruptCol).isNull)
+        .drop(Warc.CorruptCol)
+    }),
+
     // Per-source corpus audit: exact interpolated percentiles of token and
     // char counts (the pre-mixture "what does each source look like" report).
     "corpus_report" -> ((s, dir) =>
@@ -1714,6 +1816,35 @@ object SparkEntry {
     """toks AS (SELECT doc_id,
       |  list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), t -> len(t) > 0) AS ts
       |  FROM documents)""".stripMargin
+  /** Merge count shared by the bpe_merges / bpe_encode queries and their
+    * oracles (the oracle CTE chain length must match the Spark loop). */
+  private val BpeMerges = 6
+
+  /** The BPE training replay as a CTE chain (expects `toks` in scope):
+    * w0 = symbolized vocabulary with frequencies, then per round k:
+    * aK (symbol arrays) → pK (pair counts) → mK (argmax) → wK (rewrite).
+    * Shared by bpe_merges (reads m1..mN) and bpe_encode (applies m1..mN
+    * to the document stream). */
+  private def duckBpeChain(n: Int): String = {
+    val w0 =
+      """w0 AS (SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS s,
+        |  count(*) AS f
+        |  FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY 1)""".stripMargin
+    val steps = (1 to n).map { k =>
+      s"""a$k AS (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS a, f
+         |  FROM w${k - 1}),
+         |p$k AS (SELECT p, CAST(sum(f) AS BIGINT) AS cnt FROM (
+         |  SELECT unnest(list_transform(range(1, len(a)),
+         |    i -> a[i] || ' ' || a[i + 1])) AS p, f
+         |  FROM a$k WHERE len(a) >= 2) GROUP BY p),
+         |m$k AS (SELECT p, cnt FROM p$k ORDER BY cnt DESC, p ASC LIMIT 1),
+         |w$k AS (SELECT replace(s, ' ' || (SELECT p FROM m$k) || ' ',
+         |  ' ' || (SELECT replace(p, ' ', '') FROM m$k) || ' ') AS s, f
+         |  FROM w${k - 1})""".stripMargin
+    }
+    s"$w0,\n${steps.mkString(",\n")}"
+  }
+
   private def duckShingles(n: Int) =
     s"""sh AS (SELECT DISTINCT doc_id, ${duckHash("sg")} AS h FROM (
        |  SELECT doc_id, unnest(list_transform(range(len(ts) - ${n - 1}),
@@ -2162,6 +2293,214 @@ object SparkEntry {
     // Replays spanScrub: duplicated window starts (df >= 2 distinct docs)
     // explode to covered 0-based positions; the rewrite is an indexed
     // list_filter (DuckDB lambda index i is 1-based, Spark's is 0-based).
+    // Replays htmlExtract step for step over the same seeded page shell:
+    // script/style/comment elements out, block tags → \n, tags → ' ',
+    // entity replaces with &amp; last, whitespace collapse, edge trim.
+    // Inline (?is) flags + non-greedy are common Java-regex/RE2 syntax.
+    "html_extract" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  '<html><head><script type="text/javascript">var x = 1 < 2;' ||
+         |  '</script><style>p { color: red }</style></head><body><h1>Doc ' ||
+         |  CAST(doc_id AS VARCHAR) ||
+         |  '</h1><!-- hidden' || chr(10) || 'comment --><ul><li>item &lt;one&gt;' ||
+         |  '</li><li>src &amp;amp; ' || source ||
+         |  '</li></ul><p>' || text ||
+         |  '</p><div>tail &quot;cell&quot;&nbsp;&#39;q&#39;</div>' ||
+         |  '<table><tr><td>last</td></tr></table></body></html>' AS html
+         |  FROM documents),
+         |s1 AS (SELECT doc_id, html, regexp_replace(regexp_replace(html,
+         |  '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+         |  '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM h),
+         |s2 AS (SELECT doc_id, html,
+         |  regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s1),
+         |s3 AS (SELECT doc_id, html, regexp_replace(t,
+         |  '(?i)<(br|/p|/div|/li|/h[1-6]|/tr)[^>]*>', chr(10), 'g') AS t FROM s2),
+         |s4 AS (SELECT doc_id, html,
+         |  regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s3),
+         |s5 AS (SELECT doc_id, html,
+         |  replace(replace(replace(replace(replace(replace(t,
+         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+         |    '&nbsp;', ' '), '&amp;', '&') AS t FROM s4),
+         |s6 AS (SELECT doc_id, html, regexp_replace(regexp_replace(
+         |  regexp_replace(t, '[ \\t\\r]+', ' ', 'g'),
+         |  ' ?\\n ?', chr(10), 'g'), '\\n+', chr(10), 'g') AS t FROM s5)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(html, '<[^>]*>')) AS INT) AS n_tags,
+         |  trim(t, chr(10) || ' ') AS text
+         |FROM s6""".stripMargin,
+
+    // Replays lineDedup: seeded line structure → 0-based line ordinals +
+    // trimmed-line hashes → df ≥ 2 removal set → indexed list_filter
+    // rewrite (DuckDB lambda i is 1-based, Spark's 0-based — same
+    // convention as the span_scrub oracle).
+    "line_dedup" ->
+      s"""WITH ld AS (SELECT doc_id,
+         |  'subscribe to our newsletter' || chr(10) ||
+         |  regexp_replace(text, ' (the|a) ', chr(10), 'g') || chr(10) ||
+         |  'copyright ' || source || ' all rights reserved' AS t2
+         |  FROM documents),
+         |ls AS (SELECT doc_id, string_split(t2, chr(10)) AS a FROM ld),
+         |ln AS (SELECT doc_id, u.i AS i,
+         |  ${duckHash("trim(a[u.i + 1])")} AS h
+         |  FROM ls, unnest(range(len(a))) AS u(i)),
+         |d AS (SELECT h FROM ln GROUP BY h
+         |  HAVING count(DISTINCT doc_id) >= 2),
+         |rm AS (SELECT doc_id, list(i) AS rv
+         |  FROM (SELECT ln.doc_id, ln.i FROM ln JOIN d USING (h))
+         |  GROUP BY doc_id)
+         |SELECT ls.doc_id, CAST(len(ls.a) AS INT) AS n_lines,
+         |  CAST(coalesce(len(rm.rv), 0) AS INT) AS n_removed,
+         |  coalesce(array_to_string(list_filter(ls.a,
+         |    (x, i) -> NOT list_contains(coalesce(rm.rv, []), i - 1)),
+         |    chr(10)), '') AS clean_text
+         |FROM ls LEFT JOIN rm USING (doc_id)""".stripMargin,
+
+    // Replays all 6 BPE merge rounds as chained CTEs: symbolize every
+    // vocabulary word (' a b c '), count adjacent pairs weighted by word
+    // frequency, take the (count desc, pair asc) argmax, rewrite
+    // ' A B ' → ' AB ' (replace() is non-overlapping left-to-right in
+    // both engines — the standard greedy BPE application), repeat.
+    "bpe_merges" -> {
+      val rows = (1 to BpeMerges).map { k =>
+        s"""SELECT $k AS rank, (SELECT split_part(p, ' ', 1) FROM m$k) AS "left",
+           |  (SELECT split_part(p, ' ', 2) FROM m$k) AS "right",
+           |  (SELECT replace(p, ' ', '') FROM m$k) AS merged,
+           |  (SELECT cnt FROM m$k) AS freq""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"WITH $duckToks,\n${duckBpeChain(BpeMerges)}\n$rows\nORDER BY rank"
+    },
+
+    // Shares bpe_merges' m1..m6 CTE chain, then applies the learned
+    // merges to every document's double-space-word-boundary symbol
+    // string — the same replace cascade Spark's encode projection runs.
+    "bpe_encode" -> {
+      val enc0 =
+        """enc0 AS (SELECT doc_id, ' ' || array_to_string(list_transform(ts,
+          |  w -> trim(regexp_replace(w, '(.)', '\1 ', 'g'))), '  ') || ' ' AS s
+          |  FROM toks)""".stripMargin
+      val encs = (1 to BpeMerges).map { k =>
+        s"""enc$k AS (SELECT doc_id, replace(s, ' ' || (SELECT p FROM m$k) || ' ',
+           |  ' ' || (SELECT replace(p, ' ', '') FROM m$k) || ' ') AS s
+           |  FROM enc${k - 1})""".stripMargin
+      }
+      s"""WITH $duckToks,
+         |${duckBpeChain(BpeMerges)},
+         |$enc0,
+         |${encs.mkString(",\n")}
+         |SELECT doc_id,
+         |  CAST(len(list_filter(string_split(s, ' '), x -> x <> '')) AS INT)
+         |    AS n_subwords,
+         |  array_to_string(list_filter(string_split(s, ' '), x -> x <> ''), ' ')
+         |    AS subword_text
+         |FROM enc$BpeMerges""".stripMargin
+    },
+
+    // Replays every Gopher repetition branch over the seeded structure:
+    // line groups keyed by the same 60-bit hash Spark groups on, n-gram
+    // argmax via the identical (count desc, gram asc) window, and the
+    // dup-n-gram covered-position UNION exactly as the span_scrub oracle
+    // (0-based starts, distinct (doc, pos), token-length weights).
+    "gopher_repetition" -> {
+      def top(n: Int) =
+        s"""g$n AS (SELECT doc_id, g, count(*) AS c FROM (
+           |  SELECT doc_id, unnest(list_transform(range(len(ts) - ${n - 1}),
+           |    i -> array_to_string(ts[i + 1 : i + $n], ' '))) AS g
+           |  FROM tk WHERE len(ts) >= $n) GROUP BY 1, 2),
+           |t$n AS (SELECT doc_id, CAST(c * len(replace(g, ' ', '')) AS DOUBLE)
+           |    AS top$n FROM (
+           |  SELECT doc_id, g, c, row_number() OVER (
+           |    PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM g$n)
+           |  WHERE rn = 1)""".stripMargin
+      def dup(n: Int) =
+        s"""w$n AS (SELECT doc_id, u.i AS s,
+           |  ${duckHash(s"array_to_string(ts[u.i + 1 : u.i + $n], ' ')")} AS h
+           |  FROM tk, unnest(range(len(ts) - ${n - 1})) AS u(i)
+           |  WHERE len(ts) >= $n),
+           |d$n AS (SELECT doc_id, h FROM w$n GROUP BY 1, 2 HAVING count(*) >= 2),
+           |c$n AS (SELECT DISTINCT wd.doc_id, wd.s + r.j AS p
+           |  FROM (SELECT w$n.doc_id, w$n.s FROM w$n JOIN d$n USING (doc_id, h)) wd,
+           |       unnest(range($n)) AS r(j)),
+           |u$n AS (SELECT c$n.doc_id,
+           |    CAST(sum(len(tk.ts[c$n.p + 1])) AS DOUBLE) AS dup$n
+           |  FROM c$n JOIN tk ON c$n.doc_id = tk.doc_id GROUP BY 1)""".stripMargin
+      s"""WITH sd AS (SELECT doc_id,
+         |  'shared header line' || chr(10) || 'shared header line' || chr(10) ||
+         |  regexp_replace(text, ' (value|data) ', chr(10), 'g') || chr(10) ||
+         |  'alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu ' ||
+         |  'alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu' AS t3
+         |  FROM documents),
+         |tk AS (SELECT doc_id, list_filter(
+         |  regexp_split_to_array(lower(t3), '[^\\p{L}\\p{N}]+'),
+         |  t -> len(t) > 0) AS ts FROM sd),
+         |base AS (SELECT doc_id, CAST(len(ts) AS INT) AS n_tokens,
+         |  CAST(coalesce(list_sum(list_transform(ts, t -> len(t))), 0) AS BIGINT)
+         |    AS token_chars FROM tk),
+         |lr AS (SELECT doc_id, l FROM (SELECT doc_id,
+         |    unnest(list_transform(string_split(t3, chr(10)), x -> trim(x))) AS l
+         |  FROM sd) WHERE len(l) > 0),
+         |la AS (SELECT doc_id, ${duckHash("l")} AS h, count(*) AS c,
+         |  max(len(l)) AS ln FROM lr GROUP BY 1, 2),
+         |ls AS (SELECT doc_id,
+         |  CAST(sum(c) AS BIGINT) AS nl, CAST(sum(c - 1) AS BIGINT) AS dl,
+         |  CAST(sum(c * ln) AS BIGINT) AS lc,
+         |  CAST(sum((c - 1) * ln) AS BIGINT) AS dlc
+         |  FROM la GROUP BY 1),
+         |${top(2)},
+         |${top(3)},
+         |${top(4)},
+         |${dup(5)},
+         |${dup(10)}
+         |SELECT b.doc_id, b.n_tokens, b.token_chars,
+         |  round(coalesce(CAST(ls.dl AS DOUBLE) / greatest(ls.nl, 1), 0), 6) + 0.0
+         |    AS dup_line_frac,
+         |  round(coalesce(CAST(ls.dlc AS DOUBLE) / greatest(ls.lc, 1), 0), 6) + 0.0
+         |    AS dup_line_char_frac,
+         |  round(coalesce(t2.top2, 0) / greatest(b.token_chars, 1), 6) + 0.0
+         |    AS top_2gram_char_frac,
+         |  round(coalesce(t3.top3, 0) / greatest(b.token_chars, 1), 6) + 0.0
+         |    AS top_3gram_char_frac,
+         |  round(coalesce(t4.top4, 0) / greatest(b.token_chars, 1), 6) + 0.0
+         |    AS top_4gram_char_frac,
+         |  round(coalesce(u5.dup5, 0) / greatest(b.token_chars, 1), 6) + 0.0
+         |    AS dup_5gram_char_frac,
+         |  round(coalesce(u10.dup10, 0) / greatest(b.token_chars, 1), 6) + 0.0
+         |    AS dup_10gram_char_frac
+         |FROM base b LEFT JOIN ls USING (doc_id)
+         |LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+         |LEFT JOIN t4 USING (doc_id)
+         |LEFT JOIN u5 USING (doc_id) LEFT JOIN u10 USING (doc_id)""".stripMargin
+    },
+
+    // Replays urlFacets: the same seeded CASE chain, the same three
+    // RE2 extraction patterns, lowercase host, dot-boundary suffix
+    // blocklist, scheme gate.
+    "url_host_filter" ->
+      s"""WITH su AS (SELECT doc_id,
+         |  (CASE WHEN doc_id % 11 = 0 THEN 'ftp://'
+         |        WHEN doc_id % 7 = 0 THEN 'http://' ELSE 'https://' END) ||
+         |  (CASE WHEN doc_id % 13 = 0 THEN 'SPAM.example.org'
+         |        WHEN doc_id % 5 = 0 THEN 'tracker.ads.example.com'
+         |        WHEN doc_id % 3 = 0 THEN 'badads.example.com'
+         |        ELSE source || '.example.org' END) ||
+         |  '/doc/' || CAST(doc_id AS VARCHAR) ||
+         |  (CASE WHEN doc_id % 2 = 0 THEN '?utm=1' ELSE '' END) AS url
+         |  FROM documents),
+         |f AS (SELECT doc_id, url,
+         |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         |  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+         |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path
+         |  FROM su)
+         |SELECT doc_id, url, scheme, host, path,
+         |  (scheme IN ('http', 'https') AND len(host) > 0 AND NOT (
+         |    host = 'ads.example.com' OR host LIKE '%.ads.example.com' OR
+         |    host = 'spam.example.org' OR host LIKE '%.spam.example.org'))
+         |    AS keep
+         |FROM f""".stripMargin,
+
+    // round-trip fidelity: the WARC re-read must hash-match the parquet
+    "warc_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
     "span_scrub" ->
       s"""WITH $duckToks,
          |w AS (SELECT doc_id, u.i AS s,

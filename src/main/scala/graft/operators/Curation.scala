@@ -839,4 +839,32 @@ object Curation {
         pmod(pos, lit(64)).cast("int")) bitwiseAND lit(1L)) === lit(1L)
     }.reduce(_ && _)
   }
+
+  /** URL facet extraction + blocklist gate — the provenance filter every
+    * crawl pipeline runs before content-based signals (C4 dropped
+    * blocklisted domains; RefinedWeb's first stage is URL filtering).
+    * Scheme/host/path parse by ONE RE2-replayable regex (no java.net.URL
+    * object per row — stateless codegen projection, zero shuffle);
+    * `keep` = http(s) scheme ∧ host present ∧ host not in the blocklist
+    * and not a subdomain of a blocked domain (suffix match on dot
+    * boundaries — blocking `ads.example.com` also blocks
+    * `tracker.ads.example.com`, never `badads.example.com`). Hosts
+    * lowercase for the match (DNS is case-insensitive); the blocklist
+    * broadcasts as literals (it is a config artifact, ≤ thousands of
+    * entries — for web-scale lists swap in the Bloom gate of
+    * [[decontaminateBloom]]). */
+  def urlFacets(
+      df: DataFrame, idCol: String, urlCol: String,
+      blockedHosts: Seq[String]): DataFrame = {
+    val u = col(urlCol)
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
+    val path = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+    val blocked = blockedHosts.map(_.toLowerCase).distinct
+      .map(b => host === b || host.endsWith("." + b))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    df.select(col(idCol), u.as("url"),
+      scheme.as("scheme"), host.as("host"), path.as("path"),
+      (scheme.isin("http", "https") && length(host) > 0 && !blocked).as("keep"))
+  }
 }

@@ -668,4 +668,275 @@ object TextAnalysis {
         ellLineFrac < 0.3 &&
         required >= minRequiredWords).as("keep"))
   }
+
+  /** HTML → text extraction (the crawl-ingest step BEFORE every quality/
+    * dedup signal here — C4/CCNet/RefinedWeb all start from a tag-stripping
+    * pass). Regex-pipeline extraction, deliberately DOM-free: a 100 TB
+    * crawl pass wants a stateless codegen projection, not a parser object
+    * per row, and the regex chain is replayable by any RE2-compatible
+    * engine (no lookaround/backrefs in PATTERNS; `(?is)` inline flags and
+    * non-greedy `.*?` are common to Java regex and RE2).
+    *
+    * Order matters and is part of the contract:
+    *  1. drop <script>/<style> ELEMENTS (tag + content — their text is
+    *     code, not prose) and <!-- comments -->;
+    *  2. block-level boundaries (<br>, </p>, </div>, </li>, </h1..6>,
+    *     </tr>) become newlines so line structure survives for
+    *     [[lineDedup]]/gopher line rules;
+    *  3. every remaining tag becomes a space;
+    *  4. the five standard named entities + &#39; unescape via literal
+    *     replace, `&amp;` LAST so double-escaped text un-escapes exactly
+    *     one level (`&amp;lt;` → `&lt;`, never `<`);
+    *  5. horizontal whitespace collapses within lines, blank lines drop.
+    *
+    * Emits n_tags (tag count BEFORE stripping — a markup-density signal)
+    * and the extracted text. Zero shuffle. */
+  def htmlExtract(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val noScript = regexp_replace(
+      regexp_replace(col(htmlCol), "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
+    val blocks = regexp_replace(noComment,
+      "(?i)<(br|/p|/div|/li|/h[1-6]|/tr)[^>]*>", "\n")
+    val noTags = regexp_replace(blocks, "<[^>]*>", " ")
+    val unescaped = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&nbsp;" -> " ", "&amp;" -> "&" // &amp; LAST: one unescape level
+    ).foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    val collapsed = regexp_replace(
+      regexp_replace(unescaped, "[ \\t\\r]+", " "), " ?\\n ?", "\n")
+    val text = trim(regexp_replace(collapsed, "\\n+", "\n"), "\n ")
+    df.select(col(idCol),
+      size(regexp_extract_all(col(htmlCol), lit("<[^>]*>"), lit(0))).as("n_tags"),
+      text.as("text"))
+  }
+
+  /** Cross-document duplicated-LINE removal — the line-wise dedup step of
+    * CCNet / RefinedWeb (navigation menus, cookie banners, share buttons
+    * repeat verbatim as LINES across a site; document-level and even
+    * span-level dedup miss them when the surrounding prose differs). A
+    * line whose trimmed content appears in ≥ minDocs distinct documents is
+    * dropped from every document; survivors keep their original order and
+    * bytes. Complements [[Dedup.spanScrub]] (token windows, within-line):
+    * this is the structural-boundary variant the crawl pipelines actually
+    * run first.
+    *
+    * Scale shape — identical skeleton to spanScrub: the line relation
+    * shuffles (hash, id, ordinal) longs, never text; duplicated ordinals
+    * collapse to ONE removal set per touched doc; the rewrite is a
+    * stateless position-indexed array filter in the final projection, so
+    * document text never shuffles (the only corpus join is the narrow
+    * removal-set side, an id equi-join). Empty/whitespace lines hash
+    * equal and so vanish wherever minDocs documents have any blank line —
+    * deliberate: the output is the compact kept-line stream. */
+  def lineDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"cross-doc dedup needs minDocs >= 2, got $minDocs")
+    val lineArr = split(col(textCol), "\n")
+    // (id, 0-based ordinal, trimmed-line hash) — posexplode keeps empties
+    // so ordinals align with the split array in the rewrite
+    val lines = df
+      .select(col(idCol), posexplode(lineArr))
+      .toDF(idCol, "_i", "_l")
+      .select(col(idCol), col("_i"), Dedup.stableHash(trim(col("_l"))).as("_h"))
+    val dupHashes = lines.groupBy(col("_h"))
+      .agg(countDistinct(col(idCol)).as("_docs"))
+      .filter(col("_docs") >= minDocs)
+      .select(col("_h"))
+    val removed = lines.join(dupHashes, "_h")
+      .groupBy(col(idCol))
+      .agg(collect_set(col("_i")).as("_rm"))
+    df.join(removed, Seq(idCol), "left")
+      .select(col(idCol), lineArr.as("_ls"),
+        coalesce(col("_rm"), array().cast("array<int>")).as("_rm"))
+      .select(col(idCol),
+        size(col("_ls")).as("n_lines"),
+        size(col("_rm")).as("n_removed"),
+        concat_ws("\n", filter(col("_ls"),
+          (l, i) => !array_contains(col("_rm"), i))).as("clean_text"))
+  }
+
+  /** The FULL Gopher repetition battery (Rae et al. 2021 Table A1 — the
+    * signals [[repetitionScore]]'s top-bigram share summarizes):
+    *
+    *  - `dup_line_frac` / `dup_line_char_frac`: share of non-empty
+    *    trimmed lines (and of their characters) that are REPEAT
+    *    occurrences of a line already present in the same document
+    *    (Σ(c−1)/Σc per line group — the NeMo-Curator counting);
+    *  - `top_{2,3,4}gram_char_frac`: characters claimed by the single
+    *    most frequent word n-gram (count × n-gram chars / total token
+    *    chars; ties broken count desc then gram asc — deterministic);
+    *  - `dup_{5,10}gram_char_frac`: characters covered by the UNION of
+    *    all positions of n-grams occurring ≥2× in the document (overlap
+    *    counted once — the spanScrub covered-position machinery turned
+    *    within-doc).
+    *
+    * Character counts are token characters (separators excluded), so the
+    * fractions are layout-independent. Scale shape: every aggregation is
+    * keyed (doc, hash) — partial-aggregatable, nothing crosses
+    * documents; the top-gram argmax is a per-doc WindowGroupLimit (≤1
+    * row per doc past the exchange); covered-position unions shuffle
+    * (doc, int) pairs. Text beyond the n-gram keys never shuffles. */
+  def gopherRepetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val id = col(idCol)
+    val ts = Dedup.tokens(col(textCol))
+    val base = df.select(id, size(ts).as("n_tokens"),
+      aggregate(ts, lit(0L), (a, t) => a + length(t)).as("token_chars"))
+
+    // within-doc duplicate lines (trimmed, non-empty)
+    val lineRows = df.select(id, explode(filter(
+      transform(split(col(textCol), "\n"), l => trim(l)),
+      l => length(l) > 0)).as("_l"))
+    val lineAgg = lineRows
+      .groupBy(id, Dedup.stableHash(col("_l")).as("_h"))
+      .agg(count(lit(1)).as("_c"), max(length(col("_l"))).as("_len"))
+      .groupBy(id).agg(
+        sum(col("_c")).as("_nl"),
+        sum(col("_c") - 1).as("_dl"),
+        sum(col("_c") * col("_len")).as("_lc"),
+        sum((col("_c") - 1) * col("_len")).as("_dlc"))
+      .select(id,
+        (col("_dl").cast("double") / greatest(col("_nl"), lit(1L))).as("_dlf"),
+        (col("_dlc").cast("double") / greatest(col("_lc"), lit(1L))).as("_dlcf"))
+
+    // most-frequent n-gram character share, deterministic argmax
+    def topGram(n: Int): DataFrame = {
+      val grams = df.select(id,
+        explode(when(size(ts) >= n, transform(
+            sequence(lit(0), size(ts) - n),
+            i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
+          .otherwise(array().cast("array<string>"))).as("_g"))
+      val counted = grams.groupBy(id, col("_g")).agg(count(lit(1)).as("_c"))
+      val w = Window.partitionBy(id).orderBy(col("_c").desc, col("_g").asc)
+      counted.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select(id, (col("_c") * length(replace(col("_g"), lit(" "), lit(""))))
+          .cast("double").as(s"_top$n"))
+    }
+
+    // union-of-positions duplicated n-gram character share
+    def dupGram(n: Int): DataFrame = {
+      val wins = df.select(id, posexplode(when(size(ts) >= n, transform(
+          sequence(lit(1), size(ts) - (n - 1)),
+          s => Dedup.stableHash(concat_ws(" ", slice(ts, s, lit(n))))))
+        .otherwise(array().cast("array<long>"))))
+        .toDF(idCol, "_s", "_h")
+      val dups = wins.groupBy(id, col("_h")).agg(count(lit(1)).as("_c"))
+        .filter(col("_c") >= 2).select(id, col("_h"))
+      val covered = wins.join(dups, Seq(idCol, "_h"))
+        .select(id, explode(sequence(col("_s"), col("_s") + (n - 1))).as("_p"))
+        .distinct()
+      val tokLens = df.select(id, posexplode(ts)).toDF(idCol, "_p", "_t")
+        .select(id, col("_p"), length(col("_t")).as("_tl"))
+      covered.join(tokLens, Seq(idCol, "_p"))
+        .groupBy(id).agg(sum(col("_tl")).cast("double").as(s"_dup$n"))
+    }
+
+    def frac(c: Column): Column =
+      round(c / greatest(col("token_chars"), lit(1L)), 6) + lit(0.0)
+    base
+      .join(lineAgg, Seq(idCol), "left")
+      .join(topGram(2), Seq(idCol), "left")
+      .join(topGram(3), Seq(idCol), "left")
+      .join(topGram(4), Seq(idCol), "left")
+      .join(dupGram(5), Seq(idCol), "left")
+      .join(dupGram(10), Seq(idCol), "left")
+      .select(id, col("n_tokens"), col("token_chars"),
+        (round(coalesce(col("_dlf"), lit(0.0)), 6) + lit(0.0)).as("dup_line_frac"),
+        (round(coalesce(col("_dlcf"), lit(0.0)), 6) + lit(0.0)).as("dup_line_char_frac"),
+        frac(coalesce(col("_top2"), lit(0.0))).as("top_2gram_char_frac"),
+        frac(coalesce(col("_top3"), lit(0.0))).as("top_3gram_char_frac"),
+        frac(coalesce(col("_top4"), lit(0.0))).as("top_4gram_char_frac"),
+        frac(coalesce(col("_dup5"), lit(0.0))).as("dup_5gram_char_frac"),
+        frac(coalesce(col("_dup10"), lit(0.0))).as("dup_10gram_char_frac"))
+  }
+
+  /** Byte-pair-encoding merge learning (Sennrich et al. 2016 — the
+    * tokenizer-TRAINING step; [[vocabBuild]] is the word-level analogue).
+    * Each word is a space-delimited symbol string with sentinel spaces
+    * (` l o w `); one merge round = count every adjacent symbol position
+    * weighted by word frequency, take the single most frequent pair
+    * (count desc, pair asc — deterministic), rewrite ` A B ` → ` AB ` in
+    * every word (non-overlapping left-to-right, the standard greedy
+    * semantics — `replace` behaves identically in Spark and any SQL
+    * engine), repeat. Returns the learned merge table (rank, left, right,
+    * merged, freq) — THE artifact a BPE tokenizer ships.
+    *
+    * Scale shape: the corpus collapses to the DISTINCT-WORD table first
+    * (one (word) aggregation — vocabulary-sized, ~1e7 rows at web scale,
+    * never documents); each round is one pair aggregation over that table
+    * plus a 1-row driver collect (the merge decision is inherently global
+    * and tiny — this is exactly how distributed BPE trainers iterate).
+    * nMerges passes total, each vocabulary-sized. The word table is
+    * cached for the loop and unpersisted before returning. */
+  def bpeTrain(
+      df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1, s"need nMerges >= 1, got $nMerges")
+    val spark = df.sparkSession
+    // " a b c " symbol strings: sentinel spaces make ` A B ` matches
+    // symbol-exact (a pattern can never match inside a longer symbol)
+    var words = df
+      .select(explode(Dedup.tokens(col(textCol))).as("_w"))
+      .groupBy(col("_w")).agg(count(lit(1)).as("_f"))
+      .select(concat(lit(" "),
+        regexp_replace(col("_w"), "(.)", "$1 ")).as("_s"), col("_f"))
+      .cache()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    try {
+      for (rank <- 1 to nMerges) {
+        val syms = filter(split(col("_s"), " "), t => length(t) > 0)
+        val pairs = when(size(syms) >= 2, transform(
+            sequence(lit(1), size(syms) - 1),
+            i => concat_ws(" ", element_at(syms, i), element_at(syms, i + 1))))
+          .otherwise(array().cast("array<string>"))
+        val top = words
+          .select(explode(pairs).as("_p"), col("_f"))
+          .groupBy(col("_p")).agg(sum(col("_f")).as("_cnt"))
+          .orderBy(col("_cnt").desc, col("_p").asc)
+          .head(1)
+        if (top.nonEmpty) {
+          val pair = top(0).getString(0)
+          val Array(l, r) = pair.split(" ", 2)
+          merges += ((rank, l, r, top(0).getLong(1)))
+          val next = words.select(
+            replace(col("_s"), lit(s" $pair "), lit(s" $l$r ")).as("_s"),
+            col("_f")).cache()
+          next.count() // materialize before dropping the parent's blocks
+          words.unpersist()
+          words = next
+        }
+      }
+    } finally words.unpersist()
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "freq")
+      .select(col("rank"), col("left"), col("right"),
+        concat(col("left"), col("right")).as("merged"), col("freq"))
+      .orderBy("rank")
+  }
+
+  /** BPE ENCODE — apply a learned merge table ([[bpeTrain]]'s output, as
+    * driver-side (left, right) pairs in rank order) to every document.
+    * The whole document symbolizes at once: per-word symbols separated
+    * by ONE space, words separated by TWO — a merge pattern ` A B ` has
+    * single-space separators, so it can never fire across a word
+    * boundary, and the n merge applications are n chained `replace`
+    * calls inside one stateless codegen projection (zero shuffle, zero
+    * per-row state — the tokenize-with-vocab serving path). Emits the
+    * subword stream and its length; [[bpeTrain]] learns, this applies —
+    * together they are the tokenizer lifecycle. */
+  def bpeEncode(
+      df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val sym = concat(lit(" "), concat_ws("  ",
+      transform(Dedup.tokens(col(textCol)),
+        w => trim(regexp_replace(w, "(.)", "$1 ")))), lit(" "))
+    val encoded = merges.foldLeft(sym) { case (c, (l, r)) =>
+      replace(c, lit(s" $l $r "), lit(s" $l$r "))
+    }
+    val subwords = filter(split(encoded, " "), t => length(t) > 0)
+    df.select(col(idCol),
+      size(subwords).as("n_subwords"),
+      concat_ws(" ", subwords).as("subword_text"))
+  }
 }

@@ -536,4 +536,29 @@ class CurationSpec extends SparkSpec {
     assert(cells == Map(("web", "wiki") -> 2L, ("web", "web") -> 1L,
       ("books", "wiki") -> 1L))
   }
+
+  test("urlFacets: parse, dot-boundary blocklist, scheme gate, case fold") {
+    val urls = Seq(
+      (0L, "https://ads.example.com/x"),          // blocked exactly
+      (1L, "https://tracker.ads.example.com/y"),  // blocked subdomain
+      (2L, "https://badads.example.com/z"),       // NOT blocked (no dot)
+      (3L, "ftp://good.org/file"),                // scheme rejected
+      (4L, "example.com/no-scheme"),              // no host parse
+      (5L, "HTTPS://ADS.Example.COM/case"),       // case-folded block
+      (6L, "http://ok.org?q=1"),                  // query, empty path
+      (7L, "https://ok.org:8443/port/path")       // port excluded from host
+    ).toDF("doc_id", "url")
+    val r = Curation.urlFacets(urls, "doc_id", "url", Seq("ads.example.com"))
+      .collect().map(x => x.getLong(0) ->
+        ((x.getAs[String]("scheme"), x.getAs[String]("host"),
+          x.getAs[String]("path"), x.getAs[Boolean]("keep")))).toMap
+    assert(r(0L) == (("https", "ads.example.com", "/x", false)))
+    assert(r(1L) == (("https", "tracker.ads.example.com", "/y", false)))
+    assert(r(2L) == (("https", "badads.example.com", "/z", true)))
+    assert(r(3L) == (("ftp", "good.org", "/file", false)))
+    assert(r(4L) == (("", "", "", false)))
+    assert(r(5L) == (("https", "ads.example.com", "/case", false)))
+    assert(r(6L) == (("http", "ok.org", "", true)))
+    assert(r(7L) == (("https", "ok.org", "/port/path", true)))
+  }
 }

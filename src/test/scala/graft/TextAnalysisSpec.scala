@@ -395,4 +395,140 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out(4L)._1 && out(4L)._5 < 0.8)
     assert(!out(5L)._1)
   }
+
+  test("htmlExtract: elements out, blocks to newlines, one unescape level") {
+    val pages = Seq(
+      (0L, "<html><head><script>var a = '<p>not text</p>';</script>" +
+        "<style>h1 { x: y }</style></head><body>" +
+        "<h1>Title</h1><!-- secret --><p>para one</p><p>two &amp; three</p>" +
+        "<div>d1</div>tail</body></html>"),
+      (1L, "no markup at all"),
+      (2L, "a &amp;lt; b &lt; c"), // double-escaped: exactly ONE level
+      (3L, "<ul><li>x</li><li>y</li></ul>"),
+      (4L, "<p>MULTI\n\n\n  spaces   and\t tabs</p>")
+    ).toDF("doc_id", "html")
+    val r = TextAnalysis.htmlExtract(pages, "doc_id", "html")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    // script/style CONTENT is gone (not just the tags), comment gone,
+    // block closers create line structure
+    assert(r(0L).getAs[String]("text") == "Title\npara one\ntwo & three\nd1\ntail")
+    assert(r(0L).getAs[Int]("n_tags") > 10)
+    assert(r(1L).getAs[String]("text") == "no markup at all")
+    assert(r(1L).getAs[Int]("n_tags") == 0)
+    // &amp;lt; unescapes to the LITERAL "&lt;", never to "<"
+    assert(r(2L).getAs[String]("text") == "a &lt; b < c")
+    assert(r(3L).getAs[String]("text") == "x\ny")
+    assert(r(4L).getAs[String]("text") == "MULTI\nspaces and tabs")
+  }
+
+  test("lineDedup: cross-doc lines drop, unique lines keep order and bytes") {
+    val docs = Seq(
+      (0L, "banner\nalpha unique\nshared middle\nend zero"),
+      (1L, "banner\nbeta unique\nshared middle\nend one"),
+      (2L, "banner\ngamma solo"),
+      (3L, "all original\nnothing shared here")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.lineDedup(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getAs[String]("clean_text"), x.getAs[Int]("n_lines"),
+          x.getAs[Int]("n_removed")))).toMap
+    assert(r(0L) == (("alpha unique\nend zero", 4, 2)))
+    assert(r(1L) == (("beta unique\nend one", 4, 2)))
+    assert(r(2L) == (("gamma solo", 2, 1)))
+    assert(r(3L) == (("all original\nnothing shared here", 2, 0)))
+    // trim-equality: indentation variants of the same line still dedup;
+    // within-doc repeats alone do NOT (cross-doc means distinct docs)
+    val docs2 = Seq(
+      (0L, "  padded line\nself\nself"),
+      (1L, "padded line  \nother")).toDF("doc_id", "text")
+    val r2 = TextAnalysis.lineDedup(docs2, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getAs[String]("clean_text")).toMap
+    assert(r2(0L) == "self\nself")
+    assert(r2(1L) == "other")
+  }
+
+  test("bpeTrain: hand-computed merges on a tiny corpus") {
+    // vocabulary: low x4, lower x2, newest x3 (split on non-alnum)
+    val docs = Seq(
+      (0L, "low low low low"),
+      (1L, "lower lower"),
+      (2L, "newest, newest; newest")).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeTrain(docs, "text", nMerges = 4)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[String]("merged"),
+        r.getAs[Long]("freq")))
+    // round 1 pair counts: (l,o)=6, (o,w)=6, (w,e)=5, (e,s)=3, (s,t)=3,
+    // (e,r)=2, (n,e)=3, (e,w)=3 → argmax ties (l,o)/(o,w) at 6 → "l o" asc
+    assert(m(0) == ((1, "l", "o", "lo", 6L)))
+    // after ' l o '→' lo ': (lo,w)=6 wins
+    assert(m(1) == ((2, "lo", "w", "low", 6L)))
+    // then: low x4 done; lower = [low,e,r] x2; newest = [n,e,w,e,s,t] x3
+    // pairs: (low,e)=2,(e,r)=2,(n,e)=3,(e,w)=3,(w,e)=3,(e,s)=3,(s,t)=3
+    // → tie at 3, asc: "e s" < "e w" < "n e" < "s t" < "w e" → (e,s)
+    assert(m(2) == ((3, "e", "s", "es", 3L)))
+    // newest = [n,e,w,es,t]: (es,t)=3,(n,e)=3,(e,w)=3,(w,es)=3,(low,e)=2,
+    // (e,r)=2 → asc "e w" < "es t" < "n e" < "w es" → (e,w)... but ' e w '
+    // only matches where w follows e: newest → [n,ew,es,t]
+    assert(m(3) == ((4, "e", "w", "ew", 3L)))
+    // determinism: identical result on a re-run
+    val m2 = TextAnalysis.bpeTrain(docs, "text", nMerges = 4)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[String]("merged")))
+    assert(m2.toSeq == m.toSeq.map(x => (x._1, x._4)))
+  }
+
+  test("gopherRepetition: hand-computed signals, union counts overlap once") {
+    val docs = Seq(
+      (0L, "x\nab ab ab\nx"),                    // dup line + top-gram shares
+      (1L, "a b c d e a b c d e"),               // dup 5-gram, union = all
+      (2L, "plain words only here")              // nothing repeats
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRepetition(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    val d0 = r(0L)
+    // lines: ["x", "ab ab ab", "x"] -> group x has c=2: 1 repeat of 3 lines
+    assert(d0.getAs[Double]("dup_line_frac") == math.rint(1.0 / 3 * 1e6) / 1e6)
+    assert(d0.getAs[Double]("dup_line_char_frac") == 0.1) // 1 char of 10
+    // tokens [x ab ab ab x], chars 8; top bigram "ab ab" c=2 chars 4 -> 8/8
+    assert(d0.getAs[Int]("n_tokens") == 5 && d0.getAs[Long]("token_chars") == 8L)
+    assert(d0.getAs[Double]("top_2gram_char_frac") == 1.0)
+    // trigram tie at c=1 -> "ab ab ab" wins asc; 6 chars of 8
+    assert(d0.getAs[Double]("top_3gram_char_frac") == 0.75)
+    assert(d0.getAs[Double]("dup_5gram_char_frac") == 0.0)
+    val d1 = r(1L)
+    // "a b c d e" 5-gram at starts 0 and 5: union covers all 10 tokens
+    assert(d1.getAs[Double]("dup_5gram_char_frac") == 1.0)
+    assert(d1.getAs[Double]("dup_10gram_char_frac") == 0.0) // single 10-gram
+    val d2 = r(2L)
+    assert(d2.getAs[Double]("dup_line_frac") == 0.0)
+    assert(d2.getAs[Double]("dup_5gram_char_frac") == 0.0)
+    // top bigram exists even without repeats (c=1): deterministic asc pick
+    assert(d2.getAs[Double]("top_2gram_char_frac") > 0.0)
+  }
+
+  test("bpeEncode: merges apply in order, never across word boundaries") {
+    val docs = Seq((0L, "low lower"), (1L, "ol lo")).toDF("doc_id", "text")
+    val r = TextAnalysis.bpeEncode(docs, "doc_id", "text",
+        Seq(("l", "o"), ("lo", "w")))
+      .collect().map(x => x.getLong(0) ->
+        ((x.getAs[Int]("n_subwords"), x.getAs[String]("subword_text")))).toMap
+    assert(r(0L) == ((4, "low low e r")))
+    // "ol lo": the (l,o) merge fires inside "lo" but NOT across "ol|lo"
+    assert(r(1L) == ((3, "o l lo")))
+    // empty merge list = plain character segmentation
+    val plain = TextAnalysis.bpeEncode(docs, "doc_id", "text", Nil)
+      .collect().map(x => x.getLong(0) -> x.getAs[String]("subword_text")).toMap
+    assert(plain(0L) == "l o w l o w e r")
+  }
+
+  test("bpeTrain: greedy left-to-right application (aaa -> aa a)") {
+    val docs = Seq((0L, "aaa aaa")).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeTrain(docs, "text", nMerges = 2)
+      .collect().map(r => (r.getAs[String]("left"), r.getAs[String]("right"),
+        r.getAs[Long]("freq")))
+    // 'aaa' = [a,a,a]: positions (a,a)x2 per word, 2 words → freq 4;
+    // applying ' a a '→' aa ' greedily leaves [aa, a]
+    assert(m(0) == (("a", "a", 4L)))
+    // round 2 over [aa, a]: the only pair is (aa, a), freq 2
+    assert(m(1) == (("aa", "a", 2L)))
+  }
 }
