@@ -42,4 +42,38 @@ object Layout {
     df.withColumn(outCol, zValue(a, b, bits))
       .repartitionByRange(col(outCol))
       .sortWithinPartitions(col(outCol))
+
+  /** Bucketed-table layout — shuffle ONCE at write time instead of on
+    * every join. `bucketBy(n, key)` hash-partitions rows into n files per
+    * write task and records the spec in the catalog; a later equi-join of
+    * two tables bucketed the same way plans with NO Exchange on either
+    * side (bucket-to-bucket task alignment; `sortBy` additionally removes
+    * the per-task Sort under SortMergeJoin). At 100 TB this is the
+    * difference between re-shuffling the fact table on every join of a
+    * recurring pipeline and paying the shuffle once at ingest — the same
+    * build-once economics as the index stores, applied to JOIN layout.
+    * `PlanQualitySpec` pins the Exchange-free plan.
+    *
+    * Files are parquet at `path` (external table), metadata in the
+    * session catalog; `n` should be sized so a bucket ≈ one task's worth
+    * (128-256 MB) at the target scale. */
+  def writeBucketed(
+      df: DataFrame, table: String, path: String,
+      bucketCol: String, nBuckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet").option("path", path)
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table)
+
+  /** Session-cached [[writeBucketed]]: write+register on first use, serve
+    * the catalog table afterwards (catalog metadata is session-scoped, so
+    * a fresh session rewrites — the bucket spec must come from the
+    * catalog for the planner to use it). */
+  def bucketedOnce(
+      df: DataFrame, table: String, path: String,
+      bucketCol: String, nBuckets: Int): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table))
+      writeBucketed(df, table, path, bucketCol, nBuckets)
+    spark.table(table)
+  }
 }

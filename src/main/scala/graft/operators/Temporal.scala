@@ -170,4 +170,44 @@ object Temporal {
       (round(avg(col(valCol)).over(w), 6) + lit(0.0)).as("w_avg"),
       max(col(valCol)).over(w).as("w_max"))
   }
+
+  /** Regular-grid resampling with forward fill (gap fill + LOCF — the
+    * time-series normalization step metric/telemetry pipelines run before
+    * any windowed model): per key, bucket events onto a fixed
+    * `stepMicros` grid (bucket value = the LAST event in the bucket,
+    * deterministic (ts, value) struct-max tiebreak), densify the grid
+    * between the key's first and last observed bucket, and carry the
+    * last observation forward across empty buckets. Emits one row per
+    * (key, grid bucket): `bucket_start_us`, the filled `value` (rounded
+    * 6), and `is_gap` (true where the bucket had no event).
+    *
+    * Scale shape: one (key, bucket) partial aggregation, a per-key
+    * bounds aggregate, the grid explode (≤ span/step rows per key —
+    * bounded by the OUTPUT size, which the caller chose by picking the
+    * step), one equi-join back, and one per-key ordered window for the
+    * fill. No global sort; timestamps are plain numeric micros so every
+    * step replays exactly in any engine. */
+  def resampleFfill(
+      df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+      stepMicros: Long): DataFrame = {
+    require(stepMicros >= 1, s"stepMicros must be >= 1, got $stepMicros")
+    // SQL `div` (integer division) — a double divide + cast would round
+    // half-buckets instead of flooring; epochs are non-negative by contract
+    val bucket = expr(s"$tsCol div ${stepMicros}L")
+    val perBucket = df
+      .groupBy(col(keyCol), bucket.as("_b"))
+      .agg(max(struct(col(tsCol).as("t"), col(valCol).as("v")))
+        .getField("v").as("_v"))
+    val grid = perBucket.groupBy(col(keyCol))
+      .agg(min(col("_b")).as("_lo"), max(col("_b")).as("_hi"))
+      .select(col(keyCol), explode(sequence(col("_lo"), col("_hi"))).as("_b"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(perBucket, Seq(keyCol, "_b"), "left")
+      .select(col(keyCol),
+        (col("_b") * stepMicros).as("bucket_start_us"),
+        (round(last(col("_v"), ignoreNulls = true).over(w), 6) + lit(0.0))
+          .as("value"),
+        col("_v").isNull.as("is_gap"))
+  }
 }

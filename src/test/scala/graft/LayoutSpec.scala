@@ -40,4 +40,32 @@ class LayoutSpec extends SparkSpec {
     assert(plan.toLowerCase.contains("rangepartitioning"), plan.take(1500))
     assert(!plan.contains("Exchange SinglePartition"), plan.take(1500))
   }
+
+  test("bucketed tables: equi-join plans with zero shuffle exchanges") {
+    val base = s"${sys.props("java.io.tmpdir")}/graft-bucketed-spec"
+    val a = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("av"))
+    val b = spark.range(500).select(col("id").as("k"), (col("id") * 3).as("bv"))
+    spark.sql("DROP TABLE IF EXISTS bkt_a_spec")
+    spark.sql("DROP TABLE IF EXISTS bkt_b_spec")
+    val ta = Layout.bucketedOnce(a, "bkt_a_spec", s"$base/a", "k", 4)
+    val tb = Layout.bucketedOnce(b, "bkt_b_spec", s"$base/b", "k", 4)
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = ta.join(tb, "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      // the whole point of the layout: the join itself shuffles NOTHING —
+      // bucket-to-bucket alignment replaces both Exchanges
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not re-shuffle:\n${plan.take(2000)}")
+      assert(joined.count() == 500)
+      // layout is invisible to semantics
+      val plain = a.join(b, "k").agg(sum(col("av") + col("bv"))).head.getLong(0)
+      assert(joined.agg(sum(col("av") + col("bv"))).head.getLong(0) == plain)
+      // second call serves from the session catalog without a rewrite
+      val again = Layout.bucketedOnce(a, "bkt_a_spec", s"$base/a", "k", 4)
+      assert(again.count() == 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
 }

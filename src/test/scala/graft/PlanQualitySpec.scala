@@ -198,6 +198,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Join"), "rule battery must not join")
   }
 
+  test("html extract + url gate: stateless projections, no shuffle") {
+    for (q <- Seq("html_extract", "url_host_filter")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must not shuffle:\n${p.take(1500)}")
+      assert(!p.contains("Join"), s"$q must not join")
+    }
+  }
+
+  test("line dedup + gopher repetition: equi-join shaped, partial top-k") {
+    for (q <- Seq("line_dedup", "gopher_repetition")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q:\n${p.take(1500)}")
+    }
+    // the top-n-gram argmax ships <= 1 row per doc past its exchange
+    assert(plan("gopher_repetition").contains("WindowGroupLimit"))
+  }
+
   test("hybrid rrf: fusion over top-k lists only, never a cross product") {
     val p = plan("hybrid_rrf")
     // the BM25 tower's 1-row corpus-stats frame broadcasts as a nested-loop

@@ -168,6 +168,28 @@ class TemporalSpec extends SparkSpec {
     assert(got(2L)._1 == 2 && got(2L)._2 == 3.0)
   }
 
+  test("resampleFfill: grid densifies, LOCF fills, last-in-bucket wins") {
+    // step 10: A has buckets 0 (two events) and 3; B a single bucket
+    val ev = Seq(
+      ("A", 1L, 1.0), ("A", 7L, 2.0),   // bucket 0: last ts wins -> 2.0
+      ("A", 35L, 9.0),                  // bucket 3; buckets 1, 2 are gaps
+      ("B", 100L, 5.0)                  // single bucket: no gaps at all
+    ).toDF("k", "ts_us", "v")
+    val r = Temporal.resampleFfill(ev, "k", "ts_us", "v", stepMicros = 10L)
+      .collect().map(x => (x.getString(0), x.getLong(1)) ->
+        ((x.getDouble(2), x.getBoolean(3)))).toMap
+    assert(r.size == 5)
+    assert(r(("A", 0L)) == ((2.0, false)))
+    assert(r(("A", 10L)) == ((2.0, true)))   // gap carries bucket 0's value
+    assert(r(("A", 20L)) == ((2.0, true)))
+    assert(r(("A", 30L)) == ((9.0, false)))
+    assert(r(("B", 100L)) == ((5.0, false)))
+    // same-timestamp tie inside a bucket: struct (ts, v) max -> larger v
+    val tie = Seq(("A", 5L, 1.0), ("A", 5L, 3.0)).toDF("k", "ts_us", "v")
+    val t = Temporal.resampleFfill(tie, "k", "ts_us", "v", 10L).collect()
+    assert(t.length == 1 && t(0).getDouble(2) == 3.0)
+  }
+
   test("range join plan: bucketed equi-join, no cartesian/BNLJ") {
     val l = spark.range(50).select((col("id") % 3).as("k"), col("id").as("ts"), col("id").as("lv"))
     val plan = Temporal.rangeJoin(l, l.withColumnRenamed("lv", "rv"), Seq("k"),
