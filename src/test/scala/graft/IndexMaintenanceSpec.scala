@@ -228,6 +228,42 @@ class IndexMaintenanceSpec extends SparkSpec {
     } finally FileUtils.deleteDirectory(dir)
   }
 
+  test("incremental line store: == full rebuild; served lineDedup correct") {
+    import graft.operators.TextAnalysis
+    import org.apache.commons.io.FileUtils
+    val dir = java.nio.file.Files.createTempDirectory("graft_line_inc").toFile
+    val path = new java.io.File(dir, "lines").getAbsolutePath
+    val merge = IndexMaintenance.mergeLineBatch(
+      spark, path, "doc_id", "text", Some("op"))
+    try {
+      merge(Seq(
+        (1L, "banner\nalpha one", "UPSERT"),
+        (2L, "banner\nbeta two", "UPSERT"),
+        (3L, "gone soon\nbanner", "UPSERT")).toDF("doc_id", "text", "op"), 0L)
+      // doc 1 rewritten (drops the banner), doc 3 deleted
+      merge(Seq(
+        (1L, "alpha one\nnew line", "UPSERT"),
+        (3L, null, "DELETE")).toDF("doc_id", "text", "op"), 1L)
+      val live = Seq(
+        (1L, "alpha one\nnew line"),
+        (2L, "banner\nbeta two")).toDF("doc_id", "text")
+      val got = IndexMaintenance.readLineIndex(spark, path)
+        .as[(Long, Int, Long)].collect().toSet
+      val want = TextAnalysis.lineRelation(live, "doc_id", "text")
+        .as[(Long, Int, Long)].collect().toSet
+      assert(got == want)
+      // served query == direct operator on the live corpus ("banner" now
+      // appears in only one live doc, so nothing dedups)
+      val served = TextAnalysis.lineDedupFromLines(
+          IndexMaintenance.readLineIndex(spark, path), live, "doc_id", "text")
+        .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+      val direct = TextAnalysis.lineDedup(live, "doc_id", "text")
+        .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+      assert(served == direct)
+      assert(served(2L) == "banner\nbeta two")
+    } finally FileUtils.deleteDirectory(dir)
+  }
+
   test("incremental dedup stores: shingles + signatures == full rebuild; store-served query correct") {
     import graft.operators.Dedup
     import org.apache.commons.io.FileUtils
