@@ -28,6 +28,12 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache spools every decode/encode through a
+  // TEMP FILE (FileCacheImageInputStream) — one disk round trip per
+  // image. All payloads here are in-memory byte arrays; the heap cache
+  // is strictly better. Executor-side object init runs this once per JVM.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed metadata carried next to the opaque payload. */
   val MetaType: StructType = StructType(Seq(
     StructField("format", StringType),
