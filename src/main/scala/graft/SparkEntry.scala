@@ -64,7 +64,7 @@ object SparkEntry {
       "doc_novelty", "source_overlap", "dedup_containment", "hybrid_rrf",
       "jsonl_roundtrip", "cluster_size_report", "warc_roundtrip",
       "image_features", "image_resize", "audio_features", "video_frames",
-      "bpe_encode")
+      "bpe_encode", "csv_roundtrip")
 
   // ---- ANN helpers ---------------------------------------------------------
 
@@ -641,6 +641,42 @@ object SparkEntry {
         .filter(col(Jsonl.CorruptCol).isNull)
         .drop(Jsonl.CorruptCol)
     }),
+
+    // CSV source/sink round trip (the third interchange format): QUOTE_ALL
+    // + backslash escaping + empty-vs-null disambiguation, read back under
+    // the explicit schema with multiLine. Oracle = the original parquet.
+    "csv_roundtrip" -> ((s, dir) => {
+      import graft.sources.Csv
+      val docs = t(s, dir, "documents")
+      Csv.materializeCached(s, s"$dir/documents.parquet",
+          indexDir(dir, "docs_csv"), docs.schema)(docs)
+        .filter(col(Csv.CorruptCol).isNull)
+        .drop(Csv.CorruptCol)
+    }),
+
+    // MMR diversified re-ranking over the exact-ANN top-50 candidate set:
+    // greedy λ·rel − (1−λ)·max-sim selection, k=10 — retrieval-time
+    // near-dup suppression. The oracle replays all ten greedy steps as
+    // chained argmax CTEs (score rounded 6, id tiebreak).
+    "mmr_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0)
+      val cands = Ann.plan(emb, "embedding", Seq("vec_id"), Euclidean,
+          AnnRequest(qv, limit = 50, allowFiltering = true),
+          carryCols = Seq("embedding"))
+        .select(col("vec_id"),
+          (round(lit(1.0) / (lit(1.0) + col("distance")), 6) + lit(0.0)).as("rel"),
+          col("embedding"))
+      QualityMetrics.mmrRerank(cands, "vec_id", "rel", "embedding",
+        k = 10, lambda = 0.7)
+    }),
+
+    // Per-source exact moment profile of document length: power-sum
+    // arithmetic (engine-identical; sums of an integer signal are exact
+    // in double, so no accumulation-order sensitivity).
+    "moments_profile" -> ((s, dir) =>
+      Curation.momentsProfile(t(s, dir, "documents"), "source", "n_chars")),
 
     // S7/F14 end-to-end: the embeddings table re-encoded into Alternator's
     // `:attrs` map<text,blob> shape (even ids tag-5 big-endian binary, odd
@@ -2545,6 +2581,78 @@ object SparkEntry {
     // round-trip fidelity: the WARC re-read must hash-match the parquet
     "warc_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    // round-trip fidelity: the CSV re-read must hash-match the parquet
+    "csv_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    // Replays the ten MMR greedy steps as chained argmax CTEs over the
+    // exact-ANN top-50 candidates: score = 0.7·rel − (1.0−0.7)·max cosine
+    // to the already-selected set ((1.0-0.7), not 0.3 — both engines must
+    // fold the SAME double), rounded 6, id tiebreak.
+    "mmr_rerank" -> {
+      val k = 10
+      def cosCC2 =
+        "(list_sum(list_transform(list_zip(c.v, c2.v), x -> " +
+          "CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
+          "(sqrt(list_sum(list_transform(c.v, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE)))) * " +
+          "sqrt(list_sum(list_transform(c2.v, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))))))"
+      // every step CTE MATERIALIZED: sel_i references sel_{i-1} twice and
+      // m_i three times — inlined, the 10-step chain expands exponentially
+      val steps = (2 to k).map { i =>
+        s"""m$i AS MATERIALIZED (SELECT c.id, c.rel, round(0.7 * c.rel - (1.0 - 0.7) * (
+           |    SELECT max($cosCC2) FROM c c2
+           |    WHERE c2.id IN (SELECT id FROM sel${i - 1})), 6) AS sc
+           |  FROM c WHERE c.id NOT IN (SELECT id FROM sel${i - 1})
+           |  ORDER BY sc DESC, c.id ASC LIMIT 1),
+           |sel$i AS MATERIALIZED (SELECT id FROM sel${i - 1} UNION ALL SELECT id FROM m$i)"""
+          .stripMargin
+      }
+      val rows = (1 to k).map { i =>
+        s"SELECT $i AS mmr_rank, id AS vec_id, rel, sc AS mmr_score FROM m$i"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |c AS MATERIALIZED (SELECT e.vec_id AS id,
+         |    round(1.0 / (1.0 + $duckL2), 6) + 0.0 AS rel, e.embedding AS v
+         |  FROM embeddings e, q WHERE e.embedding IS NOT NULL
+         |  ORDER BY $duckL2 ASC, e.vec_id ASC LIMIT 50),
+         |m1 AS MATERIALIZED (SELECT id, rel, round(0.7 * rel, 6) AS sc FROM c
+         |  ORDER BY sc DESC, id ASC LIMIT 1),
+         |sel1 AS MATERIALIZED (SELECT id FROM m1),
+         |${steps.mkString(",\n")}
+         |$rows
+         |ORDER BY mmr_rank""".stripMargin
+    },
+
+    // Replays momentsProfile with the SAME expression tree (power sums of
+    // an integer signal are exact in double; all downstream arithmetic is
+    // then bit-identical across engines).
+    "moments_profile" ->
+      """WITH a AS (SELECT source, count(*) AS n,
+        |  sum(CAST(n_chars AS DOUBLE)) AS s1,
+        |  sum(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)) AS s2,
+        |  sum(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE) *
+        |      CAST(n_chars AS DOUBLE)) AS s3,
+        |  sum(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE) *
+        |      CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)) AS s4
+        |  FROM documents GROUP BY 1),
+        |b AS (SELECT source, n,
+        |  s1 / n AS m,
+        |  s2 / n - (s1 / n) * (s1 / n) AS m2,
+        |  s3 / n - 3 * (s1 / n) * s2 / n +
+        |    2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+        |  s4 / n - 4 * (s1 / n) * s3 / n +
+        |    6 * (s1 / n) * (s1 / n) * s2 / n -
+        |    3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        |  FROM a)
+        |SELECT source, n,
+        |  round(m, 6) + 0.0 AS mean,
+        |  round(sqrt(m2), 6) + 0.0 AS stddev,
+        |  CASE WHEN m2 > 0 THEN round(m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)), 6) + 0.0 END
+        |    AS skewness,
+        |  CASE WHEN m2 > 0 THEN round(m4 / (m2 * m2) - 3, 6) + 0.0 END
+        |    AS excess_kurtosis
+        |FROM b""".stripMargin,
 
     "span_scrub" ->
       s"""WITH $duckToks,

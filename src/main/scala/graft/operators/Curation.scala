@@ -840,6 +840,37 @@ object Curation {
     }.reduce(_ && _)
   }
 
+  /** Per-group exact moment profile — count, mean, population stddev,
+    * skewness and excess kurtosis of a numeric signal per stratum (the
+    * distribution-audit report that catches a source whose length/quality
+    * distribution is secretly bimodal or heavy-tailed before it skews a
+    * mixture). Computed from explicit power sums Σx..Σx⁴, NOT the
+    * built-in skewness/kurtosis (engines disagree on sample-vs-population
+    * conventions; explicit sums make the arithmetic engine-identical —
+    * and over integer-valued signals the sums are exact in double, so
+    * there is no accumulation-order sensitivity at all). One partial-
+    * aggregatable shuffle on the group key. */
+  def momentsProfile(
+      df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val x = col(valCol).cast("double")
+    val agg = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(x).as("_s1"), sum(x * x).as("_s2"),
+      sum(x * x * x).as("_s3"), sum(x * x * x * x).as("_s4"))
+    val n = col("n").cast("double")
+    val m = col("_s1") / n
+    val m2 = col("_s2") / n - m * m                      // population variance
+    val m3 = col("_s3") / n - lit(3) * m * col("_s2") / n + lit(2) * m * m * m
+    val m4 = col("_s4") / n - lit(4) * m * col("_s3") / n +
+      lit(6) * m * m * col("_s2") / n - lit(3) * m * m * m * m
+    val sd = sqrt(m2)
+    def r6(c: Column): Column = round(c, 6) + lit(0.0)
+    agg.select(col(groupCol), col("n"),
+      r6(m).as("mean"), r6(sd).as("stddev"),
+      when(m2 > 0, r6(m3 / (sd * sd * sd))).as("skewness"),
+      when(m2 > 0, r6(m4 / (m2 * m2) - 3)).as("excess_kurtosis"))
+  }
+
   /** URL facet extraction + blocklist gate — the provenance filter every
     * crawl pipeline runs before content-based signals (C4 dropped
     * blocklisted domains; RefinedWeb's first stage is URL filtering).

@@ -191,4 +191,61 @@ object QualityMetrics {
       .orderBy(col("rrf_score").desc, col(idCol).asc)
       .limit(topK)
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998) —
+    * diversified top-k: greedily pick the candidate maximizing
+    * `λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)`, so near-duplicate
+    * hits (the retrieval-time face of corpus duplication) can't crowd
+    * the result list. The standard second stage over an ANN candidate
+    * set.
+    *
+    * Inputs: `candidates` = (id, relevance, vector) — an already-bounded
+    * top-N list (k·oversample rows, the same contract as the rescoring
+    * stages), with relevance HIGHER-better. The greedy loop is
+    * inherently sequential and the candidate set is result-sized, so it
+    * runs on the driver over the collected candidates — identical
+    * economics to the broadcast candidate sets of `ann_rescored` (never
+    * do this over a corpus; the candidate GENERATOR is the distributed
+    * stage). Similarity = cosine, computed in double in array order;
+    * scores rounded to 6 with id tiebreaks so the selection order is
+    * exactly replayable cross-engine. Returns (mmr_rank, id, relevance,
+    * mmr_score). */
+  def mmrRerank(
+      candidates: DataFrame, idCol: String, relCol: String, vecCol: String,
+      k: Int, lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && lambda >= 0 && lambda <= 1)
+    val spark = candidates.sparkSession
+    val rows = candidates.select(col(idCol), col(relCol), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot, na, nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      // sqrt(na) * sqrt(nb), NOT sqrt(na * nb): the replayed SQL computes
+      // the norms separately and the two forms differ by an ulp
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vecs = rows.map(r => r._1 -> r._3).toMap
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+    val remaining = scala.collection.mutable.LinkedHashMap(rows.map(r => r._1 -> r): _*)
+    for (rank <- 1 to math.min(k, rows.length)) {
+      val best = remaining.values.map { case (id, rel, v) =>
+        val maxSim =
+          if (selected.isEmpty) 0.0
+          else selected.map(s => cos(v, vecs(s._2))).max
+        // HALF_UP like Spark's round()/DuckDB's round(), NOT rint's
+        // HALF_EVEN — the argmax boundary must replay identically
+        val score = BigDecimal(lambda * rel - (1 - lambda) * maxSim)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, rel, score)
+      }.toSeq.minBy { case (id, _, score) => (-score, id) }
+      selected += ((rank, best._1, best._2, best._3))
+      remaining.remove(best._1)
+    }
+    import spark.implicits._
+    selected.toSeq.toDF("mmr_rank", idCol, relCol, "mmr_score")
+  }
 }

@@ -139,4 +139,54 @@ class QualityMetricsSpec extends SparkSpec {
       "id", "r", 60, 10).collect().map(_.getLong(0)).toSeq
     assert(tied == Seq(3L, 7L))
   }
+
+  test("mmrRerank: diversity beats raw relevance ordering") {
+    // ids 1,2 nearly identical vectors with top relevance; id 3 slightly
+    // less relevant but orthogonal — plain top-3 is (1,2,3); MMR must
+    // interleave the orthogonal doc ahead of the near-duplicate
+    val cands = Seq(
+      (1L, 0.99, Seq(1f, 0f, 0f, 0f)),
+      (2L, 0.98, Seq(0.999f, 0.04f, 0f, 0f)),
+      (3L, 0.80, Seq(0f, 1f, 0f, 0f)),
+      (4L, 0.10, Seq(0f, 0f, 1f, 0f))).toDF("id", "rel", "vec")
+    val out = QualityMetrics.mmrRerank(cands, "id", "rel", "vec",
+        k = 3, lambda = 0.5)
+      .collect().map(r => (r.getAs[Int]("mmr_rank"), r.getAs[Long]("id")))
+    // the near-dup's penalty (0.5·sim≈0.5) exceeds its relevance edge, so
+    // it drops out of the top-3 entirely — even the weak orthogonal doc 4
+    // outranks it
+    assert(out.toSeq == Seq((1, 1L), (2, 3L), (3, 4L)),
+      s"near-dup of the top hit must sink below the orthogonal docs: ${out.toSeq}")
+    // lambda = 1 degenerates to pure relevance order
+    val pure = QualityMetrics.mmrRerank(cands, "id", "rel", "vec",
+        k = 3, lambda = 1.0)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(pure == Seq(1L, 2L, 3L))
+    // k caps at the candidate count; determinism across runs
+    val all = QualityMetrics.mmrRerank(cands, "id", "rel", "vec", k = 99)
+    assert(all.count() == 4)
+    val rerun = QualityMetrics.mmrRerank(cands, "id", "rel", "vec", k = 99)
+    assert(all.collect().toSeq == rerun.collect().toSeq)
+  }
+
+  test("momentsProfile: hand-computed moments, degenerate group null") {
+    import graft.operators.Curation
+    // group g: values 1,2,3,4 -> mean 2.5, popvar 1.25; symmetric -> skew 0
+    // group h: constant -> stddev 0, skew/kurtosis null
+    val df = Seq(("g", 1), ("g", 2), ("g", 3), ("g", 4),
+      ("h", 7), ("h", 7)).toDF("grp", "x")
+    val r = Curation.momentsProfile(df, "grp", "x")
+      .collect().map(x => x.getString(0) -> x).toMap
+    val g = r("g")
+    assert(g.getAs[Long]("n") == 4L)
+    assert(g.getAs[Double]("mean") == 2.5)
+    assert(g.getAs[Double]("stddev") == math.rint(math.sqrt(1.25) * 1e6) / 1e6)
+    assert(g.getAs[Double]("skewness") == 0.0)
+    // E[(x-m)^4] = (2.25^2 + .25^2)*2/4 = 2.5625; /var^2 - 3 = -1.36
+    assert(g.getAs[Double]("excess_kurtosis") == -1.36)
+    val h = r("h")
+    assert(h.getAs[Double]("stddev") == 0.0)
+    assert(h.isNullAt(h.fieldIndex("skewness")))
+    assert(h.isNullAt(h.fieldIndex("excess_kurtosis")))
+  }
 }
