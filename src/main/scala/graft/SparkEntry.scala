@@ -466,6 +466,30 @@ object SparkEntry {
       Temporal.rollingStats(t(s, dir, "events"), "user_id", "event_id", "ts",
         "value", window = 20)),
 
+    // Ordered funnel view → click → purchase: stage times must advance
+    // strictly, keys fall out where they stall; chained key equi-joins,
+    // one row per surviving key per stage.
+    "event_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      Sessionize.funnel(ev, "user_id", "ts_us", "event_type",
+        Seq("view", "click", "purchase"))
+    }),
+
+    // Weekly cohort retention triangle over the event stream.
+    "cohort_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      Sessionize.cohortRetention(ev, "user_id", "ts_us",
+        periodMicros = 7L * 86400 * 1000000)
+    }),
+
+    // Rolling z-score anomaly flags: each event vs the preceding 20
+    // events' power-sum moments (current excluded from its baseline).
+    "rolling_zscore" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      Temporal.rollingZscore(ev, "user_id", "event_id", "ts_us", "value",
+        window = 20)
+    }),
+
     // Regular-grid resample + forward fill (6 h buckets over the 30-day
     // event stream): last event per (user, bucket), grid densified
     // between each user's first and last bucket, LOCF across gaps.
@@ -3762,6 +3786,57 @@ object SparkEntry {
 
     // Same frame, DuckDB WINDOW clause; ns timestamps order identically
     // on both sides (Spark orders the raw nanos long).
+    // Replays the funnel as chained per-stage min aggregates with the
+    // strict t > t_prev advance; LEFT JOINs keep stalled keys.
+    "event_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tu, event_type FROM events),
+        |s1 AS (SELECT user_id, min(tu) AS t_1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(tu) AS t_2 FROM e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND tu > t_1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(tu) AS t_3 FROM e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND tu > t_2 GROUP BY 1)
+        |SELECT s1.user_id, t_1, t_2, t_3,
+        |  (t_3 IS NOT NULL) AS completed,
+        |  CASE WHEN t_3 IS NOT NULL THEN t_3 - t_1 END AS funnel_micros
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"""
+        .stripMargin,
+
+    "cohort_retention" -> {
+      val period = 7L * 86400 * 1000000
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) // $period AS p FROM events),
+         |f AS (SELECT user_id, min(p) AS c FROM ev GROUP BY 1)
+         |SELECT c AS cohort_period, p - c AS period_offset,
+         |  count(DISTINCT ev.user_id) AS n_active
+         |FROM ev JOIN f USING (user_id)
+         |GROUP BY 1, 2""".stripMargin
+    },
+
+    // Exact-integer (cent-scaled) power-sum moments over the same
+    // PRECEDING-20 frame — frame sums are exact, so the divisions and
+    // 4-rounding are bit-identical regardless of either engine's window
+    // accumulation order.
+    "rolling_zscore" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tu, value,
+        |  round(value * 100) AS c FROM events),
+        |s AS (SELECT user_id, event_id, value, c,
+        |  CAST(count(c) OVER w AS DOUBLE) AS n,
+        |  sum(c) OVER w AS s1, sum(c * c) OVER w AS s2
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id
+        |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT user_id, event_id, value, c, n,
+        |  s1 / n AS mu, sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) AS sd
+        |  FROM s)
+        |SELECT user_id, event_id, value,
+        |  CASE WHEN n >= 5 THEN round(mu, 2) / 100 + 0.0 END AS baseline_mean,
+        |  CASE WHEN n >= 5 AND sd > 0
+        |    THEN round((c - mu) / sd, 4) + 0.0 END AS zscore,
+        |  coalesce(CASE WHEN n >= 5 AND sd > 0
+        |    THEN abs(round((c - mu) / sd, 4) + 0.0) > 3.0 END, false)
+        |    AS is_anomaly
+        |FROM z""".stripMargin,
+
     // Replays resampleFfill: bucket = micros // step, last-event-per-
     // bucket via the same (ts, value) struct max, generate_series grid,
     // IGNORE NULLS last_value fill — both engines share inclusive-bounds

@@ -79,4 +79,56 @@ object Sessionize {
     withIds.groupBy(col(keyCol), col("session_id"))
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Ordered funnel analysis: per key, the earliest time of stage 1, then
+    * the earliest stage-2 event STRICTLY AFTER it, then the earliest
+    * stage-3 event strictly after that, … — the standard "did the user
+    * progress through the funnel in order" measure (a plain per-stage min
+    * ignores order and overcounts). Emits `t_1..t_n` (null once the key
+    * falls out), `completed`, and the end-to-end `funnel_micros`.
+    *
+    * Scale shape: one narrow (key, ts) aggregate for stage 1, then per
+    * stage one key equi-join + min aggregate — no window, no
+    * collect_list of event history, nothing driver-side; every
+    * intermediate is one row per surviving key. Timestamps are plain
+    * numeric micros (engine-replayable). */
+  def funnel(
+      df: DataFrame, keyCol: String, tsCol: String, typeCol: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, s"a funnel needs >= 2 stages, got $stages")
+    var acc = df.filter(col(typeCol) === stages.head)
+      .groupBy(col(keyCol)).agg(min(col(tsCol)).as("t_1"))
+    stages.tail.zipWithIndex.foreach { case (stage, i) =>
+      val prev = s"t_${i + 1}"
+      val cur = s"t_${i + 2}"
+      val nxt = acc.select(col(keyCol), col(prev))
+        .join(df.filter(col(typeCol) === stage)
+          .select(col(keyCol), col(tsCol).as("_ts")), keyCol)
+        .filter(col("_ts") > col(prev))
+        .groupBy(col(keyCol)).agg(min(col("_ts")).as(cur))
+      acc = acc.join(nxt, Seq(keyCol), "left")
+    }
+    val tn = col(s"t_${stages.size}")
+    acc.withColumn("completed", tn.isNotNull)
+      .withColumn("funnel_micros", when(tn.isNotNull, tn - col("t_1")))
+  }
+
+  /** Cohort retention: keys bucketed by their FIRST-activity period
+    * (the cohort), then distinct-key activity counted per (cohort,
+    * periods-since-cohort offset) — the classic retention triangle.
+    * Two narrow aggregates + one key equi-join; periods are integer
+    * epoch buckets of `periodMicros` so the arithmetic replays
+    * anywhere. */
+  def cohortRetention(
+      df: DataFrame, keyCol: String, tsCol: String,
+      periodMicros: Long): DataFrame = {
+    require(periodMicros >= 1)
+    val ev = df.select(col(keyCol),
+      expr(s"$tsCol div ${periodMicros}L").as("_p"))
+    val first = ev.groupBy(col(keyCol)).agg(min(col("_p")).as("_c"))
+    ev.join(first, keyCol)
+      .groupBy(col("_c").as("cohort_period"),
+        (col("_p") - col("_c")).as("period_offset"))
+      .agg(countDistinct(col(keyCol)).as("n_active"))
+  }
 }

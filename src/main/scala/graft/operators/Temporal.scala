@@ -171,6 +171,49 @@ object Temporal {
       max(col(valCol)).over(w).as("w_max"))
   }
 
+  /** Per-key rolling z-score anomaly flags: each event scored against the
+    * PRECEDING `window` events' mean/stddev (the current event is
+    * excluded from its own baseline, so a spike can't mask itself).
+    * Keys warm up: no score until `minPeriods` baseline events.
+    *
+    * Exactness: the value scales to an integer (`scale` = its decimal
+    * resolution, e.g. 100 for cents) before the frame power sums, so
+    * every sum is EXACT in double and the final divisions are
+    * bit-identical in any engine — frame-sum accumulation order (Spark's
+    * running window vs a segment tree) can't shift a mean onto a
+    * rounding boundary, and a constant baseline yields variance exactly
+    * 0 (the z is scale-invariant, so z on cents == z on dollars).
+    *
+    * Scale shape: identical to [[rollingStats]] — ONE key shuffle,
+    * bounded rows-frame, no global sort. */
+  def rollingZscore(
+      df: DataFrame, keyCol: String, idCol: String, tsCol: String,
+      valCol: String, window: Int, minPeriods: Int = 5,
+      threshold: Double = 3.0, scale: Long = 100): DataFrame = {
+    require(window >= minPeriods && minPeriods >= 2)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-window, -1)
+    val x = col(valCol).cast("double")
+    val c = round(x * scale)
+    val n = count(c).over(w).cast("double")
+    val s1 = sum(c).over(w)
+    val s2 = sum(c * c).over(w)
+    val mu = s1 / n
+    val sd = sqrt(greatest(s2 / n - mu * mu, lit(0.0)))
+    val z = when(n >= minPeriods && sd > 0,
+      round((c - mu) / sd, 4) + lit(0.0))
+    // round the mean IN INTEGER SPACE (scale-2 halves of an integer/n
+    // quotient are binary-exact, so both engines see a true half and
+    // agree), THEN descale — round(mu/scale) would manufacture
+    // shortest-decimal halves whose binary sits below the midpoint,
+    // where Spark (rounds the decimal string) and engines that round
+    // the binary value disagree
+    df.select(col(keyCol), col(idCol), x.as("value"),
+      when(n >= minPeriods, round(mu, 2) / scale + lit(0.0)).as("baseline_mean"),
+      z.as("zscore"),
+      coalesce(abs(z) > threshold, lit(false)).as("is_anomaly"))
+  }
+
   /** Regular-grid resampling with forward fill (gap fill + LOCF — the
     * time-series normalization step metric/telemetry pipelines run before
     * any windowed model): per key, bucket events onto a fixed

@@ -85,4 +85,52 @@ class SessionizeSpec extends SparkSpec {
         (1L, us + 7200L * 1000000L, us + 7200L * 1000000L, 1L, 9.0)))
     } finally q.stop()
   }
+
+  test("funnel: strict in-order progression, stalls keep partial stages") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1 completes in order
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      // user 2: purchase BEFORE the click — must not complete
+      (2L, 10L, "view"), (2L, 15L, "purchase"), (2L, 20L, "click"),
+      // user 3: stalls after view
+      (3L, 10L, "view"),
+      // user 4: never enters (no view) — absent from the output
+      (4L, 10L, "click"), (4L, 20L, "purchase"),
+      // user 5: multiple candidates — earliest valid each stage
+      (5L, 10L, "view"), (5L, 5L, "click"), (5L, 12L, "click"),
+      (5L, 40L, "click"), (5L, 13L, "purchase")
+    ).toDF("user_id", "ts_us", "event_type")
+    val r = graft.operators.Sessionize
+      .funnel(ev, "user_id", "ts_us", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet == Set(1L, 2L, 3L, 5L))
+    assert(r(1L).getAs[Boolean]("completed") &&
+      r(1L).getAs[Long]("funnel_micros") == 20L)
+    assert(!r(2L).getAs[Boolean]("completed") &&
+      r(2L).getAs[Long]("t_2") == 20L && r(2L).isNullAt(r(2L).fieldIndex("t_3")))
+    assert(!r(3L).getAs[Boolean]("completed") &&
+      r(3L).isNullAt(r(3L).fieldIndex("t_2")))
+    // user 5: click at 5 is before the view and must not count; click at
+    // 12 starts the chain; purchase at 13 completes it
+    assert(r(5L).getAs[Long]("t_2") == 12L &&
+      r(5L).getAs[Long]("t_3") == 13L && r(5L).getAs[Boolean]("completed"))
+  }
+
+  test("cohortRetention: triangle counts by first-activity period") {
+    import spark.implicits._
+    val p = 100L // period
+    val ev = Seq(
+      (1L, 10L), (1L, 110L), (1L, 310L),  // cohort 0, active 0/1/3
+      (2L, 50L), (2L, 120L),              // cohort 0, active 0/1
+      (3L, 150L), (3L, 160L), (3L, 250L)  // cohort 1, active 1(x2)/2
+    ).toDF("user_id", "ts_us")
+    val r = graft.operators.Sessionize
+      .cohortRetention(ev, "user_id", "ts_us", p)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(r == Map(
+      (0L, 0L) -> 2L, (0L, 1L) -> 2L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L))
+  }
 }

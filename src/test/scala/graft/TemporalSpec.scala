@@ -168,6 +168,33 @@ class TemporalSpec extends SparkSpec {
     assert(got(2L)._1 == 2 && got(2L)._2 == 3.0)
   }
 
+  test("rollingZscore: preceding-window baseline, warmup, exact constants") {
+    val ev = (1 to 10).map(i => ("A", i.toLong, i.toLong * 10, 5.0)) ++
+      Seq(("A", 11L, 110L, 105.0)) // spike after a constant baseline
+    val df = ev.toDF("k", "id", "ts_us", "v")
+    val r = Temporal.rollingZscore(df, "k", "id", "ts_us", "v",
+        window = 5, minPeriods = 3)
+      .collect().map(x => x.getLong(1) -> x).toMap
+    // warmup: first 3 events have < 3 baseline rows -> no score
+    (1L to 3L).foreach(i => assert(r(i).isNullAt(r(i).fieldIndex("zscore"))))
+    // constant baseline: variance exactly 0 -> no zscore, never NaN/flip
+    assert(r(10L).isNullAt(r(10L).fieldIndex("zscore")))
+    assert(r(10L).getAs[Double]("baseline_mean") == 5.0)
+    // the spike itself: baseline excludes it (still constant 5s) -> null z
+    assert(r(11L).isNullAt(r(11L).fieldIndex("zscore")))
+    assert(!r(11L).getAs[Boolean]("is_anomaly"))
+    // varying baseline: z computed and the spike flags
+    val ev2 = Seq(("B", 1L, 10L, 1.0), ("B", 2L, 20L, 2.0),
+      ("B", 3L, 30L, 3.0), ("B", 4L, 40L, 2.0), ("B", 5L, 50L, 1.0),
+      ("B", 6L, 60L, 50.0)).toDF("k", "id", "ts_us", "v")
+    val r2 = Temporal.rollingZscore(ev2, "k", "id", "ts_us", "v",
+        window = 5, minPeriods = 3)
+      .collect().map(x => x.getLong(1) -> x).toMap
+    assert(r2(6L).getAs[Boolean]("is_anomaly"))
+    assert(r2(6L).getAs[Double]("zscore") > 3.0)
+    assert(r2(5L).getAs[Double]("baseline_mean") == 2.0) // mean of 1,2,3,2
+  }
+
   test("resampleFfill: grid densifies, LOCF fills, last-in-bucket wins") {
     // step 10: A has buckets 0 (two events) and 3; B a single bucket
     val ev = Seq(
