@@ -466,6 +466,33 @@ object SparkEntry {
       Temporal.rollingStats(t(s, dir, "events"), "user_id", "event_id", "ts",
         "value", window = 20)),
 
+    // Interval-overlap join: each user's sessions × that user's ±1 h
+    // purchase windows — pairs emitted exactly once via the
+    // later-start-bucket rule, candidate space bounded by bucket fanout.
+    "interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val sessions = Sessionize.sessions(ev, "user_id", "ts_us",
+          gapMicros = 3600L * 1000000L, seqCol = "event_id")
+        .select(col("user_id"), col("session_id"),
+          col("session_start").as("s"), col("session_end").as("e"))
+      val hour = 3600L * 1000000L
+      val windows = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          (col("ts_us") - hour).as("s"), (col("ts_us") + hour).as("e"))
+      Temporal.intervalJoin(sessions, windows, Seq("user_id"), "s", "e",
+        Seq("session_id"), Seq("event_id"), bucketMicros = 2 * hour)
+    }),
+
+    // ORC source round trip (Spark-native columnar alternative): written
+    // once, read back under the explicit schema; oracle = the parquet.
+    "orc_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = indexDir(dir, "docs_orc")
+      graft.sources.IndexStorage.buildOnce(s"$dir/documents.parquet", path)(
+        docs.write.mode("overwrite").orc(path))
+      s.read.schema(docs.schema).orc(path)
+    }),
+
     // Ordered funnel view → click → purchase: stage times must advance
     // strictly, keys fall out where they stall; chained key equi-joins,
     // one row per surviving key per stage.
@@ -3786,6 +3813,38 @@ object SparkEntry {
 
     // Same frame, DuckDB WINDOW clause; ns timestamps order identically
     // on both sides (Spark orders the raw nanos long).
+    // The oracle is the PLAIN inequality join — an independent algorithm:
+    // the bucketed equi-join + later-start-bucket dedup must produce
+    // exactly the naive overlap pair set. Sessions replay via the same
+    // gaps-and-islands SQL as event_sessions.
+    "interval_join" -> {
+      val hour = 3600L * 1000000L
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tu, event_type
+         |  FROM events),
+         |marked AS (SELECT user_id, event_id, tu,
+         |  CASE WHEN lag(tu) OVER w IS NULL
+         |            OR tu - lag(tu) OVER w > ${3600L * 1000000L} THEN 1
+         |       ELSE 0 END AS is_start
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)),
+         |sess AS (SELECT user_id,
+         |  CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY tu, event_id
+         |    ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id, tu
+         |  FROM marked),
+         |sg AS (SELECT user_id, session_id, min(tu) AS s, max(tu) AS e
+         |  FROM sess GROUP BY 1, 2),
+         |pw AS (SELECT user_id, event_id, tu - $hour AS s, tu + $hour AS e
+         |  FROM e WHERE event_type = 'purchase')
+         |SELECT sg.user_id, sg.session_id AS l_session_id,
+         |  sg.s AS l_s, sg.e AS l_e,
+         |  pw.event_id AS r_event_id, pw.s AS r_s, pw.e AS r_e,
+         |  least(sg.e, pw.e) - greatest(sg.s, pw.s) AS overlap_us
+         |FROM sg JOIN pw ON sg.user_id = pw.user_id
+         |  AND sg.s <= pw.e AND pw.s <= sg.e""".stripMargin
+    },
+
+    "orc_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
     // Replays the funnel as chained per-stage min aggregates with the
     // strict t > t_prev advance; LEFT JOINs keep stalled keys.
     "event_funnel" ->

@@ -148,6 +148,48 @@ object Temporal {
       .drop("_bkt", "_lts", "_rts")
   }
 
+  /** Interval-overlap join: all pairs of CLOSED intervals with equal keys
+    * that overlap (`l.start <= r.end AND r.start <= l.end`) — sessions ×
+    * outage windows, spans × annotation ranges. The interval×interval
+    * sibling of [[rangeJoin]]'s point-in-band.
+    *
+    * Both sides explode to the `bucketMicros`-wide buckets their interval
+    * covers and equi-join on (key, bucket); a pair sharing several
+    * buckets is kept ONLY in the later of the two start buckets —
+    * `greatest(bucket(l.start), bucket(r.start))` — the first bucket
+    * where both intervals are live, so each pair emits exactly once
+    * with no DISTINCT pass. Candidate volume is bounded by span/bucket
+    * fanout per row, never |L_key|·|R_key|; size `bucketMicros` near the
+    * typical interval length (≤ ~2 buckets per row). */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      startCol: String, endCol: String,
+      leftValCols: Seq[String], rightValCols: Seq[String],
+      bucketMicros: Long): DataFrame = {
+    require(keyCols.nonEmpty, "intervalJoin requires at least one key column")
+    require(bucketMicros >= 1)
+    def bucketOf(ts: Column): Column = {
+      val x = ts.cast("long")
+      ((x - pmod(x, lit(bucketMicros))).cast("decimal(38,0)") / bucketMicros)
+        .cast("long")
+    }
+    def side(df: DataFrame, p: String, valCols: Seq[String]): DataFrame =
+      df.select(
+        keyCols.map(col) ++
+          Seq(col(startCol).as(s"${p}_$startCol"), col(endCol).as(s"${p}_$endCol")) ++
+          valCols.map(c => col(c).as(s"${p}_$c")) :+
+          explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol))))
+            .as("_bkt"): _*)
+    val ls = col(s"l_$startCol"); val le = col(s"l_$endCol")
+    val rs = col(s"r_$startCol"); val re = col(s"r_$endCol")
+    side(left, "l", leftValCols).join(side(right, "r", rightValCols),
+        keyCols :+ "_bkt")
+      .filter(ls <= re && rs <= le &&
+        col("_bkt") === greatest(bucketOf(ls), bucketOf(rs)))
+      .withColumn("overlap_us", least(le, re) - greatest(ls, rs))
+      .drop("_bkt")
+  }
+
   /** Per-key rolling aggregates over the last `window` events — the moving
     * average / running stats shape of event analytics (anomaly baselines,
     * rate smoothing). Ordered by (ts, id) so the frame is total and

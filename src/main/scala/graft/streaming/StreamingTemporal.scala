@@ -55,4 +55,53 @@ object StreamingTemporal {
       Temporal.rangeJoin(batch, right, keyCols, tsCol, lowMicros, highMicros,
           leftValCols, rightValCols)
         .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
+
+  /** One funnel event: key, event-time micros, stage label. */
+  case class FunnelEvent(key: Long, ts: Long, stage: String)
+
+  /** Per-key funnel state: earliest valid timestamp per stage (parallel
+    * to the stage list; -1 = not reached). */
+  case class FunnelState(key: Long, times: Seq[Long])
+
+  /** Continuous ordered-funnel tracking — the streaming twin of
+    * [[graft.operators.Sessionize.funnel]]: per-key state holds the
+    * earliest valid timestamp per stage; an event advances stage i+1 only
+    * if stage i is reached and the event is STRICTLY later. Update-mode:
+    * emits the key's state whenever it advances.
+    *
+    * Funnel advancement is monotone (times only ever get set, never
+    * improved retroactively), so under per-key in-order delivery within
+    * the watermark the final state equals the batch operator over the
+    * whole stream (StreamingSpec pins the equivalence). Late events that
+    * would have BEATEN an already-recorded stage time are a reordering
+    * violation the watermark is sized to prevent — same contract as the
+    * LWW stream. State is stages·8 bytes per key, no event history. */
+  def funnelStream(
+      events: org.apache.spark.sql.Dataset[FunnelEvent],
+      stages: Seq[String]): org.apache.spark.sql.Dataset[FunnelState] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(stages.size >= 2)
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var times = state.getOption.map(_.times.toArray)
+            .getOrElse(Array.fill(stages.size)(-1L))
+          var changed = false
+          // (ts asc) within the batch so a batch's own events apply in order
+          it.toSeq.sortBy(_.ts).foreach { ev =>
+            val i = stages.indexOf(ev.stage)
+            if (i == 0 && times(0) < 0) { times(0) = ev.ts; changed = true }
+            else if (i > 0 && times(i) < 0 && times(i - 1) >= 0 &&
+              ev.ts > times(i - 1)) { times(i) = ev.ts; changed = true }
+          }
+          if (changed) {
+            val next = FunnelState(key, times.toSeq)
+            state.update(next)
+            Iterator(next)
+          } else Iterator.empty
+      }
+  }
 }

@@ -443,4 +443,46 @@ class StreamingSpec extends SparkSpec {
       assert(streamed(1L) && !streamed(2L) && !streamed(3L))
     } finally q.stop()
   }
+
+  test("streaming funnel state == batch funnel over the delivered stream") {
+    import graft.streaming.StreamingTemporal
+    import graft.streaming.StreamingTemporal.FunnelEvent
+    val stages = Seq("view", "click", "purchase")
+    val all = Seq(
+      FunnelEvent(1L, 10L, "view"), FunnelEvent(1L, 20L, "click"),
+      FunnelEvent(1L, 30L, "purchase"),
+      FunnelEvent(2L, 10L, "view"), FunnelEvent(2L, 15L, "purchase"),
+      FunnelEvent(2L, 20L, "click"),
+      FunnelEvent(3L, 10L, "view"),
+      FunnelEvent(5L, 5L, "click"), FunnelEvent(5L, 10L, "view"),
+      FunnelEvent(5L, 12L, "click"), FunnelEvent(5L, 13L, "purchase"))
+    val mem = MemoryStream[FunnelEvent](spark)
+    val name = s"funnel_out_${System.nanoTime()}"
+    val q = StreamingTemporal.funnelStream(mem.toDS(), stages)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try {
+      // split mid-stream: user 5's chain spans the batch boundary
+      Seq(all.take(6), all.drop(6)).foreach { b =>
+        mem.addData(b); q.processAllAvailable()
+      }
+      // latest state per key from the update log
+      val streamed = spark.table(name)
+        .groupBy(col("key")).agg(max(struct(col("times"))).as("s"))
+        .select(col("key"), col("s.times"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val batch = graft.operators.Sessionize.funnel(
+          all.toDF("user_id", "ts_us", "event_type").select(
+            col("user_id"), col("ts_us"), col("event_type")),
+          "user_id", "ts_us", "event_type", stages)
+        .collect().map { r =>
+          r.getLong(0) -> (1 to 3).map(i =>
+            if (r.isNullAt(r.fieldIndex(s"t_$i"))) -1L
+            else r.getLong(r.fieldIndex(s"t_$i")))
+        }.toMap
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(streamed(1L) == Seq(10L, 20L, 30L))
+      assert(streamed(5L) == Seq(10L, 12L, 13L))
+    } finally q.stop()
+  }
 }

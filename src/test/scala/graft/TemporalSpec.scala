@@ -168,6 +168,43 @@ class TemporalSpec extends SparkSpec {
     assert(got(2L)._1 == 2 && got(2L)._2 == 3.0)
   }
 
+  test("intervalJoin: exactly-once pairs, equality with the naive join") {
+    val left = Seq(
+      ("u", 1L, 0L, 250L),   // spans 3 buckets at width 100
+      ("u", 2L, 300L, 320L),
+      ("v", 3L, 0L, 50L)
+    ).toDF("k", "lid", "s", "e")
+    val right = Seq(
+      ("u", 10L, 200L, 400L), // overlaps BOTH u-intervals, shares 3 buckets w/ lid=1
+      ("u", 11L, 260L, 290L), // overlaps neither (gap between them)
+      ("v", 12L, 50L, 60L),   // touches lid=3 at the closed endpoint
+      ("w", 13L, 0L, 1000L)   // key w: no left rows
+    ).toDF("k", "rid", "s", "e")
+    val got = Temporal.intervalJoin(left, right, Seq("k"), "s", "e",
+        Seq("lid"), Seq("rid"), bucketMicros = 100L)
+      .select("k", "l_lid", "r_rid", "overlap_us")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("u", 1L, 10L, 50L), ("u", 2L, 10L, 20L),
+      ("v", 3L, 12L, 0L)))
+    // exactly-once even when a pair shares many buckets: count == set size
+    val cnt = Temporal.intervalJoin(left, right, Seq("k"), "s", "e",
+      Seq("lid"), Seq("rid"), bucketMicros = 10L).count()
+    assert(cnt == 3, s"duplicate pair emission: $cnt")
+    // equality with the naive inequality join at several bucket widths
+    val naive = left.as("l").join(right.as("r"),
+        col("l.k") === col("r.k") &&
+          col("l.s") <= col("r.e") && col("r.s") <= col("l.e"))
+      .select(col("l.k"), col("l.lid"), col("r.rid"))
+      .as[(String, Long, Long)].collect().toSet
+    for (w <- Seq(7L, 100L, 1000L)) {
+      val b = Temporal.intervalJoin(left, right, Seq("k"), "s", "e",
+          Seq("lid"), Seq("rid"), bucketMicros = w)
+        .select(col("k"), col("l_lid"), col("r_rid"))
+        .as[(String, Long, Long)].collect().toSet
+      assert(b == naive, s"width $w")
+    }
+  }
+
   test("rollingZscore: preceding-window baseline, warmup, exact constants") {
     val ev = (1 to 10).map(i => ("A", i.toLong, i.toLong * 10, 5.0)) ++
       Seq(("A", 11L, 110L, 105.0)) // spike after a constant baseline
