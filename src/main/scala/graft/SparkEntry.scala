@@ -1735,6 +1735,17 @@ object SparkEntry {
     // to the fixed-size sketch's estimate (d=4 × w=256 counters for a
     // 931-bigram universe at sf0.1 — real collisions, real overcounts,
     // deterministic md5 bucketing the oracle replays counter by counter).
+    // CM-sketch join-size estimate: |lineitem ⋈ orders| on the order key
+    // predicted from two 4×65536 sketches (inner-product min), audited
+    // against the exact size — the planner-side question answered without
+    // running the join. Width ~4× the key cardinality at sf0.01 keeps the
+    // collision overcount a useful estimate, not a saturated bound.
+    "join_size_estimate" -> ((s, dir) =>
+      Sketches.cmsJoinSize(
+        t(s, dir, "lineitem").select(col("l_orderkey").cast("string").as("key")),
+        t(s, dir, "orders").select(col("o_orderkey").cast("string").as("key")),
+        depth = 4, width = 65536)),
+
     "heavy_hitters" -> ((s, dir) => {
       val toks = Dedup.tokens(col("text"))
       val bigrams = zip_with(toks,
@@ -4005,6 +4016,34 @@ object SparkEntry {
 
     // CMS replayed counter by counter: same md5 bucket hash, same d×w
     // table, min over the probe row's buckets. Integer end to end.
+    // Replays both 4×65536 sketches counter by counter, the per-row
+    // inner products, the min, and the exact audit join.
+    "join_size_estimate" ->
+      s"""WITH ta AS (SELECT CAST(l_orderkey AS VARCHAR) AS key, count(*) AS cnt
+         |  FROM lineitem GROUP BY 1),
+         |tb AS (SELECT CAST(o_orderkey AS VARCHAR) AS key, count(*) AS cnt
+         |  FROM orders GROUP BY 1),
+         |ja AS (SELECT j, ${duckHash("CAST(j AS VARCHAR) || ':' || key")} % 65536
+         |    AS bucket, cnt FROM ta
+         |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) jj),
+         |jb AS (SELECT j, ${duckHash("CAST(j AS VARCHAR) || ':' || key")} % 65536
+         |    AS bucket, cnt FROM tb
+         |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) jj),
+         |sa AS (SELECT j, bucket, CAST(sum(cnt) AS BIGINT) AS bcnt
+         |  FROM ja GROUP BY 1, 2),
+         |sb AS (SELECT j, bucket, CAST(sum(cnt) AS BIGINT) AS bcnt
+         |  FROM jb GROUP BY 1, 2),
+         |ip AS (SELECT sa.j, CAST(sum(sa.bcnt * sb.bcnt) AS BIGINT) AS ip
+         |  FROM sa JOIN sb ON sa.j = sb.j AND sa.bucket = sb.bucket
+         |  GROUP BY 1),
+         |est AS (SELECT min(ip) AS cms_estimate FROM ip),
+         |ex AS (SELECT CAST(coalesce(sum(ta.cnt * tb.cnt), 0) AS BIGINT)
+         |    AS exact_join_size
+         |  FROM ta JOIN tb USING (key))
+         |SELECT exact_join_size, cms_estimate,
+         |  cms_estimate - exact_join_size AS overcount
+         |FROM ex, est""".stripMargin,
+
     "heavy_hitters" ->
       s"""WITH $duckToks,
          |bg AS (SELECT w1 || ' ' || w2 AS key FROM (

@@ -71,6 +71,46 @@ object Sketches {
       .orderBy(col("exact_cnt").desc, col("key").asc)
   }
 
+  /** Count-min join-size estimate — the classic sketch inner product
+    * (Alon-Matias-Szegedy / Cormode-Muthukrishnan):
+    * `|A ⋈_key B| ≈ min_j Σ_w cmA[j][w] · cmB[j][w]`, answered WITHOUT
+    * joining — the "how big would this join be" question a planner (or a
+    * pipeline author sizing shuffle partitions) asks before committing to
+    * a 100 TB join. Emitted next to the exact size so the overestimate is
+    * visible (always ≥ 0 — hash collisions only add, spec-pinned).
+    *
+    * Both inputs expose a string `key` column (one row per occurrence).
+    * Each side collapses to (key, cnt) with map-side partials, sketches
+    * are depth×width rows regardless of cardinality, and the estimate
+    * joins sketch-to-sketch on (row, bucket) — cost is the SKETCH size;
+    * only the exact-size audit term joins the (key, cnt) frames. Integer
+    * end to end. */
+  def cmsJoinSize(
+      a: DataFrame, b: DataFrame, depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad sketch shape ${depth}x$width")
+    def tf(x: DataFrame) = x.groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+    def sketch(t: DataFrame) = t.select(col("cnt"), explode(array(
+        (0 until depth).map { j =>
+          struct(lit(j).as("row"),
+            (Dedup.stableHash(concat(lit(s"$j:"), col("key"))) % width)
+              .as("bucket"))
+        }: _*)).as("_rb"))
+      .groupBy(col("_rb.row").as("row"), col("_rb.bucket").as("bucket"))
+      .agg(sum(col("cnt")).as("bcnt"))
+    val (ta, tb) = (tf(a), tf(b))
+    val est = sketch(ta).as("sa")
+      .join(sketch(tb).as("sb"), Seq("row", "bucket"))
+      .groupBy(col("row"))
+      .agg(sum(col("sa.bcnt") * col("sb.bcnt")).as("ip"))
+      .agg(min(col("ip")).as("cms_estimate"))
+    val exact = ta.as("a").join(tb.as("b"), "key")
+      .agg(coalesce(sum(col("a.cnt") * col("b.cnt")), lit(0L))
+        .as("exact_join_size"))
+    exact.crossJoin(est)
+      .select(col("exact_join_size"), col("cms_estimate"),
+        (col("cms_estimate") - col("exact_join_size")).as("overcount"))
+  }
+
   /** Per-group linear-counting distinct estimate next to the exact count:
     * hash each value into one of `m` buckets, count occupied buckets V,
     * estimate n̂ = −m·ln((m−V)/m). Returns one row per group:

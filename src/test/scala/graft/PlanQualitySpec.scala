@@ -198,6 +198,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Join"), "rule battery must not join")
   }
 
+  test("event analytics: narrow aggregates, no cartesian anywhere") {
+    for (q <- Seq("event_funnel", "cohort_retention", "interval_join",
+        "event_resample", "moments_profile")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q:\n${p.take(1500)}")
+      assert(p.contains("HashAggregate") || p.contains("Window"), q)
+    }
+  }
+
   test("html extract + url gate: stateless projections, no shuffle") {
     for (q <- Seq("html_extract", "url_host_filter")) {
       val p = plan(q)

@@ -100,4 +100,25 @@ class SketchesSpec extends SparkSpec {
     assert(t.forall(w => !w.isNaN && !w.isInfinite))
     assert(t.min > o.max, s"target min ${t.min} <= off-target max ${o.max}")
   }
+
+  test("cmsJoinSize: one-sided error; wide sketch hits the exact size") {
+    // A: k1 x2, k2 x3, k3 x1; B: k2 x4, k3 x5, k9 x7
+    // exact join size = 3*4 + 1*5 = 17
+    val a = (Seq.fill(2)("k1") ++ Seq.fill(3)("k2") ++ Seq("k3")).toDF("key")
+    val b = (Seq.fill(4)("k2") ++ Seq.fill(5)("k3") ++ Seq.fill(7)("k9")).toDF("key")
+    val wide = Sketches.cmsJoinSize(a, b, depth = 4, width = 4096).head
+    assert(wide.getAs[Long]("exact_join_size") == 17L)
+    // 6 distinct keys in 4096 buckets: no collisions, inner product exact
+    assert(wide.getAs[Long]("cms_estimate") == 17L &&
+      wide.getAs[Long]("overcount") == 0L)
+    // a deliberately tiny sketch collides but NEVER underestimates
+    val tiny = Sketches.cmsJoinSize(a, b, depth = 2, width = 2).head
+    assert(tiny.getAs[Long]("cms_estimate") >= 17L)
+    assert(tiny.getAs[Long]("overcount") >= 0L)
+    // disjoint key sets: exact 0, estimate still >= 0
+    val none = Sketches.cmsJoinSize(a,
+      Seq("zz").toDF("key"), depth = 4, width = 4096).head
+    assert(none.getAs[Long]("exact_join_size") == 0L &&
+      none.getAs[Long]("cms_estimate") >= 0L)
+  }
 }
