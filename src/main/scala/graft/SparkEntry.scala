@@ -723,6 +723,22 @@ object SparkEntry {
         k = 10, lambda = 0.7)
     }),
 
+    // Per-user daily time-weighted average of the event value (left-step
+    // hold until the next event in the window; exact integer products, so
+    // the one division needs no rounding at all).
+    "time_weighted_avg" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      Temporal.timeWeightedAvg(ev, "user_id", "event_id", "ts_us", "value",
+        windowMicros = 86400L * 1000000)
+    }),
+
+    // One-pass column profiler over the orders table (the new-source
+    // audit: counts, nulls, distincts, typed min/max per column).
+    "table_profile" -> ((s, dir) =>
+      Curation.tableProfile(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority"))),
+
     // Per-source exact moment profile of document length: power-sum
     // arithmetic (engine-identical; sums of an integer signal are exact
     // in double, so no accumulation-order sensitivity).
@@ -2684,6 +2700,45 @@ object SparkEntry {
          |${steps.mkString(",\n")}
          |$rows
          |ORDER BY mmr_rank""".stripMargin
+    },
+
+    // Replays the TWA: cent values × ms hold durations (exact integers),
+    // one unrounded division — identical operands ⇒ identical double.
+    "time_weighted_avg" -> {
+      val win = 86400L * 1000000
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tu,
+         |  round(value * 100) AS c, epoch_us(ts) // $win AS w FROM events),
+         |d AS (SELECT user_id, w, c,
+         |  (lead(tu) OVER (PARTITION BY user_id, w ORDER BY tu, event_id)
+         |    - tu) // 1000 AS dms
+         |  FROM e),
+         |a AS (SELECT user_id, w, CAST(sum(c * dms) AS BIGINT) AS s1,
+         |  CAST(sum(dms) AS BIGINT) AS s2, count(*) AS n_spans
+         |  FROM d WHERE dms IS NOT NULL GROUP BY 1, 2)
+         |SELECT user_id, w * $win AS window_start_us, n_spans,
+         |  s2 AS held_ms,
+         |  CAST(s1 AS DOUBLE) / s2 / 100 + 0.0 AS twa
+         |FROM a WHERE s2 > 0""".stripMargin
+    },
+
+    // One UNION ALL branch per profiled column, same aggregates.
+    "table_profile" -> {
+      def branch(c: String, num: Boolean, str: Boolean) =
+        s"""SELECT '$c' AS column, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  ${if (num) s"CAST(min($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"} AS min_num,
+           |  ${if (num) s"CAST(max($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"} AS max_num,
+           |  ${if (str) s"min($c)" else "CAST(NULL AS VARCHAR)"} AS min_str,
+           |  ${if (str) s"max($c)" else "CAST(NULL AS VARCHAR)"} AS max_str
+           |FROM orders""".stripMargin
+      Seq(
+        branch("o_orderkey", num = true, str = false),
+        branch("o_custkey", num = true, str = false),
+        branch("o_orderstatus", num = false, str = true),
+        branch("o_totalprice", num = true, str = false),
+        branch("o_orderpriority", num = false, str = true)
+      ).mkString("\nUNION ALL\n")
     },
 
     // Replays momentsProfile with the SAME expression tree (power sums of

@@ -840,6 +840,42 @@ object Curation {
     }.reduce(_ && _)
   }
 
+  /** Generic column profiler — one row per profiled column: row count,
+    * nulls, distinct count, numeric min/max (null for non-numeric
+    * columns) and lexicographic min/max (string columns) — the
+    * "what's actually in this table" audit run before any pipeline
+    * touches a new source. ONE pass over the table (a single multi-agg,
+    * partial-aggregatable; countDistinct expands per column but each
+    * shuffles only (column-value) keys), then a stateless explode of the
+    * 1-row result into the long shape. */
+  def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{NumericType, StringType}
+    require(cols.nonEmpty)
+    val schema = df.schema
+    val aggs = cols.flatMap { c =>
+      val isNum = schema(c).dataType.isInstanceOf[NumericType]
+      val isStr = schema(c).dataType == StringType
+      Seq(
+        count(col(c)).as(s"_nn_$c"),
+        countDistinct(col(c)).as(s"_nd_$c"),
+        (if (isNum) min(col(c)).cast("double") else lit(null).cast("double"))
+          .as(s"_mn_$c"),
+        (if (isNum) max(col(c)).cast("double") else lit(null).cast("double"))
+          .as(s"_mx_$c"),
+        (if (isStr) min(col(c)) else lit(null).cast("string")).as(s"_sn_$c"),
+        (if (isStr) max(col(c)) else lit(null).cast("string")).as(s"_sx_$c"))
+    } :+ count(lit(1)).as("_rows")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    one.select(explode(array(cols.map { c =>
+        struct(lit(c).as("column"), col("_rows").as("n_rows"),
+          (col("_rows") - col(s"_nn_$c")).as("n_nulls"),
+          col(s"_nd_$c").as("n_distinct"),
+          col(s"_mn_$c").as("min_num"), col(s"_mx_$c").as("max_num"),
+          col(s"_sn_$c").as("min_str"), col(s"_sx_$c").as("max_str"))
+      }: _*)).as("_p"))
+      .select(col("_p.*"))
+  }
+
   /** Per-group exact moment profile — count, mean, population stddev,
     * skewness and excess kurtosis of a numeric signal per stratum (the
     * distribution-audit report that catches a source whose length/quality

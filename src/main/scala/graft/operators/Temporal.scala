@@ -256,6 +256,46 @@ object Temporal {
       coalesce(abs(z) > threshold, lit(false)).as("is_anomaly"))
   }
 
+  /** Time-weighted average per (key, tumbling window) over an irregular
+    * event series — the metrics-pipeline aggregate where a plain avg()
+    * over-weights bursts: each event's value holds until the key's next
+    * event INSIDE the window (left-step function; the window's last event
+    * carries no weight), `twa = Σ value·Δt / Σ Δt`. Single-event windows
+    * drop (no held span).
+    *
+    * Exactness: values scale to integers (`scale`) and hold durations
+    * truncate to milliseconds, so every product and group sum is exact in
+    * double (magnitudes bounded far under 2^53 for day-scale windows) —
+    * the final division is the ONLY inexact op and runs on identical
+    * operands in any engine, so the raw double needs no rounding at all.
+    *
+    * Scale shape: one lead() window + one (key, window) aggregate — one
+    * key shuffle, frame state one row. */
+  def timeWeightedAvg(
+      df: DataFrame, keyCol: String, idCol: String, tsCol: String,
+      valCol: String, windowMicros: Long, scale: Long = 100): DataFrame = {
+    require(windowMicros >= 1000)
+    val wcol = expr(s"$tsCol div ${windowMicros}L")
+    val w = Window.partitionBy(col(keyCol), col("_w"))
+      .orderBy(col(tsCol), col(idCol))
+    val c = round(col(valCol).cast("double") * scale)
+    // exact integer ms division (subtract-pmod, like rangeJoin's buckets —
+    // a double divide + cast can land an ulp under an exact quotient)
+    val dUs = lead(col(tsCol), 1).over(w) - col(tsCol)
+    val dMs = ((dUs - pmod(dUs, lit(1000L))).cast("decimal(38,0)") / 1000)
+      .cast("long")
+    df.withColumn("_w", wcol)
+      .select(col(keyCol), col("_w"), c.as("_c"), dMs.as("_d"))
+      .filter(col("_d").isNotNull)
+      .groupBy(col(keyCol), col("_w"))
+      .agg(sum(col("_c") * col("_d")).as("_s1"), sum(col("_d")).as("_s2"),
+        count(lit(1)).as("n_spans"))
+      .filter(col("_s2") > 0)
+      .select(col(keyCol), (col("_w") * windowMicros).as("window_start_us"),
+        col("n_spans"), col("_s2").as("held_ms"),
+        (col("_s1").cast("double") / col("_s2") / scale + lit(0.0)).as("twa"))
+  }
+
   /** Regular-grid resampling with forward fill (gap fill + LOCF — the
     * time-series normalization step metric/telemetry pipelines run before
     * any windowed model): per key, bucket events onto a fixed

@@ -537,6 +537,28 @@ class CurationSpec extends SparkSpec {
       ("books", "wiki") -> 1L))
   }
 
+  test("tableProfile: typed min/max, nulls, distincts in one pass") {
+    val df = Seq(
+      (1L, Some("a"), Some(2.5)),
+      (2L, Some("c"), None),
+      (3L, None, Some(1.0)),
+      (3L, Some("b"), Some(9.5))
+    ).toDF("id", "s", "x")
+    val r = Curation.tableProfile(df, Seq("id", "s", "x"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    val id = r("id")
+    assert(id.getAs[Long]("n_rows") == 4 && id.getAs[Long]("n_nulls") == 0 &&
+      id.getAs[Long]("n_distinct") == 3)
+    assert(id.getAs[Double]("min_num") == 1.0 && id.getAs[Double]("max_num") == 3.0)
+    assert(id.isNullAt(id.fieldIndex("min_str")))
+    val s = r("s")
+    assert(s.getAs[Long]("n_nulls") == 1 && s.getAs[Long]("n_distinct") == 3)
+    assert(s.getAs[String]("min_str") == "a" && s.getAs[String]("max_str") == "c")
+    assert(s.isNullAt(s.fieldIndex("min_num")))
+    val x = r("x")
+    assert(x.getAs[Long]("n_nulls") == 1 && x.getAs[Double]("max_num") == 9.5)
+  }
+
   test("urlFacets: parse, dot-boundary blocklist, scheme gate, case fold") {
     val urls = Seq(
       (0L, "https://ads.example.com/x"),          // blocked exactly

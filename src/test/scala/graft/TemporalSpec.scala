@@ -168,6 +168,36 @@ class TemporalSpec extends SparkSpec {
     assert(got(2L)._1 == 2 && got(2L)._2 == 3.0)
   }
 
+  test("timeWeightedAvg: left-step hold, window clip, burst immunity") {
+    // window 1000us, ms granularity degenerates (all gaps < 1000us get
+    // dms=0 hold) — use windowMicros large enough for ms holds
+    val win = 1000000L // 1s windows, holds in ms
+    val ev = Seq(
+      // key A window 0: v=1 held 100ms, then v=3 held 300ms, last drops
+      ("A", 1L, 0L, 1.0), ("A", 2L, 100000L, 3.0), ("A", 3L, 400000L, 9.9),
+      // key A window 1: single event -> no held span -> absent
+      ("A", 4L, 1500000L, 5.0),
+      // key B: a BURST of 9 quick v=100 then a long v=1 hold — plain avg
+      // would say ~90, TWA must sit near 1
+      ("B", 10L, 0L, 100.0), ("B", 11L, 1000L, 100.0), ("B", 12L, 2000L, 100.0),
+      ("B", 13L, 3000L, 100.0), ("B", 14L, 4000L, 100.0), ("B", 15L, 5000L, 100.0),
+      ("B", 16L, 6000L, 100.0), ("B", 17L, 7000L, 100.0), ("B", 18L, 8000L, 100.0),
+      ("B", 19L, 9000L, 1.0), ("B", 20L, 999000L, 7.7)
+    ).toDF("k", "id", "ts_us", "v")
+    val r = Temporal.timeWeightedAvg(ev, "k", "id", "ts_us", "v", win)
+      .collect().map(x => (x.getString(0), x.getLong(1)) -> x).toMap
+    // A window 0: (100*100 + 300*300)/(100+300) cents = 250 -> 2.5
+    val a0 = r(("A", 0L))
+    assert(a0.getAs[Double]("twa") == 2.5 && a0.getAs[Long]("held_ms") == 400L)
+    assert(!r.contains(("A", 1000000L))) // single-event window dropped
+    // B: 9ms at 100.00 (9 spans of 1ms... first 9 events each held 1ms)
+    // + 990ms at 1.00 -> (9*10000 + 990*100)/999 cents ≈ 1.89
+    val b = r(("B", 0L))
+    assert(b.getAs[Double]("twa") < 2.0 && b.getAs[Double]("twa") > 1.5,
+      s"burst must not dominate: ${b.getAs[Double]("twa")}")
+    assert(b.getAs[Long]("n_spans") == 10L)
+  }
+
   test("intervalJoin: exactly-once pairs, equality with the naive join") {
     val left = Seq(
       ("u", 1L, 0L, 250L),   // spans 3 buckets at width 100
