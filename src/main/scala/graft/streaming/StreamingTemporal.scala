@@ -56,6 +56,69 @@ object StreamingTemporal {
           leftValCols, rightValCols)
         .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
 
+  /** One scored event out of [[zscoreStream]]. */
+  case class ZscoreEvent(key: Long, id: Long, ts: Long, value: Double,
+      zscore: Option[Double], isAnomaly: Boolean)
+
+  /** Per-key baseline ring buffer for [[zscoreStream]]: the last ≤ window
+    * cent-scaled values in arrival order. */
+  case class ZState(key: Long, recent: Seq[Long])
+
+  /** One raw metric event for [[zscoreStream]]. */
+  case class MetricEvent(key: Long, id: Long, ts: Long, value: Double)
+
+  /** Continuous rolling z-score — the streaming twin of
+    * [[graft.operators.Temporal.rollingZscore]]: per-key state is a ring
+    * buffer of the last `window` scaled values (window·8 bytes per key,
+    * no unbounded history); each event scores against the buffer BEFORE
+    * being appended (self-exclusion, same as the batch frame ending at
+    * `-1 PRECEDING`). Append-mode: every event emits exactly once,
+    * scored or warming up.
+    *
+    * Under per-key in-order delivery within the watermark the emitted
+    * scores equal the batch operator row for row (StreamingSpec pins the
+    * equivalence across batch splits) — the same integer-exactness
+    * argument: sums of exact scaled integers don't care where the
+    * micro-batch boundary fell. */
+  def zscoreStream(
+      events: org.apache.spark.sql.Dataset[MetricEvent],
+      window: Int, minPeriods: Int = 5, threshold: Double = 3.0,
+      scale: Long = 100): org.apache.spark.sql.Dataset[ZscoreEvent] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(window >= minPeriods && minPeriods >= 2)
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[MetricEvent], state: GroupState[ZState]) =>
+          var buf = state.getOption.map(_.recent.toVector).getOrElse(Vector.empty)
+          val out = it.toSeq.sortBy(e => (e.ts, e.id)).map { ev =>
+            // BigDecimal.valueOf (the shortest-decimal string), matching
+            // Spark's round() so the batch equivalence is bit-exact
+            val c = BigDecimal(java.math.BigDecimal.valueOf(ev.value * scale))
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+            val scored = if (buf.size >= minPeriods) {
+              val n = buf.size.toDouble
+              val mu = buf.sum / n
+              val variance = math.max(
+                buf.map(v => v.toDouble * v).sum / n - mu * mu, 0.0)
+              val sd = math.sqrt(variance)
+              if (sd > 0) {
+                val z = BigDecimal(java.math.BigDecimal.valueOf((c - mu) / sd))
+                  .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+                Some(z)
+              } else None
+            } else None
+            buf = (buf :+ c).takeRight(window)
+            ZscoreEvent(ev.key, ev.id, ev.ts, ev.value, scored,
+              scored.exists(z => math.abs(z) > threshold))
+          }
+          state.update(ZState(key, buf))
+          out.iterator
+      }
+  }
+
   /** One funnel event: key, event-time micros, stage label. */
   case class FunnelEvent(key: Long, ts: Long, stage: String)
 

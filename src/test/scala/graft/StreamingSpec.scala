@@ -485,4 +485,43 @@ class StreamingSpec extends SparkSpec {
       assert(streamed(5L) == Seq(10L, 12L, 13L))
     } finally q.stop()
   }
+
+  test("streaming z-score == batch rollingZscore, state bounded by window") {
+    import graft.streaming.StreamingTemporal
+    import graft.streaming.StreamingTemporal.MetricEvent
+    // real event slice: deterministic pseudo-values, 2 keys, 30 events
+    val all = (1 to 30).map { i =>
+      MetricEvent(key = i % 2, id = i.toLong, ts = i.toLong * 1000,
+        value = ((i * 37) % 100) / 4.0 + 1.0)
+    }
+    val mem = MemoryStream[MetricEvent](spark)
+    val name = s"z_out_${System.nanoTime()}"
+    val q = StreamingTemporal.zscoreStream(mem.toDS(), window = 8)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // three batch splits, mid-warmup and mid-steady-state
+      Seq(all.take(7), all.slice(7, 19), all.drop(19)).foreach { b =>
+        mem.addData(b); q.processAllAvailable()
+      }
+      val streamed = spark.table(name)
+        .collect().map(r => r.getLong(1) ->
+          ((Option(r.get(4)).map(_.asInstanceOf[Double]),
+            r.getBoolean(5)))).toMap
+      val batch = graft.operators.Temporal.rollingZscore(
+          all.toDF("key", "id", "ts_us", "value")
+            .select(col("key"), col("id"), col("ts_us"), col("value")),
+          "key", "id", "ts_us", "value", window = 8)
+        .collect().map { r =>
+          r.getLong(1) ->
+            ((if (r.isNullAt(r.fieldIndex("zscore"))) None
+              else Some(r.getDouble(r.fieldIndex("zscore"))),
+              r.getBoolean(r.fieldIndex("is_anomaly"))))
+        }.toMap
+      assert(streamed == batch,
+        s"diff: ${streamed.toSet.diff(batch.toSet)} / ${batch.toSet.diff(streamed.toSet)}")
+      // scores exist once warm
+      assert(streamed.values.count(_._1.isDefined) > 15)
+    } finally q.stop()
+  }
 }
