@@ -1751,6 +1751,17 @@ object SparkEntry {
     // to the fixed-size sketch's estimate (d=4 × w=256 counters for a
     // 931-bigram universe at sf0.1 — real collisions, real overcounts,
     // deterministic md5 bucketing the oracle replays counter by counter).
+    // kNN classification: the first 20 vectors labeled by the majority
+    // label of their 10 nearest among the REST of the corpus (exact top-k
+    // with the label carried; every tie deterministic).
+    "knn_classify" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 20 && col("embedding").isNotNull)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Ann.knnClassify(probes, emb.filter(col("vec_id") >= 20),
+        "embedding", Seq("vec_id"), "label", Euclidean, k = 10)
+    }),
+
     // CM-sketch join-size estimate: |lineitem ⋈ orders| on the order key
     // predicted from two 4×65536 sketches (inner-product min), audited
     // against the exact size — the planner-side question answered without
@@ -4071,6 +4082,27 @@ object SparkEntry {
 
     // CMS replayed counter by counter: same md5 bucket hash, same d×w
     // table, min over the probe row's buckets. Integer end to end.
+    // Replays exact per-probe top-10 (distance then vec_id ties) and the
+    // (count desc, label asc) majority vote.
+    "knn_classify" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 20 AND embedding IS NOT NULL),
+         |d AS (SELECT q.query_id, e.vec_id, e.label,
+         |  $duckL2 AS dist
+         |  FROM embeddings e, q
+         |  WHERE e.vec_id >= 20 AND e.embedding IS NOT NULL
+         |    AND e.label IS NOT NULL),
+         |nn AS (SELECT query_id, label FROM (
+         |  SELECT query_id, label, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rnk
+         |  FROM d) WHERE rnk <= 10),
+         |v AS (SELECT query_id, label, count(*) AS n_votes
+         |  FROM nn GROUP BY 1, 2)
+         |SELECT query_id, label AS pred_label, n_votes FROM (
+         |  SELECT query_id, label, n_votes, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY n_votes DESC, label ASC) AS rn
+         |  FROM v) WHERE rn = 1""".stripMargin,
+
     // Replays both 4×65536 sketches counter by counter, the per-row
     // inner products, the min, and the exact audit join.
     "join_size_estimate" ->

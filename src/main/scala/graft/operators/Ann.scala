@@ -167,4 +167,43 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col(queryIdCol) +: pkCols.map(col) :+ col("distance") :+ col("rank"): _*)
   }
+
+  /** kNN classification — each probe labeled by the MAJORITY label of its
+    * k nearest corpus vectors (the oldest ML primitive, and the eval
+    * loop for embedding quality: "does neighborhood structure predict
+    * the label?"). Same batched exact top-k shape as [[searchBatch]]
+    * (broadcast probe side, per-probe WindowGroupLimit ships ≤ k rows
+    * per probe past the exchange) with the label carried through; at
+    * corpus scale swap the cross join for the LSH-bucketed candidate
+    * generation ([[ApproxAnn.hardNegatives]]' shape). Every tie is
+    * deterministic: distance ties break on the pk, vote ties on the
+    * label ascending. */
+  def knnClassify(
+      queries: DataFrame, // (query_id, query_vec)
+      vectors: DataFrame,
+      embeddingCol: String,
+      pkCols: Seq[String],
+      labelCol: String,
+      space: Space,
+      k: Int,
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec"): DataFrame = {
+    val joined = vectors
+      .filter(col(embeddingCol).isNotNull && col(labelCol).isNotNull)
+      .crossJoin(broadcast(queries))
+      .withColumn("distance",
+        VectorFunctions.distance(space, col(embeddingCol), col(queryVecCol)))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("distance").asc +: pkCols.map(col(_).asc): _*)
+    val neighbors = joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(labelCol))
+    val votes = neighbors.groupBy(col(queryIdCol), col(labelCol))
+      .agg(count(lit(1)).as("n_votes"))
+    val vw = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("n_votes").desc, col(labelCol).asc)
+    votes.withColumn("_rn", row_number().over(vw)).filter(col("_rn") === 1)
+      .select(col(queryIdCol), col(labelCol).as("pred_label"), col("n_votes"))
+  }
 }

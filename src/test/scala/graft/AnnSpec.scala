@@ -115,4 +115,28 @@ class AnnSpec extends SparkSpec {
       .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSeq
     assert(got == expected)
   }
+
+  test("knnClassify: majority vote, deterministic tie on label") {
+    import graft.functions.VectorFunctions.Euclidean
+    // corpus: label 0 clustered at x≈1, label 1 clustered at x≈-1, plus a
+    // label 9 outlier; probes sit inside each cluster
+    val corpus = (
+      (1 to 5).map(i => (100L + i, Seq(1f + i * 0.01f, 0f), 0)) ++
+      (1 to 5).map(i => (200L + i, Seq(-1f - i * 0.01f, 0f), 1)) ++
+      Seq((300L, Seq(0f, 5f), 9))
+    ).toDF("vec_id", "embedding", "label")
+    val probes = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(-1f, 0f))).toDF("query_id", "query_vec")
+    val r = graft.operators.Ann.knnClassify(probes, corpus, "embedding",
+        Seq("vec_id"), "label", Euclidean, k = 5)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getInt(1), x.getLong(2)))).toMap
+    assert(r(1L) == ((0, 5L)) && r(2L) == ((1, 5L)))
+    // k spanning both clusters: 5 votes each at k=10 (outlier is 11th) ->
+    // tie broken by label ascending
+    val tied = graft.operators.Ann.knnClassify(probes.filter(col("query_id") === 1),
+        corpus, "embedding", Seq("vec_id"), "label", Euclidean, k = 10)
+      .head
+    assert(tied.getInt(1) == 0 && tied.getLong(2) == 5L)
+  }
 }
