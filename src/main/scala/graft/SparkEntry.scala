@@ -3,7 +3,7 @@ package graft
 import graft.functions.VectorFunctions._
 import graft.operators.Ann.AnnRequest
 import graft.operators.{Ann, ApproxAnn, Bm25, Catalog, Curation, Dedup,
-  Engine, Layout, Lww, Multimodal, QualityMetrics, Restriction,
+  Engine, Graph, Layout, Lww, Multimodal, QualityMetrics, Restriction,
   RestrictionCompiler, ResultFormat, Sessionize, Sketches, Temporal,
   TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1837,6 +1837,54 @@ object SparkEntry {
           (col("lang") === "en").as("y")), "doc_id"),
         "doc_id", "nb_score", "y", nBins = 10)
     }),
+
+    // Integer fixed-point PageRank over a deterministic synthetic link
+    // graph (the crawl-provenance quality signal): 5 power iterations,
+    // each one rank-to-edges equi-join + one partial-aggregating groupBy
+    // on dst, all arithmetic in exact 1e12-scaled BIGINTs so the oracle
+    // replays every iteration bit-for-bit. Top-20 report via
+    // TakeOrderedAndProject (rank desc, id asc — deterministic at ties).
+    "pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      Graph.pageRank(Graph.syntheticLinks(docs, "doc_id"), "src", "dst",
+          iterations = 5)
+        .orderBy(col("rank").desc, col("id").asc).limit(20)
+    }),
+
+    // Incremental near-dup DELTA probe, oracle-checked (the streaming
+    // serving path of Dedup.nearDupProbe, until now only spec-tested):
+    // docs with id ≡ 0 (mod 17) play the new micro-batch, probed against
+    // the maintained shingle + signature stores. Emits exactly the
+    // dedup_minhash pairs touching the batch — the oracle is the full
+    // pair replay restricted to pairs with a delta member.
+    "dedup_delta" -> ((s, dir) => {
+      val delta = t(s, dir, "documents").filter(col("doc_id") % 17 === 0)
+      val probeSh = Dedup.shingles(delta, "doc_id", "text", 5)
+      val probeSigs = Dedup.minhashSignaturesFromShingles(probeSh, "doc_id", 16)
+      Dedup.nearDupProbe(probeSh, probeSigs,
+          shingleStore(s, dir), minhashSigStore(s, dir),
+          "doc_id", bands = 4, threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+    }),
+
+    // Per-dimension embedding-column audit: exact scaled-integer
+    // n/Σ/Σ²/min/max/zeros per vector position (dead-dim and scale-drift
+    // detection before index build). One posexplode + one groupBy(dim).
+    "embedding_profile" -> ((s, dir) =>
+      Curation.embeddingProfile(t(s, dir, "embeddings"), "embedding")),
+
+    // Per-source n-gram diversity (type-token ratio in ppm, exact integer
+    // arithmetic): the corpus-composition repetitiveness score.
+    "ngram_diversity" -> ((s, dir) =>
+      TextAnalysis.ngramDiversity(t(s, dir, "documents"), "source", "text",
+        n = 3)),
+
+    // Writer-shard planning report: stable-hash shard assignment over 64
+    // output shards with per-shard rows/bytes and integer per-mille skew
+    // vs the mean shard — the pre-commit layout audit of a 100 TB writer.
+    "shard_plan" -> ((s, dir) =>
+      Curation.shardPlan(t(s, dir, "documents"), "doc_id", "text",
+        numShards = 64)),
   )
 
   /** FTS index stores materialized at "ingest" — the reference builds its
@@ -4265,5 +4313,79 @@ object SparkEntry {
         |SELECT nv.label, nv.n_vectors, cohesion, separation,
         |       round(cohesion / separation, 4) + 0.0 AS ratio
         |FROM nv JOIN coh USING (label) JOIN sep USING (label)""".stripMargin,
+
+    // Replays all 5 PageRank iterations in the same integer fixed-point
+    // arithmetic: edge list regenerated by three filtered selects
+    // (outdegree 1..3 by id mod 3), // = Spark's div on positive BIGINTs.
+    "pagerank" -> {
+      val iters = (1 to 5).map { k =>
+        s"""i$k AS (SELECT e.dst AS id, SUM(r.rank // o.od) AS s
+           |  FROM edges e JOIN r${k - 1} r ON e.src = r.id
+           |  JOIN outdeg o ON o.src = e.src GROUP BY e.dst),
+           |r$k AS (SELECT r.id,
+           |  (15 * (SELECT b FROM base) + 85 * COALESCE(i.s, 0)) // 100 AS rank
+           |  FROM r${k - 1} r LEFT JOIN i$k i USING (id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH n AS (SELECT count(*) AS n FROM documents),
+         |e1 AS (SELECT doc_id AS src, (17*doc_id + 1) % n.n AS dst FROM documents, n),
+         |e2 AS (SELECT doc_id AS src, (17*doc_id + 2) % n.n AS dst FROM documents, n
+         |       WHERE doc_id % 3 >= 1),
+         |e3 AS (SELECT doc_id AS src, (17*doc_id + 3) % n.n AS dst FROM documents, n
+         |       WHERE doc_id % 3 = 2),
+         |edges AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3),
+         |outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+         |base AS (SELECT 1000000000000 // n AS b FROM n),
+         |r0 AS (SELECT doc_id AS id, (SELECT b FROM base) AS rank FROM documents),
+         |$iters
+         |SELECT id, CAST(rank AS BIGINT) AS rank FROM r5
+         |ORDER BY rank DESC, id LIMIT 20""".stripMargin
+    },
+
+    // dedup_minhash's full pair replay restricted to pairs touching the
+    // delta batch (id ≡ 0 mod 17) — exactly what the incremental probe
+    // must emit.
+    "dedup_delta" ->
+      s"""WITH $duckToks, ${duckShingles(5)}, $duckMinhashCand, $duckJaccardTail
+         |SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+         |FROM cand JOIN inter USING (id_a, id_b)
+         |JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+         |  AND (id_a % 17 = 0 OR id_b % 17 = 0)""".stripMargin,
+
+    // zipped unnests pair each element with its position; float·1e6 is an
+    // exact double product, floor'd identically in both engines.
+    "embedding_profile" ->
+      """WITH e AS (SELECT unnest(range(len(embedding))) AS dim,
+        |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS sv,
+        |  CASE WHEN unnest(embedding) = 0 THEN 1 ELSE 0 END AS z
+        |  FROM embeddings WHERE embedding IS NOT NULL)
+        |SELECT dim, count(*) AS n, CAST(sum(sv) AS BIGINT) AS sum_s,
+        |  CAST(sum(sv*sv) AS BIGINT) AS sumsq_s,
+        |  min(sv) AS min_s, max(sv) AS max_s, CAST(sum(z) AS BIGINT) AS n_zero
+        |FROM e GROUP BY dim""".stripMargin,
+
+    // same tokenizer as ngram_top, trigrams via 1-based list_transform,
+    // distinctness over the stable 60-bit gram hash on both sides
+    "ngram_diversity" ->
+      """WITH t AS (SELECT source,
+        |  list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+        |    x -> len(x) > 0) AS toks FROM documents),
+        |g AS (SELECT source, unnest(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngram
+        |  FROM t WHERE len(toks) >= 3),
+        |h AS (SELECT source, ('0x' || substr(md5(ngram), 1, 15))::BIGINT AS gh FROM g)
+        |SELECT source, count(*) AS n_grams, count(DISTINCT gh) AS n_distinct,
+        |  (count(DISTINCT gh) * 1000000) // count(*) AS diversity_ppm
+        |FROM h GROUP BY source""".stripMargin,
+
+    // strlen is DuckDB's byte length (Spark octet_length); // replays div
+    "shard_plan" ->
+      s"""WITH a AS (SELECT ${duckHash("CAST(doc_id AS VARCHAR)")} % 64 AS shard,
+         |  CAST(strlen(text) AS BIGINT) AS b FROM documents),
+         |per AS (SELECT shard, count(*) AS n_rows, CAST(sum(b) AS BIGINT) AS bytes
+         |        FROM a GROUP BY shard),
+         |tot AS (SELECT CAST(sum(bytes) AS BIGINT) AS tb, count(*) AS ns FROM per)
+         |SELECT shard, n_rows, bytes, (bytes * 1000) // (tb // ns) AS skew_permille
+         |FROM per, tot""".stripMargin,
   )
 }

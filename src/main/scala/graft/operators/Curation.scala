@@ -934,4 +934,53 @@ object Curation {
       scheme.as("scheme"), host.as("host"), path.as("path"),
       (scheme.isin("http", "https") && length(host) > 0 && !blocked).as("keep"))
   }
+
+  /** Per-dimension embedding-column profiler: n, Σv, Σv², min, max and
+    * zero count for every vector position — the pre-training audit that
+    * catches dead dimensions (all-zero), clipped dimensions (hard min/max
+    * walls) and scale drift between embedding batches before they poison
+    * a similarity index. Values are profiled in `scale`-scaled integer
+    * space via floor (float32·1e6 is an EXACT double product — 24-bit
+    * mantissa × 1e6 < 2^53 — and floor has no decimal-string rounding
+    * semantics to diverge on, unlike round; the sums are then exact
+    * BIGINTs, order-independent and engine-identical). One posexplode +
+    * one partial-aggregatable groupBy on the dimension index: shuffles
+    * (int, 4×long) rows, dims × partitions of them, never the vectors. */
+  def embeddingProfile(
+      df: DataFrame, vecCol: String, scale: Long = 1000000L): DataFrame = {
+    val sv = floor(col("v").cast("double") * scale).cast("long")
+    df.filter(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col("dim"), sv.as("sv"),
+        (col("v") === lit(0.0f)).cast("long").as("z"))
+      .groupBy("dim").agg(
+        count(lit(1)).as("n"),
+        sum("sv").as("sum_s"), sum(col("sv") * col("sv")).as("sumsq_s"),
+        min("sv").as("min_s"), max("sv").as("max_s"),
+        sum("z").as("n_zero"))
+  }
+
+  /** Output-shard planning report: assign every row to one of `numShards`
+    * writer shards by stable key hash, report per-shard row count, payload
+    * bytes, and skew vs the mean shard in per-mille (integer — exact).
+    * This is the writer-planning audit a 100 TB job runs before committing
+    * to a layout: a shard at 3000‰ means one writer task gets 3× the mean
+    * and the job's wall clock is that straggler. Hash assignment is
+    * [[Dedup.stableHash]] (md5-derived, engine-replayable); the totals
+    * side is a 1-row aggregate broadcast back over the `numShards`-row
+    * report — nothing here touches payload bytes twice. */
+  def shardPlan(
+      df: DataFrame, keyCol: String, payloadCol: String,
+      numShards: Int): DataFrame = {
+    require(numShards >= 1)
+    val per = df.select(
+        pmod(Dedup.stableHash(col(keyCol).cast("string")), lit(numShards.toLong))
+          .as("shard"),
+        octet_length(col(payloadCol)).cast("long").as("b"))
+      .groupBy("shard").agg(count(lit(1)).as("n_rows"), sum("b").as("bytes"))
+    val tot = per.agg(sum("bytes").as("_tb"), count(lit(1)).as("_ns"))
+    per.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_rows"), col("bytes"),
+        expr("(bytes * 1000L) div (_tb div _ns)").as("skew_permille"))
+  }
 }

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+
+/** Link-graph operators for crawl-scale corpus curation.
+  *
+  * PageRank over the document/host link graph is the classic crawl-quality
+  * signal (the provenance score next to the Gopher/C4 content gates that
+  * `Curation` implements). The reference has no graph surface
+  * (crates/vector-store is a per-row index engine); this extends the
+  * training-data-pipeline side of the library the same way Dedup/Curation do.
+  *
+  * Everything here is integer fixed-point arithmetic: ranks live in
+  * `scale`-scaled BIGINTs, every division is integral `div`, every sum is a
+  * BIGINT sum — exact, order-independent, and replayable query-for-query in
+  * DuckDB (float PageRank would hash-diverge on aggregation order).
+  */
+object Graph {
+
+  /** Fixed-point scale for rank values: 1e12 micro-units per unit of
+    * probability mass. With n ≤ 1e9 nodes the initial per-node rank
+    * `scale div n` keeps ≥3 significant digits; sums of n terms stay far
+    * below 2^63. */
+  val RankScale: Long = 1000000000000L
+
+  /** Integer fixed-point PageRank with damping 0.85 over an (src, dst)
+    * edge list. Returns (id, rank) for every node, rank in `scale` units.
+    *
+    * Recurrence (all integral ops, replayed verbatim by the oracle):
+    * {{{
+    *   base     = scale div n
+    *   contrib  = rank(u) div outdeg(u)            per edge u -> v
+    *   rank'(v) = (15 * base + 85 * sum(contrib)) div 100
+    * }}}
+    *
+    * Scale shape: each iteration is one equi-join of the rank vector to the
+    * edge list on `src` (both hash-partitioned on the join key) plus one
+    * partial-aggregating groupBy on `dst` — the canonical distributed
+    * PageRank, shuffling only (long, long) pairs, never node payloads. The
+    * rank vector is node-cardinality, the edge list dominates; at 100 TB
+    * both sides would be bucketed on id so the per-iteration join plans
+    * shuffle-free (see Layout), and the lineage would be checkpointed every
+    * ~10 iterations. Dangling nodes (no outlinks) keep mass only through
+    * the teleport term, like the classic formulation without the dangling
+    * redistribution (documented, matched by the oracle).
+    */
+  def pageRank(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, scale: Long = RankScale): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
+    // n as a broadcast 1-row aggregate: the node count stays in the plan
+    // (no driver action), and `base` folds to the same constant everywhere
+    val nDf = nodes.agg(count(lit(1)).as("n"))
+    val eo = e.join(outdeg, "src") // (src, dst, od): static across iterations
+    var ranks = nodes.crossJoin(broadcast(nDf))
+      .select(col("id"), expr(s"${scale}L div n").as("rank"))
+    for (_ <- 1 to iterations) {
+      val inc = eo.join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), expr("rank div od").as("c"))
+        .groupBy("id").agg(sum("c").as("s"))
+      ranks = ranks.join(inc, Seq("id"), "left")
+        .crossJoin(broadcast(nDf))
+        .select(col("id"),
+          expr(s"(15L * (${scale}L div n) + 85L * coalesce(s, 0L)) div 100")
+            .as("rank"))
+    }
+    ranks
+  }
+
+  /** Deterministic synthetic outlink list over contiguous ids [0, n):
+    * node d links to (17·d + j) mod n for j in 1..(1 + d mod 3) — variable
+    * outdegree 1..3, every node a source, targets uniform. The stand-in for
+    * a crawl's href graph (the fixture corpus has no real links), written so
+    * the oracle regenerates it with three filtered selects. */
+  def syntheticLinks(docs: DataFrame, idCol: String): DataFrame = {
+    val nDf = docs.agg(count(lit(1)).as("n"))
+    docs.select(col(idCol).as("src")).crossJoin(broadcast(nDf))
+      .select(col("src"),
+        explode(sequence(lit(1), lit(1) + (col("src") % 3).cast("int")))
+          .as("j"),
+        col("n"))
+      .select(col("src"), ((lit(17) * col("src") + col("j")) % col("n")).as("dst"))
+  }
+}

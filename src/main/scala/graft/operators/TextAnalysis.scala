@@ -571,6 +571,37 @@ object TextAnalysis {
         col("occurrences").desc, col("ngram").asc)))
   }
 
+  /** Per-group n-gram diversity: total word n-grams, distinct n-grams, and
+    * the type-token ratio in parts-per-million (integer — exact). The
+    * corpus-composition companion to [[ngramTop]]: where that surfaces the
+    * boilerplate phrases, this scores each source's overall repetitiveness
+    * (a synthetic/spammy source shows a collapsing distinct/total ratio as
+    * volume grows). Distinctness is counted over [[Dedup.stableHash]] of
+    * the gram, not the gram string — the distinct-aggregation shuffle then
+    * carries 8-byte longs instead of n-word strings, and the oracle counts
+    * the same hashes so a (cosmically unlikely) collision cannot split the
+    * engines. Gram construction is the zip_with shifted-slice form (one
+    * tokenizer pass per row, the ngramTop lesson). One projection + one
+    * partially-aggregated groupBy on the group key. */
+  def ngramDiversity(
+      df: DataFrame, groupCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 2, s"use token counting for n=1, got n=$n")
+    val toks = Dedup.tokens(col(textCol))
+    val grams = (2 to n).foldLeft(toks) { (acc, m) =>
+      zip_with(acc, slice(toks, lit(m), greatest(size(toks) - (m - 1), lit(0))),
+        (a, b) => when(a.isNotNull && b.isNotNull, concat(a, lit(" "), b)))
+    }
+    df.select(col(groupCol),
+        explode(filter(grams, g => g.isNotNull)).as("ngram"))
+      .select(col(groupCol), Dedup.stableHash(col("ngram")).as("gh"))
+      .groupBy(col(groupCol)).agg(
+        count(lit(1)).as("n_grams"),
+        countDistinct(col("gh")).as("n_distinct"))
+      .select(col(groupCol), col("n_grams"), col("n_distinct"),
+        expr("(n_distinct * 1000000L) div n_grams").as("diversity_ppm"))
+  }
+
   /** PII patterns: (name, regex, replacement token). Kept to RE2-compatible
     * constructs (no backrefs/lookaround) so an external engine replays the
     * same scan; `\b` is the ASCII word boundary in both RE2 and Java for

@@ -583,4 +583,39 @@ class CurationSpec extends SparkSpec {
     assert(r(6L) == (("http", "ok.org", "", true)))
     assert(r(7L) == (("https", "ok.org", "/port/path", true)))
   }
+
+  test("embeddingProfile: exact scaled stats per dimension, nulls dropped") {
+    val rows = Seq(
+      (0L, Seq(0.5f, -1.25f, 0.0f)),
+      (1L, Seq(0.25f, 2.0f, 0.0f)),
+      (2L, null.asInstanceOf[Seq[Float]])
+    ).toDF("vec_id", "embedding")
+    val p = Curation.embeddingProfile(rows, "embedding").collect()
+      .map(r => r.getAs[Int]("dim") -> r).toMap
+    assert(p.size == 3)
+    // dim 0: 0.5, 0.25 → scaled 500000, 250000
+    assert(p(0).getAs[Long]("n") == 2 && p(0).getAs[Long]("sum_s") == 750000L)
+    assert(p(0).getAs[Long]("sumsq_s") == 500000L * 500000L + 250000L * 250000L)
+    assert(p(0).getAs[Long]("n_zero") == 0)
+    // dim 1: -1.25 floors to -1250000 exactly
+    assert(p(1).getAs[Long]("min_s") == -1250000L)
+    assert(p(1).getAs[Long]("max_s") == 2000000L)
+    // dim 2: all zeros — the dead-dimension signature
+    assert(p(2).getAs[Long]("n_zero") == 2 && p(2).getAs[Long]("sum_s") == 0L)
+  }
+
+  test("shardPlan: totals reconcile, skew is exact per-mille vs mean shard") {
+    val rows = (0L until 200L).map(i => (i, "x" * (10 + (i % 7)).toInt))
+      .toDF("doc_id", "text")
+    val plan = Curation.shardPlan(rows, "doc_id", "text", numShards = 8)
+      .collect()
+    assert(plan.map(_.getAs[Long]("n_rows")).sum == 200L)
+    val totalBytes = (0L until 200L).map(i => 10 + (i % 7)).sum
+    assert(plan.map(_.getAs[Long]("bytes")).sum == totalBytes)
+    val meanShard = totalBytes / plan.length
+    plan.foreach { r =>
+      assert(r.getAs[Long]("skew_permille") ==
+        r.getAs[Long]("bytes") * 1000L / meanShard)
+    }
+  }
 }

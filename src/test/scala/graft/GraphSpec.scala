@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // star-plus-cycle toy graph: 0→1, 1→2, 2→0 (3-cycle), and 3,4 both → 0
+  // (dangling sinks don't exist: 3 and 4 also link to each other)
+  private def edges = Seq(
+    (0L, 1L), (1L, 2L), (2L, 0L),
+    (3L, 0L), (3L, 4L), (4L, 0L), (4L, 3L)
+  ).toDF("src", "dst")
+
+  test("pagerank: bit-identical to a driver-side replay of the recurrence") {
+    val es = Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (3L, 0L), (3L, 4L), (4L, 0L), (4L, 3L))
+    // plain-Scala model of the exact integer recurrence
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    val od = es.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base = Graph.RankScale / nodes.length
+    var rank = nodes.map(_ -> base).toMap
+    for (_ <- 1 to 5) {
+      val inc = es.groupBy(_._2).view
+        .mapValues(_.map { case (s, _) => rank(s) / od(s) }.sum).toMap
+      rank = nodes.map(v => v -> (15L * base + 85L * inc.getOrElse(v, 0L)) / 100L)
+        .toMap
+    }
+    val r = Graph.pageRank(edges, "src", "dst", iterations = 5).collect()
+      .map(x => x.getAs[Long]("id") -> x.getAs[Long]("rank")).toMap
+    assert(r == rank) // integer arithmetic ⇒ bit-identical, any plan order
+  }
+
+  test("pagerank: mass is conserved up to integer truncation") {
+    // every div truncates ≤ 1 unit per node per iteration; with scale 1e12
+    // and 5 nodes the total stays within a few hundred units of scale
+    val total = Graph.pageRank(edges, "src", "dst", iterations = 5)
+      .agg(sum("rank")).as[Long].head()
+    assert(total <= Graph.RankScale)
+    assert(total > Graph.RankScale - 1000L)
+  }
+
+  test("pagerank: uniform cycle stays uniform (fixed point)") {
+    // a pure k-cycle: every node has outdeg 1 and indeg 1 — the uniform
+    // distribution is exact, so every iteration returns base (mod the
+    // truncation of the damping blend, identical per node)
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("src", "dst")
+    val r = Graph.pageRank(cyc, "src", "dst", iterations = 3).collect()
+    assert(r.map(_.getAs[Long]("rank")).distinct.length == 1)
+  }
+
+  test("syntheticLinks: outdegree is 1 + id mod 3, targets within [0, n)") {
+    val docs = (0L until 30L).toDF("doc_id")
+    val e = Graph.syntheticLinks(docs, "doc_id")
+    val od = e.groupBy("src").count().collect()
+      .map(r => r.getAs[Long]("src") -> r.getAs[Long]("count")).toMap
+    assert((0L until 30L).forall(d => od(d) == 1 + d % 3))
+    val bad = e.filter(col("dst") < 0 || col("dst") >= 30).count()
+    assert(bad == 0)
+  }
+}

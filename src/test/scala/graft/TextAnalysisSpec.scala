@@ -531,4 +531,21 @@ class TextAnalysisSpec extends SparkSpec {
     // round 2 over [aa, a]: the only pair is (aa, a), freq 2
     assert(m(1) == (("aa", "a", 2L)))
   }
+
+  test("ngramDiversity: totals, distincts and exact ppm ratio per group") {
+    val docs = Seq(
+      (0L, "a", "one two three four"),        // 2 distinct trigrams
+      (1L, "a", "one two three five"),        // shares 'one two three'
+      (2L, "b", "x x x x x"),                 // 3 grams, all identical
+      (3L, "b", "short doc")                  // < 3 tokens → no grams
+    ).toDF("doc_id", "source", "text")
+    val r = TextAnalysis.ngramDiversity(docs, "source", "text", n = 3)
+      .collect().map(x => x.getAs[String]("source") ->
+        ((x.getAs[Long]("n_grams"), x.getAs[Long]("n_distinct"),
+          x.getAs[Long]("diversity_ppm")))).toMap
+    // source a: 4 grams total, 3 distinct (one-two-three shared)
+    assert(r("a") == ((4L, 3L, 3L * 1000000L / 4L)))
+    // source b: 3 grams, 1 distinct — the pure-repetition signature
+    assert(r("b") == ((3L, 1L, 1000000L / 3L)))
+  }
 }
