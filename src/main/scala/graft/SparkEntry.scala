@@ -1851,6 +1851,18 @@ object SparkEntry {
         .orderBy(col("rank").desc, col("id").asc).limit(20)
     }),
 
+    // HITS hubs & authorities over the same link graph (the bipartite
+    // companion signal to pagerank): integer fixed point with max-
+    // normalization each half-step — exact, oracle-replayable. Top-20 by
+    // authority (hub, id tiebreaks — the synthetic graph's near-uniform
+    // in-degree leaves ties at max, which the tiebreak pins).
+    "hits_scores" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      Graph.hits(Graph.syntheticLinks(docs, "doc_id"), "src", "dst",
+          iterations = 5)
+        .orderBy(col("auth").desc, col("hub").desc, col("id").asc).limit(20)
+    }),
+
     // Incremental near-dup DELTA probe, oracle-checked (the streaming
     // serving path of Dedup.nearDupProbe, until now only spec-tested):
     // docs with id ≡ 0 (mod 17) play the new micro-batch, probed against
@@ -4339,6 +4351,39 @@ object SparkEntry {
          |$iters
          |SELECT id, CAST(rank AS BIGINT) AS rank FROM r5
          |ORDER BY rank DESC, id LIMIT 20""".stripMargin
+    },
+
+    // Replays the 5 HITS iterations: same integer arithmetic, max-
+    // normalization via scalar-subquery attach. MATERIALIZED CTEs — the
+    // a_k/h_k chain references each step twice, and inlined it expands
+    // exponentially (the mmr_rerank precedent).
+    "hits_scores" -> {
+      val iters = (1 to 5).map { k =>
+        s"""a${k}raw AS MATERIALIZED (SELECT e.dst AS id, SUM(h${k - 1}.hub) AS araw
+           |  FROM edges e JOIN h${k - 1} ON e.src = h${k - 1}.id GROUP BY e.dst),
+           |a$k AS MATERIALIZED (SELECT n.id,
+           |  (COALESCE(araw, 0) * 1000000) // (SELECT max(araw) FROM a${k}raw) AS auth
+           |  FROM nodes n LEFT JOIN a${k}raw USING (id)),
+           |h${k}raw AS MATERIALIZED (SELECT e.src AS id, SUM(a$k.auth) AS hraw
+           |  FROM edges e JOIN a$k ON e.dst = a$k.id GROUP BY e.src),
+           |h$k AS MATERIALIZED (SELECT n.id,
+           |  (COALESCE(hraw, 0) * 1000000) // (SELECT max(hraw) FROM h${k}raw) AS hub
+           |  FROM nodes n LEFT JOIN h${k}raw USING (id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH n AS (SELECT count(*) AS n FROM documents),
+         |e1 AS (SELECT doc_id AS src, (17*doc_id + 1) % n.n AS dst FROM documents, n),
+         |e2 AS (SELECT doc_id AS src, (17*doc_id + 2) % n.n AS dst FROM documents, n
+         |       WHERE doc_id % 3 >= 1),
+         |e3 AS (SELECT doc_id AS src, (17*doc_id + 3) % n.n AS dst FROM documents, n
+         |       WHERE doc_id % 3 = 2),
+         |edges AS MATERIALIZED (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+         |                       UNION ALL SELECT * FROM e3),
+         |nodes AS MATERIALIZED (SELECT doc_id AS id FROM documents),
+         |h0 AS MATERIALIZED (SELECT id, 1000000 AS hub FROM nodes),
+         |$iters
+         |SELECT a5.id, CAST(a5.auth AS BIGINT) AS auth, CAST(h5.hub AS BIGINT) AS hub
+         |FROM a5 JOIN h5 USING (id)
+         |ORDER BY auth DESC, hub DESC, id LIMIT 20""".stripMargin
     },
 
     // dedup_minhash's full pair replay restricted to pairs touching the

@@ -72,6 +72,51 @@ object Graph {
     ranks
   }
 
+  /** Scale for HITS scores: 1e6 keeps the running sums far from Long
+    * overflow even at extreme in-degree (Σ over n nodes of 1e6-scaled
+    * scores × the renormalization multiply stays < 2^63 for n ≤ ~1e12/edge
+    * fanout). */
+  val HitsScale: Long = 1000000L
+
+  /** Integer fixed-point HITS (Kleinberg hubs & authorities) over an
+    * (src, dst) edge list: authority(v) = Σ hub of in-neighbors, hub(u) =
+    * Σ authority of out-neighbors, each renormalized so max = `scale`
+    * after every half-step (the integer analogue of the usual L∞
+    * normalization — exact, order-independent, oracle-replayable).
+    * Returns (id, auth, hub), both in `scale` units.
+    *
+    * Scale shape: each half-step is one score-to-edges equi-join + one
+    * partial-aggregating groupBy + a broadcast 1-row max attach — only
+    * (long, long) pairs shuffle. Same bucketing/checkpointing notes as
+    * [[pageRank]]. */
+  def hits(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, scale: Long = HitsScale): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    var auth = nodes.withColumn("auth", lit(scale))
+    var hub = nodes.withColumn("hub", lit(scale))
+    for (_ <- 1 to iterations) {
+      val a = e.join(hub.select(col("id").as("src"), col("hub")), "src")
+        .select(col("dst").as("id"), col("hub"))
+        .groupBy("id").agg(sum("hub").as("araw"))
+      val amax = a.agg(max("araw").as("amax"))
+      auth = nodes.join(a, Seq("id"), "left").crossJoin(broadcast(amax))
+        .select(col("id"),
+          expr(s"(coalesce(araw, 0L) * ${scale}L) div amax").as("auth"))
+      val h = e.join(auth.select(col("id").as("dst"), col("auth")), "dst")
+        .select(col("src").as("id"), col("auth"))
+        .groupBy("id").agg(sum("auth").as("hraw"))
+      val hmax = h.agg(max("hraw").as("hmax"))
+      hub = nodes.join(h, Seq("id"), "left").crossJoin(broadcast(hmax))
+        .select(col("id"),
+          expr(s"(coalesce(hraw, 0L) * ${scale}L) div hmax").as("hub"))
+    }
+    auth.join(hub, "id")
+  }
+
   /** Deterministic synthetic outlink list over contiguous ids [0, n):
     * node d links to (17·d + j) mod n for j in 1..(1 + d mod 3) — variable
     * outdegree 1..3, every node a source, targets uniform. The stand-in for

@@ -50,6 +50,42 @@ class GraphSpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("rank")).distinct.length == 1)
   }
 
+  test("hits: bit-identical to a driver-side replay of the recurrence") {
+    val es = Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (3L, 0L), (3L, 4L), (4L, 0L), (4L, 3L))
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    val scale = Graph.HitsScale
+    var hub = nodes.map(_ -> scale).toMap
+    var auth = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to 5) {
+      val araw = es.groupBy(_._2).view
+        .mapValues(_.map { case (s, _) => hub(s) }.sum).toMap
+      val amax = araw.values.max
+      auth = nodes.map(v => v -> araw.getOrElse(v, 0L) * scale / amax).toMap
+      val hraw = es.groupBy(_._1).view
+        .mapValues(_.map { case (_, d) => auth(d) }.sum).toMap
+      val hmax = hraw.values.max
+      hub = nodes.map(v => v -> hraw.getOrElse(v, 0L) * scale / hmax).toMap
+    }
+    val r = Graph.hits(edges, "src", "dst", iterations = 5).collect()
+      .map(x => x.getAs[Long]("id") ->
+        ((x.getAs[Long]("auth"), x.getAs[Long]("hub")))).toMap
+    assert(r == nodes.map(v => v -> ((auth(v), hub(v)))).toMap)
+  }
+
+  test("hits: the node pointing at the best authorities is the best hub") {
+    // 0 → {1,2,3}, 4 → 1, 1 → 0 (so every score survives the max-norm):
+    // authority concentrates on 1 (two in-links), hub on 0 (three outlinks
+    // to scored authorities)
+    val g = Seq((0L, 1L), (0L, 2L), (0L, 3L), (4L, 1L), (1L, 0L))
+      .toDF("src", "dst")
+    val r = Graph.hits(g, "src", "dst", iterations = 3).collect()
+      .map(x => x.getAs[Long]("id") ->
+        ((x.getAs[Long]("auth"), x.getAs[Long]("hub")))).toMap
+    assert(r(1L)._1 == r.values.map(_._1).max) // best authority
+    assert(r(0L)._2 == r.values.map(_._2).max) // best hub
+  }
+
   test("syntheticLinks: outdegree is 1 + id mod 3, targets within [0, n)") {
     val docs = (0L until 30L).toDF("doc_id")
     val e = Graph.syntheticLinks(docs, "doc_id")

@@ -326,4 +326,34 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("pagerank: equi-joins + partial aggregation per iteration, top-k TakeOrdered") {
+    val p = plan("pagerank")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the only nested-loop shapes allowed are the broadcast 1-row node-count
+    // attaches; every rank↔edge join must be hash-equi
+    val bnlj = "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(p).toSeq
+    assert(bnlj.forall(_.contains("Cross")),
+      s"rank-edge joins must be equi, only the n-attach may cross:\n${bnlj.mkString("\n")}")
+  }
+
+  test("ngram diversity / shard plan: single partial-agg shapes, no payload join") {
+    val pd = plan("ngram_diversity")
+    assert(pd.contains("HashAggregate") || pd.contains("ObjectHashAggregate"),
+      pd.take(2000))
+    assert(!pd.contains("Join"), s"diversity is one aggregation:\n${pd.take(2000)}")
+    val ps = plan("shard_plan")
+    assert(ps.contains("HashAggregate"), ps.take(2000))
+    val bnlj = "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(ps).toSeq
+    assert(bnlj.forall(_.contains("Cross")),
+      s"only the totals attach may cross:\n${bnlj.mkString("\n")}")
+  }
+
+  test("dedup delta probe: candidate joins equi-shaped, never a cross product") {
+    val p = plan("dedup_delta")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
 }
