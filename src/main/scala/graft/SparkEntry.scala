@@ -64,7 +64,7 @@ object SparkEntry {
       "doc_novelty", "source_overlap", "dedup_containment", "hybrid_rrf",
       "jsonl_roundtrip", "cluster_size_report", "warc_roundtrip",
       "image_features", "image_resize", "audio_features", "video_frames",
-      "bpe_encode", "csv_roundtrip")
+      "bpe_encode", "csv_roundtrip", "tokenizer_fertility")
 
   // ---- ANN helpers ---------------------------------------------------------
 
@@ -1564,15 +1564,37 @@ object SparkEntry {
     // across words).
     "bpe_encode" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      // the merge table is an ingest-time artifact (train once, encode
-      // forever) — build-once store like every index; the probe cost is
-      // the stateless replace cascade, not the 6-round training loop
-      val m = graft.sources.IndexStorage.materializeCached(
-          s, s"$dir/documents.parquet", indexDir(dir, "bpe_merges6"), Nil)(
-          TextAnalysis.bpeTrain(docs, "text", nMerges = BpeMerges))
-        .orderBy("rank").collect()
-        .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
-      TextAnalysis.bpeEncode(docs, "doc_id", "text", m)
+      TextAnalysis.bpeEncode(docs, "doc_id", "text", bpeMergeTable(s, dir))
+    }),
+
+    // Tokenizer fertility report per (source, lang): BPE tokens per word
+    // and chars per BPE token — the tokenizer-efficiency audit run before
+    // committing a vocabulary (high fertility on a language = that
+    // language pays more sequence length per content). Exact integer sums;
+    // the two ratios ship UNROUNDED. Encode is the stateless merge-cascade
+    // projection over the build-once merge store; the report is one narrow
+    // (source, lang) aggregate — no new shuffle shape at 100 TB.
+    "tokenizer_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val enc = TextAnalysis.bpeEncode(docs, "doc_id", "text",
+        bpeMergeTable(s, dir))
+      docs.select(col("doc_id"), col("source"), col("lang"),
+          length(col("text")).as("_nc"),
+          size(Dedup.tokens(col("text"))).as("_nw"))
+        .join(enc.select(col("doc_id"), col("n_subwords")), "doc_id")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("_nw")).as("n_words"),
+          sum(col("n_subwords")).as("n_bpe_tokens"),
+          sum(col("_nc")).as("n_chars"))
+        .select(col("source"), col("lang"), col("n_docs"),
+          col("n_words"), col("n_bpe_tokens"), col("n_chars"),
+          (col("n_bpe_tokens").cast("double") /
+            greatest(col("n_words"), lit(1L)).cast("double") + lit(0.0))
+            .as("fertility"),
+          (col("n_chars").cast("double") /
+            greatest(col("n_bpe_tokens"), lit(1L)).cast("double") + lit(0.0))
+            .as("chars_per_token"))
     }),
 
     // Full Gopher repetition battery over seeded structure: a twice-
@@ -1863,6 +1885,68 @@ object SparkEntry {
         .orderBy(col("auth").desc, col("hub").desc, col("id").asc).limit(20)
     }),
 
+    // Deterministic synchronous label propagation over the same link graph
+    // (community/mirror-cluster detection, the randomized classic made
+    // oracle-replayable): 4 rounds, neighbor-majority labels with
+    // smallest-label ties, integer end to end.
+    "label_propagation" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      Graph.labelPropagation(Graph.syntheticLinks(docs, "doc_id"),
+        "src", "dst", iterations = 4)
+    }),
+
+    // HyperLogLog cardinality per event type next to the exact count — the
+    // m=512-register companion to distinct_sketch's linear counting. The
+    // indicator Σ 2^(−M_j) accumulates as exact BIGINTs (2^(52−M_j) per
+    // occupied register), so aggregation order cannot move a float bit and
+    // the oracle replays the estimate arithmetic verbatim.
+    "hll_distinct" -> ((s, dir) =>
+      Sketches.hllDistinct(
+        t(s, dir, "events").select(col("event_type"), col("user_id")),
+        "event_type", "user_id", p = 9)),
+
+    // Robust outlier report per source over n_chars: exact integer
+    // median/MAD (type-1 lower medians — identical element both engines),
+    // outliers at |x − med| > 3·MAD — the mean-free anomaly gate.
+    "mad_outliers" -> ((s, dir) =>
+      Curation.madOutliers(
+        t(s, dir, "documents").select(col("source"), col("n_chars")),
+        "source", "n_chars")),
+
+    // PMI collocation mining: top-20 adjacent word pairs by pointwise
+    // mutual information (pair count ≥ 5) — the multi-word-expression /
+    // boilerplate-idiom discovery pass; exact integer counts, one ln.
+    "collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(t(s, dir, "documents"), "text",
+        minCount = 5, k = 20)),
+
+    // Flesch / Flesch-Kincaid readability per document — deterministic
+    // vowel-group syllables + sentence-run counts; both scores ship
+    // UNROUNDED (exact integer inputs ⇒ bit-identical doubles in both
+    // engines; rounding would reintroduce the shortest-decimal boundary).
+    "readability" -> ((s, dir) =>
+      TextAnalysis.readability(t(s, dir, "documents"), "doc_id", "text")),
+
+    // Histogram quantile sketch per source over n_chars: p50/p90/p99 from
+    // a width-100 fixed histogram (integer rank arithmetic end to end)
+    // next to the exact order statistic — the mergeable-sketch answer to
+    // percentiles at 100 TB, where winsorize's exact two-pass is the
+    // small-data formulation.
+    "quantile_histogram" -> ((s, dir) =>
+      Sketches.histogramQuantiles(
+        t(s, dir, "documents").select(col("source"), col("n_chars")),
+        "source", "n_chars", width = 100L)),
+
+    // Johnson–Lindenstrauss random projection 64→8 dims with the lshBucket
+    // hyperplanes (values, not signs) — the embedding-compaction map;
+    // emitted wide (p0..p7, rounded 6) for the exact cross-engine compare.
+    "rp_project" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+      ApproxAnn.randomProject(emb, "embedding", outDims = 8, dims = 64)
+        .select(col("vec_id") +: (0 until 8).map(j =>
+          (round(element_at(col("rp"), j + 1), 6) + lit(0.0)).as(s"p$j")): _*)
+    }),
+
     // Incremental near-dup DELTA probe, oracle-checked (the streaming
     // serving path of Dedup.nearDupProbe, until now only spec-tested):
     // docs with id ≡ 0 (mod 17) play the new micro-batch, probed against
@@ -2049,6 +2133,20 @@ object SparkEntry {
   /** Merge count shared by the bpe_merges / bpe_encode queries and their
     * oracles (the oracle CTE chain length must match the Spark loop). */
   private val BpeMerges = 6
+
+  /** The trained BPE merge table as an ordered driver-side list — an
+    * ingest-time artifact (train once, encode forever), build-once store
+    * like every index; probes pay the stateless replace cascade, never the
+    * 6-round training loop. Vocabulary-sized (here [[BpeMerges]] rows), so
+    * the collect is bounded and the cascade inlines as literals. */
+  private def bpeMergeTable(
+      s: SparkSession, dir: String): Seq[(String, String)] =
+    graft.sources.IndexStorage.materializeCached(
+        s, s"$dir/documents.parquet", indexDir(dir, "bpe_merges6"), Nil)(
+        TextAnalysis.bpeTrain(t(s, dir, "documents"), "text",
+          nMerges = BpeMerges))
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
 
   /** The BPE training replay as a CTE chain (expects `toks` in scope):
     * w0 = symbolized vocabulary with frequencies, then per round k:
@@ -2623,6 +2721,40 @@ object SparkEntry {
          |  array_to_string(list_filter(string_split(s, ' '), x -> x <> ''), ' ')
          |    AS subword_text
          |FROM enc$BpeMerges""".stripMargin
+    },
+
+    // Fertility replay: the same train + encode chain as bpe_encode, then
+    // the (source, lang) integer sums and the two unrounded divisions.
+    "tokenizer_fertility" -> {
+      val enc0 =
+        """enc0 AS (SELECT doc_id, ' ' || array_to_string(list_transform(ts,
+          |  w -> trim(regexp_replace(w, '(.)', '\1 ', 'g'))), '  ') || ' ' AS s
+          |  FROM toks)""".stripMargin
+      val encs = (1 to BpeMerges).map { k =>
+        s"""enc$k AS (SELECT doc_id, replace(s, ' ' || (SELECT p FROM m$k) || ' ',
+           |  ' ' || (SELECT replace(p, ' ', '') FROM m$k) || ' ') AS s
+           |  FROM enc${k - 1})""".stripMargin
+      }
+      s"""WITH $duckToks,
+         |${duckBpeChain(BpeMerges)},
+         |$enc0,
+         |${encs.mkString(",\n")},
+         |e AS (SELECT doc_id,
+         |  len(list_filter(string_split(s, ' '), x -> x <> '')) AS n_subwords
+         |  FROM enc$BpeMerges)
+         |SELECT d.source, d.lang, count(*) AS n_docs,
+         |  CAST(sum(len(t.ts)) AS BIGINT) AS n_words,
+         |  CAST(sum(e.n_subwords) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(sum(length(d.text)) AS BIGINT) AS n_chars,
+         |  CAST(sum(e.n_subwords) AS DOUBLE) /
+         |    CAST(greatest(sum(len(t.ts)), 1) AS DOUBLE) + 0.0 AS fertility,
+         |  CAST(sum(length(d.text)) AS DOUBLE) /
+         |    CAST(greatest(sum(e.n_subwords), 1) AS DOUBLE) + 0.0
+         |    AS chars_per_token
+         |FROM documents d
+         |JOIN toks t ON t.doc_id = d.doc_id
+         |JOIN e ON e.doc_id = d.doc_id
+         |GROUP BY 1, 2""".stripMargin
     },
 
     // Replays every Gopher repetition branch over the seeded structure:
@@ -4384,6 +4516,173 @@ object SparkEntry {
          |SELECT a5.id, CAST(a5.auth AS BIGINT) AS auth, CAST(h5.hub AS BIGINT) AS hub
          |FROM a5 JOIN h5 USING (id)
          |ORDER BY auth DESC, hub DESC, id LIMIT 20""".stripMargin
+    },
+
+    // Replays the 4 synchronous LPA rounds: undirected closure via UNION
+    // (distinct), per-round neighbor-label counts, argmax by
+    // (count DESC, label ASC) as a QUALIFY window.
+    "label_propagation" -> {
+      val iters = (1 to 4).map { k =>
+        s"""c$k AS (SELECT u.a AS id, l.label AS label, count(*) AS c
+           |  FROM und u JOIN l${k - 1} l ON l.id = u.b GROUP BY 1, 2),
+           |l$k AS (SELECT id, label FROM c$k QUALIFY
+           |  row_number() OVER (PARTITION BY id ORDER BY c DESC, label) = 1)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH n AS (SELECT count(*) AS n FROM documents),
+         |e1 AS (SELECT doc_id AS src, (17*doc_id + 1) % n.n AS dst FROM documents, n),
+         |e2 AS (SELECT doc_id AS src, (17*doc_id + 2) % n.n AS dst FROM documents, n
+         |       WHERE doc_id % 3 >= 1),
+         |e3 AS (SELECT doc_id AS src, (17*doc_id + 3) % n.n AS dst FROM documents, n
+         |       WHERE doc_id % 3 = 2),
+         |edges AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3),
+         |und AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges
+         |                     UNION SELECT dst, src FROM edges),
+         |l0 AS (SELECT DISTINCT a AS id, a AS label FROM und),
+         |$iters
+         |SELECT id, label FROM l4""".stripMargin
+    },
+
+    // HLL replay: same md5 hash, bucket = h % 512, rho from length(bin(w))
+    // (identical minimal binary in both engines), register max, exact
+    // 2^(52−M) BIGINT indicator, same estimate arithmetic including the
+    // small-range linear-counting fallback.
+    "hll_distinct" ->
+      s"""WITH h AS (SELECT event_type, user_id,
+         |  ${duckHash("CAST(user_id AS VARCHAR)")} AS h FROM events),
+         |r AS (SELECT event_type, h % 512 AS bucket,
+         |  CASE WHEN h // 512 = 0 THEN 52
+         |       ELSE 52 - length(bin(h // 512)) END AS rho FROM h),
+         |regs AS (SELECT event_type, bucket, max(rho) AS M FROM r GROUP BY 1, 2),
+         |ind AS (SELECT event_type, count(*) AS hll_registers,
+         |  SUM(1::BIGINT << (52 - M)) AS z_occ FROM regs GROUP BY 1),
+         |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+         |       FROM events GROUP BY 1),
+         |j AS (SELECT ex.event_type, n_exact, hll_registers,
+         |  z_occ + (512 - hll_registers) * (1::BIGINT << 52) AS zs,
+         |  512 - hll_registers AS v
+         |  FROM ex JOIN ind USING (event_type)),
+         |k AS (SELECT *,
+         |  CAST(0.7213 AS DOUBLE)/(1 + CAST(1.079 AS DOUBLE)/512)*512*512 /
+         |  (CAST(zs AS DOUBLE) / CAST(1::BIGINT << 52 AS DOUBLE)) AS e_raw
+         |  FROM j)
+         |SELECT event_type, n_exact, hll_registers,
+         |  round(CASE WHEN e_raw <= 2.5*512 AND v > 0
+         |    THEN 512.0 * ln(512.0 / CAST(v AS DOUBLE)) ELSE e_raw END, 4) + 0.0
+         |    AS hll_estimate,
+         |  (e_raw <= 2.5*512 AND v > 0) AS small_range
+         |FROM k""".stripMargin,
+
+    // MAD replay: same type-1 lower-median order statistics ((n+1) // 2)
+    // over values then absolute deviations, same 3·MAD gate — integers
+    // end to end.
+    "mad_outliers" ->
+      """WITH v AS (SELECT source, n_chars AS v FROM documents),
+        |r AS (SELECT source, v,
+        |  row_number() OVER (PARTITION BY source ORDER BY v) AS rn,
+        |  count(*) OVER (PARTITION BY source) AS n FROM v),
+        |med AS (SELECT source, v AS med FROM r WHERE rn = (n + 1) // 2),
+        |d AS (SELECT v.source, abs(v.v - med.med) AS d
+        |  FROM v JOIN med ON med.source = v.source),
+        |r2 AS (SELECT source, d,
+        |  row_number() OVER (PARTITION BY source ORDER BY d) AS rn,
+        |  count(*) OVER (PARTITION BY source) AS n FROM d),
+        |mad AS (SELECT source, d AS mad FROM r2 WHERE rn = (n + 1) // 2)
+        |SELECT d.source, count(*) AS n, CAST(med.med AS BIGINT) AS median,
+        |  CAST(mad.mad AS BIGINT) AS mad,
+        |  CAST(sum(CASE WHEN d.d > 3 * greatest(mad.mad, 1) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM d JOIN mad ON mad.source = d.source
+        |JOIN med ON med.source = d.source
+        |GROUP BY 1, med.med, mad.mad""".stripMargin,
+
+    // PMI replay: same tokens, unigram/bigram counts, same
+    // (n_pair·N)/(n_w1·n_w2) double expression under one ln.
+    "collocations" ->
+      s"""WITH $duckToks,
+         |tk AS (SELECT doc_id, unnest(ts) AS w FROM toks),
+         |words AS (SELECT w, count(*) AS n_w FROM tk GROUP BY 1),
+         |tot AS (SELECT CAST(sum(len(ts)) AS BIGINT) AS n_total FROM toks),
+         |bg AS (SELECT w1, w2, count(*) AS n_pair FROM (
+         |  SELECT unnest(list_slice(ts, 1, len(ts) - 1)) AS w1,
+         |         unnest(list_slice(ts, 2, len(ts))) AS w2
+         |  FROM toks WHERE len(ts) >= 2)
+         |  GROUP BY 1, 2 HAVING count(*) >= 5)
+         |SELECT bg.w1, bg.w2, n_pair, a.n_w AS n_w1, b.n_w AS n_w2,
+         |  round(ln(CAST(n_pair AS DOUBLE) * CAST(n_total AS DOUBLE) /
+         |    (CAST(a.n_w AS DOUBLE) * CAST(b.n_w AS DOUBLE))), 6) + 0.0 AS pmi
+         |FROM bg JOIN words a ON a.w = bg.w1 JOIN words b ON b.w = bg.w2, tot
+         |ORDER BY pmi DESC, bg.w1, bg.w2 LIMIT 20""".stripMargin,
+
+    // Readability replay: same tokens, same vowel-group/sentence-run
+    // counting (regexp_replace with 'g'), same UNROUNDED double formulas
+    // with every literal forced to DOUBLE (bare decimals are DECIMAL in
+    // DuckDB and would run the formula in decimal arithmetic).
+    "readability" ->
+      s"""WITH $duckToks,
+         |c AS (SELECT d.doc_id, len(ts) AS n_words,
+         |  greatest(length(regexp_replace(d.text, '[.!?]+', '#', 'g')) -
+         |           length(regexp_replace(d.text, '[.!?]+', '', 'g')), 1) AS n_sentences,
+         |  CAST(coalesce(list_sum(list_transform(ts, w ->
+         |    greatest(length(regexp_replace(w, '[aeiouy]+', '#', 'g')) -
+         |             length(regexp_replace(w, '[aeiouy]+', '', 'g')), 1))), 0) AS BIGINT)
+         |    AS n_syllables
+         |  FROM documents d JOIN toks ON toks.doc_id = d.doc_id)
+         |SELECT doc_id, n_words, CAST(n_sentences AS BIGINT) AS n_sentences,
+         |  n_syllables,
+         |  CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE) *
+         |    (CAST(greatest(n_words, 1) AS DOUBLE) / CAST(n_sentences AS DOUBLE)) -
+         |    CAST(84.6 AS DOUBLE) *
+         |    (CAST(n_syllables AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE))
+         |    + 0.0 AS flesch,
+         |  CAST(0.39 AS DOUBLE) *
+         |    (CAST(greatest(n_words, 1) AS DOUBLE) / CAST(n_sentences AS DOUBLE)) +
+         |    CAST(11.8 AS DOUBLE) *
+         |    (CAST(n_syllables AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE)) -
+         |    CAST(15.59 AS DOUBLE) + 0.0 AS fk_grade
+         |FROM c""".stripMargin,
+
+    // Histogram-quantile replay: same width-100 buckets, cumulative window,
+    // integer ⌈q·n⌉ targets, within-bucket interpolation, and the exact
+    // order statistic via a per-source row_number window.
+    "quantile_histogram" ->
+      """WITH hist AS (SELECT source, n_chars // 100 AS bucket, count(*) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |cum AS (SELECT source, bucket, cnt,
+        |  sum(cnt) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+        |  sum(cnt) OVER (PARTITION BY source) AS n FROM hist),
+        |tg AS (SELECT source, n, quantile, (qnum * n + qden - 1) // qden AS target
+        |  FROM (SELECT DISTINCT source, n FROM cum)
+        |  CROSS JOIN (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100))
+        |    AS q(quantile, qnum, qden)),
+        |pick AS (SELECT t.source, t.quantile, t.n, t.target, c.bucket, c.cnt,
+        |  c.cum - c.cnt AS cb FROM tg t JOIN cum c ON c.source = t.source
+        |  AND c.cum >= t.target AND c.cum - c.cnt < t.target),
+        |ex AS (SELECT source, n_chars,
+        |  row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn
+        |  FROM documents)
+        |SELECT p.source, p.quantile, CAST(p.n AS BIGINT) AS n,
+        |  CAST(p.target AS BIGINT) AS target_rank,
+        |  CAST(p.bucket * 100 AS DOUBLE) + CAST(p.target - p.cb AS DOUBLE) *
+        |    CAST(100 AS DOUBLE) / CAST(p.cnt AS DOUBLE) + 0.0 AS hist_estimate,
+        |  e.n_chars AS exact_value
+        |FROM pick p JOIN ex e ON e.source = p.source AND e.rn = p.target"""
+        .stripMargin,
+
+    // JL projection replay: the same md5 hyperplane literals as
+    // duckLshBucket (shortest-repr doubles round-trip exactly through the
+    // decimal parse), folded in list order by list_sum — the list_zip
+    // pattern every distance oracle already proves in-order.
+    "rp_project" -> {
+      val cols = ApproxAnn.hyperplanes(8, 64).zipWithIndex.map { case (w, j) =>
+        val lits = w.map(_.toString).mkString("[", ", ", "]")
+        s"""round(list_sum(list_transform(list_zip(embedding, $lits),
+           |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) + 0.0
+           |    AS p$j""".stripMargin
+      }.mkString(",\n  ")
+      s"""SELECT vec_id,
+         |  $cols
+         |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin
     },
 
     // dedup_minhash's full pair replay restricted to pairs touching the

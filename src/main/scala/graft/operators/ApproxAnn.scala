@@ -57,6 +57,28 @@ object ApproxAnn {
   def buildLshIndex(df: DataFrame, vecCol: String, nbits: Int, dims: Int): DataFrame =
     df.withColumn("_bucket", lshBucket(col(vecCol), hyperplanes(nbits, dims)))
 
+  /** Johnson–Lindenstrauss random projection: compact `dims`-dim vectors to
+    * `outDims` dense doubles using the SAME deterministic md5 hyperplanes as
+    * [[lshBucket]] (LSH keeps only the projection SIGNS; this keeps the
+    * values). Returns the input plus an `rp` array<double> column.
+    *
+    * The embedding-compaction step of a 100 TB vector pipeline: a stateless
+    * per-row projection (no shuffle, whole-stage codegen over the unrolled
+    * zip_with folds) that cuts downstream vector IO and distance cost by
+    * dims/outDims while approximately preserving pairwise distances (the JL
+    * lemma). Each output coordinate folds the input in array order, so the
+    * double sums — and therefore the DuckDB list_sum replay — are
+    * bit-identical. */
+  def randomProject(
+      df: DataFrame, vecCol: String, outDims: Int, dims: Int): DataFrame = {
+    val projs = hyperplanes(outDims, dims).map { w =>
+      aggregate(
+        zip_with(col(vecCol), typedlit(w.toSeq), (x, y) => x.cast("double") * y),
+        lit(0.0), _ + _)
+    }
+    df.withColumn("rp", array(projs.toIndexedSeq: _*))
+  }
+
   /** Materialize the LSH index to `path`, directory-partitioned by
     * `_bucket`, and return the read-back DataFrame: [[searchLsh]] probes on
     * it are partition-pruned scans (only the probed bucket directories are

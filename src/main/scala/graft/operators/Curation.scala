@@ -417,6 +417,44 @@ object Curation {
     * Scale shape: one narrow (group, value) percentile aggregate, the
     * two thresholds broadcast back, and a stateless least/greatest clip —
     * the corpus scans once, no global sort. */
+  /** Robust per-group outlier report via median/MAD — the mean/stddev-free
+    * anomaly gate (a handful of 100 MB documents moves a mean; it cannot
+    * move a median). One row per group:
+    * (group, n, median, mad, n_outliers) with outliers = |x − med| > 3·MAD
+    * (MAD floored at 1 so constant groups stay finite).
+    *
+    * Medians are the exact type-1 lower median (order statistic at
+    * ⌈n/2⌉ = (n+1) div 2) computed in INTEGER space — both engines pick the
+    * identical element, no interpolation, no float. Cost is two per-group
+    * sort windows (values, then deviations) — the exact small-group
+    * formulation; at 100 TB per-group state use
+    * [[Sketches.histogramQuantiles]] instead (documented trade). */
+  def madOutliers(
+      df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = df.select(col(groupCol), col(valCol).cast("long").as("_v"))
+    def medianOf(in: DataFrame, c: String): DataFrame = in
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(groupCol).orderBy(col(c))))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(groupCol)))
+      .filter(col("_rn") === expr("(_n + 1L) div 2L"))
+      .select(col(groupCol), col(c).as("_med"), col("_n"))
+    val med = medianOf(vals, "_v")
+    val dev = vals.join(med.select(col(groupCol), col("_med")), groupCol)
+      .select(col(groupCol), abs(col("_v") - col("_med")).as("_d"))
+    val mad = medianOf(dev, "_d")
+      .select(col(groupCol), col("_med").as("_mad"))
+    dev.join(mad, groupCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_d") > lit(3L) * greatest(col("_mad"), lit(1L)), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        max(col("_mad")).as("mad"))
+      .join(med.select(col(groupCol), col("_med").as("median")), groupCol)
+      .select(col(groupCol), col("n"), col("median"), col("mad"),
+        col("n_outliers"))
+  }
+
   def winsorize(
       df: DataFrame, groupCol: String, valCol: String,
       lo: Double, hi: Double): DataFrame = {

@@ -52,22 +52,33 @@ object Graph {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true) // scanned every round — materialize once
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
     // n as a broadcast 1-row aggregate: the node count stays in the plan
     // (no driver action), and `base` folds to the same constant everywhere
     val nDf = nodes.agg(count(lit(1)).as("n"))
     val eo = e.join(outdeg, "src") // (src, dst, od): static across iterations
+      .localCheckpoint(true)
     var ranks = nodes.crossJoin(broadcast(nDf))
       .select(col("id"), expr(s"${scale}L div n").as("rank"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val inc = eo.join(ranks.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), expr("rank div od").as("c"))
         .groupBy("id").agg(sum("c").as("s"))
-      ranks = ranks.join(inc, Seq("id"), "left")
+      val next = ranks.join(inc, Seq("id"), "left")
         .crossJoin(broadcast(nDf))
         .select(col("id"),
           expr(s"(15L * (${scale}L div n) + 85L * coalesce(s, 0L)) div 100")
             .as("rank"))
+      // lineage truncation per round (the connectedComponents discipline):
+      // `ranks` appears twice per iteration, so without the checkpoint the
+      // logical plan DOUBLES per round — at 5 iterations that is 32 copies
+      // of the base scan, and AQE's per-stage logical-plan update walks the
+      // whole tree (measured: the sf0.01 verify write spun >9 min of
+      // driver CPU in TreeNode traversal before this truncation). The LAST
+      // round stays untruncated so the served plan exposes one round's
+      // join/aggregate shape to the PlanQualitySpec gate.
+      ranks = if (i == iterations) next else next.localCheckpoint(false)
     }
     ranks
   }
@@ -94,27 +105,89 @@ object Graph {
       iterations: Int, scale: Long = HitsScale): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true) // scanned twice every round
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
     var auth = nodes.withColumn("auth", lit(scale))
     var hub = nodes.withColumn("hub", lit(scale))
-    for (_ <- 1 to iterations) {
+    // lineage truncation per half-step: each raw-score frame is referenced
+    // TWICE (the score join and its own max attach), so hub(k+1) ≈ 4·auth(k)
+    // in plan size without the checkpoints — exponential by round (the
+    // worst of the three iterative operators here; see pageRank's note).
+    for (i <- 1 to iterations) {
       val a = e.join(hub.select(col("id").as("src"), col("hub")), "src")
         .select(col("dst").as("id"), col("hub"))
         .groupBy("id").agg(sum("hub").as("araw"))
+        .localCheckpoint(true)
       val amax = a.agg(max("araw").as("amax"))
-      auth = nodes.join(a, Seq("id"), "left").crossJoin(broadcast(amax))
+      val nextAuth = nodes.join(a, Seq("id"), "left").crossJoin(broadcast(amax))
         .select(col("id"),
           expr(s"(coalesce(araw, 0L) * ${scale}L) div amax").as("auth"))
+      // the hub half-step consumes auth twice — keep the final round's
+      // auth untruncated only where it feeds the returned join directly
+      auth = if (i == iterations) nextAuth else nextAuth.localCheckpoint(false)
       val h = e.join(auth.select(col("id").as("dst"), col("auth")), "dst")
         .select(col("src").as("id"), col("auth"))
         .groupBy("id").agg(sum("auth").as("hraw"))
+        .localCheckpoint(true)
       val hmax = h.agg(max("hraw").as("hmax"))
-      hub = nodes.join(h, Seq("id"), "left").crossJoin(broadcast(hmax))
+      val nextHub = nodes.join(h, Seq("id"), "left").crossJoin(broadcast(hmax))
         .select(col("id"),
           expr(s"(coalesce(hraw, 0L) * ${scale}L) div hmax").as("hub"))
+      hub = if (i == iterations) nextHub else nextHub.localCheckpoint(false)
     }
     auth.join(hub, "id")
+  }
+
+  /** Deterministic synchronous label propagation (Raghavan et al. 2007)
+    * over the UNDIRECTED closure of an (src, dst) edge list — the community
+    * signal next to [[pageRank]]'s quality signal (site/mirror clusters in
+    * a crawl graph). Returns (id, label) for every node after `iterations`
+    * synchronous rounds; label starts as the node's own id.
+    *
+    * Determinism (the classic formulation is randomized; this one is
+    * oracle-replayable): all nodes update together each round (no visit
+    * order), and a node's next label is the most frequent label among its
+    * neighbors with ties broken by SMALLEST label — the argmax is
+    * `min(struct(-count, label))`, exact integer ordering. A node with no
+    * neighbors keeps its own id via the left join + coalesce.
+    *
+    * Scale shape: per round one labels-to-edges equi-join + one
+    * (id, label) partial-aggregating count + one per-id min — only
+    * (long, long, long) tuples shuffle, never payloads; the undirected
+    * closure is materialized once. Same bucketing/checkpoint notes as
+    * [[pageRank]] (lineage grows per round; checkpoint every ~10 at scale).
+    */
+  def labelPropagation(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // undirected neighbor relation, one row per distinct (node, neighbor)
+    val und = e.select(col("src").as("a"), col("dst").as("b"))
+      .union(e.select(col("dst").as("a"), col("src").as("b")))
+      .distinct()
+      .localCheckpoint(true) // scanned every round — materialize once
+    val nodes = und.select(col("a").as("id")).distinct()
+    var labels = nodes.withColumn("label", col("id"))
+    for (i <- 1 to iterations) {
+      val freq = und
+        .join(labels.select(col("id").as("b"), col("label")), "b")
+        .groupBy(col("a").as("id"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val pick = freq.groupBy("id")
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l")))
+          .as("_best"))
+        .select(col("id"), col("_best.l").as("next"))
+      // per-round lineage truncation — `labels` appears twice per round
+      // (neighbor join + carry-forward), see pageRank's note; the last
+      // round stays untruncated for the plan gate
+      val next = labels.join(pick, Seq("id"), "left")
+        .select(col("id"), coalesce(col("next"), col("label")).as("label"))
+      labels = if (i == iterations) next else next.localCheckpoint(false)
+    }
+    labels
   }
 
   /** Deterministic synthetic outlink list over contiguous ids [0, n):

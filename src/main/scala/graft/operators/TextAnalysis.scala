@@ -644,6 +644,86 @@ object TextAnalysis {
       (n =!= col(textCol)).as("changed"))
   }
 
+  /** Collocation mining: top-k adjacent word pairs by pointwise mutual
+    * information, PMI = ln(n_pair·N / (n_w1·n_w2)) — the corpus-phrase
+    * discovery step (multi-word expressions, named entities, boilerplate
+    * idioms) next to [[ngramTop]]'s raw frequency view. `minCount` floors
+    * the pair count: PMI is noise-maximal on hapax pairs.
+    *
+    * Determinism: counts are exact integers; the single ln runs over an
+    * integer-valued double ratio written identically in the oracle; top-k
+    * tiebreaks (pmi desc, pair asc) are total.
+    *
+    * Scale: unigram and bigram counts partially aggregate map-side; the
+    * two count-attach joins key on a word each (vocabulary-sized right
+    * sides — broadcastable at web scale where vocab ≪ corpus); top-k is
+    * TakeOrdered, never a global sort of the pair universe. */
+  def collocations(
+      df: DataFrame, textCol: String,
+      minCount: Int = 5, k: Int = 20): DataFrame = {
+    val toks = Dedup.tokens(col(textCol))
+    // tail = toks[2..]: slice length must be explicit — start+length wraps
+    // on Int.MaxValue and silently yields the empty array
+    val tail = slice(toks, lit(2), greatest(size(toks) - 1, lit(0)))
+    val pairs = df.select(posexplode(
+        filter(zip_with(toks, tail,
+          (a, b) => struct(a.as("w1"), b.as("w2"))),
+          p => p.getField("w2").isNotNull)).as(Seq("_i", "_p")))
+      .select(col("_p.w1").as("w1"), col("_p.w2").as("w2"))
+    val words = df.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    val nTotal = df.select(coalesce(sum(size(toks)), lit(0L)).as("n_total"))
+    val pairCnt = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    pairCnt
+      .join(words.select(col("w").as("w1"), col("n_w").as("n_w1")), "w1")
+      .join(words.select(col("w").as("w2"), col("n_w").as("n_w2")), "w2")
+      .crossJoin(broadcast(nTotal))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"),
+        (round(log(col("n_pair").cast("double") * col("n_total").cast("double") /
+          (col("n_w1").cast("double") * col("n_w2").cast("double"))), 6)
+          + lit(0.0)).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
+  /** Readability scoring (Flesch reading-ease + Flesch-Kincaid grade) — the
+    * classic text-difficulty signal next to [[quality]]'s fluency ratios
+    * (a curriculum/mixing facet: readability-bucketed sampling is a common
+    * training-data lever). Per-row projection, no shuffle.
+    *
+    * Counting rules (deterministic, oracle-replayable — no dictionary):
+    *  - words = [[Dedup.tokens]] (lower, split on non-alphanumeric runs);
+    *  - sentences = runs of `[.!?]+` in the raw text, min 1;
+    *  - syllables per word = runs of `[aeiouy]+`, min 1 (the standard
+    *    vowel-group heuristic), summed over words.
+    * The two score formulas are emitted UNROUNDED: every input is an exact
+    * integer, so both engines compute bit-identical doubles (rounding would
+    * reintroduce the shortest-decimal boundary divergence — PERF.md).
+    */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // runs(c, re) = number of non-overlapping matches of `re` in `c`:
+    // replace each run with one '#' and diff against deleting them.
+    def runs(c: Column, re: String): Column =
+      length(regexp_replace(c, re, "#")) - length(regexp_replace(c, re, ""))
+    val toks = Dedup.tokens(col(textCol))
+    val syls = aggregate(toks, lit(0L),
+      (acc, w) => acc + greatest(lit(1), runs(w, "[aeiouy]+")).cast("long"))
+    val nW = col("n_words")
+    val w1 = greatest(nW, lit(1)).cast("double") // div-safe word count
+    val sPerW = col("n_syllables").cast("double") / greatest(nW, lit(1)).cast("double")
+    val wPerS = w1 / col("n_sentences").cast("double")
+    df.select(col(idCol),
+        size(toks).as("n_words"),
+        greatest(runs(col(textCol), "[.!?]+"), lit(1)).cast("long").as("n_sentences"),
+        syls.as("n_syllables"))
+      .select(col(idCol), col("n_words"), col("n_sentences"), col("n_syllables"),
+        (lit(206.835) - lit(1.015) * wPerS - lit(84.6) * sPerW + lit(0.0))
+          .as("flesch"),
+        (lit(0.39) * wPerS + lit(11.8) * sPerW - lit(15.59) + lit(0.0))
+          .as("fk_grade"))
+  }
+
   /** Gopher-style heuristic rule battery (Rae et al. 2021 §A1.1 — the
     * standard pre-model web-corpus filter): word-count bounds, mean word
     * length in [3,10], ≥80% words containing a letter, symbol-to-word

@@ -402,4 +402,26 @@ class ApproxAnnSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSeq
     assert(full == exactIds(10))
   }
+
+  test("randomProject: bit-identical to the driver-side in-order fold; linear in the hyperplanes") {
+    val vecs = Seq(
+      (0L, Array.tabulate(8)(i => (i + 1) * 0.5f)),
+      (1L, Array.tabulate(8)(i => math.sin(i + 1).toFloat)),
+      (2L, Array.fill(8)(0f))).toDF("vec_id", "embedding")
+    val planes = ApproxAnn.hyperplanes(3, 8)
+    val out = ApproxAnn.randomProject(vecs, "embedding", outDims = 3, dims = 8)
+      .select("vec_id", "rp").as[(Long, Seq[Double])].collect().toMap
+    val in = Map(
+      0L -> Array.tabulate(8)(i => (i + 1) * 0.5f),
+      1L -> Array.tabulate(8)(i => math.sin(i + 1).toFloat),
+      2L -> Array.fill(8)(0f))
+    in.foreach { case (id, v) =>
+      val want = planes.map(w =>
+        v.indices.foldLeft(0.0)((acc, i) => acc + v(i).toDouble * w(i)))
+      // sequential in-order fold on both sides ⇒ exact double equality
+      assert(out(id) == want.toSeq, s"vec $id: ${out(id)} vs ${want.toSeq}")
+    }
+    // the zero vector projects to exactly zero in every output dim
+    assert(out(2L).forall(_ == 0.0))
+  }
 }

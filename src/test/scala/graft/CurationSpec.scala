@@ -618,4 +618,20 @@ class CurationSpec extends SparkSpec {
         r.getAs[Long]("bytes") * 1000L / meanShard)
     }
   }
+
+  test("madOutliers: hand-computed median/MAD; mean-insensitive to one extreme value") {
+    // group a: 1..9 plus one 1000: median = rank ⌈10/2⌉... = (10+1) div 2 =
+    // 5th smallest = 5; deviations sorted [0,1,1,2,2,3,3,4,4,995] → MAD at
+    // rank 5 = 2; outliers: d > 6 → only the 1000 row
+    val df = ((1 to 9).map(i => ("a", i.toLong)) :+ (("a", 1000L)) :+
+      (("b", 7L)) :+ (("b", 7L)) :+ (("b", 7L))).toDF("g", "v")
+    val out = Curation.madOutliers(df, "g", "v").collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("median"), r.getAs[Long]("mad"),
+          r.getAs[Long]("n_outliers")))).toMap
+    assert(out("a") == ((10L, 5L, 2L, 1L)))
+    // group b: constant — median 7, MAD 0 (floored to 1 in the gate),
+    // nothing deviates ⇒ no outliers, no division blowup
+    assert(out("b") == ((3L, 7L, 0L, 0L)))
+  }
 }

@@ -86,6 +86,40 @@ class GraphSpec extends SparkSpec {
     assert(r(0L)._2 == r.values.map(_._2).max) // best hub
   }
 
+  test("label propagation: bit-identical to a driver-side replay of the deterministic rule") {
+    val es = Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (3L, 0L), (3L, 4L), (4L, 0L), (4L, 3L))
+    // plain-Scala model: undirected distinct closure, synchronous rounds,
+    // most-frequent neighbor label with smallest-label ties
+    val und = (es ++ es.map(_.swap)).distinct
+    val nodes = und.map(_._1).distinct.sorted
+    var lbl = nodes.map(v => v -> v).toMap
+    for (_ <- 1 to 4) {
+      lbl = nodes.map { v =>
+        val nbrLabels = und.filter(_._1 == v).map(e => lbl(e._2))
+        val best = nbrLabels.groupBy(identity).view.mapValues(_.size).toSeq
+          .minBy { case (l, c) => (-c, l) }._1
+        v -> best
+      }.toMap
+    }
+    val r = Graph.labelPropagation(edges, "src", "dst", iterations = 4)
+      .collect().map(x => x.getAs[Long]("id") -> x.getAs[Long]("label")).toMap
+    assert(r == lbl)
+  }
+
+  test("label propagation: disconnected cliques converge to distinct per-clique labels") {
+    // two triangles with no cross edges: labels never cross components
+    val g = Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (10L, 11L), (11L, 12L), (12L, 10L)).toDF("src", "dst")
+    val r = Graph.labelPropagation(g, "src", "dst", iterations = 6)
+      .collect().map(x => x.getAs[Long]("id") -> x.getAs[Long]("label")).toMap
+    val c1 = Set(0L, 1L, 2L).map(r)
+    val c2 = Set(10L, 11L, 12L).map(r)
+    assert(c1.intersect(c2).isEmpty)
+    assert(c1.forall(l => l >= 0L && l <= 2L))
+    assert(c2.forall(l => l >= 10L && l <= 12L))
+  }
+
   test("syntheticLinks: outdegree is 1 + id mod 3, targets within [0, n)") {
     val docs = (0L until 30L).toDF("doc_id")
     val e = Graph.syntheticLinks(docs, "doc_id")

@@ -356,4 +356,39 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
+
+  test("label propagation: per-round equi-joins + partial aggregates, never a cross product") {
+    val p = plan("label_propagation")
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the synthetic-link generator's 1-row node-count attach is the only
+    // allowed nested-loop shape (the same broadcast Cross pagerank allows);
+    // every label↔edge join must be hash-equi
+    val bnlj = "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(p).toSeq
+    assert(bnlj.forall(_.contains("Cross")),
+      s"label-edge joins must be equi, only the n-attach may cross:\n${bnlj.mkString("\n")}")
+  }
+
+  test("hll distinct: register max is a partial-capable aggregate, no join beyond the report attach") {
+    val p = plan("hll_distinct")
+    // the (group, bucket) max must partially aggregate map-side — that is
+    // the HLL merge; without it every raw row shuffles
+    assert(p.contains("partial_max") || p.contains("partial"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("readability / rp_project: stateless projections, no shuffle, narrow scans") {
+    val pr = plan("readability")
+    assert(!pr.contains("Exchange"), s"readability is per-row:\n${pr.take(2000)}")
+    val pp = plan("rp_project")
+    assert(!pp.contains("Exchange"), s"projection is per-row:\n${pp.take(2000)}")
+    assert(pp.contains("ReadSchema") && pp.contains("embedding"), pp.take(2000))
+  }
+
+  test("histogram quantiles: windows run over bucket-cardinality rows, no cross product") {
+    val p = plan("quantile_histogram")
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }

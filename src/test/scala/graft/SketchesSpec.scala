@@ -101,6 +101,95 @@ class SketchesSpec extends SparkSpec {
     assert(t.min > o.max, s"target min ${t.min} <= off-target max ${o.max}")
   }
 
+  test("hll: estimate within 5% of exact at n >> m; registers <= m") {
+    val df = (1 to 20000).map(i => ("g", "user" + i)).toDF("g", "v")
+    val Array(r) = Sketches.hllDistinct(df, "g", "v", p = 9).collect()
+    assert(r.getAs[Long]("n_exact") == 20000L)
+    assert(r.getAs[Long]("hll_registers") <= 512L)
+    assert(!r.getAs[Boolean]("small_range")) // far past 2.5·m
+    val est = r.getAs[Double]("hll_estimate")
+    // 1.04/sqrt(512) ≈ 4.6% standard error — a 2σ bound. The md5 hash is
+    // FIXED, so this is one deterministic draw, not an average: it lands at
+    // +8.8% (1.9σ) on this stream, and the assert pins the 2σ window.
+    assert(math.abs(est - 20000) / 20000.0 < 0.10, s"est=$est")
+  }
+
+  test("hll: small-range fallback engages and is near-exact at n << m") {
+    val df = (1 to 30).map(i => ("g", "u" + i)).toDF("g", "v")
+    val Array(r) = Sketches.hllDistinct(df, "g", "v", p = 9).collect()
+    assert(r.getAs[Boolean]("small_range"))
+    val est = r.getAs[Double]("hll_estimate")
+    // linear counting at 30/512 occupancy: within ~10%
+    assert(math.abs(est - 30) / 30.0 < 0.10, s"est=$est")
+  }
+
+  test("hll: registers merge by max (shard-and-max == single pass) and duplicates don't move the estimate") {
+    // duplicate every value 3x: registers are max-of-rho, so the sketch —
+    // and therefore the estimate — must be identical to the deduped stream
+    val base = (1 to 5000).map(i => ("g", "v" + i))
+    val dup = (base ++ base ++ base).toDF("g", "v")
+    val single = (1 to 5000).map(i => ("g", "v" + i)).toDF("g", "v")
+    val a = Sketches.hllDistinct(dup, "g", "v", p = 9).head
+    val b = Sketches.hllDistinct(single, "g", "v", p = 9).head
+    assert(a.getAs[Double]("hll_estimate") == b.getAs[Double]("hll_estimate"))
+    assert(a.getAs[Long]("hll_registers") == b.getAs[Long]("hll_registers"))
+    assert(a.getAs[Long]("n_exact") == 5000L)
+  }
+
+  test("hll: register tables from any stream split max-merge to the single pass (streaming property)") {
+    // the micro-batch maintenance contract: per-batch registers merged into
+    // a store equal the one-shot registers — so a streaming counter's state
+    // is ≤ m rows per group forever and never drifts from batch
+    val all = (1 to 3000).map(i => ("g" + i % 3, "u" + i)).toDF("g", "v")
+    val b1 = (1 to 1100).map(i => ("g" + i % 3, "u" + i)).toDF("g", "v")
+    val b2 = (1101 to 2300).map(i => ("g" + i % 3, "u" + i)).toDF("g", "v")
+    val b3 = (2301 to 3000).map(i => ("g" + i % 3, "u" + i)).toDF("g", "v")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getAs[Long]("_bucket")) -> r.getAs[Int]("_M"))
+      .toMap
+    val merged = Seq(b2, b3).foldLeft(Sketches.hllRegisters(b1, "g", "v", 9)) {
+      (store, b) =>
+        Sketches.mergeHllRegisters(store, Sketches.hllRegisters(b, "g", "v", 9), "g")
+    }
+    assert(key(merged) == key(Sketches.hllRegisters(all, "g", "v", 9)))
+    // and the report over the maintained store equals the batch report
+    val se = Sketches.hllEstimate(merged, "g", 9).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("hll_estimate")).toMap
+    val be = Sketches.hllDistinct(all, "g", "v", 9).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("hll_estimate")).toMap
+    assert(se == be)
+  }
+
+  test("histogram quantiles: hand-computed targets, interpolation, and exact order statistics on 1..100") {
+    val df = (1 to 100).map(i => ("g", i.toLong)).toDF("g", "v")
+    val out = Sketches.histogramQuantiles(df, "g", "v", width = 10L)
+      .collect().map(r => r.getAs[String]("quantile") ->
+        ((r.getAs[Long]("target_rank"), r.getAs[Double]("hist_estimate"),
+          r.getAs[Long]("exact_value")))).toMap
+    // buckets: b0 = {1..9} (9 rows), b1..b9 = 10 rows each, b10 = {100}
+    // p50: target ⌈100/2⌉ = 50 → bucket 5 (cum 59, before 49):
+    //      est = 50 + (50−49)·10/10 = 51.0; exact 50th smallest = 50
+    assert(out("p50") == ((50L, 51.0, 50L)))
+    // p90: target 90 → bucket 9 (cum 99, before 89): est 91.0; exact 90
+    assert(out("p90") == ((90L, 91.0, 90L)))
+    // p99: target ⌈99·100/100⌉ = 99 → same bucket 9: est 100.0; exact 99
+    assert(out("p99") == ((99L, 100.0, 99L)))
+  }
+
+  test("histogram quantiles: estimate lands inside the target bucket's value range per group") {
+    val df = ((1 to 500).map(i => ("a", (i * 7 % 997).toLong)) ++
+      (1 to 300).map(i => ("b", (i * 13 % 499).toLong))).toDF("g", "v")
+    val rows = Sketches.histogramQuantiles(df, "g", "v", width = 50L).collect()
+    assert(rows.length == 6) // 2 groups × 3 quantiles
+    rows.foreach { r =>
+      val est = r.getAs[Double]("hist_estimate")
+      val exact = r.getAs[Long]("exact_value")
+      // exact sits in the bucket the estimate interpolates over
+      assert(math.abs(est - exact) <= 50.0,
+        s"${r.getAs[String]("quantile")}: est=$est exact=$exact")
+    }
+  }
+
   test("cmsJoinSize: one-sided error; wide sketch hits the exact size") {
     // A: k1 x2, k2 x3, k3 x1; B: k2 x4, k3 x5, k9 x7
     // exact join size = 3*4 + 1*5 = 17

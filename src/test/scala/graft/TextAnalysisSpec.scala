@@ -548,4 +548,55 @@ class TextAnalysisSpec extends SparkSpec {
     // source b: 3 grams, 1 distinct — the pure-repetition signature
     assert(r("b") == ((3L, 1L, 1000000L / 3L)))
   }
+
+  test("collocations: tight pairs outrank frequent-but-independent pairs; minCount floors") {
+    // "united kingdom" always adjacent (PMI-max); "the data" co-occurs but
+    // 'the' and 'data' also appear apart (diluted PMI); "rare gem" appears
+    // only 2 times (< minCount, excluded)
+    val docs = ((1 to 6).map(i => (i.toLong, "united kingdom the data report")) ++
+      (7 to 12).map(i => (i.toLong, "the report shows data trends")) ++
+      Seq((13L, "rare gem"), (14L, "rare gem")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(docs, "text", minCount = 5, k = 10)
+      .collect()
+    val pairs = out.map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(!pairs.contains(("rare", "gem")), "below-minCount pair must drop")
+    assert(pairs.contains(("united", "kingdom")))
+    val pmi = out.map(r => ((r.getString(0), r.getString(1)),
+      r.getAs[Double]("pmi"))).toMap
+    // united+kingdom occur ONLY together (6/6) — strictly higher PMI than
+    // the+data (6 pairs over 12×12 unigrams)
+    assert(pmi(("united", "kingdom")) > pmi(("the", "data")))
+    // hand-check: PMI(united kingdom) = ln(6·N / (6·6)) with N = 6·5 + 6·5 + 4
+    val n = 6 * 5 + 6 * 5 + 4
+    val want = math.log(6.0 * n / (6.0 * 6.0))
+    assert(math.abs(pmi(("united", "kingdom")) - want) < 5e-7)
+  }
+
+  test("readability: hand-computed Flesch / FK on a two-sentence text; syllable heuristic") {
+    val docs = Seq(
+      (0L, "The cat sat. The cat ran!"),
+      (1L, "Beautiful education, unbelievable!"), // multi-syllable words
+      (2L, "")                                    // degenerate: no words
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.readability(docs, "doc_id", "text")
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // doc 0: 6 words, 2 sentence runs, 6 syllables (all monosyllables)
+    assert(r(0L).getAs[Int]("n_words") == 6)
+    assert(r(0L).getAs[Long]("n_sentences") == 2L)
+    assert(r(0L).getAs[Long]("n_syllables") == 6L)
+    val f0 = 206.835 - 1.015 * (6.0 / 2.0) - 84.6 * (6.0 / 6.0)
+    val g0 = 0.39 * (6.0 / 2.0) + 11.8 * (6.0 / 6.0) - 15.59
+    assert(r(0L).getAs[Double]("flesch") == f0)
+    assert(r(0L).getAs[Double]("fk_grade") == g0)
+    // doc 1: beautiful = eau|i|u → 3, education = e|u|a|io → 4,
+    // unbelievable = u|e|ie|a|e → 5 ⇒ 12 syllables over 3 words, 1 sentence
+    assert(r(1L).getAs[Int]("n_words") == 3)
+    assert(r(1L).getAs[Long]("n_syllables") == 12L)
+    assert(r(1L).getAs[Long]("n_sentences") == 1L)
+    // doc 2: empty text — counts clamp, formulas stay finite
+    assert(r(2L).getAs[Int]("n_words") == 0)
+    assert(r(2L).getAs[Long]("n_sentences") == 1L)
+    assert(!r(2L).getAs[Double]("flesch").isNaN)
+  }
 }
