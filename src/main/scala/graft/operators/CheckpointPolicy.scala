@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage-truncation policy for the iterative operators ([[Graph.pageRank]],
+  * [[Graph.hits]], [[Graph.labelPropagation]],
+  * [[Curation.connectedComponents]]).
+  *
+  * Each of those operators references its round frame more than once per
+  * round, so without truncation the logical plan doubles per iteration
+  * (measured: >9 min of driver TreeNode traversal at 5 rounds before the
+  * fix — see Graph.pageRank's scaladoc). Truncation has two flavors with a
+  * real deployment trade-off, hence the knob:
+  *
+  *  - [[CheckpointPolicy.Local]] — `localCheckpoint` every round: blocks
+  *    live on executors. Fast (no distributed-FS write) but NOT
+  *    fault-tolerant: localCheckpoint truncates lineage down to the blocks
+  *    themselves, so on a 100-node cluster one lost executor mid-iteration
+  *    kills the job — the lost blocks have no recompute path. Right for
+  *    single-JVM bench/verify runs, wrong for long cluster jobs.
+  *  - [[CheckpointPolicy.Reliable]] — `df.checkpoint()` to the Hadoop-FS
+  *    checkpoint dir every `everyN` rounds, RAW LINEAGE in between.
+  *    Between durable snapshots nothing is locally checkpointed on
+  *    purpose: a localCheckpoint anywhere in the chain would reintroduce
+  *    unrecoverable executor blocks and void the fault-tolerance the
+  *    durable snapshots buy. Every block is therefore recomputable from
+  *    the last durable snapshot (≤ everyN rounds of rework on executor
+  *    loss). The cost is plan growth between snapshots — the round frame
+  *    appears ≤2× per round, so the plan is ≤2^everyN copies of one
+  *    round; the default everyN=3 caps that at 8×, far below the
+  *    per-round-doubling-forever pathology the policies exist to prevent.
+  */
+sealed trait CheckpointPolicy {
+  /** Truncate (or deliberately keep) the per-round frame's lineage.
+    * `round` is 1-based. */
+  def truncate(df: DataFrame, round: Int): DataFrame
+
+  /** Materialize a frame that is static across rounds (edge lists, node
+    * universes) — scanned every iteration, so computed once up front. */
+  def materialize(df: DataFrame): DataFrame
+
+  /** Handle a transient frame referenced more than once WITHIN a round
+    * (e.g. a raw-score aggregate feeding both its own max and a join). */
+  def midRound(df: DataFrame): DataFrame
+}
+
+object CheckpointPolicy {
+
+  /** Executor-block truncation every round — bench/local default. */
+  case object Local extends CheckpointPolicy {
+    def truncate(df: DataFrame, round: Int): DataFrame = df.localCheckpoint(false)
+    def materialize(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    def midRound(df: DataFrame): DataFrame = df.localCheckpoint(true)
+  }
+
+  /** Durable truncation for cluster runs (see trait doc). `checkpointDir`,
+    * when given, is installed as the context's checkpoint dir on first use
+    * (an HDFS/S3 URI in a real deployment); when None the context must
+    * already have one set. */
+  final case class Reliable(everyN: Int = 3, checkpointDir: Option[String] = None)
+      extends CheckpointPolicy {
+    require(everyN >= 1, "everyN must be >= 1")
+
+    private def ensureDir(df: DataFrame): Unit = {
+      val sc = df.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty)
+        checkpointDir.foreach(sc.setCheckpointDir)
+      require(sc.getCheckpointDir.nonEmpty,
+        "Reliable checkpoint policy needs a checkpoint dir (pass " +
+          "checkpointDir or call sparkContext.setCheckpointDir)")
+    }
+
+    def truncate(df: DataFrame, round: Int): DataFrame =
+      if (round % everyN == 0) {
+        ensureDir(df)
+        // lazy like the Local path: the caller's next action materializes
+        // it, keeping each round one job
+        df.checkpoint(false)
+      } else df // raw lineage — recomputable from the last durable snapshot
+
+    def materialize(df: DataFrame): DataFrame = {
+      ensureDir(df)
+      // static frames are read every round for the whole job — always durable
+      df.checkpoint(true)
+    }
+
+    def midRound(df: DataFrame): DataFrame = df // keep the recompute path
+  }
+}

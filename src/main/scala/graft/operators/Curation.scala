@@ -61,13 +61,13 @@ object Curation {
     */
   def connectedComponents(
       pairs: DataFrame, nodes: DataFrame, idCol: String,
-      maxIter: Int = 20): DataFrame = {
-    val edges = pairs
+      maxIter: Int = 20,
+      policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
+    val edges = policy.materialize(pairs // scanned every round
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
-      .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
-      .localCheckpoint(true) // scanned every round — materialize once
-    val nodeIds = nodes.select(col(idCol).cast("long").as("id")).distinct()
-      .localCheckpoint(true)
+      .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst"))))
+    val nodeIds = policy.materialize(
+      nodes.select(col(idCol).cast("long").as("id")).distinct())
     // the label universe is FIXED up front as nodes ∪ edge endpoints: over
     // a fixed id set each label is monotone non-increasing, so an unchanged
     // sum proves the fixpoint. (Adding edge-only ids mid-iteration instead
@@ -80,10 +80,9 @@ object Curation {
     // shuffles now cost instead of |corpus|. Edge-only ids (outside
     // `nodes`) still participate as connectors and are dropped from the
     // output (one row per node).
-    var labels = edges.select(col("src").as("id"))
+    var labels = policy.materialize(edges.select(col("src").as("id"))
       .distinct()
-      .select(col("id"), col("id").as("comp"))
-      .localCheckpoint(true)
+      .select(col("id"), col("id").as("comp")))
     // decimal(38,0) sum: overflow-proof fixpoint witness at any node count
     // (sum over zero rows is NULL → ZERO, so an empty node set converges
     // immediately instead of NPE-ing on the compare)
@@ -113,8 +112,9 @@ object Curation {
       // nothing ⇒ CC fixpoint. The checkpoint is LAZY — the labelSum
       // action below materializes it, making each round ONE job
       // (propagate + jump + sum) instead of three. Lineage still
-      // truncates; old blocks GC via ContextCleaner.
-      labels = jump(propagate(labels)).localCheckpoint(false)
+      // truncates; old blocks GC via ContextCleaner. Truncation mode
+      // (executor-local vs durable-every-N) is the caller's `policy`.
+      labels = policy.truncate(jump(propagate(labels)), it + 1)
       val s = labelSum(labels)
       converged = s.compareTo(prevSum) == 0
       prevSum = s

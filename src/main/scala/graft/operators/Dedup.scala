@@ -341,8 +341,19 @@ object Dedup {
         }))
       }))).otherwise(array().cast(probeTpe))
     }
+    // array_distinct BEFORE the explode: repetitive strings make different
+    // shift positions d yield the SAME (ls, i, seg) probe entry, and every
+    // duplicate probe row re-verifies its pairs once more downstream. The
+    // dedup is partition-local (runs inside the projection that built the
+    // array — no shuffle), so it removes the dominant duplicate source for
+    // free. Cross-SEGMENT duplicates remain — a pair matching at several i
+    // values is verified up to m times; threshold levenshtein's O(k·len)
+    // early-exit cost keeps that far cheaper than the shuffle a global
+    // pre-verify distinct would need. Long-string corpora also ship _sx/_sy
+    // once per surviving probe row; the capped q-gram variant is the
+    // documented escape hatch when attribute size × fan-out dominates.
     val probes = df.select(col(idCol).as("id_y"), s.as("_sy"),
-        explode(probeArr).as("_p"))
+        explode(array_distinct(probeArr)).as("_p"))
       .select(col("id_y"), col("_sy"), col("_p._ls").as("_ls"),
         col("_p._i").as("_i"), col("_p._seg").as("_seg"))
     // Verify IN the join stage, dedup after: boilerplate corpora make hot

@@ -47,18 +47,18 @@ object Graph {
     */
   def pageRank(
       edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int, scale: Long = RankScale): DataFrame = {
+      iterations: Int, scale: Long = RankScale,
+      policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(true) // scanned every round — materialize once
+    val nodes = policy.materialize(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()) // scanned every round
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
     // n as a broadcast 1-row aggregate: the node count stays in the plan
     // (no driver action), and `base` folds to the same constant everywhere
     val nDf = nodes.agg(count(lit(1)).as("n"))
-    val eo = e.join(outdeg, "src") // (src, dst, od): static across iterations
-      .localCheckpoint(true)
+    // (src, dst, od): static across iterations
+    val eo = policy.materialize(e.join(outdeg, "src"))
     var ranks = nodes.crossJoin(broadcast(nDf))
       .select(col("id"), expr(s"${scale}L div n").as("rank"))
     for (i <- 1 to iterations) {
@@ -77,8 +77,9 @@ object Graph {
       // whole tree (measured: the sf0.01 verify write spun >9 min of
       // driver CPU in TreeNode traversal before this truncation). The LAST
       // round stays untruncated so the served plan exposes one round's
-      // join/aggregate shape to the PlanQualitySpec gate.
-      ranks = if (i == iterations) next else next.localCheckpoint(false)
+      // join/aggregate shape to the PlanQualitySpec gate. Truncation mode
+      // (executor-local vs durable-every-N) is the caller's `policy`.
+      ranks = if (i == iterations) next else policy.truncate(next, i)
     }
     ranks
   }
@@ -102,13 +103,13 @@ object Graph {
     * [[pageRank]]. */
   def hits(
       edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int, scale: Long = HitsScale): DataFrame = {
+      iterations: Int, scale: Long = HitsScale,
+      policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint(true) // scanned twice every round
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(true)
+    val e = policy.materialize( // scanned twice every round
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+    val nodes = policy.materialize(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct())
     var auth = nodes.withColumn("auth", lit(scale))
     var hub = nodes.withColumn("hub", lit(scale))
     // lineage truncation per half-step: each raw-score frame is referenced
@@ -116,26 +117,26 @@ object Graph {
     // in plan size without the checkpoints — exponential by round (the
     // worst of the three iterative operators here; see pageRank's note).
     for (i <- 1 to iterations) {
-      val a = e.join(hub.select(col("id").as("src"), col("hub")), "src")
-        .select(col("dst").as("id"), col("hub"))
-        .groupBy("id").agg(sum("hub").as("araw"))
-        .localCheckpoint(true)
+      val a = policy.midRound(
+        e.join(hub.select(col("id").as("src"), col("hub")), "src")
+          .select(col("dst").as("id"), col("hub"))
+          .groupBy("id").agg(sum("hub").as("araw")))
       val amax = a.agg(max("araw").as("amax"))
       val nextAuth = nodes.join(a, Seq("id"), "left").crossJoin(broadcast(amax))
         .select(col("id"),
           expr(s"(coalesce(araw, 0L) * ${scale}L) div amax").as("auth"))
       // the hub half-step consumes auth twice — keep the final round's
       // auth untruncated only where it feeds the returned join directly
-      auth = if (i == iterations) nextAuth else nextAuth.localCheckpoint(false)
-      val h = e.join(auth.select(col("id").as("dst"), col("auth")), "dst")
-        .select(col("src").as("id"), col("auth"))
-        .groupBy("id").agg(sum("auth").as("hraw"))
-        .localCheckpoint(true)
+      auth = if (i == iterations) nextAuth else policy.truncate(nextAuth, i)
+      val h = policy.midRound(
+        e.join(auth.select(col("id").as("dst"), col("auth")), "dst")
+          .select(col("src").as("id"), col("auth"))
+          .groupBy("id").agg(sum("auth").as("hraw")))
       val hmax = h.agg(max("hraw").as("hmax"))
       val nextHub = nodes.join(h, Seq("id"), "left").crossJoin(broadcast(hmax))
         .select(col("id"),
           expr(s"(coalesce(hraw, 0L) * ${scale}L) div hmax").as("hub"))
-      hub = if (i == iterations) nextHub else nextHub.localCheckpoint(false)
+      hub = if (i == iterations) nextHub else policy.truncate(nextHub, i)
     }
     auth.join(hub, "id")
   }
@@ -161,14 +162,16 @@ object Graph {
     */
   def labelPropagation(
       edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int): DataFrame = {
+      iterations: Int,
+      policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    // undirected neighbor relation, one row per distinct (node, neighbor)
-    val und = e.select(col("src").as("a"), col("dst").as("b"))
-      .union(e.select(col("dst").as("a"), col("src").as("b")))
-      .distinct()
-      .localCheckpoint(true) // scanned every round — materialize once
+    // undirected neighbor relation, one row per distinct (node, neighbor);
+    // scanned every round — materialize once
+    val und = policy.materialize(
+      e.select(col("src").as("a"), col("dst").as("b"))
+        .union(e.select(col("dst").as("a"), col("src").as("b")))
+        .distinct())
     val nodes = und.select(col("a").as("id")).distinct()
     var labels = nodes.withColumn("label", col("id"))
     for (i <- 1 to iterations) {
@@ -185,7 +188,7 @@ object Graph {
       // round stays untruncated for the plan gate
       val next = labels.join(pick, Seq("id"), "left")
         .select(col("id"), coalesce(col("next"), col("label")).as("label"))
-      labels = if (i == iterations) next else next.localCheckpoint(false)
+      labels = if (i == iterations) next else policy.truncate(next, i)
     }
     labels
   }

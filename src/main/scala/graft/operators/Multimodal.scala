@@ -90,7 +90,6 @@ object Multimodal {
       batchSize: Int = 64,
       decodeBatch: Seq[Array[Byte]] => Seq[Array[Double]] = stubDecodeBatch)
       : DataFrame = {
-    val spark = df.sparkSession
     val outSchema = StructType(df.schema.fields :+
       StructField("features", ArrayType(DoubleType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
@@ -106,7 +105,7 @@ object Multimodal {
         }
       }
     }(enc)
-    spark.createDataFrame(result.rdd, outSchema)
+    result.toDF()
   }
 
   /** REAL image kernel (JDK `javax.imageio` — PNG/JPEG/BMP/GIF decode
@@ -250,7 +249,7 @@ object Multimodal {
           Row(id, bytesFor(id))
         }
       }(enc)
-    spark.createDataFrame(result.rdd, outSchema)
+    result.toDF()
   }
 
   /** One deterministic sine-burst WAV (8 kHz, mono, 16-bit PCM): freq
@@ -287,7 +286,6 @@ object Multimodal {
     * shuffle. */
   def resizeImages(
       df: DataFrame, w: Int, h: Int, batchSize: Int = 64): DataFrame = {
-    val spark = df.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("payload", BinaryType)))
@@ -301,7 +299,7 @@ object Multimodal {
         batch.zip(out).map { case (r, p) => Row(r.getLong(idIdx), p.orNull) }
       }
     }(enc)
-    spark.createDataFrame(result.rdd, outSchema)
+    result.toDF()
   }
 
   /** ======== STUB ======== batch kernel: md5-seeded pseudo features (kept
@@ -328,7 +326,6 @@ object Multimodal {
     * rows instead of failing the job. The row explosion happens AFTER
     * decode, so payload bytes still never shuffle. */
   def extractFrames(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("frame_idx", IntegerType, nullable = false),
@@ -381,7 +378,7 @@ object Multimodal {
         } catch { case _: Exception => Seq.empty }
       }
     }(enc)
-    spark.createDataFrame(result.rdd, outSchema)
+    result.toDF()
   }
 
   /** Synthesize REAL multi-frame video payloads from any (id) frame: one

@@ -47,16 +47,39 @@ object IndexStorage {
   /** The build-once skeleton [[materializeCached]] wraps: run `doBuild`
     * only when `path` was not built from the CURRENT `baseFile` vintage
     * (size+mtime fingerprint marker), count and log rebuild-vs-reuse.
-    * Format-agnostic — the JSONL store reuses it with a json writer. */
+    * Format-agnostic — the JSONL store reuses it with a json writer.
+    *
+    * Fingerprint and marker I/O go through Hadoop FS like the sibling
+    * [[exists]]/[[hasData]]/[[deleteRecursive]] helpers: on an HDFS/S3
+    * store path a `java.io.File` probe silently answers false, which
+    * would rebuild the store on EVERY run — the exact bug this method
+    * exists to prevent. The Hadoop conf comes from the active session
+    * (every caller runs inside one); a bare Configuration covers the
+    * no-session edge so the method stays callable from plain JVM code. */
   def buildOnce(baseFile: String, path: String)(doBuild: => Unit): Unit = {
-    val base = new java.io.File(baseFile)
-    val fp = s"${base.length}:${base.lastModified}"
-    val marker = new java.io.File(path, "_graft_base_fingerprint")
-    val fresh = marker.exists &&
-      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == fp
+    val conf = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val basePath = new org.apache.hadoop.fs.Path(baseFile)
+    val baseFs = basePath.getFileSystem(conf)
+    val fp =
+      if (baseFs.exists(basePath)) {
+        val st = baseFs.getFileStatus(basePath)
+        s"${st.getLen}:${st.getModificationTime}"
+      } else "absent"
+    val marker = new org.apache.hadoop.fs.Path(path, "_graft_base_fingerprint")
+    val markerFs = marker.getFileSystem(conf)
+    val fresh = markerFs.exists(marker) && {
+      val in = markerFs.open(marker)
+      try new String(in.readAllBytes(), "UTF-8") == fp
+      finally in.close()
+    }
     if (!fresh) {
       doBuild
-      java.nio.file.Files.write(marker.toPath, fp.getBytes("UTF-8"))
+      val out = markerFs.create(marker, true)
+      try out.write(fp.getBytes("UTF-8"))
+      finally out.close()
       rebuilds.incrementAndGet()
     }
     // stderr so harnesses parsing stdout JSON are unaffected; lets a bench

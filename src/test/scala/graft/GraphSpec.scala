@@ -120,6 +120,50 @@ class GraphSpec extends SparkSpec {
     assert(c2.forall(l => l >= 10L && l <= 12L))
   }
 
+  test("Reliable checkpoint policy: identical results, durable snapshots written") {
+    import graft.operators.{CheckpointPolicy, Curation}
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toFile
+    val hadDir = spark.sparkContext.getCheckpointDir
+    try {
+      val pol = CheckpointPolicy.Reliable(everyN = 2,
+        checkpointDir = Some(s"file:${dir.getAbsolutePath}"))
+      // every iterative operator, both modes, same answer
+      val prL = Graph.pageRank(edges, "src", "dst", iterations = 5)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val prR = Graph.pageRank(edges, "src", "dst", iterations = 5, policy = pol)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(prR == prL)
+      val hL = Graph.hits(edges, "src", "dst", iterations = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val hR = Graph.hits(edges, "src", "dst", iterations = 3, policy = pol)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(hR == hL)
+      val lpL = Graph.labelPropagation(edges, "src", "dst", iterations = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val lpR = Graph.labelPropagation(edges, "src", "dst", iterations = 4,
+          policy = pol)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lpR == lpL)
+      val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+      val nodes = (0L to 7L).toDF("doc_id")
+      val ccL = Curation.connectedComponents(pairs, nodes, "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ccR = Curation.connectedComponents(pairs, nodes, "doc_id", policy = pol)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(ccR == ccL)
+      // the durability claim is real: reliable snapshot files exist on disk
+      def files(f: java.io.File): Seq[java.io.File] = {
+        val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
+        kids.filter(_.isFile) ++ kids.filter(_.isDirectory).flatMap(files)
+      }
+      assert(files(dir).nonEmpty, "Reliable policy must write checkpoint files")
+    } finally {
+      // restore whatever dir (usually none) the shared session had
+      hadDir.foreach(spark.sparkContext.setCheckpointDir)
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+  }
+
   test("syntheticLinks: outdegree is 1 + id mod 3, targets within [0, n)") {
     val docs = (0L until 30L).toDF("doc_id")
     val e = Graph.syntheticLinks(docs, "doc_id")

@@ -63,4 +63,30 @@ class IndexStorageSpec extends SparkSpec {
     assert(!withCap.contains((0L, 1L))) // boilerplate-only pair gone
     assert(withCap.contains((0L, 2L))) // genuine content overlap survives
   }
+
+  test("buildOnce fingerprint markers resolve through Hadoop FS (file: URI)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_once").toFile
+    try {
+      // URI-style paths never resolve through java.io.File — this is the
+      // HDFS/S3 stand-in the local filesystem can express. Base + store
+      // both use it so a java.io probe would answer "absent" ⇒ rebuild
+      // every call, which is exactly what the rebuild counter must refute.
+      val base = s"file:${sf("documents")}"
+      val store = s"file:${dir.getAbsolutePath}/store"
+      var builds = 0
+      def build(): Unit = {
+        builds += 1
+        spark.read.parquet(sf("documents")).limit(5)
+          .write.mode("overwrite").parquet(store)
+      }
+      IndexStorage.buildOnce(base, store)(build())
+      assert(builds == 1)
+      val counted = IndexStorage.rebuilds.get()
+      IndexStorage.buildOnce(base, store)(build())
+      assert(builds == 1, "second call must reuse, not rebuild")
+      assert(IndexStorage.rebuilds.get() == counted)
+      // marker survives alongside parquet data and the store stays readable
+      assert(spark.read.parquet(store).count() == 5)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
 }
