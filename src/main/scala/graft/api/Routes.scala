@@ -136,30 +136,107 @@ object Routes {
     Response(503, mapper.writeValueAsString(n))
   }
 
-  /** Prometheus text exposition of the per-index gauges the engine carries
-    * (the `/metrics` route, httproutes.rs:160; metric names and label pairs
-    * from metrics.rs): `index_size{keyspace,index_name}` = live rows,
-    * `fts_index_size_bytes` for fulltext indexes, plus
-    * `request_latency_seconds_count` (the count component of the reference's
-    * latency histogram — Spark owns wall-clock timing, so the buckets are
-    * the metrics system's job, but the per-index request counter is ours). */
+  /** Prometheus text-format label-value escaping (exposition format spec:
+    * backslash, double-quote and line-feed are the three escapes). */
+  def escapeLabelValue(v: String): String =
+    v.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+
+  /** HELP-text escaping: backslash and line-feed only (quotes are legal). */
+  private def escapeHelp(v: String): String =
+    v.replace("\\", "\\\\").replace("\n", "\\n")
+
+  /** Plain-decimal float rendering for sample values and `le` bounds
+    * ("0.0001", not "1.0E-4"). */
+  private def fmtDouble(d: Double): String =
+    if (d.isPosInfinity) "+Inf"
+    else new java.math.BigDecimal(java.lang.Double.toString(d))
+      .stripTrailingZeros.toPlainString
+
+  /** Prometheus text exposition (the `/metrics` route, httproutes.rs:160).
+    * Enumerates the reference's ten registered families NAME-FOR-NAME in
+    * registration order (metrics.rs:20-29,162-171): every family always
+    * emits its HELP/TYPE header (a registered-but-unsampled Vec renders
+    * exactly that way in the reference's exposition too), and samples
+    * render wherever the engine holds state — `index_size`/`fts_*` from the
+    * per-index metrics frame, the latency/lag histograms and the
+    * modified/CDC families from [[Engine.promSnapshot]]. Histograms are
+    * cumulative `le` buckets + `_sum`/`_count`, with the reference's exact
+    * bucket bounds. */
   private def prometheusText(engine: Engine): String = {
     val rows = engine.metrics().collect()
-    def labels(r: org.apache.spark.sql.Row): String =
-      s"""{keyspace="${r.getString(0)}",index_name="${r.getString(1)}"}"""
+    val snap = engine.promSnapshot()
     val sb = new StringBuilder
-    sb ++= "# HELP index_size Number of Vector per index\n"
-    sb ++= "# TYPE index_size gauge\n"
-    rows.foreach(r => sb ++= s"index_size${labels(r)} ${r.getLong(5)}\n")
-    val fts = rows.filter(_.getString(2) == "fulltext")
-    if (fts.nonEmpty) {
-      sb ++= "# HELP fts_index_size_bytes Total size of a full-text search index (bytes)\n"
-      sb ++= "# TYPE fts_index_size_bytes gauge\n"
-      fts.foreach(r => sb ++= s"fts_index_size_bytes${labels(r)} ${r.getLong(7)}\n")
+    def lbl(ks: String, idx: String, extra: (String, String)*): String =
+      (Seq("keyspace" -> ks, "index_name" -> idx) ++ extra)
+        .map { case (k, v) => s"""$k="${escapeLabelValue(v)}"""" }
+        .mkString("{", ",", "}")
+    def family(name: String, help: String, tpe: String)(emit: => Unit): Unit = {
+      sb ++= s"# HELP $name ${escapeHelp(help)}\n"
+      sb ++= s"# TYPE $name $tpe\n"
+      emit
     }
-    sb ++= "# HELP request_latency_seconds_count Requests served per index\n"
-    sb ++= "# TYPE request_latency_seconds_count counter\n"
-    rows.foreach(r => sb ++= s"request_latency_seconds_count${labels(r)} ${r.getLong(8)}\n")
+    def histogram(name: String, series: Map[graft.operators.Catalog.IndexKey,
+        graft.operators.Engine.HistogramSnapshot]): Unit = {
+      series.toSeq.sortBy(k => (k._1.keyspace, k._1.index)).foreach {
+        case (key, h) =>
+          h.bounds.zip(h.cumulative).foreach { case (le, c) =>
+            sb ++= s"${name}_bucket${lbl(key.keyspace, key.index, "le" -> fmtDouble(le))} $c\n"
+          }
+          sb ++= s"${name}_bucket${lbl(key.keyspace, key.index, "le" -> "+Inf")} ${h.count}\n"
+          sb ++= s"${name}_sum${lbl(key.keyspace, key.index)} ${fmtDouble(h.sum)}\n"
+          sb ++= s"${name}_count${lbl(key.keyspace, key.index)} ${h.count}\n"
+      }
+    }
+    def perReader[T](name: String,
+        series: scala.collection.immutable.SortedMap[
+          (graft.operators.Catalog.IndexKey, String), T]): Unit =
+      series.foreach { case ((key, reader), v) =>
+        sb ++= s"$name${lbl(key.keyspace, key.index, "reader" -> reader)} " +
+          (v match { case d: Double => fmtDouble(d) case x => x.toString }) + "\n"
+      }
+
+    family("request_latency_seconds", "Latency per index (seconds)",
+      "histogram")(histogram("request_latency_seconds", snap.latency))
+    family("index_size", "Number of Vector per index", "gauge") {
+      rows.foreach(r =>
+        sb ++= s"index_size${lbl(r.getString(0), r.getString(1))} ${r.getLong(5)}\n")
+    }
+    family("index_modified", "Number of modified items per index", "counter") {
+      snap.modified.foreach { case ((key, op), n) =>
+        sb ++= s"index_modified${lbl(key.keyspace, key.index, "operation" -> op)} $n\n"
+      }
+    }
+    family("indexing_lag_seconds",
+      "Time in seconds between a CDC-recorded change and its indexing in the vector store",
+      "histogram")(histogram("indexing_lag_seconds", snap.indexingLag))
+    family("cdc_reader_up",
+      "Whether the CDC reader for an index is currently running (1) or stopped (0)",
+      "gauge")(perReader("cdc_reader_up", snap.cdcReaderUp))
+    family("cdc_handler_errors_total",
+      "Total number of CDC handler errors per index and reader",
+      "counter")(perReader("cdc_handler_errors_total", snap.cdcHandlerErrors))
+    family("cdc_reader_restarts_total",
+      "Total number of CDC reader restart attempts after an error, per index and reader",
+      "counter")(perReader("cdc_reader_restarts_total", snap.cdcReaderRestarts))
+    family("cdc_last_processed_timestamp_seconds",
+      "Unix timestamp (seconds) up to which the CDC log has been fully consumed",
+      "gauge")(perReader("cdc_last_processed_timestamp_seconds", snap.cdcCheckpoints))
+    val fts = rows.filter(_.getString(2) == "fulltext")
+    family("fts_index_size_bytes",
+      "Total size of a full-text search index (bytes)", "gauge") {
+      fts.foreach(r =>
+        sb ++= s"fts_index_size_bytes${lbl(r.getString(0), r.getString(1))} ${r.getLong(7)}\n")
+    }
+    family("fts_segment_count",
+      "Number of segments in a full-text search index", "gauge") {
+      // segment analogue on Spark: the index frame's partition count (one
+      // parquet/row-group task per partition — the unit a scan schedules)
+      fts.foreach { r =>
+        engine.indexFrame(r.getString(0), r.getString(1)).foreach { df =>
+          sb ++= s"fts_segment_count${lbl(r.getString(0), r.getString(1))} ${df.rdd.getNumPartitions}\n"
+        }
+      }
+    }
     sb.result()
   }
 
@@ -276,18 +353,24 @@ object Routes {
             .map(_.meta).getOrElse(throw new QueryException(404, s"missing index: $ks.$idx"))
           val types = columnTypes(engine, ks, idx)
           val req = Wire.parseAnnRequest(body, types)
+          // observe the FULL request wall-clock (plan + collect inside the
+          // response serializer) — what the reference's axum layer times
+          val t0 = System.nanoTime()
           val res = engine.ann(ks, idx, req)
-          Response(200,
-            Wire.annResponseJson(res, meta.primaryKeyColumns, types))
+          val json = Wire.annResponseJson(res, meta.primaryKeyColumns, types)
+          engine.recordLatency(ks, idx, (System.nanoTime() - t0) / 1e9)
+          Response(200, json)
 
         case ("POST", List("api", "v1", "indexes", ks, idx, "bm25")) =>
           val meta = engine.catalog.get(Catalog.IndexKey(ks, idx))
             .map(_.meta).getOrElse(throw new QueryException(404, s"missing index: $ks.$idx"))
           val types = columnTypes(engine, ks, idx)
           val (q, limit) = Wire.parseBm25Request(body)
+          val t0 = System.nanoTime()
           val res = engine.bm25(ks, idx, q, limit)
-          Response(200,
-            Wire.bm25ResponseJson(res, meta.primaryKeyColumns.head, types))
+          val json = Wire.bm25ResponseJson(res, meta.primaryKeyColumns.head, types)
+          engine.recordLatency(ks, idx, (System.nanoTime() - t0) / 1e9)
+          Response(200, json)
 
         case _ => error(404, s"no route: $method $path")
       }

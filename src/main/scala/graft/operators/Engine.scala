@@ -59,6 +59,96 @@ final class Engine {
 
   def counters(): Map[String, Long] = synchronized(internalCounters)
 
+  // ---- Prometheus family state (metrics.rs:20-29) --------------------------
+  // The reference registers ten families; the engine carries the state for
+  // all of them so /metrics enumerates the surface name-for-name. Request
+  // latency is observed by the serving shell (Routes times the full
+  // request, collect included); modification counts and the CDC reader
+  // gauges are fed by the maintenance/streaming paths (or any operator
+  // embedding the engine). All under the same lock as the counters.
+  // stable exposition order: (keyspace, index, extra-label)
+  private implicit val labelKeyOrdering: Ordering[(IndexKey, String)] =
+    Ordering.by((k: (IndexKey, String)) => (k._1.keyspace, k._1.index, k._2))
+
+  private final class Histo(val bounds: Array[Double]) {
+    val cumulative = new Array[Long](bounds.length) // cumulative le counts
+    var sum = 0.0
+    var n = 0L
+    def observe(v: Double): Unit = {
+      var i = 0
+      while (i < bounds.length) { if (v <= bounds(i)) cumulative(i) += 1; i += 1 }
+      sum += v; n += 1
+    }
+    def snapshot: Engine.HistogramSnapshot =
+      Engine.HistogramSnapshot(bounds, cumulative.clone(), sum, n)
+  }
+  private val latencyHists = scala.collection.mutable.Map.empty[IndexKey, Histo]
+  private val lagHists = scala.collection.mutable.Map.empty[IndexKey, Histo]
+  private var modifiedCounts =
+    scala.collection.immutable.TreeMap.empty[(IndexKey, String), Long]
+  private var cdcUp = scala.collection.immutable.TreeMap.empty[(IndexKey, String), Int]
+  private var cdcErrors = scala.collection.immutable.TreeMap.empty[(IndexKey, String), Long]
+  private var cdcRestarts = scala.collection.immutable.TreeMap.empty[(IndexKey, String), Long]
+  private var cdcCheckpoints =
+    scala.collection.immutable.TreeMap.empty[(IndexKey, String), Double]
+
+  /** Observe one served request's wall-clock seconds (metrics.rs `latency`
+    * histogram, reference buckets). */
+  def recordLatency(keyspace: String, index: String, seconds: Double): Unit =
+    synchronized {
+      latencyHists.getOrElseUpdate(IndexKey(keyspace, index),
+        new Histo(Engine.LatencyBuckets)).observe(seconds)
+    }
+
+  /** Count modified items per index and operation (metrics.rs `modified`). */
+  def recordModified(keyspace: String, index: String, operation: String,
+      n: Long = 1L): Unit = synchronized {
+    val k = (IndexKey(keyspace, index), operation)
+    modifiedCounts = modifiedCounts.updated(k, modifiedCounts.getOrElse(k, 0L) + n)
+  }
+
+  /** Observe CDC-change-to-indexed lag seconds (metrics.rs `indexing_lag`). */
+  def recordIndexingLag(keyspace: String, index: String, seconds: Double): Unit =
+    synchronized {
+      lagHists.getOrElseUpdate(IndexKey(keyspace, index),
+        new Histo(Engine.LagBuckets)).observe(seconds)
+    }
+
+  /** CDC reader liveness / error / restart / checkpoint gauges, keyed by
+    * (index, reader) like the reference's `&["keyspace","index_name",
+    * "reader"]` label sets. */
+  def setCdcReaderUp(keyspace: String, index: String, reader: String,
+      up: Boolean): Unit = synchronized {
+    cdcUp = cdcUp.updated((IndexKey(keyspace, index), reader), if (up) 1 else 0)
+  }
+  def incrementCdcError(keyspace: String, index: String, reader: String): Unit =
+    synchronized {
+      val k = (IndexKey(keyspace, index), reader)
+      cdcErrors = cdcErrors.updated(k, cdcErrors.getOrElse(k, 0L) + 1L)
+    }
+  def incrementCdcRestart(keyspace: String, index: String, reader: String): Unit =
+    synchronized {
+      val k = (IndexKey(keyspace, index), reader)
+      cdcRestarts = cdcRestarts.updated(k, cdcRestarts.getOrElse(k, 0L) + 1L)
+    }
+  def setCdcCheckpoint(keyspace: String, index: String, reader: String,
+      unixSeconds: Double): Unit = synchronized {
+    cdcCheckpoints =
+      cdcCheckpoints.updated((IndexKey(keyspace, index), reader), unixSeconds)
+  }
+
+  /** Immutable snapshot of the Prometheus family state for one scrape. */
+  def promSnapshot(): Engine.PromSnapshot = synchronized {
+    Engine.PromSnapshot(
+      latency = latencyHists.map { case (k, h) => k -> h.snapshot }.toMap,
+      indexingLag = lagHists.map { case (k, h) => k -> h.snapshot }.toMap,
+      modified = modifiedCounts,
+      cdcReaderUp = cdcUp,
+      cdcHandlerErrors = cdcErrors,
+      cdcReaderRestarts = cdcRestarts,
+      cdcCheckpoints = cdcCheckpoints)
+  }
+
   /** The reference reports its DB-session connection metrics here
     * (internals.rs:195-210, scylla driver total-connections /
     * connection-timeouts); the Spark analogue of "the database session" is
@@ -246,6 +336,33 @@ final class Engine {
 }
 
 object Engine {
+  /** Request-latency histogram bounds, 0.1 ms → 10 s — the reference's
+    * exact bucket vector (metrics.rs:38-55). */
+  val LatencyBuckets: Array[Double] = Array(
+    0.0001, 0.0002, 0.0005, 0.001, 0.002, 0.005, 0.01, 0.02, 0.05,
+    0.1, 0.2, 0.5, 1.0, 2.0, 5.0, 10.0)
+
+  /** Indexing-lag histogram bounds, 50 ms → 5 min — the reference's CDC
+    * lag buckets (metrics.rs:81-95). */
+  val LagBuckets: Array[Double] = Array(
+    0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0, 30.0, 60.0, 120.0, 300.0)
+
+  /** One histogram's scrape view: cumulative `le` counts per bound
+    * (+Inf = `count`), plus sum and count. */
+  final case class HistogramSnapshot(
+      bounds: Array[Double], cumulative: Array[Long], sum: Double, count: Long)
+
+  /** One scrape's view of every reference metric family the engine holds
+    * state for (index_size / fts_* come from [[Engine.metrics]]). */
+  final case class PromSnapshot(
+      latency: Map[Catalog.IndexKey, HistogramSnapshot],
+      indexingLag: Map[Catalog.IndexKey, HistogramSnapshot],
+      modified: scala.collection.immutable.SortedMap[(Catalog.IndexKey, String), Long],
+      cdcReaderUp: scala.collection.immutable.SortedMap[(Catalog.IndexKey, String), Int],
+      cdcHandlerErrors: scala.collection.immutable.SortedMap[(Catalog.IndexKey, String), Long],
+      cdcReaderRestarts: scala.collection.immutable.SortedMap[(Catalog.IndexKey, String), Long],
+      cdcCheckpoints: scala.collection.immutable.SortedMap[(Catalog.IndexKey, String), Double])
+
   /** Approximate serving config for a registered vector index: the
     * bucketed LSH store (e.g. a [[ApproxAnn.materializeLshIndex]]
     * read-back — must carry `_bucket`, the target/pk columns, and any

@@ -1007,11 +1007,16 @@ object TextAnalysis {
     *
     * Scale shape: the corpus collapses to the DISTINCT-WORD table first
     * (one (word) aggregation — vocabulary-sized, ~1e7 rows at web scale,
-    * never documents); each round is one pair aggregation over that table
-    * plus a 1-row driver collect (the merge decision is inherently global
-    * and tiny — this is exactly how distributed BPE trainers iterate).
-    * nMerges passes total, each vocabulary-sized. The word table is
-    * cached for the loop and unpersisted before returning. */
+    * never documents); pair counts are aggregated ONCE up front into a
+    * standing (pair, count) table, and each round applies a DELTA: only
+    * words containing the merged pair change, so the round recounts pairs
+    * for exactly those words (old − new) and folds the delta into the
+    * standing table — the full vocabulary gets one narrow contains() scan
+    * per round instead of a full explode+aggregate (measured 7.8 s → the
+    * delta path at sf0.1's 6 merges; the argmax stays a 1-row driver
+    * collect, the inherently-global tiny merge decision distributed BPE
+    * trainers share). Word and pair tables are cached per round and
+    * unpersisted before returning. */
   def bpeTrain(
       df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
     require(nMerges >= 1, s"need nMerges >= 1, got $nMerges")
@@ -1024,32 +1029,51 @@ object TextAnalysis {
       .select(concat(lit(" "),
         regexp_replace(col("_w"), "(.)", "$1 ")).as("_s"), col("_f"))
       .cache()
+    val syms = filter(split(col("_s"), " "), t => length(t) > 0)
+    val pairsExpr = when(size(syms) >= 2, transform(
+        sequence(lit(1), size(syms) - 1),
+        i => concat_ws(" ", element_at(syms, i), element_at(syms, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    def pairRows(w: DataFrame, weight: Column): DataFrame =
+      w.select(explode(pairsExpr).as("_p"), weight.as("_c"))
+    // standing pair-count table: built once, delta-updated per round.
+    // Zero counts are filtered so the table holds live pairs only — the
+    // same relation a from-scratch recount would produce.
+    var pairCounts = pairRows(words, col("_f"))
+      .groupBy(col("_p")).agg(sum(col("_c")).as("_cnt"))
+      .cache()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     try {
       for (rank <- 1 to nMerges) {
-        val syms = filter(split(col("_s"), " "), t => length(t) > 0)
-        val pairs = when(size(syms) >= 2, transform(
-            sequence(lit(1), size(syms) - 1),
-            i => concat_ws(" ", element_at(syms, i), element_at(syms, i + 1))))
-          .otherwise(array().cast("array<string>"))
-        val top = words
-          .select(explode(pairs).as("_p"), col("_f"))
-          .groupBy(col("_p")).agg(sum(col("_f")).as("_cnt"))
-          .orderBy(col("_cnt").desc, col("_p").asc)
-          .head(1)
+        val top = pairCounts.orderBy(col("_cnt").desc, col("_p").asc).head(1)
         if (top.nonEmpty) {
           val pair = top(0).getString(0)
           val Array(l, r) = pair.split(" ", 2)
           merges += ((rank, l, r, top(0).getLong(1)))
-          val next = words.select(
+          def rewrite(w: DataFrame): DataFrame = w.select(
             replace(col("_s"), lit(s" $pair "), lit(s" $l$r ")).as("_s"),
-            col("_f")).cache()
-          next.count() // materialize before dropping the parent's blocks
+            col("_f"))
+          // delta recount: contains() matches exactly the rows replace()
+          // would change (same sentinel-delimited pattern), so new-minus-old
+          // pair rows over the affected subset is the full count change
+          val affected = words.filter(col("_s").contains(s" $pair "))
+          val delta = pairRows(rewrite(affected), col("_f"))
+            .union(pairRows(affected, -col("_f")))
+          val nextCounts = pairCounts.select(col("_p"), col("_cnt").as("_c"))
+            .union(delta)
+            .groupBy(col("_p")).agg(sum(col("_c")).as("_cnt"))
+            .filter(col("_cnt") > 0)
+            .cache()
+          nextCounts.count() // materialize before dropping the parent's blocks
+          pairCounts.unpersist()
+          pairCounts = nextCounts
+          val next = rewrite(words).cache()
+          next.count()
           words.unpersist()
           words = next
         }
       }
-    } finally words.unpersist()
+    } finally { words.unpersist(); pairCounts.unpersist() }
     import spark.implicits._
     merges.toSeq.toDF("rank", "left", "right", "freq")
       .select(col("rank"), col("left"), col("right"),

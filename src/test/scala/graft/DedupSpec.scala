@@ -207,6 +207,38 @@ class DedupSpec extends SparkSpec {
     assert(capped.subsetOf(brute))
   }
 
+  test("editDistancePairsExact survives a boilerplate-skewed corpus (hot segment buckets)") {
+    // 600 docs sharing a 200-char preamble: every PassJoin segment that
+    // falls inside the preamble is VERBATIM-equal across all docs, so the
+    // candidate equi-join concentrates in a handful of hot buckets — the
+    // documented worst case for the exact path. Tails encode the pair
+    // index with DOUBLED digits (two distinct numbers differ in >= 1
+    // digit = >= 2 chars), so with k=1 the true pair set is exactly the
+    // 300 within-pair (2j, 2j+1) pairs (1 substitution) and nothing else.
+    val preamble = "lorem ipsum boilerplate " * 8 + "preamble"
+    assert(preamble.length >= 200)
+    def tail(j: Int, b: Int): String =
+      f"$j%04d".flatMap(c => s"$c$c") + (if (b == 0) "X" else "Y")
+    // build strings driver-side: the doubled-digit encoding is clearer in
+    // Scala than in SQL and the fixture is only 600 rows
+    val rows = (0 until 600).map { i =>
+      (i.toLong, preamble + tail(i / 2, i % 2))
+    }.toDF("id", "name")
+    val got = Dedup.editDistancePairsExact(rows, "id", "name", maxDist = 1)
+      .select("id_a", "id_b", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expect = (0 until 300).map(j => (2L * j, 2L * j + 1, 1)).toSet
+    assert(got == expect)
+    // skew mitigation is live for this plan: AQE (and its skew-join
+    // rewrite) is on in the session the operator ran under. At sf0.1 the
+    // hot buckets stay below the skewedPartitionThreshold so the rewrite
+    // is not FORCED to fire here; the escalation path for pathological
+    // boilerplate is the capped editDistancePairs variant (declared df
+    // cap), per the operator's scaladoc.
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled", "true") == "true")
+  }
+
   test("editDistancePairsExact == brute force for k=0..3 over mixed-length strings") {
     import org.apache.spark.sql.functions.{col, levenshtein, length, abs}
     // seeded generator: lengths 0..14 over a 3-letter alphabet — small

@@ -78,19 +78,32 @@ class HttpShellSpec extends SparkSpec {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration._
       import scala.concurrent.ExecutionContext.Implicits.global
-      val bodies = (0 until 8).map { i =>
-        s"""{"vector": [0.0, ${i / 10.0}, 1.0], "limit": 2}"""
+      // each request targets a DIFFERENT nearest neighbor — a cross-request
+      // state bleed (shared mutable plan/query state) would surface as a
+      // response carrying another request's top-1
+      val expected = Map(0 -> 1L, 1 -> 2L, 2 -> 3L) // basis axis → pk
+      val bodies = (0 until 12).map { i =>
+        val axis = i % 3
+        val v = Seq(0, 1, 2).map(d => if (d == 2 - axis) "0.9" else "0.1")
+        i -> s"""{"vector": [${v.mkString(", ")}], "limit": 2}"""
       }
       val rs = Await.result(
-        Future.sequence(bodies.map(b => Future(
-          post(shell.port, "/api/v1/indexes/ks/vidx/ann", b)))),
+        Future.sequence(bodies.map { case (i, b) => Future(
+          i -> post(shell.port, "/api/v1/indexes/ks/vidx/ann", b))
+        }),
         2.minutes)
-      assert(rs.forall(_.statusCode == 200), rs.map(_.statusCode))
-      rs.foreach { r =>
+      assert(rs.forall(_._2.statusCode == 200), rs.map(_._2.statusCode))
+      rs.foreach { case (i, r) =>
         val n = om.readTree(r.body)
         assert(n.get("primary_keys").get("pk").size == 2)
+        assert(n.get("primary_keys").get("pk").get(0).asLong == expected(i % 3),
+          s"request $i got another request's answer: ${r.body}")
       }
-      assert(eng.counters()("ann-queries") == 8L)
+      assert(eng.counters()("ann-queries") == 12L)
+      // every served request observed into the latency histogram exactly once
+      val lat = eng.promSnapshot().latency(
+        graft.operators.Catalog.IndexKey("ks", "vidx"))
+      assert(lat.count == 12L)
     } finally shell.stop()
   }
 

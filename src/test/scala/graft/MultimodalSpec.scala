@@ -178,6 +178,62 @@ class MultimodalSpec extends SparkSpec {
     assert(out.length == 1 && out(0).isNullAt(1))
   }
 
+  test("golden-bytes fixtures: checked-in PNG/WAV/GIF vs hand-computed features") {
+    // The codec-round-trip specs encode AND decode with the running JDK, so
+    // a JDK behavior change would shift both sides and pass silently. These
+    // payloads are CHECKED-IN byte literals (PNG/GIF authored once; WAV
+    // hand-written byte-for-byte) and every expectation is computed from
+    // the pixel/sample DEFINITION, never from running a codec.
+
+    // -- PNG: 2x2, row-major pixels red, green, blue, white
+    val png = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAIAAAACCAIAAAD91JpzAAAAEklEQVR4XmP4z8DAAMIM" +
+        "/4EAAB/uBfs4L1ZQAAAAAElFTkSuQmCC")
+    val pf = Multimodal.imageDecodeBatch(Seq(png)).head
+    // hand model: same per-pixel luma formula, same summation order
+    val pixels = Seq((255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255))
+    var sr, sg, sb, sl, sl2 = 0.0
+    pixels.foreach { case (r, g, b) =>
+      val l = 0.299 * r + 0.587 * g + 0.114 * b
+      sr += r; sg += g; sb += b; sl += l; sl2 += l * l
+    }
+    val expected = Array(2.0, 2.0, 3.0, sr / 4, sg / 4, sb / 4, sl / 4,
+      sl2 / 4 - (sl / 4) * (sl / 4))
+    assert(pf.toSeq == expected.toSeq, s"png features ${pf.toSeq}")
+
+    // -- WAV: RIFF/PCM16 mono 8 kHz, 4 samples, header written by hand
+    val samples = Seq[Short](1000, -1000, 2000, -32768)
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * samples.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * samples.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(8000).putInt(16000) // rate, byte rate
+      .putShort(2).putShort(16) // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(2 * samples.length)
+    samples.foreach(bb.putShort)
+    val af = Multimodal.audioDecodeBatch(Seq(bb.array())).head
+    val mean = samples.map(_.toDouble).sum / 4
+    val rms = math.sqrt(samples.map(s => s.toDouble * s).sum / 4)
+    // signs +,-,+,- => 3 zero crossings; |−32768| is the peak
+    assert(af.toSeq == Seq(8000.0, 1.0, 4.0, 1.0, mean, rms, 32768.0, 3.0),
+      s"wav features ${af.toSeq}")
+
+    // -- animated GIF: 3x2, frame 0 solid red, frame 1 solid blue
+    val gif = java.util.Base64.getDecoder.decode(
+      "R0lGODlhAwACAPAAAP8AAP8AACH5BAAAAAAALAAAAAADAAIAQAgGAAEIHBgQACH5BAAA" +
+        "AAAALAAAAAADAAIAwAAA/wAA/wgGAAEIHBgQADs=")
+    val frames = Multimodal.extractFrames(
+        Seq((7L, gif)).toDF("media_id", "payload"))
+      .orderBy("frame_idx").collect()
+    assert(frames.length == 2)
+    assert(frames.map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+      r.getInt(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))).toSeq == Seq(
+      (7L, 0, 2, 3, 2, 255.0, 0.0, 0.0),
+      (7L, 1, 2, 3, 2, 0.0, 0.0, 255.0)))
+  }
+
   test("REAL image resize: payload re-encodes at the target geometry") {
     val resized = Multimodal.resizeImageBatch(5, 3)(
       Seq(pngBytes(10, 8, 0x00ff00), "garbage".getBytes("UTF-8")))

@@ -187,4 +187,93 @@ class RoutesSpec extends SparkSpec {
     // an engine with no indexes scrapes to the bare headers, not an error
     assert(Routes.handle(new Engine, "GET", "/metrics").status == 200)
   }
+
+  test("/metrics conformance: reference families name-for-name, parser round trip") {
+    val (eng, _) = engineWith()
+    // populate every family the engine holds state for
+    Routes.handle(eng, "POST", "/api/v1/indexes/ks/vidx/ann",
+      """{"vector": [1.0, 0.0, 0.0]}""")
+    eng.recordModified("ks", "vidx", "insert", 7)
+    eng.recordModified("ks", "vidx", "delete", 2)
+    eng.recordIndexingLag("ks", "vidx", 0.3)
+    eng.recordIndexingLag("ks", "vidx", 45.0)
+    eng.setCdcReaderUp("ks", "vidx", "realtime", up = true)
+    eng.incrementCdcError("ks", "vidx", "consistent")
+    eng.incrementCdcRestart("ks", "vidx", "consistent")
+    eng.setCdcCheckpoint("ks", "vidx", "realtime", 1723600000.5)
+    val body = Routes.handle(eng, "GET", "/metrics").body
+
+    // minimal text-format parser: HELP/TYPE headers + samples with labels
+    val helpRe = "^# HELP (\\S+) (.*)$".r
+    val typeRe = "^# TYPE (\\S+) (\\S+)$".r
+    val sampleRe = "^(\\S+?)\\{(.*)\\} (\\S+)$".r
+    val labelRe = "(\\w+)=\"((?:[^\"\\\\]|\\\\.)*)\"".r
+    def unescape(v: String): String = v
+      .replace("\\n", "\n").replace("\\\"", "\"").replace("\\\\", "\\")
+    var families = Vector.empty[(String, String)] // (name, type) in order
+    var samples = Vector.empty[(String, Map[String, String], String)]
+    body.linesIterator.foreach {
+      case typeRe(n, t) => families :+= (n -> t)
+      case helpRe(_, _) => ()
+      case sampleRe(n, ls, v) =>
+        val labels = labelRe.findAllMatchIn(ls)
+          .map(m => m.group(1) -> unescape(m.group(2))).toMap
+        samples :+= ((n, labels, v))
+      case line => fail(s"unparseable exposition line: $line")
+    }
+    // the ten registered families of metrics.rs:20-29, in registration order
+    assert(families == Vector(
+      "request_latency_seconds" -> "histogram",
+      "index_size" -> "gauge",
+      "index_modified" -> "counter",
+      "indexing_lag_seconds" -> "histogram",
+      "cdc_reader_up" -> "gauge",
+      "cdc_handler_errors_total" -> "counter",
+      "cdc_reader_restarts_total" -> "counter",
+      "cdc_last_processed_timestamp_seconds" -> "gauge",
+      "fts_index_size_bytes" -> "gauge",
+      "fts_segment_count" -> "gauge"))
+    def of(name: String) = samples.filter(_._1 == name)
+    // latency histogram: cumulative le buckets ending at +Inf == _count == 1
+    val lat = of("request_latency_seconds_bucket")
+    assert(lat.map(_._2("le")).toSet.contains("+Inf"))
+    assert(lat.size == graft.operators.Engine.LatencyBuckets.length + 1)
+    val cum = lat.filterNot(_._2("le") == "+Inf").map(_._3.toLong)
+    assert(cum == cum.sorted, "bucket counts must be cumulative")
+    assert(of("request_latency_seconds_count").head._3.toLong == 1L)
+    // lag histogram: 0.3 s lands in le=0.5 and beyond; 45 s past le=30
+    val lag = of("indexing_lag_seconds_bucket")
+      .map(s => s._2("le") -> s._3.toLong).toMap
+    assert(lag("0.25") == 0L && lag("0.5") == 1L && lag("30") == 1L &&
+      lag("60") == 2L && lag("+Inf") == 2L)
+    assert(of("indexing_lag_seconds_sum").head._3.toDouble == 45.3)
+    // counters/gauges carry their extra label dimension
+    assert(of("index_modified").map(s => s._2("operation") -> s._3.toLong).toMap ==
+      Map("insert" -> 7L, "delete" -> 2L))
+    assert(of("cdc_reader_up").head._2("reader") == "realtime")
+    assert(of("cdc_reader_up").head._3 == "1")
+    assert(of("cdc_handler_errors_total").head._3 == "1")
+    assert(of("cdc_last_processed_timestamp_seconds").head._3.toDouble == 1723600000.5)
+    assert(of("fts_segment_count").head._3.toInt >= 1)
+    // every sample carries the (keyspace, index_name) base label pair
+    samples.foreach { case (n, ls, _) =>
+      assert(ls.contains("keyspace") && ls.contains("index_name"), n)
+    }
+  }
+
+  test("/metrics label escaping survives quote/backslash/newline keyspace names") {
+    val df = Seq((1L, Seq(0f, 1f))).toDF("pk", "vec")
+    val eng = new Engine
+    val weird = "k\"s\\with\nnewline"
+    eng.addIndex(Catalog.IndexMetadata(weird, "vidx", "tbl", "vec",
+      primaryKeyColumns = Seq("pk"),
+      kind = Catalog.Vs(Catalog.IndexOptionsVs(2, Euclidean))), df)
+    val body = Routes.handle(eng, "GET", "/metrics").body
+    // the raw newline must NOT appear inside a sample line
+    val line = body.linesIterator.find(_.startsWith("index_size{")).get
+    assert(line.contains("""keyspace="k\"s\\with\nnewline""""), line)
+    // round trip through the escaping rules recovers the original
+    assert(Routes.escapeLabelValue(weird)
+      .replace("\\n", "\n").replace("\\\"", "\"").replace("\\\\", "\\") == weird)
+  }
 }
