@@ -110,13 +110,107 @@ object Bench {
       detail.getBytes("UTF-8"))
     catch { case _: Throwable => () }
     System.err.println(detail)
-    // headline queries map: the slowest-first PREFIX that fits a ~1600-char
-    // budget (2-decimal) — the regression-informative slice; everything
+    // ---- optional sf1 (10×) scale-validation section ------------------
+    // When a GenScale-derived 10× corpus is present (default path, or
+    // SPARK_GRAFT_SF1_DIR), run a family-covering headline subset against
+    // it ONCE each and report per-query time + the ratio vs this run's
+    // sf0.1 median — the empirical check behind every "scales linearly"
+    // claim. Wall-clock-budgeted (SPARK_GRAFT_SF1_BUDGET sec, default
+    // 900): if the budget trips, the count of SKIPPED queries is reported
+    // — a truncated sweep must say so, never look complete.
+    val sf1Dir = sys.env.get("SPARK_GRAFT_SF1_DIR")
+      .orElse(Option("/root/repo/testdata-sf1")
+        .filter(d => new java.io.File(d, "lineitem.parquet").exists()))
+      .filter(_ => sys.env.get("SPARK_GRAFT_SF1").forall(_ != "0") && only.isEmpty)
+    val sf1Section: Option[String] = sf1Dir.map { dir =>
+      val subset = Seq(
+        // one per operator family, biased toward the shuffle/join-heavy
+        "q1_agg", "q5_region_revenue", "ann_cosine", "ann_lsh", "ann_ivfpq",
+        "ann_rescored", "bm25_multi", "dedup_exact", "dedup_minhash",
+        "dedup_embedding_lsh", "semantic_dedup", "dedup_clusters",
+        "fuzzy_join", "fuzzy_join_exact", "decontamination_bloom",
+        "span_dedup", "gopher_report", "lm_score", "bpe_merges", "token_ids",
+        "stratified_sample", "pack_sequences", "pagerank", "hits_scores",
+        "heavy_hitters", "quantile_histogram", "asof_join", "rolling_stats",
+        "event_sessions_window", "hybrid_rrf", "knn_join_lsh", "image_features")
+        .filter(SparkEntry.queries.contains)
+      val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET", "900").toDouble
+      val t0All = System.nanoTime()
+      def spent: Double = (System.nanoTime() - t0All) / 1e9
+      Tables.names.foreach { n =>
+        try Tables.load(spark, dir, n).count() catch { case _: Throwable => () }
+      }
+      // store warm: probe-vs-probe comparability with the sf0.1 medians
+      // (which run against pre-built stores); build cost counts against
+      // the budget and is reported separately
+      val buildT0 = System.nanoTime()
+      subset.filter(SparkEntry.indexBackedQueries.contains).foreach { n =>
+        if (spent < budgetSec * 0.6)
+          try SparkEntry.queries(n)(spark, dir).count() catch { case _: Throwable => () }
+      }
+      val buildSec = (System.nanoTime() - buildT0) / 1e9
+      val mainMed = results.map(r => r._1 -> r._2).toMap
+      // min-of-N (default 2): the sf1 section runs AFTER the 170-query
+      // marathon in the same JVM, and a single run absorbs its
+      // accumulated GC/cache pressure — measured 2× inflation on the
+      // heaviest queries vs a standalone run. The min is the
+      // contention-free estimate, same rationale as the main loop's
+      // median-vs-min pair.
+      val sf1Runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_SF1_RUNS", "2").toInt)
+      var skipped = 0
+      val sf1Res = subset.flatMap { name =>
+        if (spent >= budgetSec) { skipped += 1; None }
+        else {
+          val rb = graft.sources.IndexStorage.rebuilds.get()
+          val t = (1 to sf1Runs).map { i =>
+            System.gc()
+            spark.catalog.clearCache()
+            System.err.println(s"[graft] sf1 bench: $name run $i/$sf1Runs")
+            val t0 = System.nanoTime()
+            try { SparkEntry.queries(name)(spark, dir).count() }
+            catch { case _: Throwable => -1L }
+            (System.nanoTime() - t0) / 1e9
+          }.min
+          Some((name, t, graft.sources.IndexStorage.rebuilds.get() > rb))
+        }
+      }
+      // full detail (time, ratio, store-rebuilt) to stderr + sidecar
+      val detail1 = sf1Res.sortBy(_._1).map { case (n, t, rb) =>
+        val ratio = mainMed.get(n).filter(_ > 0.0)
+          .map(m => fmt(1)(t / m)).getOrElse("null")
+        s""""$n":{"sec":${ms(t)},"x_vs_sf01":$ratio,"store_rebuilt":$rb}"""
+      }.mkString("{", ",", "}")
+      System.err.println(s"""{"sf1_detail":$detail1,"sf1_build_sec":${ms(buildSec)}}""")
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("/tmp/graft-bench-sf1-detail.json"),
+        s"""{"sf1_detail":$detail1,"sf1_build_sec":${ms(buildSec)}}""".getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+      // headline payload: per-query seconds; ratios only where >10× (the
+      // superlinear exceptions the sweep exists to expose — ratios on
+      // sub-50ms sf0.1 medians are noise and stay in the sidecar)
+      val qs1 = sf1Res.sortBy(_._1)
+        .map { case (n, t, _) => "\"" + n + "\":" + fmt(2)(t) }
+        .mkString("{", ",", "}")
+      val sup = sf1Res.flatMap { case (n, t, _) =>
+        mainMed.get(n).filter(_ >= 0.05).map(m => n -> t / m)
+      }.filter(_._2 > 10.0).sortBy(_._1)
+        .map { case (n, r) => "\"" + n + "\":" + fmt(1)(r) }
+        .mkString("{", ",", "}")
+      s""""sf1":{"n":${sf1Res.length},"skipped":$skipped,"stat":"min_of_$sf1Runs",""" +
+        s""""total":${fmt(1)(sf1Res.map(_._2).sum)},""" +
+        s""""build_sec":${fmt(1)(buildSec)},"over_10x":$sup,"queries":$qs1}"""
+    }
+
+    // headline queries map: the slowest-first PREFIX that fits a budget
+    // (2-decimal) — the regression-informative slice; everything
     // omitted is sub-noise at sf0.1 and lives in the sidecar/stderr detail.
     // The fill stops at the first entry that doesn't fit (never skip-and-
     // continue): "the N slowest" must mean exactly that, or a slow long-
     // named query could silently drop while a faster short-named one stays.
-    val budget = 1600
+    // The ONE stdout line must fit the driver's ~2000-char recorded tail,
+    // so when the sf1 section is present it gets the chars the sf0.1 map
+    // gives up.
+    val budget = if (sf1Section.isDefined) 700 else 1600
     val bySlow = results.sortBy(-_._2)
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var used = 0
@@ -130,10 +224,11 @@ object Bench {
     val qsSlow = kept.sortBy(_._1)
       .map { case (n, v) => "\"" + n + "\":" + fmt(2)(v) }
       .mkString("{", ",", "}")
+    val sf1Part = sf1Section.map("," + _).getOrElse("")
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
       s""""n_queries":${results.length},""" +
       s""""queries_note":"the ${kept.length} slowest by median; full map in /tmp/graft-bench-detail.json + stderr",""" +
-      s""""queries":$qsSlow,"sf":"$sfName"}""")
+      s""""queries":$qsSlow$sf1Part,"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -166,6 +166,50 @@ object StreamingIngest {
     *
     * @param nBuckets bucket count — size so one bucket ≈ a comfortable task
     *                 read (state_bytes / nBuckets well under executor memory) */
+  /** Wrap a foreachBatch sink with the reference's CDC observability
+    * (metrics.rs `cdc_reader_up` / `cdc_last_processed_timestamp_seconds` /
+    * `indexing_lag_seconds` / `modified` / `cdc_handler_errors_total`,
+    * fed from db_cdc/actor.rs's reader loop): marks the reader live on
+    * construction, and per micro-batch records the row count as modified
+    * items, advances the checkpoint gauge to the batch's max event
+    * timestamp, observes the ingest lag (wall clock − newest event), and
+    * counts handler errors before rethrowing so the stream's own retry
+    * policy still applies. The stats pass and the sink share one cached
+    * batch — the input is read once.
+    *
+    * @param tsCol event-time column castable to TIMESTAMP (epoch seconds
+    *              after the double cast) */
+  def withCdcMetrics(
+      engine: graft.operators.Engine, keyspace: String, index: String,
+      reader: String, tsCol: String, operation: String = "upsert")(
+      sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    engine.setCdcReaderUp(keyspace, index, reader, up = true)
+    (batch: DataFrame, epoch: Long) =>
+      try {
+        val cached = batch.cache()
+        try {
+          val stats = cached
+            .agg(count(lit(1)).as("n"),
+              max(col(tsCol).cast("timestamp").cast("double")).as("max_ts"))
+            .head()
+          sink(cached, epoch)
+          // record only AFTER the sink commits: a failed batch must not
+          // advance the checkpoint or count as indexed
+          engine.recordModified(keyspace, index, operation, stats.getLong(0))
+          if (!stats.isNullAt(1)) {
+            val maxTs = stats.getDouble(1)
+            engine.setCdcCheckpoint(keyspace, index, reader, maxTs)
+            val lag = System.currentTimeMillis() / 1000.0 - maxTs
+            if (lag >= 0) engine.recordIndexingLag(keyspace, index, lag)
+          }
+        } finally { cached.unpersist(); () }
+      } catch {
+        case e: Throwable =>
+          engine.incrementCdcError(keyspace, index, reader)
+          throw e
+      }
+  }
+
   def mergeIntoSnapshot(
       spark: SparkSession,
       statePath: String,

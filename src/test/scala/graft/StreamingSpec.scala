@@ -524,4 +524,41 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.values.count(_._1.isDefined) > 15)
     } finally q.stop()
   }
+
+  test("withCdcMetrics: reader gauges advance per committed batch, errors counted") {
+    val eng = new graft.operators.Engine
+    var sunk = 0L
+    val sink = StreamingIngest.withCdcMetrics(
+      eng, "ks", "idx", "realtime", tsCol = "ts") { (b, _) => sunk += b.count() }
+    // reader marked live at construction, before any batch
+    assert(eng.promSnapshot().cdcReaderUp.head ==
+      ((graft.operators.Catalog.IndexKey("ks", "idx"), "realtime"), 1))
+    val nowSec = System.currentTimeMillis() / 1000L
+    val batch = Seq(
+      (1L, new java.sql.Timestamp((nowSec - 30) * 1000L)),
+      (2L, new java.sql.Timestamp((nowSec - 5) * 1000L)))
+      .toDF("pk", "ts")
+    sink(batch, 0L)
+    assert(sunk == 2L)
+    val s = eng.promSnapshot()
+    assert(s.modified.head._2 == 2L)
+    // checkpoint = the batch's max event time (the -5 s row)
+    val ckpt = s.cdcCheckpoints.head._2
+    assert(math.abs(ckpt - (nowSec - 5)) < 1.0, ckpt)
+    // lag observed once, around 5 s → lands in the le=10 bucket
+    val lag = s.indexingLag(graft.operators.Catalog.IndexKey("ks", "idx"))
+    assert(lag.count == 1L)
+    val le10 = lag.bounds.indexOf(10.0)
+    assert(lag.cumulative(le10) == 1L, lag.cumulative.toSeq)
+    // a failing sink counts a handler error, rethrows, advances nothing
+    val bad = StreamingIngest.withCdcMetrics(
+      eng, "ks", "idx", "consistent", tsCol = "ts") { (_, _) =>
+      throw new RuntimeException("boom")
+    }
+    intercept[RuntimeException](bad(batch, 1L))
+    val s2 = eng.promSnapshot()
+    assert(s2.cdcHandlerErrors.head ==
+      ((graft.operators.Catalog.IndexKey("ks", "idx"), "consistent"), 1L))
+    assert(s2.modified.head._2 == 2L) // unchanged by the failed batch
+  }
 }
