@@ -18,9 +18,12 @@ import org.apache.spark.sql.functions._
   *    referential integrity inside each replica. Dimension FKs
   *    (nationkey/regionkey) are NOT shifted — region/nation are copied
   *    verbatim, like TPC-H dims at any sf.
-  *  - document text gets a per-replica token suffix (`word` → `word_3`),
-  *    so cross-replica shingle/minhash/token overlap is exactly zero while
-  *    within-replica relations are preserved token-for-token.
+  *  - document text gets a per-replica letter suffix on every letter/digit
+  *    run (`word` → `wordbb` for copy 1) — a BIJECTION on tokens, so
+  *    cross-replica shingle/minhash/token overlap is exactly zero while
+  *    within-replica token counts and df distributions mirror the
+  *    original exactly (see the inline note for why a `_c` separator
+  *    suffix would instead skew the token stream).
   *  - name columns get `~cccc` (copy digit ×4) so cross-replica names sit
   *    ≥4 edits apart — outside every fuzzy-join radius in the suite.
   *  - embeddings are sign-flipped per (copy, dimension) — an orthogonal
@@ -65,7 +68,16 @@ object GenScale {
     }
     if (table == "documents" && c != 0)
       keyed
-        .withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1_" + c))
+        // suffix every LETTER/DIGIT RUN (the tokenizer's token unit) with a
+        // per-replica letter pair — "word" → "wordbb". A separator like "_"
+        // is not \p{L}\p{N}, so "word_3" would TOKENIZE as two tokens with
+        // every second one a constant digit: measured 136× within-replica
+        // shingle df inflation and a 2300× containment-join blowup at 10×.
+        // The letter suffix keeps the original→replica token map a
+        // BIJECTION: token counts, shingle counts and df distributions
+        // mirror the original exactly; values stay replica-disjoint.
+        .withColumn("text", regexp_replace(col("text"),
+          "([\\p{L}\\p{N}]+)", "$1" + (('a' + c).toChar.toString * 2)))
         .withColumn("n_chars", length(col("text")).cast("long"))
     else if (table == "embeddings")
       keyed.withColumn("embedding", signFlip(col("embedding"), c))

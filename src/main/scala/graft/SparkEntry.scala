@@ -61,6 +61,7 @@ object SparkEntry {
     Seq("ann_lsh", "ann_lsh_filtered", "ann_rescored", "ann_b1", "ann_pq",
       "ann_ivfpq", "bm25_single", "span_dedup",
       "dedup_jaccard", "dedup_minhash", "dedup_clusters", "decontamination",
+      "decontamination_bloom",
       "doc_novelty", "source_overlap", "dedup_containment", "hybrid_rrf",
       "jsonl_roundtrip", "cluster_size_report", "warc_roundtrip",
       "image_features", "image_resize", "audio_features", "video_frames",
@@ -1441,7 +1442,8 @@ object SparkEntry {
       Curation.decontaminateBloom(shingleStore(s, dir), "doc_id",
         t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
           .select(col("doc_id").as("bench_id")),
-        minContainment = 0.2, maxShingleDf = None)),
+        minContainment = 0.2, maxShingleDf = None,
+        prebuilt = Some(deconBloomStore(s, dir)))),
 
     // Z-order clustering key over (user bucket, time bucket) — the
     // write-time layout that lets parquet min/max stats prune scans on
@@ -2019,6 +2021,23 @@ object SparkEntry {
         indexDir(dir, "shingle5"), Nil) {
       Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", 5)
     }
+
+  /** Materialized decontamination Bloom (one serialized sketch row) — an
+    * ingest artifact like the shingle store: it changes only when the
+    * benchmark suite does, so serving queries pay probe cost only. The
+    * sketch rides the same build-once fingerprinting as every other
+    * store. */
+  private def deconBloomStore(s: SparkSession, dir: String): Curation.Bloom = {
+    val path = indexDir(dir, "deconbloom")
+    graft.sources.IndexStorage.buildOnce(s"$dir/documents.parquet", path) {
+      val bloom = Curation.benchBloom(shingleStore(s, dir), "doc_id",
+        t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id").as("bench_id")))
+      import s.implicits._
+      Seq(bloom.bytes).toDF("bf").write.mode("overwrite").parquet(path)
+    }
+    Curation.Bloom(s.read.parquet(path).head().getAs[Array[Byte]](0))
+  }
 
   /** Materialized positional 10-token window store (id, _h) — the
     * span-dedup index artifact (built once at "ingest" like the shingle

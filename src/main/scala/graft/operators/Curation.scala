@@ -697,11 +697,20 @@ object Curation {
   private[graft] def containmentJoin(
       sh: DataFrame, idCol: String, bsh: DataFrame, bsz: DataFrame,
       minContainment: Double): DataFrame =
-    sh.join(bsh, "sh")
+    // broadcast DECLARED, not inferred: the bench side is corpus-
+    // independent (an eval suite doesn't grow with the crawl), but it is
+    // derived through a join, so the optimizer's size estimate overshoots
+    // the autoBroadcast threshold once the suite passes a few hundred
+    // thousand shingles — and the silent fallback is a sort-merge join
+    // that shuffles the ENTIRE corpus shingle store (measured 21× at the
+    // 10× corpus: the one superlinear step in the first sf1 sweep).
+    // With the hint the corpus side never shuffles before the match-row
+    // aggregate.
+    sh.join(broadcast(bsh), "sh")
       .filter(col(idCol) =!= col("bench_id"))
       .groupBy(col(idCol), col("bench_id"))
       .agg(count(lit(1)).as("overlap"))
-      .join(bsz, "bench_id")
+      .join(broadcast(bsz), "bench_id")
       .withColumn("containment", col("overlap").cast("double") / col("bsz"))
       .filter(col("containment") >= minContainment)
       .select(col(idCol), col("bench_id"),
@@ -716,8 +725,9 @@ object Curation {
     * shingle VALUE, so every occurrence of a surviving shingle survives —
     * document frequencies, the df cap, and the containment denominator are
     * unchanged, false positives are removed by the exact join, and false
-    * negatives are impossible (probe evaluates the same xxhash64 column
-    * expressions the build did). Hence: same result set, but the shuffle
+    * negatives are impossible (build and probe share Spark's sketch
+    * implementation — same hash family over the same longs). Hence: same
+    * result set, but the shuffle
     * into the join carries ~fpp of the corpus shingles instead of all of
     * them — at 100 TB that is the difference between shuffling the corpus'
     * shingle set and shuffling (benchmark-sized ∪ noise) candidates. The
@@ -727,17 +737,33 @@ object Curation {
   def decontaminateBloom(
       sh: DataFrame, idCol: String, benchIds: DataFrame,
       minContainment: Double, fpp: Double = 0.01,
-      maxShingleDf: Option[Int] = Some(Dedup.DefaultMaxShingleDf)): DataFrame = {
+      maxShingleDf: Option[Int] = Some(Dedup.DefaultMaxShingleDf),
+      prebuilt: Option[Bloom] = None): DataFrame = {
     // ONE derivation of the bench shingle set feeds the bloom build AND
     // the containment join (bench shingles always pass their own bloom,
     // and the df cap sees unchanged frequencies — value-level filtering)
     val bsh = sh.join(benchIds, sh(idCol) === benchIds("bench_id"))
       .select(col("bench_id"), col("sh"))
     val bsz = bsh.groupBy(col("bench_id")).agg(count(lit(1)).as("bsz"))
-    val bloom = bloomBuild(bsh.select(col("sh")).distinct(), fpp)
+    // `prebuilt`: the bloom is an INGEST artifact (it changes only when the
+    // benchmark suite does) — a serving layer materializes it once via
+    // [[benchBloom]] and every query pays probe cost only
+    val bloom = prebuilt.getOrElse(
+      bloomBuild(bsh.select(col("sh")).distinct(), fpp))
     val filtered = sh.filter(bloomMember(col("sh"), bloom))
     containmentJoin(Dedup.capShingleDf(filtered, idCol, maxShingleDf), idCol,
       bsh, bsz, minContainment)
+  }
+
+  /** The benchmark-side Bloom of [[decontaminateBloom]] from the same raw
+    * inputs — exposed so ingest paths can build it once (pass the result
+    * back as `prebuilt`). Same derivation as the inline build, so the
+    * prebuilt and inline answers are identical. */
+  private[graft] def benchBloom(sh: DataFrame, idCol: String, benchIds: DataFrame,
+      fpp: Double = 0.01): Bloom = {
+    val bsh = sh.join(benchIds, sh(idCol) === benchIds("bench_id"))
+      .select(col("bench_id"), col("sh"))
+    bloomBuild(bsh.select(col("sh")).distinct(), fpp)
   }
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
@@ -835,47 +861,51 @@ object Curation {
       (round(ps * (log(ps) - log(pc)), 6) + lit(0.0)).as("kl_term"))
   }
 
-  /** A built Bloom filter: sized bit count, hash count, dense words. */
-  private[graft] final case class Bloom(
-      mBits: Long, kHashes: Int, words: Array[Long])
+  /** A built Bloom filter — Spark's own `util.sketch.BloomFilter`
+    * (BloomFilterImpl wire format), carried serialized. */
+  private[graft] final case class Bloom(bytes: Array[Byte])
 
-  private def bloomPositions(c: Column, mBits: Long, kHashes: Int): Seq[Column] =
-    (0 until kHashes).map(i => pmod(xxhash64(c, lit(i)), lit(mBits)))
-
-  /** Build a Bloom filter over a one-column frame of long hashes (`sh`) —
-    * a distributed bit_or aggregate of the k positions per hash, densified
-    * on the driver. The frame is pinned across the two actions (size, then
-    * aggregate) so its lineage runs once. */
+  /** Build a Bloom filter over a one-column frame of long hashes (`sh`)
+    * with Spark's native `BloomFilterAggregate` — the exact machinery the
+    * engine's own runtime row-level join filters use: each task builds a
+    * partial sketch over its rows, partials merge bitwise in the
+    * aggregate's merge step, and ONE binary value reaches the driver. (The
+    * previous formulation exploded k positions per hash and bit_or'd them
+    * through a groupBy — a k× row amplification plus a shuffle plus a
+    * driver densify loop, all of which the native aggregate replaces with
+    * in-task sketch updates.) Bits are sized from the pinned count — an
+    * explicit `numBits` literal, so the optimizer's runtime-filter size
+    * caps don't apply. The frame is pinned across the two actions (size,
+    * then aggregate) so its lineage runs once. */
   private[graft] def bloomBuild(hashes: DataFrame, fpp: Double): Bloom = {
     val pinned = hashes.persist()
     try {
       val n = math.max(pinned.count(), 1L)
-      val mRaw = math.ceil(-n.toDouble * math.log(fpp) /
-        (math.log(2) * math.log(2))).toLong
-      val mBits = ((math.max(mRaw, 64L) + 63L) / 64L) * 64L
-      val kHashes = math.max(1, math.round(mBits.toDouble / n * math.log(2)).toInt)
-      val wordMap = pinned
-        .select(explode(array(
-          bloomPositions(col("sh"), mBits, kHashes): _*)).as("pos"))
-        .groupBy((col("pos") / 64).cast("int").as("w"))
-        .agg(call_function("bit_or",
-          call_function("shiftleft", lit(1L), pmod(col("pos"), lit(64)).cast("int")))
-          .as("bits"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      Bloom(mBits, kHashes,
-        Array.tabulate((mBits / 64).toInt)(i => wordMap.getOrElse(i, 0L)))
-    } finally pinned.unpersist()
+      val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, fpp)
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      val agg = new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(
+          org.apache.spark.sql.GraftSqlBridge.expression(col("sh")),
+          Literal(n), Literal(numBits))
+      val bytes = pinned
+        .select(org.apache.spark.sql.GraftSqlBridge.column(
+          agg.toAggregateExpression()).as("bf"))
+        .head().getAs[Array[Byte]](0)
+      Bloom(bytes)
+    } finally { pinned.unpersist(); () }
   }
 
-  /** Membership test column — evaluates the SAME xxhash64 expressions the
-    * build did, so false negatives are impossible. */
+  /** Membership test column — Spark's native codegen'd
+    * `BloomFilterMightContain` over the serialized sketch. Build and probe
+    * share one implementation class (same hash family applied to the same
+    * long values), so false negatives are impossible, which is what makes
+    * the Bloom twin's answer IDENTICAL to the exact path's. */
   private[graft] def bloomMember(c: Column, bloom: Bloom): Column = {
-    val wordsLit = typedlit(bloom.words.toSeq)
-    bloomPositions(c, bloom.mBits, bloom.kHashes).map { pos =>
-      (call_function("shiftright",
-        element_at(wordsLit, (pos / 64).cast("int") + 1),
-        pmod(pos, lit(64)).cast("int")) bitwiseAND lit(1L)) === lit(1L)
-    }.reduce(_ && _)
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    org.apache.spark.sql.GraftSqlBridge.column(BloomFilterMightContain(
+      Literal(bloom.bytes, BinaryType),
+      org.apache.spark.sql.GraftSqlBridge.expression(c.cast("long"))))
   }
 
   /** Generic column profiler — one row per profiled column: row count,

@@ -336,6 +336,13 @@ class CurationSpec extends SparkSpec {
     // an empty benchmark set yields an empty (not failing) result
     assert(Curation.decontaminateBloom(sh, "doc_id",
       bench.limit(0), 0.2).count() == 0)
+    // a prebuilt (ingest-time) bloom serves the identical answer — the
+    // serialized sketch round-trips through bytes like a store read-back
+    val pre = Curation.benchBloom(sh, "doc_id", bench)
+    val roundTripped = Curation.Bloom(pre.bytes.clone())
+    assert(rows(Curation.decontaminateBloom(sh, "doc_id", bench, 0.2,
+        prebuilt = Some(roundTripped))) ==
+      rows(Curation.decontaminateBloom(sh, "doc_id", bench, 0.2)))
   }
 
   test("connected components: 300-link chain converges within the round cap") {

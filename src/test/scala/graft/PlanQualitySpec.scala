@@ -128,8 +128,9 @@ class PlanQualitySpec extends SparkSpec {
   test("bloom decontamination: prefilter stays a scan-side filter, no cross product") {
     val p = plan("decontamination_bloom")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
-    // the bloom probe is a Filter over the shingle scan, not a join
-    assert(p.contains("xxhash64"), "bloom membership must gate the scan side")
+    // the bloom probe is a Filter over the shingle scan, not a join —
+    // Spark's native might_contain over the broadcast sketch literal
+    assert(p.contains("might_contain"), "bloom membership must gate the scan side")
   }
 
   test("semantic dedup: in-cell pairs are an equi-join on the cell id") {
