@@ -164,38 +164,46 @@ final class Engine {
       status: IndexStatus = Serving, progressPct: Double = 100.0): Unit = {
     catalog.register(meta, status, progressPct)
     frames = frames.updated(meta.key, df)
-    // a re-registered index's data may differ — a previous approx store
-    // would silently serve stale rows; re-attach explicitly after rebuild
-    approxServing = approxServing.removed(meta.key)
+    // a re-registered index's data may differ — a previous backend's
+    // store would silently serve stale rows; re-attach explicitly after
+    // rebuild
+    servingBackends = servingBackends.removed(meta.key)
   }
 
-  @volatile private var approxServing: Map[IndexKey, Engine.ApproxServing] = Map.empty
+  @volatile private var servingBackends: Map[IndexKey, Engine.AnnBackend] = Map.empty
 
-  /** Route this index's ANN queries through the adaptive LSH path
-    * ([[ApproxAnn.searchLshAdaptive]]: partition-pruned probe at a
-    * coverage-certified radius, exact-scan fallback otherwise) — the
-    * serving default the reference gets from usearch being an approximate
-    * index (vs_index/usearch.rs), while the registered base frame remains
-    * the exact path. Validation (404/503/400 taxonomy) is identical to the
-    * exact route. */
-  def setApproxServing(keyspace: String, index: String, cfg: Engine.ApproxServing): Unit = {
+  /** Attach a pluggable serving backend to a vector index — the analogue
+    * of the reference's per-index engine selection (lib.rs:766-775 swaps
+    * USearch / DiskANN / OpenSearch behind one seam). The Engine owns
+    * routing, the 404/503/400 taxonomy, counters and latency metrics;
+    * the backend owns only the physical plan for an already-validated
+    * request, so every backend inherits identical semantics. Attach-time
+    * misconfiguration fails HERE with the 400 taxonomy, not as a raw
+    * AnalysisException inside the first query's decision scan. */
+  def setServingBackend(keyspace: String, index: String,
+      backend: Engine.AnnBackend): Unit = {
     val key = IndexKey(keyspace, index)
     val meta = catalog.get(key).map(_.meta).getOrElse(
       throw new QueryException(404, s"index $keyspace/$index not found"))
-    // misconfiguration must fail HERE with the 400 taxonomy, not as a raw
-    // AnalysisException inside the first query's decision scan
-    val cols = cfg.indexed.columns.toSet
-    val needed = ("_bucket" +: meta.targetColumn +:
-      (meta.primaryKeyColumns ++ meta.allFilteringColumns)).distinct
-    val missing = needed.filterNot(cols.contains)
-    if (missing.nonEmpty)
-      throw new QueryException(400,
-        s"approx store for $keyspace/$index lacks column(s): ${missing.mkString(", ")}")
-    approxServing = approxServing.updated(key, cfg)
+    backend.validate(meta)
+    servingBackends = servingBackends.updated(key, backend)
   }
 
+  /** Convenience for the adaptive-LSH backend (the serving default the
+    * reference gets from usearch being an approximate index) — kept as
+    * the stable name for the most common attach. */
+  def setApproxServing(keyspace: String, index: String, cfg: Engine.ApproxServing): Unit =
+    setServingBackend(keyspace, index, Engine.LshBackend(cfg))
+
+  def clearServingBackend(keyspace: String, index: String): Unit =
+    servingBackends = servingBackends.removed(IndexKey(keyspace, index))
+
   def clearApproxServing(keyspace: String, index: String): Unit =
-    approxServing = approxServing.removed(IndexKey(keyspace, index))
+    clearServingBackend(keyspace, index)
+
+  /** The attached backend's name ("exact" when none) — diagnostics. */
+  def servingBackendName(keyspace: String, index: String): String =
+    servingBackends.get(IndexKey(keyspace, index)).map(_.name).getOrElse("exact")
 
   def setStatus(key: IndexKey, status: IndexStatus, progressPct: Double = 100.0): Unit =
     catalog.setStatus(key, status, progressPct)
@@ -217,7 +225,7 @@ final class Engine {
   def dropIndex(keyspace: String, index: String): Boolean = {
     val key = IndexKey(keyspace, index)
     frames = frames.removed(key)
-    approxServing = approxServing.removed(key) // never outlive the index data
+    servingBackends = servingBackends.removed(key) // never outlive the index data
     catalog.remove(key)
   }
 
@@ -241,14 +249,11 @@ final class Engine {
         }
         recordQuery(meta.key)
         incrementCounter("ann-queries")
-        try approxServing.get(meta.key) match {
-          case Some(cfg) =>
+        try servingBackends.get(meta.key) match {
+          case Some(backend) =>
             val options = Ann.validate(meta, req)
             incrementCounter("ann-approx-queries")
-            ApproxAnn.searchLshAdaptive(
-              cfg.indexed, frameOr404(meta.key), meta.targetColumn,
-              meta.primaryKeyColumns, options.space, req, cfg.nbits,
-              cfg.radii, cfg.oversample, cfg.minCoverage)
+            backend.search(frameOr404(meta.key), meta, options.space, req)
           case None => Ann.search(frameOr404(meta.key), meta, req)
         } catch {
           case e: Ann.AnnValidationException => throw new QueryException(400, e.getMessage)
@@ -373,6 +378,77 @@ object Engine {
       indexed: DataFrame, nbits: Int,
       radii: Seq[Int] = ApproxAnn.DefaultAdaptiveRadii,
       oversample: Double = 2.0, minCoverage: Double = 0.9)
+
+  /** Pluggable ANN serving backend — the reference swaps USearch / DiskANN
+    * / OpenSearch per index behind one seam (lib.rs:766-775); this is that
+    * seam for Spark plans. A backend answers an ALREADY-VALIDATED request
+    * (the Engine owns routing, the 404/503/400 taxonomy, counters and
+    * latency metrics) against the registered base frame, which doubles as
+    * every adaptive backend's exact-fallback path. */
+  trait AnnBackend {
+    /** Short id, surfaced via [[Engine.servingBackendName]]. */
+    def name: String
+
+    /** Attach-time compatibility check — throw `QueryException(400)` so
+      * misconfiguration fails at attach, not inside the first query. */
+    def validate(meta: Catalog.IndexMetadata): Unit = ()
+
+    /** Physical plan for a validated request. `base` = the registered
+      * exact frame. */
+    def search(base: DataFrame, meta: Catalog.IndexMetadata,
+        space: graft.functions.VectorFunctions.Space,
+        req: Ann.AnnRequest): DataFrame
+  }
+
+  /** Adaptive LSH over a bucket-partitioned store
+    * ([[ApproxAnn.searchLshAdaptive]]: partition-pruned probe at a
+    * coverage-certified radius, exact-scan fallback otherwise). */
+  final case class LshBackend(cfg: ApproxServing) extends AnnBackend {
+    val name = "lsh"
+    override def validate(meta: Catalog.IndexMetadata): Unit = {
+      val cols = cfg.indexed.columns.toSet
+      val needed = ("_bucket" +: meta.targetColumn +:
+        (meta.primaryKeyColumns ++ meta.allFilteringColumns)).distinct
+      val missing = needed.filterNot(cols.contains)
+      if (missing.nonEmpty)
+        throw new QueryException(400,
+          s"approx store for ${meta.keyspace}/${meta.index} lacks column(s): ${missing.mkString(", ")}")
+    }
+    def search(base: DataFrame, meta: Catalog.IndexMetadata,
+        space: graft.functions.VectorFunctions.Space,
+        req: Ann.AnnRequest): DataFrame =
+      ApproxAnn.searchLshAdaptive(cfg.indexed, base, meta.targetColumn,
+        meta.primaryKeyColumns, space, req, cfg.nbits,
+        cfg.radii, cfg.oversample, cfg.minCoverage)
+  }
+
+  /** Adaptive IVF over a centroid-assigned store
+    * ([[ApproxAnn.searchIvfAdaptive]]: probes escalate until candidate
+    * coverage certifies, exact-scan fallback otherwise). */
+  final case class IvfBackend(
+      assigned: DataFrame, centroids: Seq[(Int, Seq[Float])],
+      nprobes: Seq[Int] = Seq(1, 2, 4, 8),
+      oversample: Double = 2.0, minCoverage: Double = 0.9) extends AnnBackend {
+    val name = "ivf"
+    override def validate(meta: Catalog.IndexMetadata): Unit = {
+      val cols = assigned.columns.toSet
+      val needed = ("_centroid" +: meta.targetColumn +:
+        (meta.primaryKeyColumns ++ meta.allFilteringColumns)).distinct
+      val missing = needed.filterNot(cols.contains)
+      if (missing.nonEmpty)
+        throw new QueryException(400,
+          s"IVF store for ${meta.keyspace}/${meta.index} lacks column(s): ${missing.mkString(", ")}")
+      if (centroids.isEmpty)
+        throw new QueryException(400,
+          s"IVF backend for ${meta.keyspace}/${meta.index} has no centroids")
+    }
+    def search(base: DataFrame, meta: Catalog.IndexMetadata,
+        space: graft.functions.VectorFunctions.Space,
+        req: Ann.AnnRequest): DataFrame =
+      ApproxAnn.searchIvfAdaptive(assigned, base, meta.targetColumn,
+        meta.primaryKeyColumns, space, req, centroids,
+        nprobes, oversample, minCoverage)
+  }
 }
 
 /** Columnar response shaping (SURVEY §2 S8): pivot result rows into

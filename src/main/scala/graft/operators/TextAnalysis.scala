@@ -1043,9 +1043,18 @@ object TextAnalysis {
       .groupBy(col("_p")).agg(sum(col("_c")).as("_cnt"))
       .cache()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    // ONE Spark action per round (the argmax): each round's word/pair
+    // caches are LAZY and materialize as a side effect of the NEXT round's
+    // argmax reading through them; the round-(r−1) caches are unpersisted
+    // only after that action proves round r's are materialized (an eager
+    // unpersist would cascade a full recompute through the dropped chain —
+    // the reason the earlier shape paid two extra count() jobs per round).
+    var prevWords, prevPairs: Option[DataFrame] = None
     try {
       for (rank <- 1 to nMerges) {
         val top = pairCounts.orderBy(col("_cnt").desc, col("_p").asc).head(1)
+        prevWords.foreach(_.unpersist()); prevWords = None
+        prevPairs.foreach(_.unpersist()); prevPairs = None
         if (top.nonEmpty) {
           val pair = top(0).getString(0)
           val Array(l, r) = pair.split(" ", 2)
@@ -1064,16 +1073,16 @@ object TextAnalysis {
             .groupBy(col("_p")).agg(sum(col("_c")).as("_cnt"))
             .filter(col("_cnt") > 0)
             .cache()
-          nextCounts.count() // materialize before dropping the parent's blocks
-          pairCounts.unpersist()
+          prevPairs = Some(pairCounts)
+          prevWords = Some(words)
           pairCounts = nextCounts
-          val next = rewrite(words).cache()
-          next.count()
-          words.unpersist()
-          words = next
+          words = rewrite(words).cache()
         }
       }
-    } finally { words.unpersist(); pairCounts.unpersist() }
+    } finally {
+      words.unpersist(); pairCounts.unpersist()
+      prevWords.foreach(_.unpersist()); prevPairs.foreach(_.unpersist())
+    }
     import spark.implicits._
     merges.toSeq.toDF("rank", "left", "right", "freq")
       .select(col("rank"), col("left"), col("right"),

@@ -156,6 +156,49 @@ class EngineSpec extends SparkSpec {
     assert(e.counters().getOrElse("ann-approx-queries", 0L) == approxCount) // exact route
   }
 
+  test("pluggable backend seam: IVF backend serves through the same routed taxonomy") {
+    def vec(seed: Int): Seq[Float] =
+      (0 until 16).map(d => math.sin(seed * 2.1 + d * 0.7).toFloat)
+    val df = (1 to 40).map(i => (i, vec(i), i % 7)).toDF("pk", "embedding", "c1")
+    val meta = IndexMetadata("ks", "ann_i", "items", "embedding",
+      primaryKeyColumns = Seq("pk"), filteringColumns = Seq("c1"),
+      kind = Vs(IndexOptionsVs(dims = 16, space = Euclidean)))
+    val e = new Engine
+    e.addIndex(meta, df)
+    assert(e.servingBackendName("ks", "ann_i") == "exact")
+    val exact = e.ann("ks", "ann_i", AnnRequest(vec(3), limit = 5))
+      .select("pk", "distance").as[(Int, Double)].collect().toSeq
+
+    val (assigned, centroids) = ApproxAnn.buildIvfIndex(df, "embedding", k = 4)
+    e.setServingBackend("ks", "ann_i", Engine.IvfBackend(assigned, centroids))
+    assert(e.servingBackendName("ks", "ann_i") == "ivf")
+    // the adaptive probe either certifies coverage or falls back exact —
+    // either way the routed answer matches the direct operator call
+    val viaEngine = e.ann("ks", "ann_i", AnnRequest(vec(3), limit = 5))
+      .select("pk", "distance").as[(Int, Double)].collect().toSeq
+    val direct = ApproxAnn.searchIvfAdaptive(assigned, df, "embedding",
+        Seq("pk"), Euclidean, AnnRequest(vec(3), limit = 5), centroids)
+      .select("pk", "distance").as[(Int, Double)].collect().toSeq
+    assert(viaEngine == direct)
+    assert(viaEngine.map(_._1).toSet.subsetOf(exact.map(_._1).toSet ++ viaEngine.map(_._1)))
+    // taxonomy is the Engine's, not the backend's: wrong dims still 400
+    assert(intercept[QueryException] {
+      e.ann("ks", "ann_i", AnnRequest(Seq(0f, 1f)))
+    }.status == 400)
+    // attach-time validation: a store without _centroid is rejected at SET
+    assert(intercept[QueryException] {
+      e.setServingBackend("ks", "ann_i", Engine.IvfBackend(df, centroids))
+    }.status == 400)
+    assert(intercept[QueryException] {
+      e.setServingBackend("ks", "ann_i", Engine.IvfBackend(assigned, Nil))
+    }.status == 400)
+    // detach restores the exact path
+    e.clearServingBackend("ks", "ann_i")
+    assert(e.servingBackendName("ks", "ann_i") == "exact")
+    assert(e.ann("ks", "ann_i", AnnRequest(vec(3), limit = 5))
+      .select("pk", "distance").as[(Int, Double)].collect().toSeq == exact)
+  }
+
   test("routing: requested index wins at equal (score, version) within its group") {
     // the Serve shape: euclidean + cosine indexes over the SAME column are
     // one routing group with equal score and version — a query addressed
