@@ -449,6 +449,29 @@ object Engine {
         meta.primaryKeyColumns, space, req, centroids,
         nprobes, oversample, minCoverage)
   }
+
+  /** Two-stage int8 rescoring over a quantized store
+    * ([[ApproxAnn.searchRescoredIndexed]]: stage 1 ranks on dequantized i8
+    * vectors, stage 2 exactly rescores the broadcast candidate set — the
+    * reference's quantization+rescoring serving mode as a backend). */
+  final case class RescoringBackend(quantized: DataFrame, oversample: Double = 5.0)
+      extends AnnBackend {
+    val name = "i8-rescore"
+    override def validate(meta: Catalog.IndexMetadata): Unit = {
+      val cols = quantized.columns.toSet
+      val needed = ("_q" +:
+        (meta.primaryKeyColumns ++ meta.allFilteringColumns)).distinct
+      val missing = needed.filterNot(cols.contains)
+      if (missing.nonEmpty)
+        throw new QueryException(400,
+          s"quantized store for ${meta.keyspace}/${meta.index} lacks column(s): ${missing.mkString(", ")}")
+    }
+    def search(base: DataFrame, meta: Catalog.IndexMetadata,
+        space: graft.functions.VectorFunctions.Space,
+        req: Ann.AnnRequest): DataFrame =
+      ApproxAnn.searchRescoredIndexed(quantized, base, meta.targetColumn,
+        meta.primaryKeyColumns, space, req, oversample)
+  }
 }
 
 /** Columnar response shaping (SURVEY §2 S8): pivot result rows into

@@ -184,6 +184,11 @@ object StreamingIngest {
       reader: String, tsCol: String, operation: String = "upsert")(
       sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
     engine.setCdcReaderUp(keyspace, index, reader, up = true)
+    // the checkpoint is a reader POSITION — monotone by definition; a late
+    // batch whose newest event is older than an earlier batch's must not
+    // regress it. foreachBatch runs batches serially, so a closure var is
+    // race-free.
+    var checkpointSeen = Double.NegativeInfinity
     (batch: DataFrame, epoch: Long) =>
       try {
         val cached = batch.cache()
@@ -198,7 +203,10 @@ object StreamingIngest {
           engine.recordModified(keyspace, index, operation, stats.getLong(0))
           if (!stats.isNullAt(1)) {
             val maxTs = stats.getDouble(1)
-            engine.setCdcCheckpoint(keyspace, index, reader, maxTs)
+            if (maxTs > checkpointSeen) {
+              checkpointSeen = maxTs
+              engine.setCdcCheckpoint(keyspace, index, reader, maxTs)
+            }
             val lag = System.currentTimeMillis() / 1000.0 - maxTs
             if (lag >= 0) engine.recordIndexingLag(keyspace, index, lag)
           }

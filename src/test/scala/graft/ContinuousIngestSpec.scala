@@ -47,8 +47,14 @@ class ContinuousIngestSpec extends SparkSpec {
       spark, p("span"), "doc_id", "text", opCol = Some("op"), windowLen = 5)
 
     val mem = MemoryStream[DocEvent](spark)
+    // the engine carrying the CDC observability gauges — withCdcMetrics
+    // wraps the whole merge body so the reader-up / modified / checkpoint /
+    // lag families advance per committed micro-batch, in a REAL stream
+    val eng = new graft.operators.Engine
     val q = mem.toDF().writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+      .foreachBatch(StreamingIngest.withCdcMetrics(
+        eng, "ks", "docs", "realtime", tsCol = "ts") {
+        (batch: org.apache.spark.sql.DataFrame, id: Long) =>
         // reference architecture (table/mod.rs → vs/fts backends): the LWW
         // snapshot is the Table cache and decides winners — including
         // cross-batch staleness — then the indexes follow the cache's
@@ -66,7 +72,7 @@ class ContinuousIngestSpec extends SparkSpec {
         mergeVs(cur, id)
         mergeDedup(cur, id)
         mergeSpan(cur, id)
-      }
+      })
       .start()
 
     def liveIds(): Set[Long] =
@@ -155,6 +161,17 @@ class ContinuousIngestSpec extends SparkSpec {
           "doc_id", "text", 5)
         .as[(Long, Long)].collect().toSet
       assert(spanGot == spanWant)
+
+      // CDC observability advanced with the stream: reader live, every
+      // event counted as modified, checkpoint at the newest event time
+      // seen (ts=200 — the stale ts=50 event never regresses it), one lag
+      // observation per committed batch
+      val snap = eng.promSnapshot()
+      val key = graft.operators.Catalog.IndexKey("ks", "docs")
+      assert(snap.cdcReaderUp((key, "realtime")) == 1)
+      assert(snap.modified((key, "upsert")) == 8L) // 3 + 3 + 2 events
+      assert(snap.cdcCheckpoints((key, "realtime")) == 200.0)
+      assert(snap.indexingLag(key).count == 3L)
     } finally {
       q.stop()
       FileUtils.deleteDirectory(dir)

@@ -197,6 +197,18 @@ class EngineSpec extends SparkSpec {
     assert(e.servingBackendName("ks", "ann_i") == "exact")
     assert(e.ann("ks", "ann_i", AnnRequest(vec(3), limit = 5))
       .select("pk", "distance").as[(Int, Double)].collect().toSeq == exact)
+
+    // the i8-rescoring backend plugs into the SAME seam: stage-2 exact
+    // rescore means the top-k pk set matches the exact answer here
+    val quantized = ApproxAnn.quantizedProjection(df, "embedding", Seq("pk"), Seq("c1"))
+    e.setServingBackend("ks", "ann_i", Engine.RescoringBackend(quantized))
+    assert(e.servingBackendName("ks", "ann_i") == "i8-rescore")
+    val rescored = e.ann("ks", "ann_i", AnnRequest(vec(3), limit = 5))
+      .select("pk", "distance").as[(Int, Double)].collect().toSeq
+    assert(rescored == exact)
+    assert(intercept[QueryException] {
+      e.setServingBackend("ks", "ann_i", Engine.RescoringBackend(df)) // no _q
+    }.status == 400)
   }
 
   test("routing: requested index wins at equal (score, version) within its group") {

@@ -123,6 +123,14 @@ class PlanQualitySpec extends SparkSpec {
   test("decontamination: hash-join on shingle hashes, never a cross product") {
     val p = plan("decontamination")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the corpus shingle store must NOT shuffle before the match-row
+    // aggregate: the bench side is declared broadcast (it is small by
+    // construction, not by statistics — the optimizer's estimate of the
+    // join-derived bench set overshoots the autoBroadcast threshold at
+    // scale and would silently fall back to a full-corpus sort-merge
+    // join, the one superlinear step the first 10× sweep caught)
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
   test("bloom decontamination: prefilter stays a scan-side filter, no cross product") {
