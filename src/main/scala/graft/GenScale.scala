@@ -13,11 +13,14 @@ import org.apache.spark.sql.functions._
   * another replica, or pairwise operators (dedup, fuzzy join, ANN) would
   * super-scale quadratically in ways the original corpus doesn't:
   *
-  *  - entity keys (custkey/orderkey/doc_id/vec_id/user_id/…) shift by
+  *  - entity keys (custkey/orderkey/user_id/…) shift by
   *    `copy * KeyStride`, so replicas are disjoint key ranges with intact
-  *    referential integrity inside each replica. Dimension FKs
-  *    (nationkey/regionkey) are NOT shifted — region/nation are copied
-  *    verbatim, like TPC-H dims at any sf.
+  *    referential integrity inside each replica; doc_id/vec_id shift by
+  *    the DOCUMENT COUNT instead, keeping replica doc ids contiguous in
+  *    [0, copies·n) — the link-graph operators contract on that (see
+  *    [[docKeyCols]]). Dimension FKs (nationkey/regionkey) are NOT
+  *    shifted — region/nation are copied verbatim, like TPC-H dims at
+  *    any sf.
   *  - document text gets a per-replica letter suffix on every letter/digit
   *    run (`word` → `wordbb` for copy 1) — a BIJECTION on tokens, so
   *    cross-replica shingle/minhash/token overlap is exactly zero while
@@ -42,8 +45,18 @@ object GenScale {
   /** Entity-key columns to shift (dimension FKs deliberately absent). */
   private val keyCols = Set(
     "c_custkey", "s_suppkey", "p_partkey", "o_orderkey", "o_custkey",
-    "l_orderkey", "l_partkey", "l_suppkey", "event_id", "user_id",
-    "doc_id", "vec_id")
+    "l_orderkey", "l_partkey", "l_suppkey", "event_id", "user_id")
+
+  /** doc_id / vec_id shift by the DOCUMENT count instead of [[KeyStride]]:
+    * the link-graph operators' synthetic edge formula (and its oracle SQL)
+    * contract on doc ids being CONTIGUOUS in [0, n) — `(17·d + j) mod n`
+    * must land on a real doc id. A sparse 1e8 stride broke that (measured:
+    * the replica sweep's pagerank/hits oracles diverged because Spark's
+    * src ∪ dst node universe gained ~n phantom ids the oracle's
+    * documents-anchored rank vector never saw). Doc-count striding keeps
+    * replica doc ids exactly [0, copies·n) and preserves doc↔vec id
+    * alignment by using the SAME stride for both. */
+  private val docKeyCols = Set("doc_id", "vec_id")
 
   private val nameCols = Set("c_name", "s_name", "p_name")
 
@@ -55,16 +68,23 @@ object GenScale {
       when(pmod(i * lit(2654435761L) + lit(c.toLong * 40503L), lit(2)) === 1, -x)
         .otherwise(x))
 
-  /** One replica of `df` with all decorrelation transforms applied. */
-  def replica(df: DataFrame, table: String, c: Int): DataFrame = {
+  /** One replica of `df` with all decorrelation transforms applied.
+    * `docStride` = the source corpus's document count (see [[docKeyCols]]). */
+  def replica(df: DataFrame, table: String, c: Int, docStride: Long): DataFrame = {
     val keyed = df.schema.fields.foldLeft(df) { (acc, f) =>
-      if (keyCols(f.name))
-        acc.withColumn(f.name,
-          (col(f.name).cast("long") + lit(c.toLong * KeyStride)).cast(f.dataType))
-      else if (nameCols(f.name) && c != 0)
-        acc.withColumn(f.name,
-          concat(col(f.name), lit("~" + c.toString * 4)))
-      else acc
+      val stride =
+        if (keyCols(f.name)) Some(KeyStride)
+        else if (docKeyCols(f.name)) Some(docStride)
+        else None
+      stride match {
+        case Some(st) =>
+          acc.withColumn(f.name,
+            (col(f.name).cast("long") + lit(c.toLong * st)).cast(f.dataType))
+        case None if nameCols(f.name) && c != 0 =>
+          acc.withColumn(f.name,
+            concat(col(f.name), lit("~" + c.toString * 4)))
+        case None => acc
+      }
     }
     if (table == "documents" && c != 0)
       keyed
@@ -84,8 +104,8 @@ object GenScale {
     else keyed
   }
 
-  def scaled(df: DataFrame, table: String, copies: Int): DataFrame =
-    (0 until copies).map(c => replica(df, table, c)).reduce(_ unionByName _)
+  def scaled(df: DataFrame, table: String, copies: Int, docStride: Long): DataFrame =
+    (0 until copies).map(c => replica(df, table, c, docStride)).reduce(_ unionByName _)
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -101,9 +121,10 @@ object GenScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dims = Set("region", "nation")
+    val docStride = spark.read.parquet(s"$src/documents.parquet").count()
     Tables.names.foreach { t =>
       val df = spark.read.parquet(s"$src/$t.parquet")
-      val res = if (dims(t)) df else scaled(df, t, copies)
+      val res = if (dims(t)) df else scaled(df, t, copies, docStride)
       // 32 output files per fact table: per-file task parallelism for the
       // bench scans (the sf0.1 fixtures are single files; at 10× a single
       // file would serialize every scan's first stage)
