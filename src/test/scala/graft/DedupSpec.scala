@@ -207,6 +207,39 @@ class DedupSpec extends SparkSpec {
     assert(capped.subsetOf(brute))
   }
 
+  test("editDistancePairsExact == brute force on seeded random corpora (property sweep)") {
+    // randomized completeness check over the adversarial shapes the fixed
+    // cases can't enumerate: tiny alphabet (forced collisions), mixed
+    // lengths straddling the partition threshold, repeated blocks.
+    // Deterministic seed — failures reproduce.
+    val rnd = new scala.util.Random(20260814L)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (trial <- 1 to 3; k <- 0 to 2) {
+      val alpha = "ab" + ("cde".take(trial - 1))
+      val strs = (0 until 24).map { i =>
+        val len = rnd.nextInt(9) // 0..8 straddles m = k+1 partitioning
+        (i.toLong, (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+      }
+      val brute = (for {
+        (ia, sa) <- strs; (ib, sb) <- strs if ia < ib
+        d = lev(sa, sb) if d <= k
+      } yield (ia, ib, d)).toSet
+      val got = Dedup.editDistancePairsExact(
+          strs.toDF("id", "name"), "id", "name", maxDist = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == brute,
+        s"trial=$trial k=$k missing=${brute.diff(got)} extra=${got.diff(brute)}")
+    }
+  }
+
   test("editDistancePairsExact survives a boilerplate-skewed corpus (hot segment buckets)") {
     // 600 docs sharing a 200-char preamble: every PassJoin segment that
     // falls inside the preamble is VERBATIM-equal across all docs, so the
