@@ -158,46 +158,60 @@ object Bench {
       // median-vs-min pair.
       val sf1Runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_SF1_RUNS", "2").toInt)
       var skipped = 0
-      val sf1Res = subset.flatMap { name =>
+      // per-run SUCCESS is tracked: a crashing query must surface as a
+      // failure marker, never as a plausible elapsed-time-to-throw sample
+      // — "a truncated sweep must never look complete" applies to crashes
+      // exactly as it does to budget skips
+      val sf1Res: Seq[(String, Option[Double], Boolean)] = subset.flatMap { name =>
         if (spent >= budgetSec) { skipped += 1; None }
         else {
           val rb = graft.sources.IndexStorage.rebuilds.get()
-          val t = (1 to sf1Runs).map { i =>
+          val runsRes = (1 to sf1Runs).map { i =>
             System.gc()
             spark.catalog.clearCache()
             System.err.println(s"[graft] sf1 bench: $name run $i/$sf1Runs")
             val t0 = System.nanoTime()
-            try { SparkEntry.queries(name)(spark, dir).count() }
-            catch { case _: Throwable => -1L }
-            (System.nanoTime() - t0) / 1e9
-          }.min
-          Some((name, t, graft.sources.IndexStorage.rebuilds.get() > rb))
+            val ok =
+              try { SparkEntry.queries(name)(spark, dir).count(); true }
+              catch { case e: Throwable =>
+                System.err.println(s"[graft] sf1 bench FAILED: $name: ${e.getMessage}")
+                false
+              }
+            ((System.nanoTime() - t0) / 1e9, ok)
+          }
+          val okTimes = runsRes.collect { case (t, true) => t }
+          Some((name, okTimes.minOption,
+            graft.sources.IndexStorage.rebuilds.get() > rb))
         }
       }
-      // full detail (time, ratio, store-rebuilt) to stderr + sidecar
+      // full detail (time, ratio, store-rebuilt, failed) to stderr + sidecar
       val detail1 = sf1Res.sortBy(_._1).map { case (n, t, rb) =>
-        val ratio = mainMed.get(n).filter(_ > 0.0)
-          .map(m => fmt(1)(t / m)).getOrElse("null")
-        s""""$n":{"sec":${ms(t)},"x_vs_sf01":$ratio,"store_rebuilt":$rb}"""
+        val ratio = t.flatMap(tt => mainMed.get(n).filter(_ > 0.0)
+          .map(m => fmt(1)(tt / m))).getOrElse("null")
+        s""""$n":{"sec":${t.map(ms).getOrElse("null")},"failed":${t.isEmpty},""" +
+          s""""x_vs_sf01":$ratio,"store_rebuilt":$rb}"""
       }.mkString("{", ",", "}")
       System.err.println(s"""{"sf1_detail":$detail1,"sf1_build_sec":${ms(buildSec)}}""")
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("/tmp/graft-bench-sf1-detail.json"),
         s"""{"sf1_detail":$detail1,"sf1_build_sec":${ms(buildSec)}}""".getBytes("UTF-8"))
       catch { case _: Throwable => () }
-      // headline payload: per-query seconds; ratios only where >10× (the
-      // superlinear exceptions the sweep exists to expose — ratios on
-      // sub-50ms sf0.1 medians are noise and stay in the sidecar)
+      // headline payload: per-query seconds (null = FAILED, every run
+      // threw); ratios only where >10× (the superlinear exceptions the
+      // sweep exists to expose — ratios on sub-50ms sf0.1 medians are
+      // noise and stay in the sidecar)
       val qs1 = sf1Res.sortBy(_._1)
-        .map { case (n, t, _) => "\"" + n + "\":" + fmt(2)(t) }
+        .map { case (n, t, _) => "\"" + n + "\":" + t.map(fmt(2)).getOrElse("null") }
         .mkString("{", ",", "}")
+      val failed = sf1Res.collect { case (n, None, _) => "\"" + n + "\"" }
+        .sorted.mkString("[", ",", "]")
       val sup = sf1Res.flatMap { case (n, t, _) =>
-        mainMed.get(n).filter(_ >= 0.05).map(m => n -> t / m)
+        t.flatMap(tt => mainMed.get(n).filter(_ >= 0.05).map(m => n -> tt / m))
       }.filter(_._2 > 10.0).sortBy(_._1)
         .map { case (n, r) => "\"" + n + "\":" + fmt(1)(r) }
         .mkString("{", ",", "}")
-      s""""sf1":{"n":${sf1Res.length},"skipped":$skipped,"stat":"min_of_$sf1Runs",""" +
-        s""""total":${fmt(1)(sf1Res.map(_._2).sum)},""" +
+      s""""sf1":{"n":${sf1Res.length},"skipped":$skipped,"failed":$failed,""" +
+        s""""stat":"min_of_$sf1Runs","total":${fmt(1)(sf1Res.flatMap(_._2).sum)},""" +
         s""""build_sec":${fmt(1)(buildSec)},"over_10x":$sup,"queries":$qs1}"""
     }
 

@@ -21,13 +21,14 @@ import org.apache.spark.sql.functions._
   *    [[docKeyCols]]). Dimension FKs (nationkey/regionkey) are NOT
   *    shifted — region/nation are copied verbatim, like TPC-H dims at
   *    any sf.
-  *  - document text gets a per-replica letter suffix on every letter/digit
-  *    run (`word` → `wordbb` for copy 1) — a BIJECTION on tokens, so
+  *  - document text gets a per-replica 3-letter code on every letter/digit
+  *    run (`word` → `wordabb` for copy 1) — a BIJECTION on tokens, so
   *    cross-replica shingle/minhash/token overlap is exactly zero while
   *    within-replica token counts and df distributions mirror the
   *    original exactly (see the inline note for why a `_c` separator
-  *    suffix would instead skew the token stream).
-  *  - name columns get `~cccc` (copy digit ×4) so cross-replica names sit
+  *    suffix would instead skew the token stream, and [[replicaCode]]
+  *    for why the code needs pairwise hamming ≥2).
+  *  - name columns get `~` + the code doubled so cross-replica names sit
   *    ≥4 edits apart — outside every fuzzy-join radius in the suite.
   *  - embeddings are sign-flipped per (copy, dimension) — an orthogonal
   *    transform, so within-replica distances/cosines are EXACTLY preserved
@@ -60,13 +61,40 @@ object GenScale {
 
   private val nameCols = Set("c_name", "s_name", "p_name")
 
-  /** Per-(copy, dim) deterministic sign flip — orthogonal, so distances
-    * and cosines within a replica are exactly those of the original. */
+  /** Per-replica 3-letter code with PAIRWISE HAMMING ≥ 2: (x, y, (x+y) mod
+    * 26) for c = 26x + y — a parity check digit, so two distinct codes can
+    * never differ in just one position (x differs ⇒ z differs; y differs ⇒
+    * z differs; both ⇒ ≥2 already). Supports 676 replicas (sf10 = 100).
+    *
+    * Why ≥2 matters: the fuzzy joins run levenshtein ≤ 3 on 24-char text
+    * prefixes. The corpus's words are ≤8 chars, so a window always holds
+    * ≥2 complete suffixed tokens — with pairwise-≥2 codes the same
+    * original doc in two replicas sits ≥4 edits apart, outside every
+    * radius in the suite. (A naive base-26 pair can differ in ONE letter —
+    * e.g. "ab" vs "ac" — putting same-doc replicas 2 edits apart and
+    * making cross-replica fuzzy pairs grow with the copy count.) */
+  def replicaCode(c: Int): String = {
+    require(c >= 1 && c < 676, s"replica code supports 1..675, got $c")
+    val (x, y) = (c / 26, c % 26)
+    "" + ('a' + x).toChar + ('a' + y).toChar + ('a' + (x + y) % 26).toChar
+  }
+
+  /** Per-(copy, dim) deterministic sign flip — orthogonal (a diagonal ±1
+    * matrix), so distances and cosines within a replica are exactly those
+    * of the original, while cross-replica vectors decorrelate (expected
+    * cosine ≈ 0, variance 1/dim).
+    *
+    * The flip bit is the low bit of murmur3(c, i) — a real mix of BOTH
+    * inputs. The previous linear form pmod(i·K1 + c·K2, 2) had two ODD
+    * multipliers, so mod 2 it collapsed to parity(i + c): all odd copies
+    * shared one flip pattern and all even copies another, making
+    * corresponding vectors in same-parity replicas bit-identical
+    * (cross-replica cosine 1, not ≈0) — exactly the correlation this
+    * transform exists to forbid. */
   def signFlip(emb: Column, c: Int): Column =
     if (c == 0) emb
     else transform(emb, (x, i) =>
-      when(pmod(i * lit(2654435761L) + lit(c.toLong * 40503L), lit(2)) === 1, -x)
-        .otherwise(x))
+      when(pmod(hash(lit(c), i), lit(2)) === 1, -x).otherwise(x))
 
   /** One replica of `df` with all decorrelation transforms applied.
     * `docStride` = the source corpus's document count (see [[docKeyCols]]). */
@@ -81,23 +109,28 @@ object GenScale {
           acc.withColumn(f.name,
             (col(f.name).cast("long") + lit(c.toLong * st)).cast(f.dataType))
         case None if nameCols(f.name) && c != 0 =>
+          // code doubled: pairwise-≥2 × 2 occurrences = names ≥4 edits
+          // apart across replicas, outside every fuzzy-join radius
           acc.withColumn(f.name,
-            concat(col(f.name), lit("~" + c.toString * 4)))
+            concat(col(f.name), lit("~" + replicaCode(c) * 2)))
         case None => acc
       }
     }
     if (table == "documents" && c != 0)
       keyed
-        // suffix every LETTER/DIGIT RUN (the tokenizer's token unit) with a
-        // per-replica letter pair — "word" → "wordbb". A separator like "_"
-        // is not \p{L}\p{N}, so "word_3" would TOKENIZE as two tokens with
-        // every second one a constant digit: measured 136× within-replica
-        // shingle df inflation and a 2300× containment-join blowup at 10×.
-        // The letter suffix keeps the original→replica token map a
-        // BIJECTION: token counts, shingle counts and df distributions
-        // mirror the original exactly; values stay replica-disjoint.
+        // suffix every LETTER/DIGIT RUN (the tokenizer's token unit) with
+        // the per-replica 3-letter code — "word" → "wordabb" for copy 1.
+        // A separator like "_" is not \p{L}\p{N}, so "word_3" would
+        // TOKENIZE as two tokens with every second one a constant digit:
+        // measured 136× within-replica shingle df inflation and a 2300×
+        // containment-join blowup at 10×. The fixed-length letter suffix
+        // keeps the original→replica token map a BIJECTION (token counts,
+        // shingle counts and df distributions mirror the original exactly)
+        // with replica-DISJOINT codomains (equal suffixed tokens ⇒ equal
+        // codes ⇒ same replica); see [[replicaCode]] for why the code's
+        // pairwise hamming ≥2 is load-bearing for the fuzzy joins.
         .withColumn("text", regexp_replace(col("text"),
-          "([\\p{L}\\p{N}]+)", "$1" + (('a' + c).toChar.toString * 2)))
+          "([\\p{L}\\p{N}]+)", "$1" + replicaCode(c)))
         .withColumn("n_chars", length(col("text")).cast("long"))
     else if (table == "embeddings")
       keyed.withColumn("embedding", signFlip(col("embedding"), c))
@@ -125,10 +158,13 @@ object GenScale {
     Tables.names.foreach { t =>
       val df = spark.read.parquet(s"$src/$t.parquet")
       val res = if (dims(t)) df else scaled(df, t, copies, docStride)
-      // 32 output files per fact table: per-file task parallelism for the
-      // bench scans (the sf0.1 fixtures are single files; at 10× a single
-      // file would serialize every scan's first stage)
-      val parts = if (dims(t)) 1 else 32
+      // 32 output files per fact table (more at sf10): per-file task
+      // parallelism for the bench scans (the sf0.1 fixtures are single
+      // files; at 10× a single file would serialize every scan's first
+      // stage). Optional 4th arg overrides.
+      val parts =
+        if (dims(t)) 1
+        else args.lift(3).map(_.toInt).getOrElse(math.max(32, copies))
       res.repartition(parts).write.mode("overwrite").parquet(s"$out/$t.parquet")
       System.err.println(s"[genscale] $t: ${df.count()} -> " +
         spark.read.parquet(s"$out/$t.parquet").count())

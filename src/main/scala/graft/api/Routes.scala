@@ -93,7 +93,7 @@ object Routes {
   }
 
   /** IndexInfo body (lib.rs:86-90 + tagged IndexOptions). */
-  private def indexInfoNode(e: Catalog.Entry): ObjectNode = {
+  private def indexInfoNode(engine: Engine, e: Catalog.Entry): ObjectNode = {
     val n = mapper.createObjectNode()
     n.put("keyspace", e.meta.keyspace)
     n.put("index", e.meta.index)
@@ -107,6 +107,10 @@ object Routes {
         opts.put("search_beam_width", o.expansionSearch)
         opts.put("similarity_function", spaceName(o.space))
         opts.put("quantization", quantName(o.quantization))
+        // the ATTACHED serving backend ("exact" when none) — the HTTP
+        // surface reflects serving reality, like the reference's per-index
+        // engine options (lib.rs:766-775 swaps USearch/DiskANN/OpenSearch)
+        opts.put("backend", engine.servingBackendName(e.meta.keyspace, e.meta.index))
       case Catalog.Fts(_) =>
         opts.put("type", "fulltext")
         opts.put("analyzer", "lowercase+stopwords") // Bm25.tokenize chain
@@ -229,11 +233,12 @@ object Routes {
     }
     family("fts_segment_count",
       "Number of segments in a full-text search index", "gauge") {
-      // segment analogue on Spark: the index frame's partition count (one
-      // parquet/row-group task per partition — the unit a scan schedules)
+      // segment analogue on Spark: the store's part-file count, fixed at
+      // registration (Engine.addIndex) — the scrape path never touches the
+      // frame's plan or lineage
       fts.foreach { r =>
-        engine.indexFrame(r.getString(0), r.getString(1)).foreach { df =>
-          sb ++= s"fts_segment_count${lbl(r.getString(0), r.getString(1))} ${df.rdd.getNumPartitions}\n"
+        engine.segmentCount(r.getString(0), r.getString(1)).foreach { n =>
+          sb ++= s"fts_segment_count${lbl(r.getString(0), r.getString(1))} $n\n"
         }
       }
     }
@@ -325,12 +330,12 @@ object Routes {
         case ("GET", List("api", "v1", "indexes")) =>
           val arr = mapper.createArrayNode()
           engine.catalog.list.sortBy(e => (e.meta.keyspace, e.meta.index))
-            .foreach(e => arr.add(indexInfoNode(e)))
+            .foreach(e => arr.add(indexInfoNode(engine, e)))
           Response(200, mapper.writeValueAsString(arr))
 
         case ("GET", List("api", "v1", "indexes", ks, idx)) =>
           engine.catalog.get(Catalog.IndexKey(ks, idx)) match {
-            case Some(e) => Response(200, mapper.writeValueAsString(indexInfoNode(e)))
+            case Some(e) => Response(200, mapper.writeValueAsString(indexInfoNode(engine, e)))
             case None => error(404, s"missing index: $ks.$idx")
           }
 

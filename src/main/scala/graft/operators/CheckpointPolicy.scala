@@ -25,10 +25,20 @@ import org.apache.spark.sql.DataFrame
   *    unrecoverable executor blocks and void the fault-tolerance the
   *    durable snapshots buy. Every block is therefore recomputable from
   *    the last durable snapshot (≤ everyN rounds of rework on executor
-  *    loss). The cost is plan growth between snapshots — the round frame
-  *    appears ≤2× per round, so the plan is ≤2^everyN copies of one
-  *    round; the default everyN=3 caps that at 8×, far below the
-  *    per-round-doubling-forever pathology the policies exist to prevent.
+  *    loss). Mid-round frames (referenced twice WITHIN a round) are
+  *    `persist`ed, not checkpointed: cached blocks KEEP their recompute
+  *    path (a lost block rebuilds from lineage, unlike localCheckpoint),
+  *    while both references share one materialization — without it the
+  *    mid-round aggregate would compute twice per round and `hits`'
+  *    logical plan would grow ~4× per round (4^everyN = 64× at the
+  *    default 3, vs the 2^everyN = 8× of the operators with a single
+  *    self-reference). The cost that remains is bounded ANALYZED-plan
+  *    growth between snapshots (≤2^everyN copies of one round), far
+  *    below the per-round-doubling-forever pathology the policies exist
+  *    to prevent. Persisted mid-round frames stay cached until the job's
+  *    final action (lazy truncation means they may be re-read then);
+  *    they are node-cardinality aggregates under MEMORY_AND_DISK, so
+  *    memory pressure spills rather than fails.
   */
 sealed trait CheckpointPolicy {
   /** Truncate (or deliberately keep) the per-round frame's lineage.
@@ -84,6 +94,12 @@ object CheckpointPolicy {
       df.checkpoint(true)
     }
 
-    def midRound(df: DataFrame): DataFrame = df // keep the recompute path
+    // persist, NOT checkpoint: keeps the lineage (fault tolerance intact —
+    // a lost cached block recomputes from the last durable snapshot) while
+    // the two within-round references share one materialization instead of
+    // computing the aggregate twice and quadrupling hits' per-round plan
+    // growth. See the trait doc for the retention trade-off.
+    def midRound(df: DataFrame): DataFrame =
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 }

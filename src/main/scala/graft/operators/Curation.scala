@@ -873,10 +873,19 @@ object Curation {
     * previous formulation exploded k positions per hash and bit_or'd them
     * through a groupBy — a k× row amplification plus a shuffle plus a
     * driver densify loop, all of which the native aggregate replaces with
-    * in-task sketch updates.) Bits are sized from the pinned count — an
-    * explicit `numBits` literal, so the optimizer's runtime-filter size
-    * caps don't apply. The frame is pinned across the two actions (size,
-    * then aggregate) so its lineage runs once. */
+    * in-task sketch updates.) Bits are sized from the pinned count.
+    *
+    * The aggregate SILENTLY clamps its literals to the runtime-join-filter
+    * caps — `Math.min(numBits, spark.sql.optimizer.runtime.bloomFilter
+    * .maxNumBits)` (default 64M bits) and likewise numItems (default 4M) —
+    * inside its lazy buffer sizing, literal or not. Beyond ~7M distinct
+    * hashes at fpp 1% the sketch would silently saturate: correctness
+    * would survive (the exact containment join removes false positives)
+    * but the shuffle reduction the sketch exists for would degrade
+    * unnoticed. So the two caps are raised to the requested size around
+    * the build; probe-side `might_contain` has no such cap. The frame is
+    * pinned across the two actions (size, then aggregate) so its lineage
+    * runs once. */
   private[graft] def bloomBuild(hashes: DataFrame, fpp: Double): Bloom = {
     val pinned = hashes.persist()
     try {
@@ -887,11 +896,23 @@ object Curation {
         .BloomFilterAggregate(
           org.apache.spark.sql.GraftSqlBridge.expression(col("sh")),
           Literal(n), Literal(numBits))
-      val bytes = pinned
-        .select(org.apache.spark.sql.GraftSqlBridge.column(
-          agg.toAggregateExpression()).as("bf"))
-        .head().getAs[Array[Byte]](0)
-      Bloom(bytes)
+      val conf = pinned.sparkSession.conf
+      val capKeys = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> n,
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits)
+      val saved = capKeys.map { case (k, _) => k -> conf.getOption(k) }
+      capKeys.foreach { case (k, v) =>
+        if (conf.getOption(k).forall(_.toLong < v)) conf.set(k, v)
+      }
+      try {
+        val bytes = pinned
+          .select(org.apache.spark.sql.GraftSqlBridge.column(
+            agg.toAggregateExpression()).as("bf"))
+          .head().getAs[Array[Byte]](0)
+        Bloom(bytes)
+      } finally saved.foreach { case (k, ov) =>
+        ov.fold(conf.unset(k))(conf.set(k, _))
+      }
     } finally { pinned.unpersist(); () }
   }
 

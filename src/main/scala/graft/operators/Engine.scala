@@ -164,11 +164,24 @@ final class Engine {
       status: IndexStatus = Serving, progressPct: Double = 100.0): Unit = {
     catalog.register(meta, status, progressPct)
     frames = frames.updated(meta.key, df)
+    // segment count fixed at registration: file-backed stores report their
+    // part-file count (the tantivy segment analogue — one immutable file
+    // per segment), in-memory frames one generated scan unit. Computed
+    // HERE, once — a per-scrape df.rdd.getNumPartitions would instantiate
+    // the frame's RDD lineage on every /metrics hit.
+    segmentCounts = segmentCounts.updated(meta.key,
+      math.max(df.inputFiles.length, 1))
     // a re-registered index's data may differ — a previous backend's
     // store would silently serve stale rows; re-attach explicitly after
     // rebuild
     servingBackends = servingBackends.removed(meta.key)
   }
+
+  @volatile private var segmentCounts: Map[IndexKey, Int] = Map.empty
+
+  /** Registration-time segment count of an index's store (see [[addIndex]]). */
+  def segmentCount(keyspace: String, index: String): Option[Int] =
+    segmentCounts.get(IndexKey(keyspace, index))
 
   @volatile private var servingBackends: Map[IndexKey, Engine.AnnBackend] = Map.empty
 
@@ -226,6 +239,7 @@ final class Engine {
     val key = IndexKey(keyspace, index)
     frames = frames.removed(key)
     servingBackends = servingBackends.removed(key) // never outlive the index data
+    segmentCounts = segmentCounts.removed(key)
     catalog.remove(key)
   }
 

@@ -179,6 +179,39 @@ object StreamingIngest {
     *
     * @param tsCol event-time column castable to TIMESTAMP (epoch seconds
     *              after the double cast) */
+  /** Tie the `cdc_reader_up` gauge to a RUNNING StreamingQuery's lifetime:
+    * up=1 now, up=0 when THIS query terminates — normally or on error. The
+    * reference's reader loop maintains the gauge from its own task
+    * lifetime (up goes 0 when the loop exits, db_cdc/actor.rs);
+    * [[withCdcMetrics]] alone can only raise it at wrap time, so without
+    * this a stopped or permanently-failed stream would report a live
+    * reader forever. The listener is per-query (matched on query id) and
+    * removes itself after firing. */
+  def bindReaderLiveness(
+      engine: graft.operators.Engine,
+      query: org.apache.spark.sql.streaming.StreamingQuery,
+      keyspace: String, index: String, reader: String): Unit = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    engine.setCdcReaderUp(keyspace, index, reader, up = true)
+    val streams = query.sparkSession.streams
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == query.id) {
+          engine.setCdcReaderUp(keyspace, index, reader, up = false)
+          streams.removeListener(this)
+        }
+    }
+    streams.addListener(listener)
+    // registration race: if the query died before the listener attached,
+    // its terminated event already fired — reconcile from current state
+    if (!query.isActive) engine.setCdcReaderUp(keyspace, index, reader, up = false)
+  }
+
   def withCdcMetrics(
       engine: graft.operators.Engine, keyspace: String, index: String,
       reader: String, tsCol: String, operation: String = "upsert")(

@@ -74,6 +74,8 @@ class ContinuousIngestSpec extends SparkSpec {
         mergeSpan(cur, id)
       })
       .start()
+    // gauge tied to THIS query's lifetime: up now, 0 after terminate
+    StreamingIngest.bindReaderLiveness(eng, q, "ks", "docs", "realtime")
 
     def liveIds(): Set[Long] =
       spark.read.parquet(p("state"))
@@ -172,6 +174,17 @@ class ContinuousIngestSpec extends SparkSpec {
       assert(snap.modified((key, "upsert")) == 8L) // 3 + 3 + 2 events
       assert(snap.cdcCheckpoints((key, "realtime")) == 200.0)
       assert(snap.indexingLag(key).count == 3L)
+      // the liveness gauge FOLLOWS the reader's lifetime: stopping the
+      // query must drop it to 0 (the reference's reader loop does the same
+      // when it exits) — terminated events are delivered async, so poll
+      q.stop()
+      q.awaitTermination()
+      val key2 = (graft.operators.Catalog.IndexKey("ks", "docs"), "realtime")
+      val deadline = System.currentTimeMillis() + 30000
+      while (eng.promSnapshot().cdcReaderUp(key2) != 0 &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(eng.promSnapshot().cdcReaderUp(key2) == 0,
+        "cdc_reader_up must drop to 0 when the reader terminates")
     } finally {
       q.stop()
       FileUtils.deleteDirectory(dir)

@@ -345,6 +345,28 @@ class CurationSpec extends SparkSpec {
       rows(Curation.decontaminateBloom(sh, "doc_id", bench, 0.2)))
   }
 
+  test("bloomBuild sizes past the runtime-join-filter caps and restores them") {
+    import org.apache.spark.sql.functions.col
+    // Spark's BloomFilterAggregate clamps its numBits/numItems LITERALS to
+    // the runtime-filter caps (Math.min in its buffer sizing) — with the
+    // defaults, >~7M distinct hashes at 1% fpp silently saturate the
+    // sketch. bloomBuild must build at the REQUESTED size: pin it by
+    // setting a pathologically small cap and checking the sketch ignores it.
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val n = 50000L
+    val want = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, 0.01)
+    spark.conf.set(bitsKey, "64") // far below `want`
+    try {
+      val hashes = spark.range(n).select(col("id").as("sh"))
+      val bloom = Curation.bloomBuild(hashes, fpp = 0.01)
+      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bloom.bytes))
+      assert(bf.bitSize() >= want, s"sketch clamped: ${bf.bitSize()} < $want bits")
+      // build restored the ambient conf (our tiny cap), not its own value
+      assert(spark.conf.get(bitsKey) == "64")
+    } finally spark.conf.unset(bitsKey)
+  }
+
   test("connected components: 300-link chain converges within the round cap") {
     import org.apache.spark.sql.functions.col
     // worst-case diameter for min-label propagation: plain hop-at-a-time

@@ -57,6 +57,22 @@ class RoutesSpec extends SparkSpec {
     assert(om.readTree(missing.body).get("message").asText().contains("missing index"))
   }
 
+  test("index info reflects the ATTACHED serving backend (lib.rs:766-775)") {
+    val (eng, df) = engineWith()
+    def backend(): String =
+      om.readTree(Routes.handle(eng, "GET", "/api/v1/indexes/ks/vidx").body)
+        .get("options").get("backend").asText()
+    assert(backend() == "exact") // nothing attached yet
+    eng.setApproxServing("ks", "vidx", Engine.ApproxServing(
+      graft.operators.ApproxAnn.buildLshIndex(df, "vec", 8, 64), 8))
+    assert(backend() == "lsh")
+    eng.clearApproxServing("ks", "vidx")
+    assert(backend() == "exact") // detach restores serving reality
+    // fulltext info has no backend field — the seam is vector-only
+    val fts = om.readTree(Routes.handle(eng, "GET", "/api/v1/indexes/ks/fidx").body)
+    assert(!fts.get("options").has("backend"))
+  }
+
   test("GET .../status: status, live count, build_progress (httproutes.rs:365)") {
     val (eng, _) = engineWith()
     val r = Routes.handle(eng, "GET", "/api/v1/indexes/ks/vidx/status")
