@@ -2,10 +2,10 @@ package graft
 
 import graft.functions.VectorFunctions._
 import graft.operators.Ann.AnnRequest
-import graft.operators.{Ann, ApproxAnn, Bm25, Catalog, Curation, Dedup,
-  Engine, Graph, Layout, Lww, Multimodal, QualityMetrics, Restriction,
-  RestrictionCompiler, ResultFormat, Sessionize, Sketches, Temporal,
-  TextAnalysis}
+import graft.operators.{Ann, ApproxAnn, Bm25, Catalog, CheckpointPolicy,
+  Curation, Dedup, Engine, Graph, Layout, Lww, Multimodal, QualityMetrics,
+  Restriction, RestrictionCompiler, ResultFormat, Sessionize, Sketches,
+  Temporal, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -66,6 +66,23 @@ object SparkEntry {
       "jsonl_roundtrip", "cluster_size_report", "warc_roundtrip",
       "image_features", "image_resize", "audio_features", "video_frames",
       "bpe_encode", "csv_roundtrip", "tokenizer_fertility")
+
+  /** Queries EXCLUDED from the sf1 (10×) oracle gate (`Verify <dir> <out>
+    * @sf1`): their ORACLES are deliberately brute-force second
+    * implementations (quadratic cross joins / exponential CTE replays)
+    * that DuckDB cannot run at 6M lineitems / 50k docs / 20k embeddings in
+    * bounded time. The SPARK side of every one of them scales fine — the
+    * sf1 bench times several of these — but a scale-correctness gate needs
+    * a tractable oracle; these queries keep their sf0.01 verification,
+    * everything else re-verifies at 10×. */
+  val sf1OracleExclusions: Set[String] = Set(
+    // oracle = brute-force all-pairs levenshtein cross join (50k² pairs)
+    "fuzzy_join_exact",
+    // oracle = exact all-pairs embedding cosine (20k² list-zip dot products)
+    "dedup_embedding",
+    // oracle replays 10 greedy argmax steps as materialized CTEs over a
+    // corpus-sized candidate join — exponential when DuckDB inlines
+    "mmr_rerank")
 
   // ---- ANN helpers ---------------------------------------------------------
 
@@ -532,7 +549,9 @@ object SparkEntry {
     // Exchange-free — PlanQualitySpec pins that; this oracle pins the
     // answer (identical to the plain join, bucketing is pure layout).
     "bucketed_join_agg" -> ((s, dir) => {
-      val safe = new java.io.File(dir).getName.replace(".", "_")
+      // dots AND hyphens: "sf0.01" and "testdata-sf1" must both yield a
+      // legal unquoted table identifier
+      val safe = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
       val li = Layout.bucketedOnce(
         t(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
         s"li_bkt_$safe", indexDir(dir, "li_bkt"), "l_orderkey", 8)
@@ -1875,6 +1894,20 @@ object SparkEntry {
         .orderBy(col("rank").desc, col("id").asc).limit(20)
     }),
 
+    // The SAME computation under the cluster fault-tolerance policy
+    // (durable Hadoop-FS snapshot every 3 rounds, recomputable lineage in
+    // between) — verified against the identical oracle so the Reliable
+    // path re-proves itself on every correctness sweep, not just in
+    // GraphSpec. Integer fixed point ⇒ the two policies are bit-equal.
+    "pagerank_reliable" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      Graph.pageRank(Graph.syntheticLinks(docs, "doc_id"), "src", "dst",
+          iterations = 5,
+          policy = CheckpointPolicy.Reliable(everyN = 3,
+            checkpointDir = Some(indexDir(dir, "pagerank-ckpt"))))
+        .orderBy(col("rank").desc, col("id").asc).limit(20)
+    }),
+
     // HITS hubs & authorities over the same link graph (the bipartite
     // companion signal to pagerank): integer fixed point with max-
     // normalization each half-step — exact, oracle-replayable. Top-20 by
@@ -2301,6 +2334,32 @@ object SparkEntry {
        |  round(CAST(ov.ov AS DOUBLE) / bsz, 6) + 0.0 AS containment
        |FROM ov JOIN bsz USING (bench_id)
        |WHERE CAST(ov.ov AS DOUBLE) / bsz >= 0.2""".stripMargin
+
+  /** Shared by `pagerank` and `pagerank_reliable`: one SQL definition so
+    * the two policy paths can never verify against diverged replays. */
+  private lazy val pagerankOracle: String = {
+    val iters = (1 to 5).map { k =>
+      s"""i$k AS (SELECT e.dst AS id, SUM(r.rank // o.od) AS s
+         |  FROM edges e JOIN r${k - 1} r ON e.src = r.id
+         |  JOIN outdeg o ON o.src = e.src GROUP BY e.dst),
+         |r$k AS (SELECT r.id,
+         |  (15 * (SELECT b FROM base) + 85 * COALESCE(i.s, 0)) // 100 AS rank
+         |  FROM r${k - 1} r LEFT JOIN i$k i USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH n AS (SELECT count(*) AS n FROM documents),
+       |e1 AS (SELECT doc_id AS src, (17*doc_id + 1) % n.n AS dst FROM documents, n),
+       |e2 AS (SELECT doc_id AS src, (17*doc_id + 2) % n.n AS dst FROM documents, n
+       |       WHERE doc_id % 3 >= 1),
+       |e3 AS (SELECT doc_id AS src, (17*doc_id + 3) % n.n AS dst FROM documents, n
+       |       WHERE doc_id % 3 = 2),
+       |edges AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3),
+       |outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+       |base AS (SELECT 1000000000000 // n AS b FROM n),
+       |r0 AS (SELECT doc_id AS id, (SELECT b FROM base) AS rank FROM documents),
+       |$iters
+       |SELECT id, CAST(rank AS BIGINT) AS rank FROM r5
+       |ORDER BY rank DESC, id LIMIT 20""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
@@ -4480,29 +4539,12 @@ object SparkEntry {
     // Replays all 5 PageRank iterations in the same integer fixed-point
     // arithmetic: edge list regenerated by three filtered selects
     // (outdegree 1..3 by id mod 3), // = Spark's div on positive BIGINTs.
-    "pagerank" -> {
-      val iters = (1 to 5).map { k =>
-        s"""i$k AS (SELECT e.dst AS id, SUM(r.rank // o.od) AS s
-           |  FROM edges e JOIN r${k - 1} r ON e.src = r.id
-           |  JOIN outdeg o ON o.src = e.src GROUP BY e.dst),
-           |r$k AS (SELECT r.id,
-           |  (15 * (SELECT b FROM base) + 85 * COALESCE(i.s, 0)) // 100 AS rank
-           |  FROM r${k - 1} r LEFT JOIN i$k i USING (id))""".stripMargin
-      }.mkString(",\n")
-      s"""WITH n AS (SELECT count(*) AS n FROM documents),
-         |e1 AS (SELECT doc_id AS src, (17*doc_id + 1) % n.n AS dst FROM documents, n),
-         |e2 AS (SELECT doc_id AS src, (17*doc_id + 2) % n.n AS dst FROM documents, n
-         |       WHERE doc_id % 3 >= 1),
-         |e3 AS (SELECT doc_id AS src, (17*doc_id + 3) % n.n AS dst FROM documents, n
-         |       WHERE doc_id % 3 = 2),
-         |edges AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3),
-         |outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
-         |base AS (SELECT 1000000000000 // n AS b FROM n),
-         |r0 AS (SELECT doc_id AS id, (SELECT b FROM base) AS rank FROM documents),
-         |$iters
-         |SELECT id, CAST(rank AS BIGINT) AS rank FROM r5
-         |ORDER BY rank DESC, id LIMIT 20""".stripMargin
-    },
+    "pagerank" -> pagerankOracle,
+
+    // SAME oracle, different execution policy on the Spark side: the
+    // durable-checkpoint path re-verifies against the oracle every round,
+    // so the Reliable policy can never silently rot
+    "pagerank_reliable" -> pagerankOracle,
 
     // Replays the 5 HITS iterations: same integer arithmetic, max-
     // normalization via scalar-subquery attach. MATERIALIZED CTEs — the

@@ -1,0 +1,115 @@
+package graft
+
+import graft.streaming.{IndexMaintenance, StreamingIngest}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming freshness measurement at scale: replay a corpus as a CDC
+  * micro-batch stream through the incremental FTS maintenance path and
+  * record WRITE-TO-SEARCHABLE lag per batch — the reference's freshness
+  * envelope (BASELINE.md: fine reader 100 ms / wide 30 s cadence, FTS
+  * commit loop targets <3 s from write to searchable,
+  * fts_index/tantivy.rs:129-130).
+  *
+  * Each batch's events are stamped with the wall clock at enqueue, so the
+  * engine's `indexing_lag_seconds` histogram (fed by withCdcMetrics)
+  * records exactly write→indexed; the probe AFTER each commit then proves
+  * searchable (a BM25 hit for a term unique to that batch) and its extra
+  * wall time is reported separately.
+  *
+  * Usage: StreamLag [sfDir] [nBatches] [outFile] [nBuckets=64]
+  * nBuckets trades bucket-pruned read granularity against per-commit
+  * directory-rewrite overhead: when every batch touches every bucket (batch
+  * cardinality >> buckets), fewer buckets = fewer per-commit renames.
+  * Prints ONE JSON line: per-batch lag seconds, p50/p95/max, probe cost.
+  */
+object StreamLag {
+
+  final case class DocEv(doc_id: Long, text: String, ts: java.sql.Timestamp)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/repo/testdata-sf1")
+    val nBatches = args.lift(1).map(_.toInt).getOrElse(20)
+    val outFile = args.lift(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val perBatch = math.max(1, docs.length / nBatches)
+    System.err.println(s"[streamlag] ${docs.length} docs, $nBatches batches of ~$perBatch")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_streamlag").toFile
+    def p(n: String) = new java.io.File(dir, n).getAbsolutePath
+    val eng = new graft.operators.Engine
+    val mem = MemoryStream[DocEv](spark)
+    val nBuckets = args.lift(3).map(_.toInt).getOrElse(64)
+    val merge = IndexMaintenance.mergeFtsBatch(
+      spark, p("postings"), p("doclens"), "doc_id", "text", opCol = None,
+      nBuckets = nBuckets)
+    val q = mem.toDF().writeStream
+      .foreachBatch(StreamingIngest.withCdcMetrics(
+        eng, "ks", "fts", "realtime", tsCol = "ts")(merge))
+      .option("checkpointLocation", p("ckpt"))
+      .start()
+    StreamingIngest.bindReaderLiveness(eng, q, "ks", "fts", "realtime")
+
+    def fmt(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+
+    val lags = Array.ofDim[Double](nBatches)
+    val probes = Array.ofDim[Double](nBatches)
+    try {
+      for (b <- 0 until nBatches) {
+        val slice = docs.slice(b * perBatch,
+          if (b == nBatches - 1) docs.length else (b + 1) * perBatch)
+        // the batch's unique marker doc proves SEARCHABLE, not just written
+        val markerId = 10000000L + b
+        val marker = DocEv(markerId, s"freshmarker$b only here",
+          new java.sql.Timestamp(System.currentTimeMillis()))
+        val t0 = System.currentTimeMillis()
+        mem.addData(slice.map { case (id, tx) =>
+          DocEv(id, tx, new java.sql.Timestamp(t0)) }.toSeq :+ marker)
+        q.processAllAvailable() // commit = indexed
+        lags(b) = (System.currentTimeMillis() - t0) / 1000.0
+        val tp = System.currentTimeMillis()
+        val pos = IndexMaintenance.readFtsIndex(
+          spark, p("postings"), p("doclens"), "doc_id")
+        val hit = graft.operators.Bm25.scoreAll(
+            graft.operators.Bm25.Index(
+              pos.postings.select("doc_id", "term", "tf"), pos.docLens, "doc_id"),
+            s"freshmarker$b")
+          .select("doc_id").as[Long].collect()
+        require(hit.contains(markerId),
+          s"batch $b marker not searchable after commit")
+        probes(b) = (System.currentTimeMillis() - tp) / 1000.0
+        System.err.println(f"[streamlag] batch $b: indexed ${lags(b)}%.2f s")
+      }
+    } finally q.stop()
+
+    val sorted = lags.sorted
+    def pct(q: Double) = sorted(math.min(sorted.length - 1, (q * sorted.length).toInt))
+    val json =
+      s"""{"metric":"fts_write_to_searchable","unit":"sec","batches":$nBatches,""" +
+        s""""docs_per_batch":$perBatch,"p50":${fmt(pct(0.5))},""" +
+        s""""p95":${fmt(pct(0.95))},"max":${fmt(sorted.last)},""" +
+        s""""per_batch":[${lags.map(fmt).mkString(",")}],""" +
+        s""""probe_sec":[${probes.map(fmt).mkString(",")}]}"""
+    println(json)
+    outFile.foreach { f =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(f), json.getBytes("UTF-8"))
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    spark.stop()
+  }
+}

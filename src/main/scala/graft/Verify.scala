@@ -6,9 +6,15 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
-    // optional third arg: comma-separated query names (local iteration only;
-    // the driver always runs the full set)
-    val only = args.lift(2).map(_.split(",").toSet)
+    // optional third arg: comma-separated query names (local iteration), or
+    // the literal `@sf1` — the scale-correctness gate's subset: every query
+    // EXCEPT the ones whose oracle is a deliberately-quadratic brute-force
+    // replay (SparkEntry.sf1OracleExclusions). The driver's sf0.01 run
+    // passes no third arg and always gets the full set.
+    val only = args.lift(2).map {
+      case "@sf1" => SparkEntry.queries.keySet -- SparkEntry.sf1OracleExclusions
+      case csv => csv.split(",").toSet
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -44,7 +50,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // oracle_sql.json mirrors the DUMPED subset — an entry without its
+    // parquet dir would read as a failure to the compare step
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -283,17 +283,27 @@ object ApproxAnn {
     (assignToCentroids(df, vecCol, centroids), centroids)
   }
 
+  /** Nearest-centroid struct (d, cid) per row — argmin by (l2², cid),
+    * lexicographic tiebreak (the IVF assignment rule every oracle
+    * replays). ONE array literal + transform + array_min, so the plan
+    * carries O(1) expression nodes regardless of k: the previous
+    * `least(struct(...k structs...))` form analyzed O(k) nodes, fine for
+    * the 16-centroid fixtures, pathological at the k ≈ √n counts
+    * SemDeDup-scale clustering needs (450 at sf10, thousands at 100 TB).
+    * array_min's struct ordering is lexicographic (d, cid) — identical
+    * values, identical tiebreak. */
+  def centroidBest(vecCol: String, centroids: Seq[(Int, Seq[Float])]): Column = {
+    val carr = typedlit(centroids)
+    array_min(transform(carr, c =>
+      struct(VectorFunctions.l2sq(col(vecCol), c.getField("_2")).as("d"),
+        c.getField("_1").as("cid"))))
+  }
+
   /** IVF assignment: nearest centroid id per vector (centroids broadcast). */
   def assignToCentroids(
       df: DataFrame, vecCol: String,
-      centroids: Seq[(Int, Seq[Float])]): DataFrame = {
-    val cands = centroids.map { case (cid, cvec) =>
-      struct(
-        VectorFunctions.l2sq(col(vecCol), typedlit(cvec)).as("d"),
-        lit(cid).as("cid"))
-    }
-    df.withColumn("_centroid", least(cands: _*).getField("cid"))
-  }
+      centroids: Seq[(Int, Seq[Float])]): DataFrame =
+    df.withColumn("_centroid", centroidBest(vecCol, centroids).getField("cid"))
 
   /** Two-stage IVF search: probe the `nprobe` nearest centroids, exact
     * distance within them, top-k. */
@@ -395,6 +405,42 @@ object ApproxAnn {
     *
     * Approximate by design: neighbors whose buckets differ in more than
     * `radius` sign bits are missed; distances of returned rows are exact. */
+  /** Occupancy-constant plane count for [[knnJoinLsh]] at corpus size `n`:
+    * floor(log2(n / targetOccupancy)), clamped to [4, 24].
+    *
+    * WHY THIS EXISTS (the 100× scaling law): at FIXED nbits the expected
+    * bucket occupancy is n/2^nbits, so the bucket join emits
+    * ≈ n · masks · (n/2^nbits) candidate pairs — QUADRATIC in n. The sf1
+    * sweep's 9.6× at 10× was fixed overhead hiding that term; at 100× it
+    * dominates (measured: see PERF.md round 9). Growing nbits by ~3.3 bits
+    * per decade pins occupancy at `targetOccupancy`, making candidate
+    * volume O(n · masks(nbits)) = O(n · log²n) — the standard LSH tuning.
+    * The trade: at fixed `radius` a longer code covers a smaller fraction
+    * of Hamming space, so recall for UNCORRELATED vectors drops as n
+    * grows; callers holding a recall target raise `radius` (or k·probe
+    * multiplicity) alongside. The operator is approximate by contract
+    * (missed neighbors beyond the radius); distances of returned rows stay
+    * exact either way. */
+  def autoNbits(n: Long, targetOccupancy: Int = 8): Int = {
+    val buckets = math.max(1L, n / math.max(1, targetOccupancy))
+    math.max(4, math.min(24, 63 - java.lang.Long.numberOfLeadingZeros(buckets)))
+  }
+
+  /** [[knnJoinLsh]] with the plane count auto-tuned from the corpus size
+    * (one count job) — the serving form for corpora whose size the caller
+    * does not know statically. Result is EXACTLY knnJoinLsh at the chosen
+    * nbits (parameter selection, not a different algorithm). */
+  def knnJoinLshAuto(
+      df: DataFrame, vecCol: String, idCol: String, space: Space, k: Int,
+      radius: Int = 2, targetOccupancy: Int = 8,
+      queryFilter: Column = lit(true),
+      carry: Seq[String] = Nil,
+      pairFilter: Column = lit(true)): DataFrame = {
+    val n = df.filter(col(vecCol).isNotNull).count()
+    knnJoinLsh(df, vecCol, idCol, space, k, autoNbits(n, targetOccupancy),
+      radius, queryFilter, carry, pairFilter)
+  }
+
   def knnJoinLsh(
       df: DataFrame, vecCol: String, idCol: String, space: Space, k: Int,
       nbits: Int = 8, radius: Int = 2,

@@ -695,6 +695,23 @@ object Dedup {
       .select("id_a", "id_b", "cos_sim")
   }
 
+  /** [[embeddingNearDups]] with the plane count auto-tuned from the corpus
+    * size (one count job). WHY: at FIXED nbits the bucket join's candidate
+    * volume is n · masks · n/2^nbits — QUADRATIC in n (measured: 72× at a
+    * 10× decade for the fixed-8-bit semantic pair join, BENCH_sf10). The
+    * occupancy-constant tuning ([[ApproxAnn.autoNbits]], ~3.3 bits per
+    * decade) makes it O(n · log²n). Recall at fixed `radius` drops as the
+    * code lengthens — the standard LSH trade; raise `radius` to hold a
+    * recall target. Result is EXACTLY embeddingNearDups at the chosen
+    * nbits. */
+  def embeddingNearDupsAuto(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      radius: Int = 2, targetOccupancy: Int = 8): DataFrame = {
+    val n = df.filter(col(vecCol).isNotNull).count()
+    embeddingNearDups(df, idCol, vecCol, threshold,
+      ApproxAnn.autoNbits(n, targetOccupancy), radius)
+  }
+
   /** Probe NEW embeddings against a maintained LSH vector store — the
     * cross-modal twin of [[nearDupProbe]] (see
     * [[graft.streaming.StreamingDedup.embeddingNearDupBatch]]). Candidates
@@ -769,11 +786,10 @@ object Dedup {
   def semanticDedup(
       df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Int, Seq[Float])], eps: Double): DataFrame = {
-    import graft.functions.VectorFunctions.{dot, l2sq, norm}
-    val cands = centroids.map { case (cid, cvec) =>
-      struct(l2sq(col(vecCol), typedlit(cvec)).as("d"), lit(cid).as("cid"))
-    }
-    val best = least(cands: _*)
+    import graft.functions.VectorFunctions.{dot, norm}
+    // O(1)-plan-node assignment — identical values/tiebreak to the old
+    // per-centroid least(struct…), but safe at k ≈ √n centroid counts
+    val best = ApproxAnn.centroidBest(vecCol, centroids)
     val base = df.filter(col(vecCol).isNotNull)
       .select(col(idCol), col(vecCol),
         best.getField("cid").as("_cell"), best.getField("d").as("_dc"),
@@ -790,6 +806,23 @@ object Dedup {
       .select(col("_ib").as(idCol)).distinct()
     base.join(removed, Seq(idCol), "left_anti")
       .select(col(idCol), col("_cell").as("cell"))
+  }
+
+  /** [[semanticDedup]] with centroids trained at k ≈ √n (SemDeDup's own
+    * prescription, and this scaladoc's stated 100 TB contract) — a FIXED
+    * centroid count makes the in-cell pairwise pass quadratic in n
+    * (measured: 72× at a 10× decade with 16 cells, BENCH_sf10; see PERF.md
+    * round 9 for the √n-cell ratio). Float k-means is not
+    * oracle-replayable, so this is the
+    * serving/bench form; the pinned-centroid [[semanticDedup]] stays the
+    * oracle-verified one. */
+  def semanticDedupAuto(
+      df: DataFrame, idCol: String, vecCol: String, eps: Double,
+      k: Option[Int] = None, seed: Long = 42L): DataFrame = {
+    val n = df.filter(col(vecCol).isNotNull).count()
+    val kk = k.getOrElse(math.max(4, math.sqrt(n.toDouble).toInt))
+    semanticDedup(df, idCol, vecCol,
+      ApproxAnn.trainIvfCentroids(df, vecCol, kk, seed), eps)
   }
 
   /** Exact all-pairs cosine near-dup — O(n²) BroadcastNestedLoopJoin. The

@@ -151,6 +151,31 @@ class ApproxAnnSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("autoNbits pins bucket occupancy per decade; auto join == fixed-nbits join") {
+    // ~3.3 bits per data decade: occupancy n/2^nbits stays within [target,
+    // 2·target) — the invariant that keeps the bucket join's candidate
+    // volume O(n·log²n) instead of quadratic (PERF.md round 9)
+    for (n <- Seq(2000L, 20000L, 200000L, 2000000L, 2000000000L)) {
+      val b = ApproxAnn.autoNbits(n)
+      if (b < 24) { // below the clamp the invariant is exact
+        val occupancy = n.toDouble / (1L << b)
+        assert(occupancy >= 8.0 && occupancy < 16.0, s"n=$n nbits=$b occ=$occupancy")
+      }
+    }
+    assert(ApproxAnn.autoNbits(10) == 4)             // floor clamp
+    assert(ApproxAnn.autoNbits(Long.MaxValue) == 24) // ceiling clamp
+    // the auto variant IS the fixed variant at the chosen plane count
+    val emb = (0L until 24L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 1.7 + d).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val auto = ApproxAnn.knnJoinLshAuto(emb, "embedding", "vec_id", Euclidean, 3)
+      .select("query_id", "vec_id", "distance").as[(Long, Long, Double)].collect().toSet
+    val fixed = ApproxAnn.knnJoinLsh(emb, "embedding", "vec_id", Euclidean, 3,
+        nbits = ApproxAnn.autoNbits(24L))
+      .select("query_id", "vec_id", "distance").as[(Long, Long, Double)].collect().toSet
+    assert(auto == fixed)
+  }
+
   test("pq encode: one code per subspace, dense 0..k-1, deterministic") {
     val cb = ApproxAnn.selectPqCodebooks(emb, "embedding", "vec_id", m = 8, k = 16)
     assert(cb.length == 8 && cb.forall(_.length == 16))

@@ -134,6 +134,28 @@ class DedupSpec extends SparkSpec {
     assert(!got.contains(99L), "null vectors never survive into the output")
   }
 
+  test("auto-scaled variants equal the fixed-parameter forms at the chosen params") {
+    val emb = (0L until 24L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 1.7 + d).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    // embeddingNearDupsAuto is parameter SELECTION, not a new algorithm
+    val nb = graft.operators.ApproxAnn.autoNbits(24L)
+    val auto = Dedup.embeddingNearDupsAuto(emb, "vec_id", "embedding", 0.7)
+      .as[(Long, Long, Double)].collect().toSet
+    val fixed = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.7, nbits = nb)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(auto == fixed)
+    // semanticDedupAuto = semanticDedup over the k-means centroids it trains
+    val trained = graft.operators.ApproxAnn.trainIvfCentroids(
+      emb, "embedding", k = 4, seed = 7L)
+    val sAuto = Dedup.semanticDedupAuto(emb, "vec_id", "embedding", 0.7,
+      k = Some(4), seed = 7L).as[(Long, Int)].collect().toMap
+    val sFixed = Dedup.semanticDedup(emb, "vec_id", "embedding", trained, 0.7)
+      .as[(Long, Int)].collect().toMap
+    assert(sAuto == sFixed)
+    assert(sAuto.nonEmpty)
+  }
+
   test("embedding near-dups on empty / all-null-vector input is empty, not a crash") {
     val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
     assert(Dedup.embeddingNearDups(empty, "vec_id", "embedding", 0.9).count() == 0)

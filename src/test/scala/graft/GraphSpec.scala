@@ -164,6 +164,40 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("Reliable policy recovers from block eviction (executor-loss proxy)") {
+    import graft.operators.CheckpointPolicy
+    // local[4] cannot lose an executor, but it CAN lose the blocks one
+    // holds: materialize a Reliable run (persisted mid-round aggregates +
+    // durable snapshots), evict every cached block, and re-run the action.
+    // The recompute path (cache → lineage → last durable snapshot) must
+    // reproduce the identical answer — the property a localCheckpoint
+    // anywhere in the chain would destroy (its blocks have no recompute
+    // path; a lost executor kills the job).
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_evict").toFile
+    val hadDir = spark.sparkContext.getCheckpointDir
+    try {
+      val pol = CheckpointPolicy.Reliable(everyN = 2,
+        checkpointDir = Some(s"file:${dir.getAbsolutePath}"))
+      val baseline = Graph.hits(edges, "src", "dst", iterations = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val rel = Graph.hits(edges, "src", "dst", iterations = 3, policy = pol)
+      val first = rel.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(first == baseline)
+      // the eviction: every DataFrame block the policy persisted is gone
+      // (Reliable.midRound persists through the CacheManager; clearCache
+      // drops exactly those InMemoryRelations)
+      spark.sharedState.cacheManager.clearCache()
+      val recovered = rel.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(recovered == baseline,
+        "Reliable run must recompute evicted blocks from durable snapshots")
+    } finally {
+      hadDir.foreach(spark.sparkContext.setCheckpointDir)
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+  }
+
   test("syntheticLinks: outdegree is 1 + id mod 3, targets within [0, n)") {
     val docs = (0L until 30L).toDF("doc_id")
     val e = Graph.syntheticLinks(docs, "doc_id")

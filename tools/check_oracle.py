@@ -1,12 +1,30 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate: run Verify's parquet dumps
 against the DuckDB oracle SQL and compare (sort columns by name, sort rows,
-compare values). Usage: check_oracle.py <sfDir> <verifyOutDir>"""
-import sys, json, glob, os
+compare values).
+
+Usage: check_oracle.py <sfDir> <verifyOutDir> [--json ARTIFACT] [--timeout SEC]
+
+--json writes a per-query artifact in the driver's CORRECTNESS shape
+(rows_match/schema_match/hash_match/spark_rows/oracle_rows/err) — the
+recorded form of a scale run (e.g. CORRECTNESS_sf1.json).
+--timeout interrupts any single oracle query after SEC seconds (records an
+err instead of hanging the gate on a pathological plan)."""
+import sys, json, glob, os, threading
 import duckdb
 import pandas as pd
 
-sf_dir, out_dir = sys.argv[1], sys.argv[2]
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+sf_dir, out_dir = args[0], args[1]
+json_out = None
+timeout_sec = None
+argv = sys.argv[1:]
+for i, a in enumerate(argv):
+    if a == "--json":
+        json_out = argv[i + 1]
+    if a == "--timeout":
+        timeout_sec = float(argv[i + 1])
+
 con = duckdb.connect()
 for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
     name = os.path.basename(p)[:-len(".parquet")]
@@ -15,19 +33,38 @@ for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
     src = f"{p}/*.parquet" if os.path.isdir(p) else p
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
 
+
+def run_oracle(sql):
+    """Run one oracle query, interrupting it past --timeout."""
+    if timeout_sec is None:
+        return con.execute(sql).df()
+    timer = threading.Timer(timeout_sec, con.interrupt)
+    timer.start()
+    try:
+        return con.execute(sql).df()
+    finally:
+        timer.cancel()
+
+
 oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+artifact = {}
 fails = 0
 for name, sql in sorted(oracle.items()):
+    rec = {"rows_match": False, "schema_match": False, "hash_match": False,
+           "spark_rows": None, "oracle_rows": None, "err": None}
+    artifact[name] = rec
     spark_path = os.path.join(out_dir, name)
     if not os.path.isdir(spark_path):
         print(f"FAIL {name}: no spark output dir")
+        rec["err"] = "no spark output dir"
         fails += 1
         continue
     try:
         got = pd.concat([pd.read_parquet(f) for f in sorted(glob.glob(spark_path + "/*.parquet"))])
-        want = con.execute(sql).df()
+        want = run_oracle(sql)
     except Exception as e:
         print(f"FAIL {name}: {type(e).__name__}: {e}")
+        rec["err"] = f"{type(e).__name__}: {e}"[:500]
         fails += 1
         continue
 
@@ -37,14 +74,18 @@ for name, sql in sorted(oracle.items()):
         return df
 
     g, w = canon(got), canon(want)
+    rec["spark_rows"], rec["oracle_rows"] = len(g), len(w)
     if list(g.columns) != list(w.columns):
         print(f"FAIL {name}: columns {list(g.columns)} vs oracle {list(w.columns)}")
+        rec["err"] = f"columns {list(g.columns)} vs {list(w.columns)}"[:500]
         fails += 1
         continue
+    rec["schema_match"] = True
     if len(g) != len(w):
         print(f"FAIL {name}: rows {len(g)} vs oracle {len(w)}")
         fails += 1
         continue
+    rec["rows_match"] = True
     # exact value compare after string canonicalization (how a hash would see it)
     gs, ws = g.astype(str), w.astype(str)
     if not gs.equals(ws):
@@ -54,6 +95,11 @@ for name, sql in sorted(oracle.items()):
                          w[diff].head(3).add_suffix("_duck")], axis=1).to_string())
         fails += 1
     else:
+        rec["hash_match"] = True
         print(f"OK   {name} ({len(g)} rows)")
+if json_out:
+    with open(json_out, "w") as f:
+        json.dump(artifact, f, indent=2, sort_keys=True)
+    print(f"artifact -> {json_out}")
 print(f"{'ALL OK' if fails == 0 else f'{fails} FAILURES'} / {len(oracle)} queries")
 sys.exit(1 if fails else 0)
