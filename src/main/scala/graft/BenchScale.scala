@@ -27,27 +27,12 @@ object BenchScale {
     "semantic_dedup", "semantic_dedup_auto", "dedup_embedding_lsh",
     "dedup_embedding_lsh_auto", "bpe_merges", "decontamination_bloom")
 
-  /** Bench-only variants with data-dependent parameters (no static oracle
-    * SQL possible — their equality to the oracle-pinned fixed-parameter
-    * form is spec-pinned instead, ApproxAnnSpec). `knn_join_lsh_auto` is
-    * the occupancy-constant tuning of `knn_join_lsh`: the fixed-nbits form
-    * is quadratic in corpus size by construction and exists to SHOW that
-    * in the ratio table; the auto form is the scale path. */
-  val ExtraQueries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
-    "knn_join_lsh_auto" -> ((s: SparkSession, dir: String) =>
-      graft.operators.ApproxAnn.knnJoinLshAuto(
-        Tables.load(s, dir, "embeddings"), "embedding", "vec_id",
-        graft.functions.VectorFunctions.Euclidean, k = 3)),
-    "dedup_embedding_lsh_auto" -> ((s: SparkSession, dir: String) =>
-      graft.operators.Dedup.embeddingNearDupsAuto(
-        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.4)),
-    "semantic_dedup_auto" -> ((s: SparkSession, dir: String) =>
-      graft.operators.Dedup.semanticDedupAuto(
-        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", eps = 0.4)))
-
+  // The `_auto` occupancy-constant variants are first-class SparkEntry
+  // queries since round 9 (rows-only driver checks — data-dependent
+  // parameters admit no static oracle SQL), so the sweep reads the one
+  // query map every other gate reads.
   private def allQueries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
-    SparkEntry.queries ++ ExtraQueries
+    SparkEntry.queries
 
   def main(args: Array[String]): Unit = {
     val baseDir = args(0)
