@@ -83,6 +83,24 @@ object SparkEntry {
     // string edit-distance evaluations — intractable at any budget
     "fuzzy_join_exact")
 
+  /** The sf10 (100×) spot-correctness subset (`Verify <dir> <out> @sf10`):
+    * one query per high-traffic family whose ORACLE replay stays linear at
+    * 60M lineitems / 500k docs, so the gate completes in one sitting while
+    * still exercising scan+agg, joins, dedup (exact + bit-sig), sketches,
+    * text, sessionization and iterative graph at the third measured decade.
+    * Families whose oracle replay is super-linear in DuckDB (LSH bucket
+    * cross joins, BPE merge chains) keep their 10× verification from the
+    * @sf1 gate — the sf10 BENCH sweep still times their Spark side. */
+  val sf10SpotQueries: Set[String] = Set(
+    "q1_agg", "q_date_agg", "q5_region_revenue", "dedup_exact",
+    "dedup_simhash", "heavy_hitters", "hll_distinct", "partition_sizes",
+    "url_host_filter", "text_stats", "event_funnel", "pagerank",
+    // second probe wave — all measured inside the gate budget at sf10:
+    "ann_euclidean", "ann_cosine", "lww_state", "asof_join",
+    "event_sessions", "text_quality", "stratified_sample",
+    "quantile_histogram", "writetime_projection", "q_join_agg", "q_topk",
+    "bm25_single", "token_entropy", "decontamination")
+
   // ---- ANN helpers ---------------------------------------------------------
 
   /** Single-query exact ANN on the embeddings table; query vector = row

@@ -13,6 +13,8 @@ object Verify {
     // passes no third arg and always gets the full set.
     val only = args.lift(2).map {
       case "@sf1" => SparkEntry.queries.keySet -- SparkEntry.sf1OracleExclusions
+      // the sf10 (100×) spot gate: linear-oracle family representatives
+      case "@sf10" => SparkEntry.sf10SpotQueries
       case csv => csv.split(",").toSet
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
