@@ -18,10 +18,15 @@ import org.apache.spark.sql.functions._
   * searchable (a BM25 hit for a term unique to that batch) and its extra
   * wall time is reported separately.
   *
-  * Usage: StreamLag [sfDir] [nBatches] [outFile] [nBuckets=64]
+  * Usage: StreamLag [sfDir] [nBatches] [outFile] [nBuckets=64] [mode=bucket]
   * nBuckets trades bucket-pruned read granularity against per-commit
   * directory-rewrite overhead: when every batch touches every bucket (batch
   * cardinality >> buckets), fewer buckets = fewer per-commit renames.
+  * mode=segment commits via [[IndexMaintenance.appendFtsSegment]] instead —
+  * O(batch) per commit regardless of accumulated corpus (the bucket
+  * rewrite is O(store) once batches spray all buckets, measured as lag
+  * that grows with the corpus); the probe then reads through
+  * [[IndexMaintenance.readFtsSegmentIndex]]'s reconciled view.
   * Prints ONE JSON line: per-batch lag seconds, p50/p95/max, probe cost.
   */
 object StreamLag {
@@ -54,9 +59,14 @@ object StreamLag {
     val eng = new graft.operators.Engine
     val mem = MemoryStream[DocEv](spark)
     val nBuckets = args.lift(3).map(_.toInt).getOrElse(64)
-    val merge = IndexMaintenance.mergeFtsBatch(
-      spark, p("postings"), p("doclens"), "doc_id", "text", opCol = None,
-      nBuckets = nBuckets)
+    val mode = args.lift(4).getOrElse("bucket")
+    val merge = mode match {
+      case "segment" => IndexMaintenance.appendFtsSegment(
+        spark, p("postings"), p("doclens"), "doc_id", "text", opCol = None)
+      case _ => IndexMaintenance.mergeFtsBatch(
+        spark, p("postings"), p("doclens"), "doc_id", "text", opCol = None,
+        nBuckets = nBuckets)
+    }
     val q = mem.toDF().writeStream
       .foreachBatch(StreamingIngest.withCdcMetrics(
         eng, "ks", "fts", "realtime", tsCol = "ts")(merge))
@@ -83,8 +93,11 @@ object StreamLag {
         q.processAllAvailable() // commit = indexed
         lags(b) = (System.currentTimeMillis() - t0) / 1000.0
         val tp = System.currentTimeMillis()
-        val pos = IndexMaintenance.readFtsIndex(
-          spark, p("postings"), p("doclens"), "doc_id")
+        val pos =
+          if (mode == "segment") IndexMaintenance.readFtsSegmentIndex(
+            spark, p("postings"), p("doclens"), "doc_id")
+          else IndexMaintenance.readFtsIndex(
+            spark, p("postings"), p("doclens"), "doc_id")
         val hit = graft.operators.Bm25.scoreAll(
             graft.operators.Bm25.Index(
               pos.postings.select("doc_id", "term", "tf"), pos.docLens, "doc_id"),
@@ -100,7 +113,8 @@ object StreamLag {
     val sorted = lags.sorted
     def pct(q: Double) = sorted(math.min(sorted.length - 1, (q * sorted.length).toInt))
     val json =
-      s"""{"metric":"fts_write_to_searchable","unit":"sec","batches":$nBatches,""" +
+      s"""{"metric":"fts_write_to_searchable","unit":"sec","mode":"$mode",""" +
+        s""""batches":$nBatches,""" +
         s""""docs_per_batch":$perBatch,"p50":${fmt(pct(0.5))},""" +
         s""""p95":${fmt(pct(0.95))},"max":${fmt(sorted.last)},""" +
         s""""per_batch":[${lags.map(fmt).mkString(",")}],""" +

@@ -118,6 +118,16 @@ object IndexStorage {
     false
   }
 
+  /** Immediate child directory names of a store path (empty when absent) —
+    * Hadoop-FS so segment listings work on HDFS/S3 like every other store
+    * operation here. */
+  def listDirs(spark: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+  }
+
   /** Hadoop-FS recursive delete (no-op when absent) — same rationale as
     * [[exists]]: bucket-directory cleanup must work on HDFS/S3, not only on
     * the local filesystem. */

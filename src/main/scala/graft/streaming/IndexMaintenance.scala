@@ -69,6 +69,195 @@ object IndexMaintenance {
       spark.read.parquet(docLensPath).drop(BucketCol),
       idCol)
 
+  // ---- segment-append FTS maintenance (the tantivy/LSM commit shape) ----
+
+  val SegCol = "_seg"
+
+  /** foreachBatch writer with SEGMENT-APPEND commit semantics — the shape
+    * the reference's tantivy writer actually has (fts_index/tantivy.rs
+    * commit loop: each commit seals a new immutable segment; searches visit
+    * all live segments; merges amortize in the background — the surface our
+    * `fts_segment_count` metric family mirrors).
+    *
+    * [[mergeFtsBatch]]'s bucket rewrite is O(touched buckets); when a
+    * batch's keys spray every bucket (any realistic CDC batch), that is
+    * O(accumulated store) per commit — measured as a per-batch lag that
+    * GROWS as the corpus accumulates (PERF.md round 9). This writer is the
+    * scale cure: each batch appends one new `_seg=<id>` directory of
+    * postings + doc lengths — strictly O(batch) work, never touching
+    * earlier segments — and deletes/upserts are reconciled AT READ by a
+    * per-doc latest-segment rule ([[readFtsSegmentIndex]]): a delete (or
+    * null text) writes a tombstone doc-length row (dl = −1) claiming the
+    * doc in this segment with no postings. Write cost is therefore
+    * independent of corpus size; the read-side union grows with segment
+    * count until [[compactFtsSegments]] folds history into one segment.
+    *
+    * Segment ids must be MONOTONIC over the index's lifetime. Within one
+    * streaming query the foreachBatch batchId is; a caller resuming the
+    * same store under a NEW query (batchId restarts at 0) must pass the
+    * previous lifetime's ceiling as `segOffset`, or older claims would win.
+    *
+    * Events are assumed LWW-compacted per doc id, as [[mergeFtsBatch]]. */
+  def appendFtsSegment(
+      spark: SparkSession,
+      postingsPath: String,
+      docLensPath: String,
+      idCol: String,
+      textCol: String,
+      opCol: Option[String],
+      segOffset: Long = 0L): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      val isDelete = dedupIsDelete(textCol, opCol)
+      val fresh = Bm25.buildPositionalIndex(batch.filter(!isDelete), idCol, textCol)
+      // every event claims its doc in this segment: upserts via their real
+      // length, deletes via a −1 tombstone (no postings row exists for it)
+      val lens = fresh.docLens.unionByName(
+        batch.filter(isDelete).select(col(idCol), lit(-1).as("dl")))
+      val seg = segOffset + batchId
+      appendSeg(postingsPath, fresh.postings, seg)
+      appendSeg(docLensPath, lens, seg)
+  }
+
+  /** Append one immutable segment directory — the only write a
+    * segment-mode commit performs. */
+  private def appendSeg(path: String, df: DataFrame, seg: Long): Unit =
+    df.withColumn(SegCol, lit(seg))
+      .write.mode("append").partitionBy(SegCol).parquet(path)
+
+  /** Per-id winning claims: the row with the highest segment id. `claims`
+    * must hold exactly one row per id per touching segment. */
+  private def winners(claims: DataFrame, idCol: String): DataFrame = {
+    val dl = claims.withColumn(SegCol, col(SegCol).cast("long"))
+    dl.join(dl.groupBy(col(idCol)).agg(max(col(SegCol)).as(SegCol)),
+      Seq(idCol, SegCol))
+  }
+
+  /** Values rows of the winning (id, seg) claims — an upsert's older
+    * rows lose the semi join; tombstoned ids have no live claim at all. */
+  private def liveValues(
+      valuesPath: String, live: DataFrame, idCol: String,
+      spark: SparkSession): DataFrame =
+    spark.read.parquet(valuesPath)
+      .withColumn(SegCol, col(SegCol).cast("long"))
+      .join(live.select(col(idCol), col(SegCol)), Seq(idCol, SegCol), "left_semi")
+      .drop(SegCol)
+
+  /** Fold a (values, claims) segment pair into the single CURRENT HIGHEST
+    * segment (ids stay monotonic without consuming a new one) and delete
+    * every older segment directory. */
+  private def compactPair(
+      spark: SparkSession, valuesPath: String, claimsPath: String,
+      values: DataFrame, claims: DataFrame): Unit = {
+    val ceiling = spark.read.parquet(claimsPath)
+      .agg(max(col(SegCol).cast("long"))).head.getLong(0)
+    def rewrite(path: String, df: DataFrame): Unit = {
+      // localCheckpoint cuts lineage from the files about to be replaced
+      val out = df.withColumn(SegCol, lit(ceiling)).localCheckpoint(true)
+      out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(SegCol).parquet(path)
+      graft.sources.IndexStorage.listDirs(spark, path)
+        .filter(n => n.startsWith(s"$SegCol=") && n != s"$SegCol=$ceiling")
+        .foreach(n => graft.sources.IndexStorage.deleteRecursive(spark, s"$path/$n"))
+    }
+    rewrite(valuesPath, values)
+    rewrite(claimsPath, claims)
+  }
+
+  /** Reconciled live view over the segment store: a doc's winning claim is
+    * its doc-length row with the HIGHEST segment id; tombstone winners
+    * (dl < 0) drop the doc, and only the winning segment's postings
+    * survive (an upsert's older postings lose the (doc, seg) semi join).
+    * The plan is one narrow groupBy over the doc-length rows (one row per
+    * doc per touching batch) plus one equi semi join — no per-segment
+    * driver work, segments prune nothing (exactly tantivy: searches visit
+    * every live segment until a merge). */
+  def readFtsSegmentIndex(
+      spark: SparkSession, postingsPath: String, docLensPath: String,
+      idCol: String): Bm25.PosIndex = {
+    val live = winners(spark.read.parquet(docLensPath), idCol)
+      .filter(col("dl") >= 0)
+    Bm25.PosIndex(liveValues(postingsPath, live, idCol, spark),
+      live.drop(SegCol), idCol)
+  }
+
+  /** Live segment-directory count (the `fts_segment_count` number a
+    * segment-maintained index reports): one filesystem listing. */
+  def ftsSegmentCount(spark: SparkSession, docLensPath: String): Int =
+    graft.sources.IndexStorage.listDirs(spark, docLensPath)
+      .count(_.startsWith(s"$SegCol="))
+
+  /** Fold all segments into one: materialize the reconciled live view, then
+    * rewrite it as the CURRENT HIGHEST segment (reusing the ceiling keeps
+    * ids monotonic without consuming a new one) and delete every older
+    * segment directory. Deleted docs vanish entirely — nothing older
+    * remains for a stale claim to resurrect. Amortized cost is a full
+    * rewrite, exactly a tantivy merge; run it on a cadence (or a
+    * segment-count threshold) from the maintenance scheduler.
+    *
+    * Same commit-visibility contract as [[overwriteBuckets]]: run against a
+    * quiesced store (between micro-batches). */
+  def compactFtsSegments(
+      spark: SparkSession, postingsPath: String, docLensPath: String,
+      idCol: String): Unit = {
+    val idx = readFtsSegmentIndex(spark, postingsPath, docLensPath, idCol)
+    compactPair(spark, postingsPath, docLensPath, idx.postings, idx.docLens)
+  }
+
+  /** Segment-append twin of [[mergeDedupBatch]] — the same tantivy/LSM
+    * commit shape for the MinHash dedup stores: each batch appends one
+    * `_seg=<id>` directory of fresh shingles (values) and signatures
+    * (claims — exactly one row per touched doc; a delete claims the doc
+    * with NULL signature columns and no shingle rows). O(batch) per
+    * commit; [[readDedupSegmentIndex]] reconciles latest-claim-wins at
+    * read; [[compactDedupSegments]] folds history. Same monotonic-segment
+    * contract as [[appendFtsSegment]]. */
+  def appendDedupSegment(
+      spark: SparkSession,
+      shinglePath: String,
+      sigPath: String,
+      idCol: String,
+      textCol: String,
+      opCol: Option[String],
+      shingleN: Int = 5,
+      numHashes: Int = 16,
+      segOffset: Long = 0L): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      import graft.operators.Dedup
+      val isDelete = dedupIsDelete(textCol, opCol)
+      val freshShingles = Dedup.shingles(
+          batch.filter(!isDelete), idCol, textCol, shingleN)
+        .localCheckpoint(true) // one tokenize pass feeds both stores
+      val freshSigs =
+        Dedup.minhashSignaturesFromShingles(freshShingles, idCol, numHashes)
+      val tombstones = batch.filter(isDelete).select(
+        col(idCol) +: (0 until numHashes)
+          .map(i => lit(null).cast("long").as(s"sig_$i")): _*)
+      val seg = segOffset + batchId
+      appendSeg(shinglePath, freshShingles, seg)
+      appendSeg(sigPath, freshSigs.unionByName(tombstones), seg)
+  }
+
+  /** Reconciled (shingles, signatures) live view over the dedup segment
+    * stores — the [[graft.operators.Dedup.minhashNearDupsFromStores]]
+    * input shape, like [[readDedupIndex]] for the bucket layout. */
+  def readDedupSegmentIndex(
+      spark: SparkSession, shinglePath: String, sigPath: String,
+      idCol: String): (DataFrame, DataFrame) = {
+    val live = winners(spark.read.parquet(sigPath), idCol)
+      .filter(col("sig_0").isNotNull)
+    (liveValues(shinglePath, live, idCol, spark), live.drop(SegCol))
+  }
+
+  /** Fold the dedup segment stores into one segment (see
+    * [[compactFtsSegments]]). */
+  def compactDedupSegments(
+      spark: SparkSession, shinglePath: String, sigPath: String,
+      idCol: String): Unit = {
+    val (sh, sigs) = readDedupSegmentIndex(spark, shinglePath, sigPath, idCol)
+    compactPair(spark, shinglePath, sigPath, sh, sigs)
+  }
+
   /** foreachBatch writer for a materialized LSH vector index
     * ([[graft.operators.ApproxAnn.materializeLshIndex]] layout: rows
     * partitioned by the semantic `_bucket` directory). The reference's

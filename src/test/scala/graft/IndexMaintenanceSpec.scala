@@ -75,6 +75,82 @@ class IndexMaintenanceSpec extends SparkSpec {
     } finally FileUtils.deleteDirectory(dir)
   }
 
+  test("segment-append FTS maintenance: O(batch) commits, reconciled reads, compaction") {
+    import org.apache.commons.io.FileUtils
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fts_seg").toFile
+    val pPath = new java.io.File(dir, "postings").getAbsolutePath
+    val lPath = new java.io.File(dir, "doclens").getAbsolutePath
+    val append = IndexMaintenance.appendFtsSegment(
+      spark, pPath, lPath, "doc_id", "text", opCol = Some("op"))
+    def read() = IndexMaintenance.readFtsSegmentIndex(spark, pPath, lPath, "doc_id")
+    def crcs(path: String): Map[String, Long] =
+      FileUtils.listFiles(new java.io.File(path), Array("parquet"), true)
+        .asScala.map(f => f.getAbsolutePath -> FileUtils.checksumCRC32(f)).toMap
+    def postRows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("term"), col("tf").cast("long"),
+        col("positions").cast("array<int>"))
+      .collect().map(_.toSeq).toSet
+    def lenRows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("dl").cast("long")).collect().map(_.toSeq).toSet
+
+    try {
+      append(Seq(
+        (1L, "the quick brown fox", "UPSERT"),
+        (2L, "a slow turtle walks", "UPSERT"),
+        (3L, "spark merges windows", "UPSERT")).toDF("doc_id", "text", "op"), 0L)
+      assert(hits(read(), "turtle") == Set(2L))
+      val seg0 = crcs(pPath)
+
+      // batch 1: update doc 2, delete doc 3. The earlier segment's files
+      // must be BYTE-IDENTICAL afterwards — the commit appended a new
+      // segment and touched nothing else (the O(batch) property the bucket
+      // rewrite loses once batches spray every bucket).
+      append(Seq(
+        (2L, "a fast turtle runs", "UPSERT"),
+        (3L, null.asInstanceOf[String], "DELETE")).toDF("doc_id", "text", "op"), 1L)
+      val idx1 = read()
+      assert(hits(idx1, "fast") == Set(2L))
+      assert(hits(idx1, "slow").isEmpty, "superseded postings must lose the claim")
+      assert(hits(idx1, "spark").isEmpty, "tombstoned doc must leave the live view")
+      assert(hits(idx1, "fox") == Set(1L))
+      val after = crcs(pPath)
+      assert(seg0.forall { case (f, c) => after.get(f).contains(c) },
+        "append-only commit rewrote an earlier segment")
+      assert(IndexMaintenance.ftsSegmentCount(spark, lPath) == 2)
+
+      // batch 2: re-add doc 3 — a newer claim beats its tombstone
+      append(Seq((3L, "windows return anew", "UPSERT"))
+        .toDF("doc_id", "text", "op"), 2L)
+      val idx2 = read()
+      assert(hits(idx2, "anew") == Set(3L))
+      assert(hits(idx2, "merges").isEmpty, "old postings of a re-added doc must stay dead")
+
+      // reconciled view == from-scratch rebuild of the live corpus
+      val live = Seq(
+        (1L, "the quick brown fox"),
+        (2L, "a fast turtle runs"),
+        (3L, "windows return anew"))
+      val rebuilt = Bm25.buildPositionalIndex(
+        live.toDF("doc_id", "text"), "doc_id", "text")
+      assert(postRows(idx2.postings) == postRows(rebuilt.postings))
+      assert(lenRows(idx2.docLens) == lenRows(rebuilt.docLens))
+
+      // compaction folds history into one segment; the view is unchanged
+      IndexMaintenance.compactFtsSegments(spark, pPath, lPath, "doc_id")
+      assert(IndexMaintenance.ftsSegmentCount(spark, lPath) == 1)
+      val idx3 = read()
+      assert(postRows(idx3.postings) == postRows(rebuilt.postings))
+      assert(lenRows(idx3.docLens) == lenRows(rebuilt.docLens))
+
+      // and the store keeps accepting appends after a compaction
+      append(Seq((4L, "post compaction doc", "UPSERT"))
+        .toDF("doc_id", "text", "op"), 3L)
+      assert(hits(read(), "compaction") == Set(4L))
+      assert(hits(read(), "anew") == Set(3L))
+    } finally FileUtils.deleteDirectory(dir)
+  }
+
   test("incremental LSH vector index: bucket moves, deletes, == full rebuild") {
     import graft.operators.ApproxAnn
     import org.apache.commons.io.FileUtils
@@ -301,6 +377,71 @@ class IndexMaintenanceSpec extends SparkSpec {
           bands = 4, threshold = 0.9, maxShingleDf = None)
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
       assert(nd == Set((1L, 2L)))
+    } finally FileUtils.deleteDirectory(dir)
+  }
+
+  test("segment-append dedup stores: O(batch) commits, == full rebuild, compaction, served query") {
+    import graft.operators.Dedup
+    import org.apache.commons.io.FileUtils
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_seg").toFile
+    val shPath = new java.io.File(dir, "shingles").getAbsolutePath
+    val sgPath = new java.io.File(dir, "sigs").getAbsolutePath
+    val append = IndexMaintenance.appendDedupSegment(
+      spark, shPath, sgPath, "doc_id", "text", opCol = Some("op"))
+    def crcs(path: String): Map[String, Long] =
+      FileUtils.listFiles(new java.io.File(path), Array("parquet"), true)
+        .asScala.map(f => f.getAbsolutePath -> FileUtils.checksumCRC32(f)).toMap
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    try {
+      append(Seq(
+        (1L, "the quick brown fox jumps over the lazy dog near the river bank", "UPSERT"),
+        (2L, "completely different content about spark query engines and scale", "UPSERT"),
+        (3L, "the quick brown fox jumps over the lazy dog near the river bend", "UPSERT"))
+        .toDF("doc_id", "text", "op"), 0L)
+      val seg0 = crcs(shPath)
+
+      // update doc 2 to a near-dup of 1, delete doc 3 — earlier segment
+      // byte-untouched (the O(batch) property)
+      append(Seq(
+        (2L, "the quick brown fox jumps over the lazy dog near the river bank", "UPSERT"),
+        (3L, null.asInstanceOf[String], "DELETE")).toDF("doc_id", "text", "op"), 1L)
+      val after = crcs(shPath)
+      assert(seg0.forall { case (f, c) => after.get(f).contains(c) },
+        "append-only commit rewrote an earlier segment")
+      assert(IndexMaintenance.ftsSegmentCount(spark, sgPath) == 2)
+
+      val (sh, sigs) = IndexMaintenance.readDedupSegmentIndex(
+        spark, shPath, sgPath, "doc_id")
+      val live = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2L, "the quick brown fox jumps over the lazy dog near the river bank"))
+        .toDF("doc_id", "text")
+      val shRebuilt = Dedup.shingles(live, "doc_id", "text", 5)
+      assert(rows(sh) == rows(shRebuilt),
+        "reconciled shingle view must equal a from-scratch rebuild of the live docs")
+      val sigsRebuilt = Dedup.minhashSignaturesFromShingles(shRebuilt, "doc_id", 16)
+      assert(rows(sigs) == rows(sigsRebuilt),
+        "reconciled signature view must equal a from-scratch rebuild")
+
+      // store-served near-dup query through the segment view
+      val nd = Dedup.minhashNearDupsFromStores(sh, sigs, "doc_id",
+          bands = 4, threshold = 0.9, maxShingleDf = None)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(nd == Set((1L, 2L)))
+
+      // compaction folds to one segment, view unchanged, store still appendable
+      IndexMaintenance.compactDedupSegments(spark, shPath, sgPath, "doc_id")
+      assert(IndexMaintenance.ftsSegmentCount(spark, sgPath) == 1)
+      val (sh2, sigs2) = IndexMaintenance.readDedupSegmentIndex(
+        spark, shPath, sgPath, "doc_id")
+      assert(rows(sh2) == rows(shRebuilt) && rows(sigs2) == rows(sigsRebuilt))
+      append(Seq((3L, "the quick brown fox jumps over the lazy dog near the river bend", "UPSERT"))
+        .toDF("doc_id", "text", "op"), 2L)
+      val (sh3, _) = IndexMaintenance.readDedupSegmentIndex(
+        spark, shPath, sgPath, "doc_id")
+      assert(sh3.filter(col("doc_id") === 3L).count() > 0,
+        "re-added doc must be live after a post-compaction append")
     } finally FileUtils.deleteDirectory(dir)
   }
 }
