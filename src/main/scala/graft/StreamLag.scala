@@ -92,6 +92,9 @@ object StreamLag {
           DocEv(id, tx, new java.sql.Timestamp(t0)) }.toSeq :+ marker)
         q.processAllAvailable() // commit = indexed
         lags(b) = (System.currentTimeMillis() - t0) / 1000.0
+        if (mode == "segment") // live fts_segment_count (rises until a merge)
+          eng.setSegmentCount("ks", "fts",
+            IndexMaintenance.ftsSegmentCount(spark, p("doclens")))
         val tp = System.currentTimeMillis()
         val pos =
           if (mode == "segment") IndexMaintenance.readFtsSegmentIndex(

@@ -183,6 +183,14 @@ final class Engine {
   def segmentCount(keyspace: String, index: String): Option[Int] =
     segmentCounts.get(IndexKey(keyspace, index))
 
+  /** Live-update the segment count of a SEGMENT-MAINTAINED index: the
+    * maintenance loop calls this after each append (count+1) and after a
+    * compaction (reset to 1), so /metrics mirrors the reference's
+    * fts_segment_count trajectory — rising between merges, collapsing on
+    * one — instead of the registration-time snapshot. */
+  def setSegmentCount(keyspace: String, index: String, n: Int): Unit =
+    segmentCounts = segmentCounts.updated(IndexKey(keyspace, index), n)
+
   @volatile private var servingBackends: Map[IndexKey, Engine.AnnBackend] = Map.empty
 
   /** Attach a pluggable serving backend to a vector index — the analogue

@@ -271,6 +271,14 @@ class RoutesSpec extends SparkSpec {
     assert(of("cdc_handler_errors_total").head._3 == "1")
     assert(of("cdc_last_processed_timestamp_seconds").head._3.toDouble == 1723600000.5)
     assert(of("fts_segment_count").head._3.toInt >= 1)
+    // a segment-maintained index updates the gauge live (append → rises,
+    // compaction → collapses), mirroring the reference's trajectory
+    eng.setSegmentCount("ks", "fidx", 5)
+    assert(Routes.handle(eng, "GET", "/metrics").body
+      .contains("""fts_segment_count{keyspace="ks",index_name="fidx"} 5"""))
+    eng.setSegmentCount("ks", "fidx", 1)
+    assert(Routes.handle(eng, "GET", "/metrics").body
+      .contains("""fts_segment_count{keyspace="ks",index_name="fidx"} 1"""))
     // every sample carries the (keyspace, index_name) base label pair
     samples.foreach { case (n, ls, _) =>
       assert(ls.contains("keyspace") && ls.contains("index_name"), n)

@@ -74,4 +74,50 @@ class StreamLagSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(dir)
     }
   }
+
+  test("segment-append canary: commit lag stays FLAT as the corpus accumulates") {
+    // The property the segment shape buys (STREAMLAG_sf1.json: bucket p50
+    // 3.0 s growing vs segment 0.94 s flat): per-commit work is O(batch),
+    // independent of the accumulated store. Pin the SHAPE, not a wall-clock
+    // bound — the late-half median must not exceed the early-half median by
+    // more than 2×, where an O(store) rewrite grows linearly (the bucket
+    // path's late/early ratio exceeds this on the same data).
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val perBatch = 500
+    val nBatches = 8
+    val dir = java.nio.file.Files.createTempDirectory("graft_lag_seg_spec").toFile
+    def p(n: String) = new java.io.File(dir, n).getAbsolutePath
+    val mem = MemoryStream[StreamLag.DocEv](spark)
+    val q = mem.toDF().writeStream
+      .foreachBatch(IndexMaintenance.appendFtsSegment(
+        spark, p("postings"), p("doclens"), "doc_id", "text", opCol = None))
+      .option("checkpointLocation", p("ckpt"))
+      .start()
+    val lags = Array.ofDim[Double](nBatches)
+    try {
+      for (b <- 0 until nBatches) {
+        val t0 = System.currentTimeMillis()
+        mem.addData(docs.slice(b * perBatch, (b + 1) * perBatch).map {
+          case (id, tx) => StreamLag.DocEv(id, tx, new java.sql.Timestamp(t0))
+        }.toSeq)
+        q.processAllAvailable()
+        lags(b) = (System.currentTimeMillis() - t0) / 1000.0
+      }
+      info(f"per-batch lags: ${lags.map(l => f"$l%.2f").mkString(", ")}")
+      def median(xs: Array[Double]) = { val s = xs.sorted; s(s.length / 2) }
+      val early = median(lags.slice(1, nBatches / 2)) // drop the warm-up batch
+      val late = median(lags.slice(nBatches / 2, nBatches))
+      assert(late <= early * 2.0 + 0.25,
+        f"segment commit lag grew with the corpus: early $early%.2f s -> late $late%.2f s")
+      assert(IndexMaintenance.ftsSegmentCount(spark, p("doclens")) == nBatches)
+      // the reconciled view serves the whole replayed corpus
+      val pos = IndexMaintenance.readFtsSegmentIndex(
+        spark, p("postings"), p("doclens"), "doc_id")
+      assert(pos.docLens.count() == (nBatches * perBatch).toLong)
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+  }
 }
