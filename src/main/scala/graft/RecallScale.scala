@@ -98,15 +98,20 @@ object RecallScale {
           .filter(col("rank") <= k))
 
       val autoBits = ApproxAnn.autoNbits(n)
-      def approxAt(nbits: Int, radius: Int): Double = meanRecall(exact,
-        topkSets(ApproxAnn.knnJoinLsh(emb, "embedding", "vec_id", Euclidean,
-          k = k, nbits = nbits, radius = radius, queryFilter = qFilter)))
+      def approxAt(nbits: Int, radius: Int, tables: Int = 1): Double =
+        meanRecall(exact,
+          topkSets(ApproxAnn.knnJoinLsh(emb, "embedding", "vec_id", Euclidean,
+            k = k, nbits = nbits, radius = radius, queryFilter = qFilter,
+            tables = tables)))
 
       val variants = Seq(
         "fixed8_r2" -> approxAt(8, 2),
         s"auto${autoBits}_r2" -> approxAt(autoBits, 2),
         s"auto${autoBits}_r3" -> approxAt(autoBits, 3),
-        s"auto${autoBits}_r4" -> approxAt(autoBits, 4))
+        s"auto${autoBits}_r4" -> approxAt(autoBits, 4),
+        // the OR-amplification dial: L independent tables at the base
+        // radius — candidate cost ≈ tables×, floor ≈ 1-(1-p)^L
+        s"auto${autoBits}_r2_t4" -> approxAt(autoBits, 2, tables = 4))
 
       // ---- planted near-duplicate recall (the gap-bearing task) --------
       // Perturb P sampled vectors by seeded Gaussian noise at amplitude

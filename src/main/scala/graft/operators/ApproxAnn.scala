@@ -41,6 +41,18 @@ object ApproxAnn {
   def hyperplanes(nbits: Int, dims: Int): Array[Array[Double]] =
     Array.tabulate(nbits, dims)((j, i) => planeWeight(j, i))
 
+  /** Independent hyperplane set for OR-amplification table `t` — table 0
+    * reproduces [[hyperplanes]] exactly, so single-table callers (and the
+    * deterministic oracle replays built on them) are unchanged. */
+  def hyperplanesFor(t: Int, nbits: Int, dims: Int): Array[Array[Double]] =
+    if (t == 0) hyperplanes(nbits, dims)
+    else Array.tabulate(nbits, dims) { (j, i) =>
+      val h = java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils
+          .md5Hex(s"graft:t$t:$j:$i").substring(0, 15), 16)
+      (h.toDouble / Dedup.MinhashPrime.toDouble % 1.0) * 2.0 - 1.0
+    }
+
   /** Signature bucket (0 .. 2^nbits-1) of a vector column. */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (w, j) =>
@@ -435,10 +447,11 @@ object ApproxAnn {
       radius: Int = 2, targetOccupancy: Int = 8,
       queryFilter: Column = lit(true),
       carry: Seq[String] = Nil,
-      pairFilter: Column = lit(true)): DataFrame = {
+      pairFilter: Column = lit(true),
+      tables: Int = 1): DataFrame = {
     val n = df.filter(col(vecCol).isNotNull).count()
     knnJoinLsh(df, vecCol, idCol, space, k, autoNbits(n, targetOccupancy),
-      radius, queryFilter, carry, pairFilter)
+      radius, queryFilter, carry, pairFilter, tables)
   }
 
   def knnJoinLsh(
@@ -446,8 +459,10 @@ object ApproxAnn {
       nbits: Int = 8, radius: Int = 2,
       queryFilter: Column = lit(true),
       carry: Seq[String] = Nil,
-      pairFilter: Column = lit(true)): DataFrame = {
+      pairFilter: Column = lit(true),
+      tables: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(tables >= 1 && tables <= 64, "tables must be in [1, 64]")
     val outCols = Seq("query_id", "vec_id", "distance", "rank") ++
       carry.flatMap(c => Seq(s"query_$c", s"cand_$c"))
     val dimsOpt = df.filter(col(vecCol).isNotNull)
@@ -458,26 +473,44 @@ object ApproxAnn {
         carry.flatMap(c => Seq(col(c).as(s"query_$c"), col(c).as(s"cand_$c")))): _*)
       return empty.limit(0)
     }
-    val planes = hyperplanes(nbits, dims)
-    val base = df.filter(col(vecCol).isNotNull)
-      .select((Seq(col(idCol), col(vecCol),
-        lshBucket(col(vecCol), planes).as("_b")) ++ carry.map(col)): _*)
     val masks = hammingMasks(nbits, radius)
+    // OR-amplification (tables > 1): each table hashes with an independent
+    // hyperplane set and both sides carry a table-tagged bucket key, so one
+    // equi-join probes all tables at once and a pair is a candidate if ANY
+    // table collides — the classic recall dial for weak-gap data
+    // (RECALL_scale.json measures the floor it lifts), at tables× store
+    // and probe cost. The tag lives above the bucket bits (nbits ≤ 24).
+    val planesAll = (0 until tables).map(t => hyperplanesFor(t, nbits, dims))
+    def buckets(vec: Column): Seq[Column] = planesAll.zipWithIndex.map {
+      case (p, t) => lit(t.toLong << 48) + lshBucket(vec, p)
+    }
+    val bExpr = // tables == 1 keeps the untagged single-bucket plan verbatim
+      if (tables == 1) lshBucket(col(vecCol), planesAll.head)
+      else explode(array(buckets(col(vecCol)): _*))
+    val base = df.filter(col(vecCol).isNotNull)
+      .select((Seq(col(idCol), col(vecCol), bExpr.as("_b")) ++ carry.map(col)): _*)
     // queryFilter restricts WHICH rows get neighbors (e.g. an evaluation
     // sample); the candidate side stays the full corpus. pairFilter prunes
     // candidate pairs BEFORE ranking (e.g. hard negatives: labels differ)
     // and may reference the carried query_*/cand_* columns.
+    val probes = // per assigned bucket: its whole Hamming ball, tag preserved
+      explode(array(masks.map(m => col("_b").bitwiseXOR(lit(m))): _*)).as("_b")
     val q = base.filter(queryFilter)
-      .select((Seq(col(idCol).as("query_id"), col(vecCol).as("_qv"),
-        explode(array(masks.map(m => col("_b").bitwiseXOR(lit(m))): _*)).as("_b")) ++
+      .select((Seq(col(idCol).as("query_id"), col(vecCol).as("_qv"), probes) ++
         carry.map(c => col(c).as(s"query_$c"))): _*)
     val cand = base.select((Seq(col(idCol).as("vec_id"), col(vecCol).as("_cv"),
       col("_b")) ++ carry.map(c => col(c).as(s"cand_$c"))): _*)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("distance").asc, col("vec_id").asc)
-    q.join(cand, "_b")
+    val pairs = q.join(cand, "_b")
       .filter(col("query_id") =!= col("vec_id"))
       .filter(pairFilter)
+      .drop("_b")
+    // a pair colliding in several tables must rank once — dedupe the
+    // identical rows (single-table plans produce no duplicates; skip)
+    val distinctPairs =
+      if (tables == 1) pairs else pairs.dropDuplicates("query_id", "vec_id")
+    distinctPairs
       .withColumn("distance", VectorFunctions.distance(space, col("_cv"), col("_qv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

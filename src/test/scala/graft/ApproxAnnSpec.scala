@@ -151,6 +151,45 @@ class ApproxAnnSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("knnJoinLsh OR-amplification: tables=1 unchanged, candidates monotone, no dup pairs") {
+    val emb = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 1.7 + d).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    def run(tables: Int) = ApproxAnn.knnJoinLsh(
+        emb, "embedding", "vec_id", Euclidean, 3, nbits = 6, radius = 0,
+        tables = tables)
+      .select("query_id", "vec_id", "distance", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    // table 0's planes are THE planes: tables=1 result is the legacy result
+    assert(run(1).toSet == ApproxAnn.knnJoinLsh(
+        emb, "embedding", "vec_id", Euclidean, 3, nbits = 6, radius = 0)
+      .select("query_id", "vec_id", "distance", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet)
+    val t1 = run(1); val t4 = run(4)
+    // a pair never ranks twice even when several tables collide
+    assert(t4.map(r => (r._1, r._2)).distinct.length == t4.length)
+    assert(t4.groupBy(_._1).values.forall(_.length <= 3))
+    // OR-amplification only ADDS candidates: per query, the rank-r distance
+    // under 4 tables is ≤ the rank-r distance under 1 (monotone recall)
+    val d1 = t1.groupBy(_._1).view.mapValues(_.sortBy(_._4).map(_._3)).toMap
+    val d4 = t4.groupBy(_._1).view.mapValues(_.sortBy(_._4).map(_._3)).toMap
+    d1.foreach { case (q, ds) =>
+      val ds4 = d4.getOrElse(q, fail(s"query $q lost its neighbors"))
+      assert(ds4.length >= ds.length)
+      ds.zip(ds4).foreach { case (a, b) => assert(b <= a + 1e-12, s"query $q") }
+    }
+    // more tables reach more of the corpus on this fixture
+    assert(t4.length >= t1.length)
+    // distances remain exact under the multi-table plan
+    val exact = Ann.searchBatch(
+        emb.select(col("vec_id").as("query_id"), col("embedding").as("query_vec")),
+        emb, "embedding", Seq("vec_id"), Euclidean, 60)
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("distance"))
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    t4.foreach { case (q, v, d, _) => assert(exact((q, v)) == d) }
+  }
+
   test("autoNbits pins bucket occupancy per decade; auto join == fixed-nbits join") {
     // ~3.3 bits per data decade: occupancy n/2^nbits stays within [target,
     // 2·target) — the invariant that keeps the bucket join's candidate

@@ -190,4 +190,74 @@ class ContinuousIngestSpec extends SparkSpec {
       FileUtils.deleteDirectory(dir)
     }
   }
+
+  test("segment-mode CDC loop: FTS + dedup segment stores serve per commit, compaction mid-stream") {
+    import org.apache.commons.io.FileUtils
+    val dir = java.nio.file.Files.createTempDirectory("graft_e2e_seg").toFile
+    def p(n: String) = new java.io.File(dir, n).getAbsolutePath
+    val appendFts = IndexMaintenance.appendFtsSegment(
+      spark, p("postings"), p("doclens"), "doc_id", "text", opCol = Some("op"))
+    val appendDedup = IndexMaintenance.appendDedupSegment(
+      spark, p("shingles"), p("sigs"), "doc_id", "text", opCol = Some("op"))
+    val mem = MemoryStream[DocEvent](spark)
+    val q = mem.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        appendFts(batch, id)
+        appendDedup(batch, id)
+      }
+      .start()
+    def ftsHits(term: String): Set[Long] = {
+      val pos = IndexMaintenance.readFtsSegmentIndex(
+        spark, p("postings"), p("doclens"), "doc_id")
+      Bm25.scoreAll(Bm25.Index(
+          pos.postings.select("doc_id", "term", "tf"), pos.docLens, "doc_id"), term)
+        .select("doc_id").as[Long].collect().toSet
+    }
+    def nearDups(): Set[(Long, Long)] = {
+      val (sh, sigs) = IndexMaintenance.readDedupSegmentIndex(
+        spark, p("shingles"), p("sigs"), "doc_id")
+      Dedup.minhashNearDupsFromStores(sh, sigs, "doc_id",
+          bands = 4, threshold = 0.5, maxShingleDf = None)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    }
+    val fox1 = "the quick brown fox jumps over the lazy dog near the river bank"
+    val turtle = "a slow green turtle walks across the quiet meadow path today"
+    val sparkDoc = "spark streaming merge engines process continuous change data feeds"
+    try {
+      mem.addData(Seq(
+        DocEvent(1L, fox1, Seq(1f, 0f, 0f, 0f), "UPSERT", 100, 0),
+        DocEvent(2L, turtle, Seq(0f, 1f, 0f, 0f), "UPSERT", 100, 1),
+        DocEvent(3L, sparkDoc, Seq(0f, 0f, 1f, 0f), "UPSERT", 100, 2)))
+      q.processAllAvailable()
+      assert(ftsHits("turtle") == Set(2L))
+      assert(nearDups().isEmpty)
+
+      // update doc 2 to a dup of doc 1, delete doc 3 — one appended segment
+      mem.addData(Seq(
+        DocEvent(2L, fox1, Seq(0f, 0f, 0f, 1f), "UPSERT", 200, 3),
+        DocEvent(3L, null, null, "DELETE", 200, 4)))
+      q.processAllAvailable()
+      assert(ftsHits("turtle").isEmpty && ftsHits("spark").isEmpty)
+      assert(ftsHits("fox") == Set(1L, 2L))
+      assert(nearDups() == Set((1L, 2L)))
+      assert(IndexMaintenance.ftsSegmentCount(spark, p("doclens")) == 2)
+
+      // compaction between micro-batches (the quiesced-store contract):
+      // serving is unchanged, history folds to one segment
+      IndexMaintenance.compactFtsSegments(spark, p("postings"), p("doclens"), "doc_id")
+      IndexMaintenance.compactDedupSegments(spark, p("shingles"), p("sigs"), "doc_id")
+      assert(IndexMaintenance.ftsSegmentCount(spark, p("doclens")) == 1)
+      assert(ftsHits("fox") == Set(1L, 2L) && nearDups() == Set((1L, 2L)))
+
+      // the stream keeps appending after the compaction (ids monotonic:
+      // batchId 2 > the compacted ceiling 1)
+      mem.addData(Seq(DocEvent(3L, sparkDoc, Seq(0f, 0f, 1f, 0f), "UPSERT", 300, 5)))
+      q.processAllAvailable()
+      assert(ftsHits("spark") == Set(3L), "re-added doc must serve post-compaction")
+      assert(nearDups() == Set((1L, 2L)))
+    } finally {
+      q.stop()
+      FileUtils.deleteDirectory(dir)
+    }
+  }
 }
