@@ -258,6 +258,158 @@ object IndexMaintenance {
     compactPair(spark, shinglePath, sigPath, sh, sigs)
   }
 
+  /** Segment-append twin of [[mergeVsBatch]] for the materialized LSH
+    * vector store — and a simplification: the (id, old-bucket) SIDECAR
+    * disappears. The bucket path needs it because a moved vector's old
+    * cell is not derivable from the id; with segments the old row simply
+    * LOSES the latest-claim reconcile, wherever it lives. Each batch
+    * appends rows (id, vector, `_bucket`) under `_seg=<id>/_bucket=<b>` —
+    * the nested layout keeps `_bucket` a partition column, so the serving
+    * probe's `IN (buckets)` filter still prunes directories inside every
+    * segment — with a (null vector, bucket −1) tombstone row per delete.
+    * O(batch) per commit; same monotonic-segment contract as
+    * [[appendFtsSegment]]. */
+  def appendVsSegment(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      vecCol: String,
+      opCol: Option[String],
+      dims: Int,
+      nbits: Int = 8,
+      segOffset: Long = 0L): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      import graft.operators.ApproxAnn
+      val isDelete = dedupIsDelete(vecCol, opCol)
+      val planes = ApproxAnn.hyperplanes(nbits, dims)
+      val fresh = batch.filter(!isDelete)
+        .select(col(idCol), col(vecCol),
+          ApproxAnn.lshBucket(col(vecCol), planes).as("_bucket"))
+      val tombstones = batch.filter(isDelete)
+        .select(col(idCol), lit(null).cast(fresh.schema(vecCol).dataType).as(vecCol),
+          lit(-1L).as("_bucket"))
+      fresh.unionByName(tombstones)
+        .withColumn(SegCol, lit(segOffset + batchId))
+        .write.mode("append").partitionBy(SegCol, "_bucket").parquet(indexPath)
+  }
+
+  /** Reconciled live view over the vector segment store — the
+    * [[graft.operators.ApproxAnn.searchLsh]] input shape (id, vector,
+    * `_bucket` long), like [[readVsIndex]] for the bucket layout. A
+    * consumer's bucket-probe filter pushes below the reconcile join to the
+    * row scan (partition pruning intact); the winner relation reads only
+    * the narrow (id, `_seg`) columns of every segment. A probed stale row
+    * (its id re-bucketed or tombstoned by a later segment) loses the
+    * (id, seg) join; tombstone rows themselves carry no vector. */
+  def readVsSegmentIndex(
+      spark: SparkSession, indexPath: String, idCol: String,
+      vecCol: String = "embedding"): DataFrame = {
+    val all = spark.read.parquet(indexPath)
+      .withColumn(SegCol, col(SegCol).cast("long"))
+      .withColumn("_bucket", col("_bucket").cast("long"))
+    val win = all.select(col(idCol), col(SegCol))
+      .groupBy(col(idCol)).agg(max(col(SegCol)).as(SegCol))
+    all.join(win, Seq(idCol, SegCol))
+      .filter(col(vecCol).isNotNull)
+      .drop(SegCol)
+  }
+
+  /** Fold the vector segment store into one segment (see
+    * [[compactFtsSegments]]); tombstoned ids vanish entirely. */
+  def compactVsSegments(
+      spark: SparkSession, indexPath: String, idCol: String,
+      vecCol: String = "embedding"): Unit = {
+    val ceiling = spark.read.parquet(indexPath)
+      .agg(max(col(SegCol).cast("long"))).head.getLong(0)
+    val live = readVsSegmentIndex(spark, indexPath, idCol, vecCol)
+      .withColumn(SegCol, lit(ceiling)).localCheckpoint(true)
+    live.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(SegCol, "_bucket").parquet(indexPath)
+    graft.sources.IndexStorage.listDirs(spark, indexPath)
+      .filter(n => n.startsWith(s"$SegCol=") && n != s"$SegCol=$ceiling")
+      .foreach(n => graft.sources.IndexStorage.deleteRecursive(spark, s"$indexPath/$n"))
+  }
+
+  /** Segment-append twin of [[StreamingIngest.mergeIntoSnapshot]] for the
+    * LWW row state — the log-structured shape of the same semantics: each
+    * batch appends its OWN LWW-compacted winners
+    * ([[graft.operators.Lww.compactState]]: one row per touched pk with
+    * payload + tombstone + winning writetime) as an immutable segment,
+    * O(batch) regardless of accumulated state. Cross-batch staleness (the
+    * late stale upsert the bucket merge rejects via the base read) is
+    * resolved AT READ by [[readSnapshotSegments]]: the winner across
+    * segments is picked by the SAME (writetime, first-arrival) order the
+    * in-batch compaction uses — LWW max is associative, so hierarchical
+    * per-batch-then-cross-segment compaction equals compaction over the
+    * raw event log. Tombstones stay until a compaction older than the CDC
+    * safety window drops their history (same retention note as
+    * [[graft.operators.Lww.applyChanges]]). */
+  def appendSnapshotSegment(
+      spark: SparkSession,
+      statePath: String,
+      pkCols: Seq[String],
+      tsCol: String,
+      opCol: Option[String],
+      targetCol: Option[String],
+      seqCol: Option[String],
+      segOffset: Long = 0L): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      appendSeg(statePath,
+        graft.operators.Lww.compactState(batch, pkCols, tsCol, opCol,
+          targetCol, seqCol),
+        segOffset + batchId)
+  }
+
+  /** Reconciled LWW state across snapshot segments (the
+    * [[StreamingIngest.mergeIntoSnapshot]] read shape: payload +
+    * tombstone + [[graft.operators.Lww.TsCol]] per pk). Winner order:
+    * higher writetime; equal writetimes go to the FIRST arrival —
+    * (segment, seq) ascending — matching the bucket path's base-wins /
+    * min-seq behavior, so the two layouts are row-identical on any event
+    * log. */
+  def readSnapshotSegments(
+      spark: SparkSession, statePath: String, pkCols: Seq[String],
+      seqCol: Option[String] = None): DataFrame = {
+    import graft.operators.Lww
+    val all = spark.read.parquet(statePath)
+      .withColumn(SegCol, col(SegCol).cast("long"))
+    val payloadCols = all.columns.toSeq.filterNot(_ == SegCol)
+    val ordKey = struct(
+      Seq(col(Lww.TsCol), (lit(-1L) * col(SegCol)).as("_negseg")) ++
+        seqCol.map(s => (lit(-1L) * col(s)).as("_negseq")): _*)
+    all.groupBy(pkCols.map(col): _*)
+      .agg(max_by(struct(payloadCols.map(col): _*), ordKey).as("_winner"))
+      .select(payloadCols.filterNot(pkCols.contains)
+        .map(c => col(s"_winner.$c").as(c)) ++ pkCols.map(col): _*)
+  }
+
+  /** Fold the snapshot segments into one (see [[compactFtsSegments]]);
+    * pass `dropTombstonesOlderThan` (a writetime bound at or beyond the
+    * CDC safety window) to also retire tombstone history the wide reader
+    * can no longer contradict. */
+  def compactSnapshotSegments(
+      spark: SparkSession, statePath: String, pkCols: Seq[String],
+      seqCol: Option[String] = None,
+      dropTombstonesOlderThan: Option[Long] = None): Unit = {
+    import graft.operators.Lww
+    val ceiling = spark.read.parquet(statePath)
+      .agg(max(col(SegCol).cast("long"))).head.getLong(0)
+    val state = readSnapshotSegments(spark, statePath, pkCols, seqCol)
+    val kept = dropTombstonesOlderThan match {
+      case Some(bound) =>
+        state.filter(!col(Lww.TombstoneCol) || col(Lww.TsCol) >= bound)
+      case None => state
+    }
+    val out = kept.withColumn(SegCol, lit(ceiling)).localCheckpoint(true)
+    out.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(SegCol).parquet(statePath)
+    graft.sources.IndexStorage.listDirs(spark, statePath)
+      .filter(n => n.startsWith(s"$SegCol=") && n != s"$SegCol=$ceiling")
+      .foreach(n => graft.sources.IndexStorage.deleteRecursive(spark, s"$statePath/$n"))
+  }
+
   /** foreachBatch writer for a materialized LSH vector index
     * ([[graft.operators.ApproxAnn.materializeLshIndex]] layout: rows
     * partitioned by the semantic `_bucket` directory). The reference's

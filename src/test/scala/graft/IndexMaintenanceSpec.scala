@@ -199,6 +199,129 @@ class IndexMaintenanceSpec extends SparkSpec {
     } finally FileUtils.deleteDirectory(dir)
   }
 
+  test("segment-append LSH vector store: no sidecar, bucket moves via reconcile, pruned probes, compaction") {
+    import graft.operators.ApproxAnn
+    import org.apache.commons.io.FileUtils
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_vs_seg").toFile
+    val iPath = new java.io.File(dir, "lsh").getAbsolutePath
+    val dims = 8
+    val append = IndexMaintenance.appendVsSegment(
+      spark, iPath, "vec_id", "embedding", opCol = Some("op"), dims = dims)
+    def vec(seed: Long, sign: Float = 1f): Seq[Float] =
+      Array.tabulate(dims)(d => sign * math.sin(seed * 1.7 + d).toFloat).toSeq
+    def rows(): Set[(Long, Seq[Float], Long)] =
+      IndexMaintenance.readVsSegmentIndex(spark, iPath, "vec_id")
+        .select(col("vec_id"), col("embedding"), col("_bucket"))
+        .as[(Long, Seq[Float], Long)].collect().toSet
+    def crcs(): Map[String, Long] =
+      FileUtils.listFiles(new java.io.File(iPath), Array("parquet"), true)
+        .asScala.map(f => f.getAbsolutePath -> FileUtils.checksumCRC32(f)).toMap
+    try {
+      append(Seq(
+        (1L, vec(1), "UPSERT"), (2L, vec(2), "UPSERT"), (3L, vec(3), "UPSERT"))
+        .toDF("vec_id", "embedding", "op"), 0L)
+      val seg0 = crcs()
+
+      // negating v2 flips every projection sign ⇒ bucket move WITHOUT a
+      // sidecar lookup: the old row just loses the reconcile; delete v3
+      append(Seq(
+        (2L, vec(2, -1f), "UPSERT"),
+        (3L, null.asInstanceOf[Seq[Float]], "DELETE"))
+        .toDF("vec_id", "embedding", "op"), 1L)
+      val after = crcs()
+      assert(seg0.forall { case (f, c) => after.get(f).contains(c) },
+        "append-only commit rewrote an earlier segment")
+
+      val live = Seq((1L, vec(1)), (2L, vec(2, -1f))).toDF("vec_id", "embedding")
+      val rebuilt = ApproxAnn.buildLshIndex(live, "embedding", nbits = 8, dims = dims)
+        .select(col("vec_id"), col("embedding"), col("_bucket"))
+        .as[(Long, Seq[Float], Long)].collect().toSet
+      assert(rows() == rebuilt,
+        "reconciled view must equal a from-scratch rebuild of the live rows")
+      assert(rows().groupBy(_._1).view.mapValues(_.size).toMap == Map(1L -> 1, 2L -> 1))
+
+      // the serving probe shape: filtering the reconciled view to v2's NEW
+      // bucket returns exactly its new row (stale copy reconciled away even
+      // though its directory was never touched)
+      val b2 = rebuilt.find(_._1 == 2L).get._3
+      val probed = IndexMaintenance.readVsSegmentIndex(spark, iPath, "vec_id")
+        .filter(col("_bucket") === b2)
+        .select(col("vec_id"), col("_bucket")).as[(Long, Long)].collect().toSet
+      assert(probed.contains((2L, b2)))
+      assert(!probed.exists(r => r._1 == 2L && r._2 != b2))
+
+      // compaction: one segment left, view unchanged, still appendable
+      IndexMaintenance.compactVsSegments(spark, iPath, "vec_id")
+      assert(IndexMaintenance.ftsSegmentCount(spark, iPath) == 1)
+      assert(rows() == rebuilt)
+      append(Seq((3L, vec(3), "UPSERT")).toDF("vec_id", "embedding", "op"), 2L)
+      assert(rows().map(_._1) == Set(1L, 2L, 3L))
+    } finally FileUtils.deleteDirectory(dir)
+  }
+
+  test("segment-append LWW snapshot: row-identical to the bucket merge, stale updates lose, compaction window") {
+    import graft.operators.Lww
+    import graft.streaming.StreamingIngest
+    import org.apache.commons.io.FileUtils
+    val dir = java.nio.file.Files.createTempDirectory("graft_lww_seg").toFile
+    val segPath = new java.io.File(dir, "seg").getAbsolutePath
+    val bktPath = new java.io.File(dir, "bkt").getAbsolutePath
+    val appendSeg = IndexMaintenance.appendSnapshotSegment(
+      spark, segPath, Seq("doc_id"), "ts", opCol = Some("op"),
+      targetCol = Some("text"), seqCol = Some("seq"))
+    val mergeBkt = StreamingIngest.mergeIntoSnapshot(
+      spark, bktPath, Seq("doc_id"), "ts", opCol = Some("op"),
+      targetCol = Some("text"), seqCol = Some("seq"))
+    def segState() = IndexMaintenance.readSnapshotSegments(
+      spark, segPath, Seq("doc_id"), seqCol = Some("seq"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("text"), col(Lww.TombstoneCol), col(Lww.TsCol))
+      .collect().map(_.toSeq).toSet
+    val batches = Seq(
+      // batch 0: three docs
+      Seq((1L, "alpha one", "UPSERT", 100L, 0L), (2L, "beta two", "UPSERT", 100L, 1L),
+        (3L, "gamma three", "UPSERT", 100L, 2L)),
+      // batch 1: update 2, delete 3, STALE update of 1 (older ts → loses),
+      // and an equal-ts pair for doc 4 (first arrival seq=5 wins)
+      Seq((2L, "beta updated", "UPSERT", 200L, 3L), (3L, null, "DELETE", 200L, 4L),
+        (1L, "alpha stale", "UPSERT", 50L, 6L),
+        (4L, "delta first", "UPSERT", 150L, 5L), (4L, "delta second", "UPSERT", 150L, 7L)),
+      // batch 2: CDC redelivery of batch 1's effective rows — idempotent
+      Seq((2L, "beta updated", "UPSERT", 200L, 8L), (3L, null, "DELETE", 200L, 9L)))
+    try {
+      batches.zipWithIndex.foreach { case (evs, i) =>
+        val df = evs.toDF("doc_id", "text", "op", "ts", "seq")
+        appendSeg(df, i.toLong)
+        mergeBkt(df, i.toLong)
+      }
+      val bucketState = spark.read.parquet(bktPath)
+      assert(canon(segState()) == canon(bucketState),
+        "segment and bucket snapshot layouts must be row-identical on the same log")
+      // the semantics themselves (spot): stale update lost, delete won,
+      // equal-ts first arrival won
+      val byId = segState().select(col("doc_id"), col("text"), col(Lww.TombstoneCol))
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2))).toMap
+      assert(byId(1L) == ("alpha one", false))
+      assert(byId(2L) == ("beta updated", false))
+      assert(byId(3L)._2 == true)
+      assert(byId(4L) == ("delta first", false))
+
+      // compaction with a retention bound beyond the safety window drops
+      // the tombstone history but keeps every live row
+      IndexMaintenance.compactSnapshotSegments(spark, segPath, Seq("doc_id"),
+        seqCol = Some("seq"), dropTombstonesOlderThan = Some(300L))
+      assert(IndexMaintenance.ftsSegmentCount(spark, segPath) == 1)
+      val compacted = segState()
+      assert(compacted.filter(col(Lww.TombstoneCol)).count() == 0L)
+      assert(compacted.filter(!col(Lww.TombstoneCol)).count() == 3L)
+      // still appendable: doc 3 re-added above the ceiling
+      appendSeg(Seq((3L, "gamma back", "UPSERT", 400L, 10L))
+        .toDF("doc_id", "text", "op", "ts", "seq"), 3L)
+      assert(segState().filter(!col(Lww.TombstoneCol)).count() == 4L)
+    } finally FileUtils.deleteDirectory(dir)
+  }
+
   test("incremental IVF index: centroid moves, deletes, == fresh assignment, query correct") {
     import graft.operators.{Ann, ApproxAnn}
     import org.apache.commons.io.FileUtils
