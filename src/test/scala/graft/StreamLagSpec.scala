@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
 /** The FTS freshness envelope, guarded: the reference targets <3 s
   * write-to-searchable (tantivy commit loop, fts_index/tantivy.rs:129-130;
   * BASELINE.md freshness envelope). The envelope itself is MEASURED at the
-  * serving configuration — graft.StreamLag at sf1 on local[32], 20×2500-doc
-  * batches, nBuckets=16: steady-state 2.3-2.7 s/batch, p50 2.57 s < 3 s
-  * (recorded in PERF.md round 9; rerun the main to re-certify).
+  * serving configuration — graft.StreamLag at sf1, 20×2500-doc batches
+  * (STREAMLAG_sf1.json: bucket mode p50 3.00 s best-of-2 and growing with
+  * the corpus; segment mode p50 0.94 s flat — the serving default at
+  * ingest rates where batches touch most buckets).
   *
   * This spec runs on the 4-thread suite session (~1.5× the serving box's
   * per-batch wall), so it pins the same path with a session-scaled bound:
