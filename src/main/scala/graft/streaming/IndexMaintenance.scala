@@ -293,43 +293,256 @@ object IndexMaintenance {
         .write.mode("append").partitionBy(SegCol, "_bucket").parquet(indexPath)
   }
 
-  /** Reconciled live view over the vector segment store — the
-    * [[graft.operators.ApproxAnn.searchLsh]] input shape (id, vector,
-    * `_bucket` long), like [[readVsIndex]] for the bucket layout. A
-    * consumer's bucket-probe filter pushes below the reconcile join to the
-    * row scan (partition pruning intact); the winner relation reads only
-    * the narrow (id, `_seg`) columns of every segment. A probed stale row
-    * (its id re-bucketed or tombstoned by a later segment) loses the
-    * (id, seg) join; tombstone rows themselves carry no vector. */
-  def readVsSegmentIndex(
-      spark: SparkSession, indexPath: String, idCol: String,
-      vecCol: String = "embedding"): DataFrame = {
-    val all = spark.read.parquet(indexPath)
+  /** Reconciled live view over a one-row-per-id CELL store (LSH `_bucket` /
+    * IVF `_centroid` layouts): latest (id, seg) claim wins, tombstones
+    * (null `liveCol`) drop the id, cell-probe filters push below the
+    * reconcile join to the row scan (partition pruning intact) while the
+    * winner relation reads only the narrow (id, `_seg`) columns. */
+  private def readCellSegments(
+      spark: SparkSession, path: String, idCol: String,
+      liveCol: String, cellCol: String): DataFrame = {
+    val all = spark.read.parquet(path)
       .withColumn(SegCol, col(SegCol).cast("long"))
-      .withColumn("_bucket", col("_bucket").cast("long"))
+      .withColumn(cellCol, col(cellCol).cast("long"))
     val win = all.select(col(idCol), col(SegCol))
       .groupBy(col(idCol)).agg(max(col(SegCol)).as(SegCol))
     all.join(win, Seq(idCol, SegCol))
-      .filter(col(vecCol).isNotNull)
+      .filter(col(liveCol).isNotNull)
       .drop(SegCol)
   }
+
+  /** Fold a cell store's segments into one (tombstoned ids vanish). */
+  private def compactCellSegments(
+      spark: SparkSession, path: String, idCol: String,
+      liveCol: String, cellCol: String): Unit = {
+    val ceiling = spark.read.parquet(path)
+      .agg(max(col(SegCol).cast("long"))).head.getLong(0)
+    val live = readCellSegments(spark, path, idCol, liveCol, cellCol)
+      .withColumn(SegCol, lit(ceiling)).localCheckpoint(true)
+    live.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(SegCol, cellCol).parquet(path)
+    graft.sources.IndexStorage.listDirs(spark, path)
+      .filter(n => n.startsWith(s"$SegCol=") && n != s"$SegCol=$ceiling")
+      .foreach(n => graft.sources.IndexStorage.deleteRecursive(spark, s"$path/$n"))
+  }
+
+  /** Reconciled live view over the vector segment store — the
+    * [[graft.operators.ApproxAnn.searchLsh]] input shape (id, vector,
+    * `_bucket` long), like [[readVsIndex]] for the bucket layout. A
+    * probed stale row (its id re-bucketed or tombstoned by a later
+    * segment) loses the (id, seg) join; tombstone rows carry no vector. */
+  def readVsSegmentIndex(
+      spark: SparkSession, indexPath: String, idCol: String,
+      vecCol: String = "embedding"): DataFrame =
+    readCellSegments(spark, indexPath, idCol, vecCol, "_bucket")
 
   /** Fold the vector segment store into one segment (see
     * [[compactFtsSegments]]); tombstoned ids vanish entirely. */
   def compactVsSegments(
       spark: SparkSession, indexPath: String, idCol: String,
-      vecCol: String = "embedding"): Unit = {
-    val ceiling = spark.read.parquet(indexPath)
-      .agg(max(col(SegCol).cast("long"))).head.getLong(0)
-    val live = readVsSegmentIndex(spark, indexPath, idCol, vecCol)
-      .withColumn(SegCol, lit(ceiling)).localCheckpoint(true)
-    live.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(SegCol, "_bucket").parquet(indexPath)
-    graft.sources.IndexStorage.listDirs(spark, indexPath)
-      .filter(n => n.startsWith(s"$SegCol=") && n != s"$SegCol=$ceiling")
-      .foreach(n => graft.sources.IndexStorage.deleteRecursive(spark, s"$indexPath/$n"))
+      vecCol: String = "embedding"): Unit =
+    compactCellSegments(spark, indexPath, idCol, vecCol, "_bucket")
+
+  /** Segment-append twin of [[mergeIvfBatch]] — same shape as
+    * [[appendVsSegment]] with the FIXED centroid set as the cell function
+    * (retraining centroids remains an index rebuild, as the bucket path
+    * documents); tombstones claim cell −1 with a null vector. */
+  def appendIvfSegment(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      vecCol: String,
+      opCol: Option[String],
+      centroids: Seq[(Int, Seq[Float])],
+      segOffset: Long = 0L): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      import graft.operators.ApproxAnn
+      val isDelete = dedupIsDelete(vecCol, opCol)
+      val fresh = ApproxAnn.assignToCentroids(
+          batch.filter(!isDelete).select(col(idCol), col(vecCol)),
+          vecCol, centroids)
+        .select(col(idCol), col(vecCol), col("_centroid").cast("long").as("_centroid"))
+      val tombstones = batch.filter(isDelete)
+        .select(col(idCol), lit(null).cast(fresh.schema(vecCol).dataType).as(vecCol),
+          lit(-1L).as("_centroid"))
+      fresh.unionByName(tombstones)
+        .withColumn(SegCol, lit(segOffset + batchId))
+        .write.mode("append").partitionBy(SegCol, "_centroid").parquet(indexPath)
   }
+
+  /** Reconciled IVF live view (the [[graft.operators.ApproxAnn.searchIvf]]
+    * input shape: id, vector, `_centroid` int — like [[readIvfIndex]]). */
+  def readIvfSegmentIndex(
+      spark: SparkSession, indexPath: String, idCol: String,
+      vecCol: String = "embedding"): DataFrame =
+    readCellSegments(spark, indexPath, idCol, vecCol, "_centroid")
+      .withColumn("_centroid", col("_centroid").cast("int"))
+
+  def compactIvfSegments(
+      spark: SparkSession, indexPath: String, idCol: String,
+      vecCol: String = "embedding"): Unit =
+    compactCellSegments(spark, indexPath, idCol, vecCol, "_centroid")
+
+  /** Segment-append twin of [[mergeIvfPqBatch]] (IVFADC codes): assign +
+    * PQ-encode per upsert, rows (id, `_pq`, `_centroid`) append under
+    * `_seg/_centroid`; tombstones claim cell −1 with a null code. */
+  def appendIvfPqSegment(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      vecCol: String,
+      opCol: Option[String],
+      centroids: Seq[(Int, Seq[Float])],
+      codebooks: graft.operators.ApproxAnn.PqCodebooks,
+      segOffset: Long = 0L): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      import graft.operators.ApproxAnn
+      val isDelete = dedupIsDelete(vecCol, opCol)
+      val fresh = ApproxAnn.pqEncode(
+          ApproxAnn.assignToCentroids(
+            batch.filter(!isDelete).select(col(idCol), col(vecCol)),
+            vecCol, centroids),
+          vecCol, codebooks)
+        .select(col(idCol), col("_pq"), col("_centroid").cast("long").as("_centroid"))
+      val tombstones = batch.filter(isDelete)
+        .select(col(idCol), lit(null).cast(fresh.schema("_pq").dataType).as("_pq"),
+          lit(-1L).as("_centroid"))
+      fresh.unionByName(tombstones)
+        .withColumn(SegCol, lit(segOffset + batchId))
+        .write.mode("append").partitionBy(SegCol, "_centroid").parquet(indexPath)
+  }
+
+  /** Reconciled IVFADC live view (the
+    * [[graft.operators.ApproxAnn.searchIvfPq]] `codes` shape, like
+    * [[readIvfPqIndex]]). */
+  def readIvfPqSegmentIndex(
+      spark: SparkSession, indexPath: String, idCol: String): DataFrame =
+    readCellSegments(spark, indexPath, idCol, "_pq", "_centroid")
+      .withColumn("_centroid", col("_centroid").cast("int"))
+
+  def compactIvfPqSegments(
+      spark: SparkSession, indexPath: String, idCol: String): Unit =
+    compactCellSegments(spark, indexPath, idCol, "_pq", "_centroid")
+
+  /** Segment-append twin of [[mergePqBatch]] (flat PQ code store): one
+    * (id, `_pq`) row per id per touching segment, null-code tombstones;
+    * the row IS its claim, so no cell column and no separate claims
+    * store. */
+  def appendPqSegment(
+      spark: SparkSession,
+      codesPath: String,
+      idCol: String,
+      vecCol: String,
+      opCol: Option[String],
+      codebooks: graft.operators.ApproxAnn.PqCodebooks,
+      segOffset: Long = 0L): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      import graft.operators.ApproxAnn
+      val isDelete = dedupIsDelete(vecCol, opCol)
+      val fresh = ApproxAnn.pqEncode(
+          batch.filter(!isDelete).select(col(idCol), col(vecCol)),
+          vecCol, codebooks)
+        .select(col(idCol), col("_pq"))
+      val tombstones = batch.filter(isDelete)
+        .select(col(idCol), lit(null).cast(fresh.schema("_pq").dataType).as("_pq"))
+      appendSeg(codesPath, fresh.unionByName(tombstones), segOffset + batchId)
+  }
+
+  /** Reconciled flat PQ code view: (id, `_pq`), latest claim wins. */
+  def readPqSegmentCodes(
+      spark: SparkSession, codesPath: String, idCol: String): DataFrame = {
+    val live = winners(spark.read.parquet(codesPath), idCol)
+      .filter(col("_pq").isNotNull)
+    live.select(col(idCol), col("_pq"))
+  }
+
+  def compactPqSegments(
+      spark: SparkSession, codesPath: String, idCol: String): Unit = {
+    val ceiling = spark.read.parquet(codesPath)
+      .agg(max(col(SegCol).cast("long"))).head.getLong(0)
+    val out = readPqSegmentCodes(spark, codesPath, idCol)
+      .withColumn(SegCol, lit(ceiling)).localCheckpoint(true)
+    out.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(SegCol).parquet(codesPath)
+    graft.sources.IndexStorage.listDirs(spark, codesPath)
+      .filter(n => n.startsWith(s"$SegCol=") && n != s"$SegCol=$ceiling")
+      .foreach(n => graft.sources.IndexStorage.deleteRecursive(spark, s"$codesPath/$n"))
+  }
+
+  /** Segment-append twin of [[mergeSpanBatch]] / [[mergeLineBatch]]: the
+    * derived rows (span windows / line relation) are the values and a
+    * one-row-per-id `_live` flag frame is the claims — the FTS pattern
+    * with a boolean claim instead of a doc length. */
+  private def appendDerivedSegment(
+      valuesPath: String, claimsPath: String, idCol: String,
+      batch: DataFrame, isDelete: org.apache.spark.sql.Column,
+      derive: DataFrame => DataFrame, seg: Long): Unit = {
+    appendSeg(valuesPath, derive(batch.filter(!isDelete)), seg)
+    appendSeg(claimsPath, batch.select(col(idCol), (!isDelete).as("_live")), seg)
+  }
+
+  private def readDerivedSegments(
+      spark: SparkSession, valuesPath: String, claimsPath: String,
+      idCol: String): DataFrame = {
+    val live = winners(spark.read.parquet(claimsPath), idCol)
+      .filter(col("_live"))
+    liveValues(valuesPath, live, idCol, spark)
+  }
+
+  private def compactDerivedSegments(
+      spark: SparkSession, valuesPath: String, claimsPath: String,
+      idCol: String): Unit = {
+    val values = readDerivedSegments(spark, valuesPath, claimsPath, idCol)
+    val claims = winners(spark.read.parquet(claimsPath), idCol)
+      .filter(col("_live")).drop(SegCol)
+    compactPair(spark, valuesPath, claimsPath, values, claims)
+  }
+
+  def appendSpanSegment(
+      spark: SparkSession, spanPath: String, claimsPath: String,
+      idCol: String, textCol: String, opCol: Option[String],
+      windowLen: Int = 10, segOffset: Long = 0L): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      appendDerivedSegment(spanPath, claimsPath, idCol, batch,
+        dedupIsDelete(textCol, opCol),
+        b => graft.operators.TextAnalysis.spanWindows(b, idCol, textCol, windowLen),
+        segOffset + batchId)
+  }
+
+  /** Reconciled span-window view (the [[readSpanIndex]] shape). */
+  def readSpanSegmentIndex(
+      spark: SparkSession, spanPath: String, claimsPath: String,
+      idCol: String): DataFrame =
+    readDerivedSegments(spark, spanPath, claimsPath, idCol)
+
+  def compactSpanSegments(
+      spark: SparkSession, spanPath: String, claimsPath: String,
+      idCol: String): Unit =
+    compactDerivedSegments(spark, spanPath, claimsPath, idCol)
+
+  def appendLineSegment(
+      spark: SparkSession, linePath: String, claimsPath: String,
+      idCol: String, textCol: String, opCol: Option[String],
+      segOffset: Long = 0L): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      appendDerivedSegment(linePath, claimsPath, idCol, batch,
+        dedupIsDelete(textCol, opCol),
+        b => graft.operators.TextAnalysis.lineRelation(b, idCol, textCol),
+        segOffset + batchId)
+  }
+
+  /** Reconciled line-relation view (the [[readLineIndex]] shape). */
+  def readLineSegmentIndex(
+      spark: SparkSession, linePath: String, claimsPath: String,
+      idCol: String): DataFrame =
+    readDerivedSegments(spark, linePath, claimsPath, idCol)
+
+  def compactLineSegments(
+      spark: SparkSession, linePath: String, claimsPath: String,
+      idCol: String): Unit =
+    compactDerivedSegments(spark, linePath, claimsPath, idCol)
 
   /** Segment-append twin of [[StreamingIngest.mergeIntoSnapshot]] for the
     * LWW row state — the log-structured shape of the same semantics: each

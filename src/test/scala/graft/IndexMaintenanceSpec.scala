@@ -427,6 +427,93 @@ class IndexMaintenanceSpec extends SparkSpec {
     } finally FileUtils.deleteDirectory(dir)
   }
 
+  test("segment-append IVF/IVFADC/PQ/span/line stores: == full rebuild, compaction") {
+    import graft.operators.{ApproxAnn, TextAnalysis}
+    import org.apache.commons.io.FileUtils
+    val dir = java.nio.file.Files.createTempDirectory("graft_cell_seg").toFile
+    def p(n: String) = new java.io.File(dir, n).getAbsolutePath
+    val centroids = Seq(0 -> Seq(1f, 0f, 0f, 0f), 1 -> Seq(-1f, 0f, 0f, 0f))
+    val codebooks: ApproxAnn.PqCodebooks = Seq(
+      Seq(0 -> Seq(1f, 0f), 1 -> Seq(-1f, 0f)),
+      Seq(0 -> Seq(0f, 1f), 1 -> Seq(0f, -1f)))
+    val aIvf = IndexMaintenance.appendIvfSegment(
+      spark, p("ivf"), "vec_id", "embedding", Some("op"), centroids)
+    val aIvfPq = IndexMaintenance.appendIvfPqSegment(
+      spark, p("ivfpq"), "vec_id", "embedding", Some("op"), centroids, codebooks)
+    val aPq = IndexMaintenance.appendPqSegment(
+      spark, p("pq"), "vec_id", "embedding", Some("op"), codebooks)
+    val aSpan = IndexMaintenance.appendSpanSegment(
+      spark, p("span"), p("spanClaims"), "vec_id", "text", Some("op"), windowLen = 3)
+    val aLine = IndexMaintenance.appendLineSegment(
+      spark, p("line"), p("lineClaims"), "vec_id", "text", Some("op"))
+    def b(rows: Seq[(Long, Seq[Float], String, String)]) =
+      rows.toDF("vec_id", "embedding", "text", "op")
+    def all(batch: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      Seq(aIvf, aIvfPq, aPq, aSpan, aLine).foreach(_(batch, id))
+    try {
+      all(b(Seq(
+        (1L, Seq(0.9f, 0.2f, 0f, 0.5f), "one two three four five", "UPSERT"),
+        (2L, Seq(-0.8f, -0.3f, 0.1f, 0f), "six seven eight nine", "UPSERT"),
+        (3L, Seq(0.7f, 0f, -0.2f, 0.1f), "one two three four six", "UPSERT"))), 0L)
+      // v1 flips sign (moves IVF cell, changes codes), v3 deleted
+      all(b(Seq(
+        (1L, Seq(-0.9f, 0.2f, 0f, -0.5f), "one two three four five", "UPSERT"),
+        (3L, null, null, "DELETE"))), 1L)
+
+      val live = Seq(
+        (1L, Seq(-0.9f, 0.2f, 0f, -0.5f), "one two three four five"),
+        (2L, Seq(-0.8f, -0.3f, 0.1f, 0f), "six seven eight nine"))
+        .toDF("vec_id", "embedding", "text")
+      def ivfGot() = IndexMaintenance.readIvfSegmentIndex(spark, p("ivf"), "vec_id")
+        .select("vec_id", "embedding", "_centroid")
+        .as[(Long, Seq[Float], Int)].collect().toSet
+      val ivfWant = ApproxAnn.assignToCentroids(live, "embedding", centroids)
+        .select("vec_id", "embedding", "_centroid")
+        .as[(Long, Seq[Float], Int)].collect().toSet
+      assert(ivfGot() == ivfWant, "IVF reconcile must equal fresh assignment")
+      def ipqGot() = IndexMaintenance.readIvfPqSegmentIndex(spark, p("ivfpq"), "vec_id")
+        .select("vec_id", "_pq", "_centroid").as[(Long, Seq[Int], Int)].collect().toSet
+      val ipqWant = ApproxAnn.pqEncode(
+          ApproxAnn.assignToCentroids(live, "embedding", centroids),
+          "embedding", codebooks)
+        .select("vec_id", "_pq", "_centroid").as[(Long, Seq[Int], Int)].collect().toSet
+      assert(ipqGot() == ipqWant)
+      def pqGot() = IndexMaintenance.readPqSegmentCodes(spark, p("pq"), "vec_id")
+        .as[(Long, Seq[Int])].collect().toSet
+      val pqWant = ApproxAnn.pqEncode(live, "embedding", codebooks)
+        .select("vec_id", "_pq").as[(Long, Seq[Int])].collect().toSet
+      assert(pqGot() == pqWant)
+      def spanGot() = IndexMaintenance.readSpanSegmentIndex(
+          spark, p("span"), p("spanClaims"), "vec_id")
+        .as[(Long, Long)].collect().toSet
+      val spanWant = TextAnalysis.spanWindows(live, "vec_id", "text", 3)
+        .as[(Long, Long)].collect().toSet
+      assert(spanGot() == spanWant)
+      def lineGot() = IndexMaintenance.readLineSegmentIndex(
+          spark, p("line"), p("lineClaims"), "vec_id")
+        .as[(Long, Long, Long)].collect().toSet
+      val lineWant = TextAnalysis.lineRelation(live, "vec_id", "text")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(lineGot() == lineWant)
+
+      // compact every store: views unchanged, one segment each
+      IndexMaintenance.compactIvfSegments(spark, p("ivf"), "vec_id")
+      IndexMaintenance.compactIvfPqSegments(spark, p("ivfpq"), "vec_id")
+      IndexMaintenance.compactPqSegments(spark, p("pq"), "vec_id")
+      IndexMaintenance.compactSpanSegments(spark, p("span"), p("spanClaims"), "vec_id")
+      IndexMaintenance.compactLineSegments(spark, p("line"), p("lineClaims"), "vec_id")
+      assert(ivfGot() == ivfWant && ipqGot() == ipqWant && pqGot() == pqWant)
+      assert(spanGot() == spanWant && lineGot() == lineWant)
+      Seq(p("ivf"), p("ivfpq"), p("pq"), p("spanClaims"), p("lineClaims")).foreach { path =>
+        assert(IndexMaintenance.ftsSegmentCount(spark, path) == 1, path)
+      }
+      // still appendable above the compacted ceiling
+      all(b(Seq((3L, Seq(0.7f, 0f, -0.2f, 0.1f), "one two three four six", "UPSERT"))), 2L)
+      assert(ivfGot().map(_._1) == Set(1L, 2L, 3L))
+      assert(lineGot().map(_._1) == Set(1L, 2L, 3L))
+    } finally FileUtils.deleteDirectory(dir)
+  }
+
   test("incremental line store: == full rebuild; served lineDedup correct") {
     import graft.operators.TextAnalysis
     import org.apache.commons.io.FileUtils
