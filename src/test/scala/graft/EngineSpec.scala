@@ -301,4 +301,47 @@ class EngineSpec extends SparkSpec {
     assert(empty.columns.toSeq == Seq("keyspace", "index_name", "kind", "status",
       "progress_pct", "live_rows", "total_rows", "est_size_bytes", "queries_total"))
   }
+
+  test("segment-maintained vector store serves through the routed LSH backend") {
+    // the full loop: CDC batches append segments (move + delete included),
+    // the reconciled view attaches as the serving backend, and routed ANN
+    // answers exactly the live data — a stale or tombstoned row can never
+    // be served because the reconcile join drops it before ranking
+    import graft.streaming.IndexMaintenance
+    import org.apache.commons.io.FileUtils
+    val dir = java.nio.file.Files.createTempDirectory("graft_eng_seg").toFile
+    val iPath = new java.io.File(dir, "vs").getAbsolutePath
+    def vec(seed: Int, sign: Float = 1f): Seq[Float] =
+      (0 until 64).map(d => sign * math.sin(seed * 2.1 + d * 0.7).toFloat)
+    val append = IndexMaintenance.appendVsSegment(
+      spark, iPath, "pk", "embedding", opCol = Some("op"), dims = 64)
+    try {
+      append((1 to 40).map(i => (i, vec(i), "UPSERT"))
+        .toDF("pk", "embedding", "op"), 0L)
+      // vector 3 moves (sign flip), vector 7 deleted
+      append(Seq((3, vec(3, -1f), "UPSERT"),
+        (7, null.asInstanceOf[Seq[Float]], "DELETE"))
+        .toDF("pk", "embedding", "op"), 1L)
+      val live = ((1 to 40).filter(i => i != 3 && i != 7).map(i => (i, vec(i)))
+        :+ (3 -> vec(3, -1f))).toDF("pk", "embedding")
+      val meta = IndexMetadata("ks", "vseg", "items", "embedding",
+        primaryKeyColumns = Seq("pk"),
+        kind = Vs(IndexOptionsVs(dims = 64, space = Euclidean)))
+      val e = new Engine
+      e.addIndex(meta, live)
+      val exact = e.ann("ks", "vseg", AnnRequest(vec(3, -1f), limit = 5))
+        .select("pk", "distance").as[(Int, Double)].collect().toSeq
+      e.setServingBackend("ks", "vseg", Engine.LshBackend(Engine.ApproxServing(
+        IndexMaintenance.readVsSegmentIndex(spark, iPath, "pk", "embedding"),
+        nbits = 8)))
+      assert(e.servingBackendName("ks", "vseg") == "lsh")
+      val served = e.ann("ks", "vseg", AnnRequest(vec(3, -1f), limit = 5))
+        .select("pk", "distance").as[(Int, Double)].collect().toSeq
+      assert(served == exact)
+      assert(served.head._1 == 3, "the MOVED vector must be its own nearest neighbor")
+      val top40 = e.ann("ks", "vseg", AnnRequest(vec(7), limit = 40))
+        .select("pk").as[Int].collect().toSet
+      assert(!top40.contains(7), "a tombstoned vector must never be served")
+    } finally FileUtils.deleteDirectory(dir)
+  }
 }
