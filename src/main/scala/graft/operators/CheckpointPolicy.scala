@@ -35,10 +35,11 @@ import org.apache.spark.sql.DataFrame
   *    self-reference). The cost that remains is bounded ANALYZED-plan
   *    growth between snapshots (≤2^everyN copies of one round), far
   *    below the per-round-doubling-forever pathology the policies exist
-  *    to prevent. Persisted mid-round frames stay cached until the job's
-  *    final action (lazy truncation means they may be re-read then);
-  *    they are node-cardinality aggregates under MEMORY_AND_DISK, so
-  *    memory pressure spills rather than fails.
+  *    to prevent. Persisted mid-round frames are node-cardinality
+  *    aggregates under MEMORY_AND_DISK (memory pressure spills rather
+  *    than fails), and the policy releases them two snapshots later —
+  *    storage stays bounded at ≤ 2·everyN frames instead of growing one
+  *    frame per round for the job's lifetime.
   */
 sealed trait CheckpointPolicy {
   /** Truncate (or deliberately keep) the per-round frame's lineage.
@@ -71,6 +72,17 @@ object CheckpointPolicy {
       extends CheckpointPolicy {
     require(everyN >= 1, "everyN must be >= 1")
 
+    // Mid-round frames persisted since the last durable snapshot, in two
+    // generations: a frame becomes safely releasable one snapshot AFTER the
+    // one that follows it (by then every future round's lineage is cut at a
+    // materialized checkpoint and cannot re-read it). Unpersist is storage
+    // release only — a block evicted "too early" (snapshot still lazy at
+    // job end) recomputes from lineage, so correctness never depends on
+    // this bookkeeping; what it bounds is MEMORY_AND_DISK accumulation,
+    // previously one frame per round for the job's lifetime (ADVICE r9).
+    private var prevGen: List[DataFrame] = Nil
+    private var curGen: List[DataFrame] = Nil
+
     private def ensureDir(df: DataFrame): Unit = {
       val sc = df.sparkSession.sparkContext
       if (sc.getCheckpointDir.isEmpty)
@@ -83,6 +95,11 @@ object CheckpointPolicy {
     def truncate(df: DataFrame, round: Int): DataFrame =
       if (round % everyN == 0) {
         ensureDir(df)
+        synchronized {
+          prevGen.foreach(_.unpersist(false))
+          prevGen = curGen
+          curGen = Nil
+        }
         // lazy like the Local path: the caller's next action materializes
         // it, keeping each round one job
         df.checkpoint(false)
@@ -99,7 +116,10 @@ object CheckpointPolicy {
     // the two within-round references share one materialization instead of
     // computing the aggregate twice and quadrupling hits' per-round plan
     // growth. See the trait doc for the retention trade-off.
-    def midRound(df: DataFrame): DataFrame =
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def midRound(df: DataFrame): DataFrame = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      synchronized { curGen ::= p }
+      p
+    }
   }
 }

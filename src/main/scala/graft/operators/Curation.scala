@@ -882,10 +882,14 @@ object Curation {
     * hashes at fpp 1% the sketch would silently saturate: correctness
     * would survive (the exact containment join removes false positives)
     * but the shuffle reduction the sketch exists for would degrade
-    * unnoticed. So the two caps are raised to the requested size around
-    * the build; probe-side `might_contain` has no such cap. The frame is
-    * pinned across the two actions (size, then aggregate) so its lineage
-    * runs once. */
+    * unnoticed. So the aggregate runs in a SESSION CLONE
+    * (`spark.newSession()`: shared SparkContext and cache manager, own
+    * SQLConf) with the two caps raised there — concurrent queries planned
+    * in the caller's session never see the raised caps, and two
+    * concurrent builds cannot race a save/restore (there is none).
+    * Probe-side `might_contain` has no such cap. The frame is pinned
+    * across the two actions (size, then aggregate) so its lineage runs
+    * once; the clone's cache lookup hits the same shared entry. */
   private[graft] def bloomBuild(hashes: DataFrame, fpp: Double): Bloom = {
     val pinned = hashes.persist()
     try {
@@ -896,23 +900,14 @@ object Curation {
         .BloomFilterAggregate(
           org.apache.spark.sql.GraftSqlBridge.expression(col("sh")),
           Literal(n), Literal(numBits))
-      val conf = pinned.sparkSession.conf
-      val capKeys = Seq(
-        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> n,
-        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits)
-      val saved = capKeys.map { case (k, _) => k -> conf.getOption(k) }
-      capKeys.foreach { case (k, v) =>
-        if (conf.getOption(k).forall(_.toLong < v)) conf.set(k, v)
-      }
-      try {
-        val bytes = pinned
-          .select(org.apache.spark.sql.GraftSqlBridge.column(
-            agg.toAggregateExpression()).as("bf"))
-          .head().getAs[Array[Byte]](0)
-        Bloom(bytes)
-      } finally saved.foreach { case (k, ov) =>
-        ov.fold(conf.unset(k))(conf.set(k, _))
-      }
+      val session = pinned.sparkSession.newSession()
+      session.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", n)
+      session.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits)
+      val bytes = org.apache.spark.sql.GraftSqlBridge.inSession(pinned, session)
+        .select(org.apache.spark.sql.GraftSqlBridge.column(
+          agg.toAggregateExpression()).as("bf"))
+        .head().getAs[Array[Byte]](0)
+      Bloom(bytes)
     } finally { pinned.unpersist(); () }
   }
 

@@ -150,19 +150,52 @@ object IndexMaintenance {
       values: DataFrame, claims: DataFrame): Unit = {
     val ceiling = spark.read.parquet(claimsPath)
       .agg(max(col(SegCol).cast("long"))).head.getLong(0)
-    def rewrite(path: String, df: DataFrame): Unit = {
-      // localCheckpoint cuts lineage from the files about to be replaced
-      val out = df.withColumn(SegCol, lit(ceiling)).localCheckpoint(true)
+    // DELETE-LAST across BOTH stores: both ceiling-segment overwrites land
+    // before any old segment directory is removed. A crash before the
+    // deletes leaves every (id, seg) claim resolvable against live values —
+    // readable and re-compactable; the old ordering (values segments
+    // deleted before the claims rewrite) left a window where surviving
+    // old claims pointed at deleted value segments and the reconcile
+    // semi-join silently dropped those docs forever (ADVICE r9). A crash
+    // MID-delete leaves a superset of segments; re-issue the below-ceiling
+    // directory deletes ([[dropSegmentsBelow]]) to finish — do NOT re-run
+    // the fold, which would bake any transiently resurrected claim in.
+    overwriteCeiling(valuesPath, values, ceiling, Nil)
+    overwriteCeiling(claimsPath, claims, ceiling, Nil)
+    dropSegmentsBelow(spark, valuesPath, ceiling)
+    dropSegmentsBelow(spark, claimsPath, ceiling)
+  }
+
+  /** Rewrite `df` as the single ceiling segment (dynamic partition
+    * overwrite; `cellCols` adds the nested cell partitioning of the
+    * vector/IVF layouts). An EMPTY fold still writes one schema-bearing
+    * zero-row file under the ceiling directory — a dynamic overwrite of
+    * zero rows writes nothing at all, and once [[dropSegmentsBelow]] runs
+    * the store would have no files left to infer a schema from (a fully
+    * tombstoned store must stay readable and appendable). */
+  private def overwriteCeiling(
+      path: String, df: DataFrame, ceiling: Long,
+      cellCols: Seq[String]): Unit = {
+    // localCheckpoint cuts lineage from the files about to be replaced
+    val out = df.withColumn(SegCol, lit(ceiling)).localCheckpoint(true)
+    if (out.isEmpty) {
+      val leaf = (s"$SegCol=$ceiling" +: cellCols.map(c => s"$c=-1")).mkString("/")
+      out.drop(SegCol +: cellCols: _*).repartition(1)
+        .write.mode("overwrite").parquet(s"$path/$leaf")
+    } else
       out.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(SegCol).parquet(path)
-      graft.sources.IndexStorage.listDirs(spark, path)
-        .filter(n => n.startsWith(s"$SegCol=") && n != s"$SegCol=$ceiling")
-        .foreach(n => graft.sources.IndexStorage.deleteRecursive(spark, s"$path/$n"))
-    }
-    rewrite(valuesPath, values)
-    rewrite(claimsPath, claims)
+        .partitionBy(SegCol +: cellCols: _*).parquet(path)
   }
+
+  /** Remove every `_seg=<id>` directory with id below `ceiling` — the
+    * (idempotent) cleanup half of a compaction; re-issue it to repair a
+    * compaction interrupted in its delete phase. */
+  def dropSegmentsBelow(spark: SparkSession, path: String, ceiling: Long): Unit =
+    graft.sources.IndexStorage.listDirs(spark, path)
+      .filter(n => n.startsWith(s"$SegCol=") &&
+        n.stripPrefix(s"$SegCol=").toLong < ceiling)
+      .foreach(n => graft.sources.IndexStorage.deleteRecursive(spark, s"$path/$n"))
 
   /** Reconciled live view over the segment store: a doc's winning claim is
     * its doc-length row with the HIGHEST segment id; tombstone winners
@@ -230,8 +263,16 @@ object IndexMaintenance {
         .localCheckpoint(true) // one tokenize pass feeds both stores
       val freshSigs =
         Dedup.minhashSignaturesFromShingles(freshShingles, idCol, numHashes)
-      val tombstones = batch.filter(isDelete).select(
-        col(idCol) +: (0 until numHashes)
+      // EVERY batch event must claim its doc in this segment, or the doc's
+      // older claim keeps winning at read. Deletes have no signature by
+      // construction — and so does an UPSERT whose new text yields zero
+      // shingles (fewer than shingleN tokens): both get a null-signature
+      // tombstone row, derived by anti-joining batch ids against the fresh
+      // signatures, matching the bucket twin (mergeDedupBatch removes all
+      // touchedIds rows regardless of the fresh side).
+      val tombstones = batch.select(col(idCol)).distinct()
+        .join(freshSigs.select(col(idCol)), Seq(idCol), "left_anti")
+        .select(col(idCol) +: (0 until numHashes)
           .map(i => lit(null).cast("long").as(s"sig_$i")): _*)
       val seg = segOffset + batchId
       appendSeg(shinglePath, freshShingles, seg)
@@ -317,14 +358,10 @@ object IndexMaintenance {
       liveCol: String, cellCol: String): Unit = {
     val ceiling = spark.read.parquet(path)
       .agg(max(col(SegCol).cast("long"))).head.getLong(0)
-    val live = readCellSegments(spark, path, idCol, liveCol, cellCol)
-      .withColumn(SegCol, lit(ceiling)).localCheckpoint(true)
-    live.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(SegCol, cellCol).parquet(path)
-    graft.sources.IndexStorage.listDirs(spark, path)
-      .filter(n => n.startsWith(s"$SegCol=") && n != s"$SegCol=$ceiling")
-      .foreach(n => graft.sources.IndexStorage.deleteRecursive(spark, s"$path/$n"))
+    overwriteCeiling(path,
+      readCellSegments(spark, path, idCol, liveCol, cellCol),
+      ceiling, Seq(cellCol))
+    dropSegmentsBelow(spark, path, ceiling)
   }
 
   /** Reconciled live view over the vector segment store — the
@@ -461,14 +498,9 @@ object IndexMaintenance {
       spark: SparkSession, codesPath: String, idCol: String): Unit = {
     val ceiling = spark.read.parquet(codesPath)
       .agg(max(col(SegCol).cast("long"))).head.getLong(0)
-    val out = readPqSegmentCodes(spark, codesPath, idCol)
-      .withColumn(SegCol, lit(ceiling)).localCheckpoint(true)
-    out.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(SegCol).parquet(codesPath)
-    graft.sources.IndexStorage.listDirs(spark, codesPath)
-      .filter(n => n.startsWith(s"$SegCol=") && n != s"$SegCol=$ceiling")
-      .foreach(n => graft.sources.IndexStorage.deleteRecursive(spark, s"$codesPath/$n"))
+    overwriteCeiling(codesPath, readPqSegmentCodes(spark, codesPath, idCol),
+      ceiling, Nil)
+    dropSegmentsBelow(spark, codesPath, ceiling)
   }
 
   /** Segment-append twin of [[mergeSpanBatch]] / [[mergeLineBatch]]: the
@@ -614,13 +646,8 @@ object IndexMaintenance {
         state.filter(!col(Lww.TombstoneCol) || col(Lww.TsCol) >= bound)
       case None => state
     }
-    val out = kept.withColumn(SegCol, lit(ceiling)).localCheckpoint(true)
-    out.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(SegCol).parquet(statePath)
-    graft.sources.IndexStorage.listDirs(spark, statePath)
-      .filter(n => n.startsWith(s"$SegCol=") && n != s"$SegCol=$ceiling")
-      .foreach(n => graft.sources.IndexStorage.deleteRecursive(spark, s"$statePath/$n"))
+    overwriteCeiling(statePath, kept, ceiling, Nil)
+    dropSegmentsBelow(spark, statePath, ceiling)
   }
 
   /** foreachBatch writer for a materialized LSH vector index

@@ -11,6 +11,15 @@ object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Rebind a frame's logical plan to another session of the SAME
+    * SparkContext (e.g. a `spark.newSession()` clone): the rebound frame
+    * plans under the target session's SQLConf, so per-job conf overrides
+    * stay invisible to queries planned in the source session. Cached
+    * blocks still hit — the cache manager lives in the shared state. */
+  def inSession(df: DataFrame, spark: SparkSession): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession],
+      df.asInstanceOf[classic.Dataset[Row]].queryExecution.logical)
+
   /** True when no DataFrame/Dataset cache entries are registered — the
     * no-cache-leak serving contract asserted by DedupSpec (a long-lived
     * serving session must not accumulate blocks per query). */

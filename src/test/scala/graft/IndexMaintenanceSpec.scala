@@ -654,4 +654,36 @@ class IndexMaintenanceSpec extends SparkSpec {
         "re-added doc must be live after a post-compaction append")
     } finally FileUtils.deleteDirectory(dir)
   }
+
+  test("segment dedup store: an upsert with zero shingles still claims its doc") {
+    // ADVICE r9 regression: Dedup.shingles emits nothing for a doc with
+    // fewer than shingleN tokens, so a shingle-less UPSERT used to write no
+    // claim row — the doc's older claim kept winning and the read served
+    // the STALE shingles/signature. Every batch id must claim, matching the
+    // bucket twin (mergeDedupBatch removes all touchedIds rows regardless).
+    import org.apache.commons.io.FileUtils
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_seg_claim").toFile
+    val shPath = new java.io.File(dir, "shingles").getAbsolutePath
+    val sgPath = new java.io.File(dir, "sigs").getAbsolutePath
+    val append = IndexMaintenance.appendDedupSegment(
+      spark, shPath, sgPath, "doc_id", "text", opCol = Some("op"))
+    try {
+      append(Seq(
+        (1L, "the quick brown fox jumps over the lazy dog near the river bank", "UPSERT"))
+        .toDF("doc_id", "text", "op"), 0L)
+      // new text tokenizes to 2 tokens < shingleN=5 ⇒ zero shingles
+      append(Seq((1L, "too short", "UPSERT")).toDF("doc_id", "text", "op"), 1L)
+      val (sh, sigs) = IndexMaintenance.readDedupSegmentIndex(
+        spark, shPath, sgPath, "doc_id")
+      assert(sh.filter(col("doc_id") === 1L).count() == 0,
+        "stale shingles of the pre-update text survived a shingle-less upsert")
+      assert(sigs.filter(col("doc_id") === 1L).count() == 0,
+        "stale signature survived a shingle-less upsert")
+      // and compaction of a store whose only history is that claim works
+      IndexMaintenance.compactDedupSegments(spark, shPath, sgPath, "doc_id")
+      val (sh2, _) = IndexMaintenance.readDedupSegmentIndex(
+        spark, shPath, sgPath, "doc_id")
+      assert(sh2.count() == 0)
+    } finally FileUtils.deleteDirectory(dir)
+  }
 }
