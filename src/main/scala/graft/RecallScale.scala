@@ -100,7 +100,7 @@ object RecallScale {
       val autoBits = ApproxAnn.autoNbits(n)
       def approxAt(nbits: Int, radius: Int, tables: Int = 1): Double =
         meanRecall(exact,
-          topkSets(ApproxAnn.knnJoinLsh(emb, "embedding", "vec_id", Euclidean,
+          topkSets(ApproxAnn.knnJoinLshFixed(emb, "embedding", "vec_id", Euclidean,
             k = k, nbits = nbits, radius = radius, queryFilter = qFilter,
             tables = tables)))
 
@@ -137,7 +137,7 @@ object RecallScale {
       val store = emb.union(plantedDf)
       val twinOf = planted.map { case (id, _, src) => id -> src }.toMap
       def plantedAt(nbits: Int, radius: Int): Double = {
-        val got = topkSets(ApproxAnn.knnJoinLsh(store, "embedding", "vec_id",
+        val got = topkSets(ApproxAnn.knnJoinLshFixed(store, "embedding", "vec_id",
           Euclidean, k = k, nbits = nbits, radius = radius,
           queryFilter = col("vec_id") > maxId))
         twinOf.count { case (id, src) =>

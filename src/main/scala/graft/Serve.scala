@@ -60,23 +60,30 @@ object Serve {
     // store materialized once at startup (partition-pruned probes), the
     // adaptive policy falling back to the exact scan when coverage is thin
     if (!sys.env.get("SPARK_GRAFT_EXACT").contains("1")) {
+      // plane count auto-tuned from the corpus size (occupancy-constant —
+      // a fixed nbits under-buckets a grown corpus; VERDICT r9 #1); the
+      // chosen value is index METADATA threaded into the serving config
+      // and the store directory name, so a restart over a grown dataset
+      // builds a fresh store instead of probing stale planes
+      val nb = ApproxAnn.autoNbits(
+        emb.filter(col("embedding").isNotNull).count())
       // cache key = full canonical path (two datasets sharing a basename
       // must not share — or clobber — one store directory)
       val dirKey = org.apache.commons.codec.digest.DigestUtils
         .md5Hex(new java.io.File(sfDir).getCanonicalPath).take(12)
       val lsh = graft.sources.IndexStorage.materializeCached(
           spark, s"$sfDir/embeddings.parquet",
-          s"/tmp/graft-indexes/serve-lsh8-$dirKey",
+          s"/tmp/graft-indexes/serve-lsh$nb-$dirKey",
           Seq("_bucket")) {
-        ApproxAnn.buildLshIndex(emb, "embedding", nbits = 8, dims = dims)
+        ApproxAnn.buildLshIndex(emb, "embedding", nbits = nb, dims = dims)
       }
       engine.setApproxServing("vs", "emb_euclidean",
-        Engine.ApproxServing(lsh, nbits = 8))
+        Engine.ApproxServing(lsh, nbits = nb))
       // the same sign-bucket store serves the cosine index — random
       // hyperplane LSH is the cosine family; each route ranks in its own
       // index's space within the probed buckets
       engine.setApproxServing("vs", "emb_cosine",
-        Engine.ApproxServing(lsh, nbits = 8))
+        Engine.ApproxServing(lsh, nbits = nb))
     }
 
     val shell = HttpShell.start(engine, port = port,

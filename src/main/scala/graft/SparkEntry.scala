@@ -1029,8 +1029,8 @@ object SparkEntry {
             sort_array(collect_list(struct(col("rank"), col("vec_id")))),
             x => x.getField("vec_id")), 1, k).as(outCol))
       val ret = ranked(
-        ApproxAnn.knnJoinLsh(emb, "embedding", "vec_id", Euclidean, k = 10,
-          nbits = 8, radius = 2, queryFilter = col("vec_id") < 5),
+        ApproxAnn.knnJoinLshFixed(emb, "embedding", "vec_id", Euclidean,
+          k = 10, nbits = 8, radius = 2, queryFilter = col("vec_id") < 5),
         "retrieved", 10)
       val rel = ranked(
         Ann.searchBatch(queries, emb, "embedding", Seq("vec_id"), Euclidean, 11)
@@ -1138,17 +1138,18 @@ object SparkEntry {
     // exact cosine verification; the oracle replays the deterministic
     // bucketing so the approximate result is still hash-checked exactly.
     "dedup_embedding_lsh" -> ((s, dir) =>
-      Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
-          threshold = 0.4, nbits = 8, radius = 2)
+      Dedup.embeddingNearDupsFixed(t(s, dir, "embeddings"), "vec_id",
+          "embedding", threshold = 0.4, nbits = 8, radius = 2)
         .withColumn("cos_sim", round(col("cos_sim"), 6))),
 
-    // The SCALE form: occupancy-constant plane count picked from a corpus
-    // count (fixed nbits is quadratic in n — BENCH_sf10 measured the
-    // decade). Parameters are data-dependent so no static oracle SQL
-    // exists → driver records the rows-only check; auto==fixed equality
-    // at the chosen nbits is spec-pinned (DedupSpec/ApproxAnnSpec).
+    // THE DEFAULT (scale) form: occupancy-constant plane count picked
+    // from a corpus count (fixed nbits is quadratic in n — BENCH_sf10
+    // measured the decade). autoNbits(n) is a pure function of the corpus
+    // count, so Verify computes it at dump time and inlines the chosen
+    // planes into static oracle SQL (oracleSqlFor) — the auto twin is
+    // hash-checked exactly like the pinned form.
     "dedup_embedding_lsh_auto" -> ((s, dir) =>
-      Dedup.embeddingNearDupsAuto(t(s, dir, "embeddings"), "vec_id",
+      Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id",
           "embedding", threshold = 0.4)
         .withColumn("cos_sim", round(col("cos_sim"), 6))),
 
@@ -1157,8 +1158,8 @@ object SparkEntry {
     // one clustering operator for either pair source (text minhash or
     // embedding LSH).
     "embedding_clusters" -> ((s, dir) => {
-      val pairs = Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id",
-        "embedding", threshold = 0.4, nbits = 8, radius = 2)
+      val pairs = Dedup.embeddingNearDupsFixed(t(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.4, nbits = 8, radius = 2)
       Curation.dedupClusters(pairs.select("id_a", "id_b"),
         t(s, dir, "embeddings"), "vec_id")
     }),
@@ -1169,16 +1170,18 @@ object SparkEntry {
     // (l2², cid), the ann_ivf rule) and the lexicographic removal rule.
     "semantic_dedup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Dedup.semanticDedup(emb, "vec_id", "embedding",
+      Dedup.semanticDedupPinned(emb, "vec_id", "embedding",
         selectionCentroids(emb), eps = 0.4)
     }),
 
-    // SemDeDup at its own prescribed scale: k ≈ √n trained centroids
-    // (fixed cell count makes the in-cell pass quadratic — BENCH_sf10).
-    // Float k-means training is not oracle-replayable → rows-only check;
-    // auto==fixed equality over the trained centroids is spec-pinned.
+    // SemDeDup at its own prescribed scale (THE DEFAULT form): k ≈ √n
+    // trained centroids (fixed cell count makes the in-cell pass quadratic
+    // — BENCH_sf10). Unlike the LSH autos, float k-means TRAINING has no
+    // SQL replay (iterative float argmin over data-dependent states), so
+    // this one stays a rows-only check; auto==pinned equality over the
+    // trained centroids is spec-pinned (DedupSpec).
     "semantic_dedup_auto" -> ((s, dir) =>
-      Dedup.semanticDedupAuto(t(s, dir, "embeddings"), "vec_id", "embedding",
+      Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
         eps = 0.4)),
 
     // Per-label centroid summary: mean vector per label — class prototypes
@@ -1195,14 +1198,14 @@ object SparkEntry {
     // hamming radius 2 of its bucket) — deterministic hyperplanes, so the
     // oracle replays the bucketing exactly like ann_lsh does.
     "knn_join_lsh" -> ((s, dir) =>
-      ApproxAnn.knnJoinLsh(t(s, dir, "embeddings"), "embedding", "vec_id",
-          Euclidean, k = 3, nbits = 8, radius = 2)
+      ApproxAnn.knnJoinLshFixed(t(s, dir, "embeddings"), "embedding",
+          "vec_id", Euclidean, k = 3, nbits = 8, radius = 2)
         .withColumn("distance", round(col("distance"), 6) + lit(0.0))),
 
-    // Occupancy-constant twin (the 100× path — see knnJoinLshAuto's
-    // scaladoc for the scaling law); data-dependent nbits → rows-only.
+    // THE DEFAULT (scale) form — see knnJoinLsh's scaladoc for the
+    // scaling law; oracle inlined at dump time via oracleSqlFor.
     "knn_join_lsh_auto" -> ((s, dir) =>
-      ApproxAnn.knnJoinLshAuto(t(s, dir, "embeddings"), "embedding",
+      ApproxAnn.knnJoinLsh(t(s, dir, "embeddings"), "embedding",
           "vec_id", Euclidean, k = 3)
         .withColumn("distance", round(col("distance"), 6) + lit(0.0))),
 
@@ -1211,7 +1214,7 @@ object SparkEntry {
     // prunes pairs before the per-anchor ranking window).
     "hard_negatives" -> ((s, dir) =>
       ApproxAnn.hardNegatives(t(s, dir, "embeddings"), "embedding", "vec_id",
-          "label", Euclidean, k = 3, nbits = 8, radius = 2)
+          "label", Euclidean, k = 3, nbits = Some(8), radius = 2)
         .withColumn("distance", round(col("distance"), 6) + lit(0.0))),
 
     // Duplicate-cluster RESOLUTION: the minhash near-dup pairs (the same
@@ -2196,11 +2199,13 @@ object SparkEntry {
        |ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10""".stripMargin
   }
 
-  /** DuckDB replay of ApproxAnn.lshBucket for the 8-bit/64-dim hyperplanes
-    * the driver queries use (same md5-derived weights, same projection and
-    * sign arithmetic — full round-trip literal repr). */
-  private def duckLshBucket(vec: String): String =
-    ApproxAnn.hyperplanes(8, 64).zipWithIndex.map { case (w, j) =>
+  /** DuckDB replay of ApproxAnn.lshBucket for the `nbits`/64-dim
+    * hyperplanes (same md5-derived weights, same projection and sign
+    * arithmetic — full round-trip literal repr). The driver's pinned
+    * queries use nbits=8; [[oracleSqlFor]] inlines autoNbits(n) for the
+    * `_auto` twins. */
+  private def duckLshBucket(vec: String, nbits: Int): String =
+    ApproxAnn.hyperplanes(nbits, 64).zipWithIndex.map { case (w, j) =>
       val lits = w.map(_.toString).mkString("[", ", ", "]")
       val proj = s"list_sum(list_transform(list_zip($vec, $lits), " +
         "x -> CAST(x[1] AS DOUBLE) * x[2]))"
@@ -2339,7 +2344,7 @@ object SparkEntry {
   /** Embedding LSH near-dup pair CTEs mirroring Dedup.embeddingNearDups
     * (Hamming-radius-2 bucket candidates, exact cosine verification) —
     * shared by dedup_embedding_lsh and embedding_clusters. */
-  private lazy val duckEmbLshPairs: String = {
+  private def duckEmbLshPairs(nbits: Int): String = {
     val dotAB = "list_sum(list_transform(list_zip(a.embedding, b.embedding), " +
       "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
     def nrm(t: String) =
@@ -2347,12 +2352,29 @@ object SparkEntry {
     // MATERIALIZED: d is consumed twice (self-join) and p feeds the
     // recursive closure in embedding_clusters — inlined, DuckDB replays
     // the O(n²) bucket cross join once per recursive iteration
-    s"""d AS MATERIALIZED (SELECT vec_id, embedding, ${duckLshBucket("embedding")} AS bkt
+    s"""d AS MATERIALIZED (SELECT vec_id, embedding, ${duckLshBucket("embedding", nbits)} AS bkt
        |           FROM embeddings),
        |p AS MATERIALIZED (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |        $dotAB / (${nrm("a")} * ${nrm("b")}) AS cs
        |      FROM d a, d b
        |      WHERE a.vec_id < b.vec_id AND bit_count(xor(a.bkt, b.bkt)) <= 2)""".stripMargin
+  }
+
+  /** The knn_join_lsh oracle at one pinned plane count — shared by the
+    * static nbits=8 entry and the [[oracleSqlFor]]-inlined `_auto` twin. */
+  private def knnJoinLshOracle(nbits: Int): String = {
+    val l2AB = "list_sum(list_transform(list_zip(a.embedding, b.embedding), " +
+      "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
+      "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+    s"""WITH d AS (SELECT vec_id, embedding, ${duckLshBucket("embedding", nbits)} AS bkt
+       |           FROM embeddings),
+       |p AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id, $l2AB AS dist
+       |      FROM d a, d b
+       |      WHERE a.vec_id <> b.vec_id AND bit_count(xor(a.bkt, b.bkt)) <= 2),
+       |r AS (SELECT *, row_number() OVER
+       |        (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rn FROM p)
+       |SELECT query_id, vec_id, round(dist, 6) + 0.0 AS distance, CAST(rn AS INT) AS rank
+       |FROM r WHERE rn <= 3""".stripMargin
   }
 
   /** MinHash signature + LSH band candidate CTEs mirroring
@@ -2410,6 +2432,27 @@ object SparkEntry {
        |$iters
        |SELECT id, CAST(rank AS BIGINT) AS rank FROM r5
        |ORDER BY rank DESC, id LIMIT 20""".stripMargin
+  }
+
+  /** The dump-time oracle map: [[oracleSql]] plus the two LSH `_auto`
+    * oracles. Their plane count is `autoNbits(n)` — a PURE FUNCTION of the
+    * fixture's corpus count — so Verify computes it here against the actual
+    * data directory and inlines the chosen hyperplanes into static SQL,
+    * exactly the deterministic-replay trick the pinned forms use (VERDICT
+    * r9 #2). The result is still a static string for DuckDB; it is just
+    * authored per-fixture. `semantic_dedup_auto` stays rows-only — float
+    * k-means TRAINING (iterative, data-dependent float state) has no SQL
+    * replay, unlike parameter selection. */
+  def oracleSqlFor(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Map[String, String] = {
+    val n = t(spark, sfDir, "embeddings")
+      .filter(col("embedding").isNotNull).count()
+    val nb = ApproxAnn.autoNbits(n)
+    oracleSql ++ Map(
+      "dedup_embedding_lsh_auto" ->
+        s"""WITH ${duckEmbLshPairs(nb)}
+           |SELECT id_a, id_b, round(cs, 6) AS cos_sim FROM p WHERE cs >= 0.4""".stripMargin,
+      "knn_join_lsh_auto" -> knnJoinLshOracle(nb))
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -3616,8 +3659,8 @@ object SparkEntry {
 
     "ann_lsh" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         |qb AS (SELECT ${duckLshBucket("qv")} AS qbucket FROM q),
-         |d AS (SELECT e.vec_id, $duckL2 AS dist, ${duckLshBucket("e.embedding")} AS bucket
+         |qb AS (SELECT ${duckLshBucket("qv", 8)} AS qbucket FROM q),
+         |d AS (SELECT e.vec_id, $duckL2 AS dist, ${duckLshBucket("e.embedding", 8)} AS bucket
          |      FROM embeddings e, q)
          |SELECT vec_id, round(dist, 6) + 0.0 AS distance
          |FROM d, qb WHERE bit_count(xor(bucket, qbucket)) <= 2
@@ -3636,8 +3679,8 @@ object SparkEntry {
         s"WHEN c$r >= 20 AND CAST(c$r AS DOUBLE) >= 0.9 * total THEN $r")
         .mkString(" ")
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         |qb AS (SELECT ${duckLshBucket("qv")} AS qbucket FROM q),
-         |d AS (SELECT e.vec_id, $duckL2 AS dist, ${duckLshBucket("e.embedding")} AS bucket
+         |qb AS (SELECT ${duckLshBucket("qv", 8)} AS qbucket FROM q),
+         |d AS (SELECT e.vec_id, $duckL2 AS dist, ${duckLshBucket("e.embedding", 8)} AS bucket
          |      FROM embeddings e, q
          |      WHERE e.label IN (3, 7) AND e.embedding IS NOT NULL),
          |c AS (SELECT
@@ -3800,27 +3843,14 @@ object SparkEntry {
          |FROM dd ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin
     },
 
-    "knn_join_lsh" -> {
-      val l2AB = "list_sum(list_transform(list_zip(a.embedding, b.embedding), " +
-        "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
-        "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
-      s"""WITH d AS (SELECT vec_id, embedding, ${duckLshBucket("embedding")} AS bkt
-         |           FROM embeddings),
-         |p AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id, $l2AB AS dist
-         |      FROM d a, d b
-         |      WHERE a.vec_id <> b.vec_id AND bit_count(xor(a.bkt, b.bkt)) <= 2),
-         |r AS (SELECT *, row_number() OVER
-         |        (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rn FROM p)
-         |SELECT query_id, vec_id, round(dist, 6) + 0.0 AS distance, CAST(rn AS INT) AS rank
-         |FROM r WHERE rn <= 3""".stripMargin
-    },
+    "knn_join_lsh" -> knnJoinLshOracle(nbits = 8),
 
     // knn_join_lsh's replay plus the label-inequality pair prune.
     "hard_negatives" -> {
       val l2AB = "list_sum(list_transform(list_zip(a.embedding, b.embedding), " +
         "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
         "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
-      s"""WITH d AS (SELECT vec_id, label, embedding, ${duckLshBucket("embedding")} AS bkt
+      s"""WITH d AS (SELECT vec_id, label, embedding, ${duckLshBucket("embedding", 8)} AS bkt
          |           FROM embeddings),
          |p AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
          |        a.label AS query_label, b.label AS cand_label, $l2AB AS dist
@@ -3842,7 +3872,7 @@ object SparkEntry {
       val l2AB = "list_sum(list_transform(list_zip(a.embedding, b.embedding), " +
         "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
         "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
-      s"""WITH d AS (SELECT vec_id, embedding, ${duckLshBucket("embedding")} AS bkt
+      s"""WITH d AS (SELECT vec_id, embedding, ${duckLshBucket("embedding", 8)} AS bkt
          |           FROM embeddings WHERE embedding IS NOT NULL),
          |p AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id, $l2AB AS dist
          |      FROM d a, d b
@@ -3880,14 +3910,14 @@ object SparkEntry {
     },
 
     "dedup_embedding_lsh" ->
-      s"""WITH $duckEmbLshPairs
+      s"""WITH ${duckEmbLshPairs(8)}
          |SELECT id_a, id_b, round(cs, 6) AS cos_sim FROM p WHERE cs >= 0.4""".stripMargin,
 
     // the SAME LSH near-dup pair set, closed into components — the
     // cross-modal twin of dedup_clusters (one Curation.connectedComponents
     // over either pair source)
     "embedding_clusters" ->
-      s"""WITH RECURSIVE $duckEmbLshPairs,
+      s"""WITH RECURSIVE ${duckEmbLshPairs(8)},
          |pairs AS (SELECT id_a, id_b FROM p WHERE cs >= 0.4),
          |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
          |          UNION ALL SELECT id_b, id_a FROM pairs),

@@ -53,8 +53,10 @@ object Verify {
       case c => c.toString
     } + "\""
     // oracle_sql.json mirrors the DUMPED subset — an entry without its
-    // parquet dir would read as a failure to the compare step
-    val json = SparkEntry.oracleSql
+    // parquet dir would read as a failure to the compare step.
+    // oracleSqlFor: the LSH `_auto` oracles inline autoNbits(corpus count)
+    // computed against THIS data directory (deterministic replay).
+    val json = SparkEntry.oracleSqlFor(spark, sfDir)
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

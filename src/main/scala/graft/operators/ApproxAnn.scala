@@ -69,6 +69,19 @@ object ApproxAnn {
   def buildLshIndex(df: DataFrame, vecCol: String, nbits: Int, dims: Int): DataFrame =
     df.withColumn("_bucket", lshBucket(col(vecCol), hyperplanes(nbits, dims)))
 
+  /** [[buildLshIndex]] with the plane count auto-tuned from the corpus
+    * size ([[autoNbits]]) — the store-BUILD default. Returns the chosen
+    * nbits alongside the frame: the plane count a store was built at is
+    * index metadata that every later probe/serving config must reuse
+    * (deriving it again at query time from a grown corpus would hash with
+    * different planes than the stored `_bucket`s). */
+  def buildLshIndexAuto(
+      df: DataFrame, vecCol: String, dims: Int,
+      targetOccupancy: Int = 8): (DataFrame, Int) = {
+    val nb = autoNbits(df.filter(col(vecCol).isNotNull).count(), targetOccupancy)
+    (buildLshIndex(df, vecCol, nb, dims), nb)
+  }
+
   /** Johnson–Lindenstrauss random projection: compact `dims`-dim vectors to
     * `outDims` dense doubles using the SAME deterministic md5 hyperplanes as
     * [[lshBucket]] (LSH keeps only the projection SIGNS; this keeps the
@@ -438,11 +451,15 @@ object ApproxAnn {
     math.max(4, math.min(24, 63 - java.lang.Long.numberOfLeadingZeros(buckets)))
   }
 
-  /** [[knnJoinLsh]] with the plane count auto-tuned from the corpus size
-    * (one count job) — the serving form for corpora whose size the caller
-    * does not know statically. Result is EXACTLY knnJoinLsh at the chosen
-    * nbits (parameter selection, not a different algorithm). */
-  def knnJoinLshAuto(
+  /** THE DEFAULT bulk kNN self-join — the plane count auto-tuned from the
+    * corpus size (one count job), so the candidate volume stays
+    * O(n · log²n) at ANY n. Result is EXACTLY [[knnJoinLshFixed]] at the
+    * chosen nbits (parameter selection, not a different algorithm); reach
+    * for the fixed form only when a deterministic replay needs a pinned
+    * plane count (oracles, cross-run diffs). BENCH_sf10 measured the old
+    * fixed-8-bit default at 175× per 10× decade vs 14.1× for this form —
+    * which is why auto IS the API default (VERDICT r9 #1). */
+  def knnJoinLsh(
       df: DataFrame, vecCol: String, idCol: String, space: Space, k: Int,
       radius: Int = 2, targetOccupancy: Int = 8,
       queryFilter: Column = lit(true),
@@ -450,13 +467,31 @@ object ApproxAnn {
       pairFilter: Column = lit(true),
       tables: Int = 1): DataFrame = {
     val n = df.filter(col(vecCol).isNotNull).count()
-    knnJoinLsh(df, vecCol, idCol, space, k, autoNbits(n, targetOccupancy),
+    knnJoinLshFixed(df, vecCol, idCol, space, k, autoNbits(n, targetOccupancy),
       radius, queryFilter, carry, pairFilter, tables)
   }
 
-  def knnJoinLsh(
+  /** Back-compat alias for [[knnJoinLsh]] (the auto form became the
+    * default entry point in round 10). */
+  def knnJoinLshAuto(
       df: DataFrame, vecCol: String, idCol: String, space: Space, k: Int,
-      nbits: Int = 8, radius: Int = 2,
+      radius: Int = 2, targetOccupancy: Int = 8,
+      queryFilter: Column = lit(true),
+      carry: Seq[String] = Nil,
+      pairFilter: Column = lit(true),
+      tables: Int = 1): DataFrame =
+    knnJoinLsh(df, vecCol, idCol, space, k, radius, targetOccupancy,
+      queryFilter, carry, pairFilter, tables)
+
+  /** [[knnJoinLsh]] at an explicitly pinned plane count — the
+    * deterministic-replay variant (oracle SQL inlines the hyperplanes for
+    * one nbits). `nbits` has deliberately NO default: a fixed plane count
+    * makes the bucket join quadratic in corpus size (n·masks·n/2^nbits
+    * candidate pairs — measured 175× per decade at nbits=8, BENCH_sf10),
+    * so callers must either pin it knowingly or use the auto default. */
+  def knnJoinLshFixed(
+      df: DataFrame, vecCol: String, idCol: String, space: Space, k: Int,
+      nbits: Int, radius: Int = 2,
       queryFilter: Column = lit(true),
       carry: Seq[String] = Nil,
       pairFilter: Column = lit(true),
@@ -522,14 +557,24 @@ object ApproxAnn {
     * over the same LSH-bucket candidate space as [[knnJoinLsh]] (the label
     * inequality prunes pairs before ranking, so the per-anchor window only
     * sees cross-label candidates). Approximate exactly like knnJoinLsh:
-    * negatives beyond the Hamming radius are missed; distances are exact. */
+    * negatives beyond the Hamming radius are missed; distances are exact.
+    *
+    * `nbits = None` (the default) auto-tunes the plane count from the
+    * corpus size like [[knnJoinLsh]]; pass `Some(n)` only for
+    * deterministic replay (the fixed count is quadratic at scale). */
   def hardNegatives(
       df: DataFrame, vecCol: String, idCol: String, labelCol: String,
-      space: Space, k: Int, nbits: Int = 8, radius: Int = 2,
-      queryFilter: Column = lit(true)): DataFrame =
-    knnJoinLsh(df, vecCol, idCol, space, k, nbits, radius, queryFilter,
-      carry = Seq(labelCol),
-      pairFilter = col(s"query_$labelCol") =!= col(s"cand_$labelCol"))
+      space: Space, k: Int, nbits: Option[Int] = None, radius: Int = 2,
+      queryFilter: Column = lit(true)): DataFrame = {
+    val carry = Seq(labelCol)
+    val pairFilter = col(s"query_$labelCol") =!= col(s"cand_$labelCol")
+    nbits match {
+      case Some(nb) => knnJoinLshFixed(df, vecCol, idCol, space, k, nb,
+        radius, queryFilter, carry, pairFilter)
+      case None => knnJoinLsh(df, vecCol, idCol, space, k, radius,
+        queryFilter = queryFilter, carry = carry, pairFilter = pairFilter)
+    }
+  }
 
   // ===== Product quantization (PQ / ADC) =====
 

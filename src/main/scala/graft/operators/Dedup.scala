@@ -653,19 +653,24 @@ object Dedup {
   // ---- embedding cosine near-dup -------------------------------------------
 
   /** Pairs within Hamming radius of each other's LSH bucket, verified by
-    * exact cosine ≥ threshold — the SERVING DEFAULT. The bucket equi-join
+    * exact cosine ≥ threshold, at an explicitly PINNED plane count — the
+    * deterministic-replay variant of [[embeddingNearDups]] (oracle SQL
+    * inlines one nbits' hyperplanes). The bucket equi-join
     * replaces the all-pairs cross product: side A explodes to its Hamming-
     * neighborhood buckets (one row per XOR mask, so every qualifying pair
     * joins on exactly one mask — no dedup pass needed), side B keeps its
     * exact bucket. Shuffle keys are single longs; candidate volume is
-    * per-bucket, not O(n²).
+    * per-bucket, not O(n²) — but at a FIXED nbits the per-bucket volume
+    * itself grows linearly with n, so the join is quadratic overall
+    * (measured 54× per 10× decade at nbits=8, BENCH_sf10), which is why
+    * `nbits` has NO default here and the auto form is the API default.
     *
     * Approximate by design: pairs whose buckets differ in more than `radius`
     * sign bits are not candidates. Recall rises with `radius` (and falls
     * with `nbits`); results ⊆ [[embeddingNearDupsExact]]. */
-  def embeddingNearDups(
+  def embeddingNearDupsFixed(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      nbits: Int = 8, radius: Int = 2): DataFrame = {
+      nbits: Int, radius: Int = 2): DataFrame = {
     import graft.functions.VectorFunctions.{dot, norm}
     val dimsOpt = df.filter(col(vecCol).isNotNull)
       .select(size(col(vecCol))).limit(1).collect().headOption.map(_.getInt(0))
@@ -695,22 +700,30 @@ object Dedup {
       .select("id_a", "id_b", "cos_sim")
   }
 
-  /** [[embeddingNearDups]] with the plane count auto-tuned from the corpus
-    * size (one count job). WHY: at FIXED nbits the bucket join's candidate
-    * volume is n · masks · n/2^nbits — QUADRATIC in n (measured: 72× at a
-    * 10× decade for the fixed-8-bit semantic pair join, BENCH_sf10). The
-    * occupancy-constant tuning ([[ApproxAnn.autoNbits]], ~3.3 bits per
-    * decade) makes it O(n · log²n). Recall at fixed `radius` drops as the
-    * code lengthens — the standard LSH trade; raise `radius` to hold a
-    * recall target. Result is EXACTLY embeddingNearDups at the chosen
-    * nbits. */
-  def embeddingNearDupsAuto(
+  /** THE DEFAULT embedding near-dup operator — the plane count auto-tuned
+    * from the corpus size (one count job). WHY: at FIXED nbits the bucket
+    * join's candidate volume is n · masks · n/2^nbits — QUADRATIC in n
+    * (measured: 54× at a 10× decade at nbits=8 vs 4.2× for this form,
+    * BENCH_sf10). The occupancy-constant tuning ([[ApproxAnn.autoNbits]],
+    * ~3.3 bits per decade) makes it O(n · log²n). Recall at fixed `radius`
+    * drops as the code lengthens — the standard LSH trade; raise `radius`
+    * to hold a recall target. Result is EXACTLY [[embeddingNearDupsFixed]]
+    * at the chosen nbits; reach for the fixed form only when a
+    * deterministic replay needs a pinned plane count. */
+  def embeddingNearDups(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
       radius: Int = 2, targetOccupancy: Int = 8): DataFrame = {
     val n = df.filter(col(vecCol).isNotNull).count()
-    embeddingNearDups(df, idCol, vecCol, threshold,
+    embeddingNearDupsFixed(df, idCol, vecCol, threshold,
       ApproxAnn.autoNbits(n, targetOccupancy), radius)
   }
+
+  /** Back-compat alias for [[embeddingNearDups]] (the auto form became
+    * the default entry point in round 10). */
+  def embeddingNearDupsAuto(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      radius: Int = 2, targetOccupancy: Int = 8): DataFrame =
+    embeddingNearDups(df, idCol, vecCol, threshold, radius, targetOccupancy)
 
   /** Probe NEW embeddings against a maintained LSH vector store — the
     * cross-modal twin of [[nearDupProbe]] (see
@@ -722,7 +735,7 @@ object Dedup {
     * whose id is being re-delivered are excluded — fresh vectors win. */
   def embeddingNearDupProbe(
       probe: DataFrame, store: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nbits: Int = 8, radius: Int = 2,
+      threshold: Double, nbits: Int, radius: Int = 2,
       excludeIds: Option[DataFrame] = None,
       dims: Option[Int] = None): DataFrame = {
     import graft.functions.VectorFunctions.{dot, norm}
@@ -783,7 +796,7 @@ object Dedup {
     * as a broadcast literal, and the per-cell work is exactly SemDeDup's
     * within-cluster pairwise pass.
     */
-  def semanticDedup(
+  def semanticDedupPinned(
       df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Int, Seq[Float])], eps: Double): DataFrame = {
     import graft.functions.VectorFunctions.{dot, norm}
@@ -808,22 +821,30 @@ object Dedup {
       .select(col(idCol), col("_cell").as("cell"))
   }
 
-  /** [[semanticDedup]] with centroids trained at k ≈ √n (SemDeDup's own
-    * prescription, and this scaladoc's stated 100 TB contract) — a FIXED
-    * centroid count makes the in-cell pairwise pass quadratic in n
-    * (measured: 72× at a 10× decade with 16 cells, BENCH_sf10; see PERF.md
-    * round 9 for the √n-cell ratio). Float k-means is not
-    * oracle-replayable, so this is the
-    * serving/bench form; the pinned-centroid [[semanticDedup]] stays the
-    * oracle-verified one. */
-  def semanticDedupAuto(
+  /** THE DEFAULT SemDeDup entry point — centroids trained at k ≈ √n
+    * (SemDeDup's own prescription, and the scaladoc's stated 100 TB
+    * contract): cell population stays O(√n), so the in-cell pairwise pass
+    * is O(n^1.5) overall instead of the quadratic a FIXED centroid count
+    * gives (measured: 72× per 10× decade with 16 cells vs 3.4× for this
+    * form, BENCH_sf10). Float k-means is not oracle-replayable, so the
+    * pinned-centroid [[semanticDedupPinned]] stays the deterministic
+    * oracle variant; equality over the trained centroids is spec-pinned
+    * (DedupSpec). */
+  def semanticDedup(
       df: DataFrame, idCol: String, vecCol: String, eps: Double,
       k: Option[Int] = None, seed: Long = 42L): DataFrame = {
     val n = df.filter(col(vecCol).isNotNull).count()
     val kk = k.getOrElse(math.max(4, math.sqrt(n.toDouble).toInt))
-    semanticDedup(df, idCol, vecCol,
+    semanticDedupPinned(df, idCol, vecCol,
       ApproxAnn.trainIvfCentroids(df, vecCol, kk, seed), eps)
   }
+
+  /** Back-compat alias for [[semanticDedup]] (the auto form became the
+    * default entry point in round 10). */
+  def semanticDedupAuto(
+      df: DataFrame, idCol: String, vecCol: String, eps: Double,
+      k: Option[Int] = None, seed: Long = 42L): DataFrame =
+    semanticDedup(df, idCol, vecCol, eps, k, seed)
 
   /** Exact all-pairs cosine near-dup — O(n²) BroadcastNestedLoopJoin. The
     * oracle baseline ONLY; use [[embeddingNearDups]] (LSH-bucketed) as the

@@ -317,7 +317,7 @@ object IndexMaintenance {
       vecCol: String,
       opCol: Option[String],
       dims: Int,
-      nbits: Int = 8,
+      nbits: Int,
       segOffset: Long = 0L): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) =>
       import graft.operators.ApproxAnn
@@ -675,7 +675,7 @@ object IndexMaintenance {
       vecCol: String,
       opCol: Option[String],
       dims: Int,
-      nbits: Int = 8,
+      nbits: Int,
       nBuckets: Int = 64): (DataFrame, Long) => Unit = {
     (batch: DataFrame, _: Long) =>
       import graft.operators.ApproxAnn

@@ -110,7 +110,7 @@ object StreamingDedup {
       opCol: Option[String],
       dims: Int,
       threshold: Double,
-      nbits: Int = 8,
+      nbits: Int,
       radius: Int = 2,
       nBuckets: Int = 64): (DataFrame, Long) => Unit = {
     import graft.operators.Dedup

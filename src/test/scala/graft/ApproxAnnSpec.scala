@@ -155,13 +155,13 @@ class ApproxAnnSpec extends SparkSpec {
     val emb = (0L until 60L).map { i =>
       (i, Array.tabulate(8)(d => math.sin(i * 1.7 + d).toFloat).toSeq)
     }.toDF("vec_id", "embedding")
-    def run(tables: Int) = ApproxAnn.knnJoinLsh(
+    def run(tables: Int) = ApproxAnn.knnJoinLshFixed(
         emb, "embedding", "vec_id", Euclidean, 3, nbits = 6, radius = 0,
         tables = tables)
       .select("query_id", "vec_id", "distance", "rank")
       .as[(Long, Long, Double, Int)].collect()
     // table 0's planes are THE planes: tables=1 result is the legacy result
-    assert(run(1).toSet == ApproxAnn.knnJoinLsh(
+    assert(run(1).toSet == ApproxAnn.knnJoinLshFixed(
         emb, "embedding", "vec_id", Euclidean, 3, nbits = 6, radius = 0)
       .select("query_id", "vec_id", "distance", "rank")
       .as[(Long, Long, Double, Int)].collect().toSet)
@@ -207,9 +207,9 @@ class ApproxAnnSpec extends SparkSpec {
     val emb = (0L until 24L).map { i =>
       (i, Array.tabulate(8)(d => math.sin(i * 1.7 + d).toFloat).toSeq)
     }.toDF("vec_id", "embedding")
-    val auto = ApproxAnn.knnJoinLshAuto(emb, "embedding", "vec_id", Euclidean, 3)
+    val auto = ApproxAnn.knnJoinLsh(emb, "embedding", "vec_id", Euclidean, 3)
       .select("query_id", "vec_id", "distance").as[(Long, Long, Double)].collect().toSet
-    val fixed = ApproxAnn.knnJoinLsh(emb, "embedding", "vec_id", Euclidean, 3,
+    val fixed = ApproxAnn.knnJoinLshFixed(emb, "embedding", "vec_id", Euclidean, 3,
         nbits = ApproxAnn.autoNbits(24L))
       .select("query_id", "vec_id", "distance").as[(Long, Long, Double)].collect().toSet
     assert(auto == fixed)
@@ -395,7 +395,7 @@ class ApproxAnnSpec extends SparkSpec {
       (4L, 1, Seq(0.90f, 0.10f, 0f, 0f))) // farther impostor
       .toDF("vec_id", "label", "embedding")
     val got = ApproxAnn.hardNegatives(emb, "embedding", "vec_id", "label",
-      Euclidean, k = 1, nbits = 4, radius = 4)
+      Euclidean, k = 1, nbits = Some(4), radius = 4)
       .as[(Long, Long, Double, Int, Int, Int)].collect()
     // radius = nbits ⇒ candidate space is complete; ranking is exact
     val forAnchor = got.map(r => r._1 -> r._2).toMap

@@ -37,7 +37,7 @@ class ContinuousIngestSpec extends SparkSpec {
       spark, p("postings"), p("doclens"), "doc_id", "text", opCol = Some("op"))
     val mergeVs = IndexMaintenance.mergeVsBatch(
       spark, p("lsh"), p("sidecar"), "doc_id", "embedding",
-      opCol = Some("op"), dims = dims)
+      opCol = Some("op"), dims = dims, nbits = 8)
     // near-dup probe + dedup-store merge in one body (probe-before-merge):
     // the CDC loop also emits the streaming pair log
     val mergeDedup = graft.streaming.StreamingDedup.nearDupBatch(

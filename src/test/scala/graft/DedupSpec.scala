@@ -106,7 +106,7 @@ class DedupSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     val centroids = emb.take(4).map { case (id, v) => (id.toInt, v) }
     val eps = 0.7
-    val got = Dedup.semanticDedup(df, "vec_id", "embedding", centroids, eps)
+    val got = Dedup.semanticDedupPinned(df, "vec_id", "embedding", centroids, eps)
       .as[(Long, Int)].collect().toMap
     // brute force: same fold order as the native expressions (left-to-right
     // double accumulation), so equality is exact, not approximate
@@ -140,17 +140,17 @@ class DedupSpec extends SparkSpec {
     }.toDF("vec_id", "embedding")
     // embeddingNearDupsAuto is parameter SELECTION, not a new algorithm
     val nb = graft.operators.ApproxAnn.autoNbits(24L)
-    val auto = Dedup.embeddingNearDupsAuto(emb, "vec_id", "embedding", 0.7)
+    val auto = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.7)
       .as[(Long, Long, Double)].collect().toSet
-    val fixed = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.7, nbits = nb)
+    val fixed = Dedup.embeddingNearDupsFixed(emb, "vec_id", "embedding", 0.7, nbits = nb)
       .as[(Long, Long, Double)].collect().toSet
     assert(auto == fixed)
     // semanticDedupAuto = semanticDedup over the k-means centroids it trains
     val trained = graft.operators.ApproxAnn.trainIvfCentroids(
       emb, "embedding", k = 4, seed = 7L)
-    val sAuto = Dedup.semanticDedupAuto(emb, "vec_id", "embedding", 0.7,
+    val sAuto = Dedup.semanticDedup(emb, "vec_id", "embedding", 0.7,
       k = Some(4), seed = 7L).as[(Long, Int)].collect().toMap
-    val sFixed = Dedup.semanticDedup(emb, "vec_id", "embedding", trained, 0.7)
+    val sFixed = Dedup.semanticDedupPinned(emb, "vec_id", "embedding", trained, 0.7)
       .as[(Long, Int)].collect().toMap
     assert(sAuto == sFixed)
     assert(sAuto.nonEmpty)

@@ -314,7 +314,8 @@ class EngineSpec extends SparkSpec {
     def vec(seed: Int, sign: Float = 1f): Seq[Float] =
       (0 until 64).map(d => sign * math.sin(seed * 2.1 + d * 0.7).toFloat)
     val append = IndexMaintenance.appendVsSegment(
-      spark, iPath, "pk", "embedding", opCol = Some("op"), dims = 64)
+      spark, iPath, "pk", "embedding", opCol = Some("op"), dims = 64,
+      nbits = 8)
     try {
       append((1 to 40).map(i => (i, vec(i), "UPSERT"))
         .toDF("pk", "embedding", "op"), 0L)

@@ -159,7 +159,8 @@ class IndexMaintenanceSpec extends SparkSpec {
     val sPath = new java.io.File(dir, "sidecar").getAbsolutePath
     val dims = 8
     val merge = IndexMaintenance.mergeVsBatch(
-      spark, iPath, sPath, "vec_id", "embedding", opCol = Some("op"), dims = dims)
+      spark, iPath, sPath, "vec_id", "embedding", opCol = Some("op"),
+      dims = dims, nbits = 8)
 
     def vec(seed: Long, sign: Float = 1f): Seq[Float] =
       Array.tabulate(dims)(d => sign * math.sin(seed * 1.7 + d).toFloat).toSeq
@@ -207,7 +208,8 @@ class IndexMaintenanceSpec extends SparkSpec {
     val iPath = new java.io.File(dir, "lsh").getAbsolutePath
     val dims = 8
     val append = IndexMaintenance.appendVsSegment(
-      spark, iPath, "vec_id", "embedding", opCol = Some("op"), dims = dims)
+      spark, iPath, "vec_id", "embedding", opCol = Some("op"),
+      dims = dims, nbits = 8)
     def vec(seed: Long, sign: Float = 1f): Seq[Float] =
       Array.tabulate(dims)(d => sign * math.sin(seed * 1.7 + d).toFloat).toSeq
     def rows(): Set[(Long, Seq[Float], Long)] =

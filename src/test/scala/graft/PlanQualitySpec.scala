@@ -400,4 +400,38 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("scale-safety gate: no fixed-nbits DEFAULT parameter anywhere in main") {
+    // VERDICT r9 #1: a fixed LSH plane count makes every bucket join
+    // quadratic in corpus size (measured 54-175x per 10x decade,
+    // BENCH_sf10), so the library's contract is: auto-tuned entry points
+    // are the defaults, and every API that takes nbits takes it as a
+    // REQUIRED parameter (it is either index metadata or a deliberate
+    // deterministic-replay pin). This gate fails the build if a default
+    // creeps back in.
+    import scala.jdk.CollectionConverters._
+    val offenders = java.nio.file.Files.walk(java.nio.file.Paths.get("src/main"))
+      .iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { f =>
+        java.nio.file.Files.readAllLines(f).asScala.zipWithIndex.collect {
+          case (line, i) if line.matches(""".*\bnbits:\s*Int\s*=\s*\d+.*""") =>
+            s"$f:${i + 1}: $line"
+        }
+      }.toList
+    assert(offenders.isEmpty,
+      s"fixed-nbits defaults reintroduced:\n${offenders.mkString("\n")}")
+  }
+
+  test("scale-safety gate: Engine-served LSH uses the store's own plane count") {
+    // The serving config's nbits is index METADATA (the planes the store's
+    // _bucket column was hashed with). ApproxServing must carry it through
+    // to the probe: a 6-bit store probed at radius 0 must prune to exactly
+    // the query's own 6-bit bucket — provable from the probe set size.
+    import graft.operators.ApproxAnn
+    val probes0 = ApproxAnn.probeBuckets(Seq(1f, 2f, 3f, 4f), nbits = 6, radius = 0)
+    assert(probes0.size == 1 && probes0.head < (1L << 6))
+    val probes1 = ApproxAnn.probeBuckets(Seq(1f, 2f, 3f, 4f), nbits = 6, radius = 1)
+    assert(probes1.size == 7, "radius-1 ball over 6 bits = 1 + 6 buckets")
+  }
 }

@@ -297,7 +297,8 @@ class StreamingSpec extends SparkSpec {
     val batches = Seq(rows.take(3), rows.slice(3, 5), rows.drop(5))
     val fn = StreamingDedup.embeddingNearDupBatch(
       spark, p("lsh"), p("sidecar"), p("pairs"),
-      "vec_id", "embedding", opCol = None, dims = 8, threshold = 0.99)
+      "vec_id", "embedding", opCol = None, dims = 8, threshold = 0.99,
+      nbits = 8)
     batches.zipWithIndex.foreach { case (b, i) =>
       fn(b.toDF("vec_id", "embedding"), i.toLong) }
     val streamed = spark.read.parquet(p("pairs"))
@@ -329,7 +330,7 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(p("tp")).count() == 0) // doc 1 was gone
     val fnE = StreamingDedup.embeddingNearDupBatch(
       spark, p("lsh"), p("sc"), p("ep"), "id", "vec", opCol = Some("op"),
-      dims = 4, threshold = 0.9)
+      dims = 4, threshold = 0.9, nbits = 4)
     val v = Seq(0.5f, 0.1f, -0.3f, 0.8f)
     fnE(Seq((1L, v, "UPSERT")).toDF("id", "vec", "op"), 0L)
     fnE(Seq((1L, null.asInstanceOf[Seq[Float]], "DELETE")).toDF("id", "vec", "op"), 1L)
