@@ -104,6 +104,17 @@ object RecallScale {
             k = k, nbits = nbits, radius = radius, queryFilter = qFilter,
             tables = tables)))
 
+      // IVF-routed join (the structureless middle path — VERDICT r9 #6):
+      // centroid routing concentrates true neighbors by construction, so
+      // nprobe lifts the floor where the LSH radius dial saturates. One
+      // training job per corpus (k ≈ √n, seeded), shared by the variants.
+      val kCells = math.max(4, math.sqrt(n.toDouble).toInt)
+      val trained = ApproxAnn.trainIvfCentroids(emb, "embedding", kCells, 42L)
+      def ivfAt(nprobe: Int): Double =
+        meanRecall(exact,
+          topkSets(ApproxAnn.knnJoinIvfPinned(emb, "embedding", "vec_id",
+            Euclidean, k = k, trained, nprobe, queryFilter = qFilter)))
+
       val variants = Seq(
         "fixed8_r2" -> approxAt(8, 2),
         s"auto${autoBits}_r2" -> approxAt(autoBits, 2),
@@ -111,7 +122,12 @@ object RecallScale {
         s"auto${autoBits}_r4" -> approxAt(autoBits, 4),
         // the OR-amplification dial: L independent tables at the base
         // radius — candidate cost ≈ tables×, floor ≈ 1-(1-p)^L
-        s"auto${autoBits}_r2_t4" -> approxAt(autoBits, 2, tables = 4))
+        s"auto${autoBits}_r2_t4" -> approxAt(autoBits, 2, tables = 4),
+        // IVF candidates per query ≈ nprobe·n/√n = nprobe·√n — comparable
+        // to the LSH ball at auto occupancy — with a geometry-driven floor
+        s"ivf${kCells}_np2" -> ivfAt(2),
+        s"ivf${kCells}_np4" -> ivfAt(4),
+        s"ivf${kCells}_np8" -> ivfAt(8))
 
       // ---- planted near-duplicate recall (the gap-bearing task) --------
       // Perturb P sampled vectors by seeded Gaussian noise at amplitude

@@ -1209,6 +1209,21 @@ object SparkEntry {
           "vec_id", Euclidean, k = 3)
         .withColumn("distance", round(col("distance"), 6) + lit(0.0))),
 
+    // IVF-routed bulk kNN join — the structureless-regime middle path
+    // where LSH's Hamming coverage floors (RECALL_scale: 0.11-0.17 at auto
+    // code lengths; centroid routing concentrates true neighbors by
+    // construction, nprobe the recall dial). Selection centroids (vec_id
+    // < 16) pin the routing, so the oracle replays assignment (argmin by
+    // (l2², cid) — the ann_ivf rule), the nprobe-nearest probe cells and
+    // the ranking window exactly; the trained-√n-cell default
+    // (knnJoinIvf) is the serving form.
+    "knn_join_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      ApproxAnn.knnJoinIvfPinned(emb, "embedding", "vec_id", Euclidean,
+          k = 3, selectionCentroids(emb), nprobe = 2)
+        .withColumn("distance", round(col("distance"), 6) + lit(0.0))
+    }),
+
     // Hard-negative mining: each anchor's 3 nearest DIFFERENT-label
     // neighbors over the same LSH-bucket candidate space (label inequality
     // prunes pairs before the per-anchor ranking window).
@@ -1267,11 +1282,16 @@ object SparkEntry {
     // candidate generation, no stop-gram semantics — so the oracle is an
     // INDEPENDENT brute-force formulation (cross join + levenshtein), not
     // a replay of the candidate pipeline: two different algorithms must
-    // produce the same pair set.
+    // produce the same pair set. candidateBudget = None: this query IS the
+    // documented bounded-subset escalation the guard points callers at —
+    // the bench times it at every decade so the cost stays a recorded
+    // number, not a surprise (the GUARDED default fails fast past 10⁸
+    // candidates; DedupSpec pins the trip on a shared-vocab corpus).
     "fuzzy_join_exact" -> ((s, dir) => {
       val names = t(s, dir, "documents")
         .select(col("doc_id"), substring(col("text"), 1, 24).as("name"))
-      Dedup.editDistancePairsExact(names, "doc_id", "name", maxDist = 3)
+      Dedup.editDistancePairsExact(names, "doc_id", "name", maxDist = 3,
+        candidateBudget = None)
     }),
 
     // Per-source winsorization: clip n_chars into the source's [p5, p95]
@@ -3844,6 +3864,33 @@ object SparkEntry {
     },
 
     "knn_join_lsh" -> knnJoinLshOracle(nbits = 8),
+
+    // Replays knnJoinIvfPinned end-to-end over the selection centroids:
+    // IVF assignment (argmin by (l2², cid)), the 2-nearest probe cells per
+    // query (same (d, cid) lexicographic order as the array_sort), the
+    // cell equi-join and the (distance, vec_id) ranking window.
+    "knn_join_ivf" -> {
+      val l2QA = "list_sum(list_transform(list_zip(p.qv, a.embedding), " +
+        "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
+        "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+      s"""WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
+         |           FROM embeddings WHERE vec_id < 16 AND embedding IS NOT NULL),
+         |a0 AS MATERIALIZED (SELECT e.vec_id, e.embedding, c.cid, $duckDistCE AS d
+         |       FROM embeddings e, c WHERE e.embedding IS NOT NULL),
+         |ranked AS MATERIALIZED (SELECT *, row_number() OVER
+         |          (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn FROM a0),
+         |asg AS (SELECT vec_id, embedding, cid FROM ranked WHERE rn = 1),
+         |probe AS (SELECT vec_id AS query_id, embedding AS qv, cid
+         |          FROM ranked WHERE rn <= 2),
+         |p0 AS (SELECT p.query_id, a.vec_id, $l2QA AS dist
+         |       FROM probe p JOIN asg a USING (cid)
+         |       WHERE p.query_id <> a.vec_id),
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rn FROM p0)
+         |SELECT query_id, vec_id, round(dist, 6) + 0.0 AS distance,
+         |  CAST(rn AS INT) AS rank
+         |FROM r WHERE rn <= 3""".stripMargin
+    },
 
     // knn_join_lsh's replay plus the label-inequality pair prune.
     "hard_negatives" -> {

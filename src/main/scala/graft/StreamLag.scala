@@ -19,6 +19,7 @@ import org.apache.spark.sql.functions._
   * wall time is reported separately.
   *
   * Usage: StreamLag [sfDir] [nBatches] [outFile] [nBuckets=64] [mode=bucket]
+  *                  [maxSegments=0]
   * nBuckets trades bucket-pruned read granularity against per-commit
   * directory-rewrite overhead: when every batch touches every bucket (batch
   * cardinality >> buckets), fewer buckets = fewer per-commit renames.
@@ -27,7 +28,14 @@ import org.apache.spark.sql.functions._
   * rewrite is O(store) once batches spray all buckets, measured as lag
   * that grows with the corpus); the probe then reads through
   * [[IndexMaintenance.readFtsSegmentIndex]]'s reconciled view.
-  * Prints ONE JSON line: per-batch lag seconds, p50/p95/max, probe cost.
+  * maxSegments > 0 (segment mode) wires [[IndexMaintenance.withCompaction]]
+  * around the writer — the auto-compaction cadence whose long-horizon
+  * effect (~100 batches) this harness exists to measure: without it the
+  * reconcile's input grows one segment per batch and probe_sec drifts up;
+  * with it probe_sec stays flat and the lag series shows the fold
+  * sawtooth (amortized, bounded spikes).
+  * Prints ONE JSON line: per-batch lag seconds, p50/p95/max, probe cost,
+  * per-batch segment counts (segment mode).
   */
 object StreamLag {
 
@@ -60,9 +68,19 @@ object StreamLag {
     val mem = MemoryStream[DocEv](spark)
     val nBuckets = args.lift(3).map(_.toInt).getOrElse(64)
     val mode = args.lift(4).getOrElse("bucket")
+    val maxSegments = args.lift(5).map(_.toInt).getOrElse(0)
+    val segCounts = Array.ofDim[Int](nBatches)
     val merge = mode match {
-      case "segment" => IndexMaintenance.appendFtsSegment(
-        spark, p("postings"), p("doclens"), "doc_id", "text", opCol = None)
+      case "segment" =>
+        val append = IndexMaintenance.appendFtsSegment(
+          spark, p("postings"), p("doclens"), "doc_id", "text", opCol = None)
+        if (maxSegments > 0)
+          IndexMaintenance.withCompaction(
+            spark, p("doclens"),
+            IndexMaintenance.CompactionPolicy(maxSegments),
+            () => IndexMaintenance.compactFtsSegments(
+              spark, p("postings"), p("doclens"), "doc_id"))(append)
+        else append
       case _ => IndexMaintenance.mergeFtsBatch(
         spark, p("postings"), p("doclens"), "doc_id", "text", opCol = None,
         nBuckets = nBuckets)
@@ -92,9 +110,10 @@ object StreamLag {
           DocEv(id, tx, new java.sql.Timestamp(t0)) }.toSeq :+ marker)
         q.processAllAvailable() // commit = indexed
         lags(b) = (System.currentTimeMillis() - t0) / 1000.0
-        if (mode == "segment") // live fts_segment_count (rises until a merge)
-          eng.setSegmentCount("ks", "fts",
-            IndexMaintenance.ftsSegmentCount(spark, p("doclens")))
+        if (mode == "segment") { // live fts_segment_count (the sawtooth)
+          segCounts(b) = IndexMaintenance.ftsSegmentCount(spark, p("doclens"))
+          eng.setSegmentCount("ks", "fts", segCounts(b))
+        }
         val tp = System.currentTimeMillis()
         val pos =
           if (mode == "segment") IndexMaintenance.readFtsSegmentIndex(
@@ -115,13 +134,16 @@ object StreamLag {
 
     val sorted = lags.sorted
     def pct(q: Double) = sorted(math.min(sorted.length - 1, (q * sorted.length).toInt))
+    val segJson = if (mode == "segment")
+      s""","max_segments":$maxSegments,"segments":[${segCounts.mkString(",")}]"""
+    else ""
     val json =
       s"""{"metric":"fts_write_to_searchable","unit":"sec","mode":"$mode",""" +
         s""""batches":$nBatches,""" +
         s""""docs_per_batch":$perBatch,"p50":${fmt(pct(0.5))},""" +
         s""""p95":${fmt(pct(0.95))},"max":${fmt(sorted.last)},""" +
         s""""per_batch":[${lags.map(fmt).mkString(",")}],""" +
-        s""""probe_sec":[${probes.map(fmt).mkString(",")}]}"""
+        s""""probe_sec":[${probes.map(fmt).mkString(",")}]$segJson}"""
     println(json)
     outFile.foreach { f =>
       java.nio.file.Files.write(java.nio.file.Paths.get(f), json.getBytes("UTF-8"))

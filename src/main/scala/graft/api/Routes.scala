@@ -361,8 +361,13 @@ object Routes {
           // observe the FULL request wall-clock (plan + collect inside the
           // response serializer) — what the reference's axum layer times
           val t0 = System.nanoTime()
-          val res = engine.ann(ks, idx, req)
-          val json = Wire.annResponseJson(res, meta.primaryKeyColumns, types)
+          // store fence read side around plan + collect: a maintenance
+          // commit (bucket rewrite / segment fold) can never interleave
+          // with this request's scan (Engine.withQuiescedRead)
+          val json = engine.withQuiescedRead(ks, idx) {
+            val res = engine.ann(ks, idx, req)
+            Wire.annResponseJson(res, meta.primaryKeyColumns, types)
+          }
           engine.recordLatency(ks, idx, (System.nanoTime() - t0) / 1e9)
           Response(200, json)
 
@@ -372,8 +377,10 @@ object Routes {
           val types = columnTypes(engine, ks, idx)
           val (q, limit) = Wire.parseBm25Request(body)
           val t0 = System.nanoTime()
-          val res = engine.bm25(ks, idx, q, limit)
-          val json = Wire.bm25ResponseJson(res, meta.primaryKeyColumns.head, types)
+          val json = engine.withQuiescedRead(ks, idx) {
+            val res = engine.bm25(ks, idx, q, limit)
+            Wire.bm25ResponseJson(res, meta.primaryKeyColumns.head, types)
+          }
           engine.recordLatency(ks, idx, (System.nanoTime() - t0) / 1e9)
           Response(200, json)
 

@@ -576,6 +576,82 @@ object ApproxAnn {
     }
   }
 
+  /** Bulk kNN self-join routed through IVF cells — the structureless-regime
+    * middle path (VERDICT r9 #6). Sign-LSH's Hamming-ball probe is
+    * COVERAGE-bound on weak-gap (decorrelated) vectors: at auto code
+    * lengths the probed fraction of Hamming space shrinks with n, and
+    * RECALL_scale measured the resulting top-k floor at 0.11–0.17 —
+    * a property of any sublinear bucket scheme, not a bug. Centroid
+    * routing concentrates true neighbors BY CONSTRUCTION (a query's
+    * neighbors are overwhelmingly in its few nearest L2 cells), so the
+    * `nprobe` dial buys recall roughly linearly where the LSH radius dial
+    * saturates.
+    *
+    * Mechanics: the candidate side carries its exact IVF assignment (the
+    * [[assignToCentroids]] argmin rule); the query side explodes to its
+    * `nprobe` NEAREST cells (per-row distances to the broadcast-literal
+    * centroids, sorted — one codegen'd projection, no shuffle); candidates
+    * come from the equi-join on the cell id. A candidate row sits in
+    * exactly one cell and the probe cells are distinct, so no pair joins
+    * twice — no dedup pass. Cost: n · nprobe · E[cell] = n² · nprobe / k
+    * distance evaluations; with k ≈ √n cells that is O(n^1.5) at fixed
+    * nprobe, against brute force's O(n²) and LSH-auto's coverage floor.
+    *
+    * Centroids ride along as a plan literal (k · dims floats) — fine to
+    * k ~ 10⁵; past that route hierarchically (coarse quantizer first),
+    * the IVF-HNSW shape.
+    *
+    * Deterministic GIVEN centroids, so with pinned centroids the oracle
+    * replays it exactly (the semantic_dedup trick). */
+  def knnJoinIvfPinned(
+      df: DataFrame, vecCol: String, idCol: String, space: Space, k: Int,
+      centroids: Seq[(Int, Seq[Float])], nprobe: Int = 2,
+      queryFilter: Column = lit(true)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(centroids.nonEmpty, "need at least one centroid")
+    require(nprobe >= 1 && nprobe <= centroids.size,
+      s"nprobe must be in [1, ${centroids.size}]")
+    val base = df.filter(col(vecCol).isNotNull)
+    val cand = base.select(col(idCol).as("vec_id"), col(vecCol).as("_cv"),
+      centroidBest(vecCol, centroids).getField("cid").as("_cell"))
+    // nprobe nearest cells per query row: (d, cid) structs sort
+    // lexicographically — the same (distance, cid) tiebreak the
+    // assignment rule uses, so probe set 1 ⊇ the row's own cell
+    val carr = typedlit(centroids)
+    val probeCells = slice(
+      array_sort(transform(carr, c =>
+        struct(VectorFunctions.l2sq(col(vecCol), c.getField("_2")).as("d"),
+          c.getField("_1").as("cid")))),
+      1, nprobe)
+    val q = base.filter(queryFilter)
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+        explode(transform(probeCells, x => x.getField("cid"))).as("_cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("distance").asc, col("vec_id").asc)
+    q.join(cand, "_cell")
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("distance", VectorFunctions.distance(space, col("_cv"), col("_qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "distance", "rank")
+  }
+
+  /** THE DEFAULT IVF bulk kNN join: centroids trained at k ≈ √n (one
+    * seeded MLlib k-means job — cells stay O(√n), total cost O(n^1.5 ·
+    * nprobe / √n · √n) = O(n^1.5)). Training is float-iterative, so like
+    * [[graft.operators.Dedup.semanticDedup]] the auto form is rows-only
+    * for oracles; [[knnJoinIvfPinned]] with pinned centroids is the
+    * hash-checked twin. */
+  def knnJoinIvf(
+      df: DataFrame, vecCol: String, idCol: String, space: Space, k: Int,
+      nprobe: Int = 2, kCells: Option[Int] = None, seed: Long = 42L,
+      queryFilter: Column = lit(true)): DataFrame = {
+    val n = df.filter(col(vecCol).isNotNull).count()
+    val kk = kCells.getOrElse(math.max(4, math.sqrt(n.toDouble).toInt))
+    knnJoinIvfPinned(df, vecCol, idCol, space, k,
+      trainIvfCentroids(df, vecCol, kk, seed), nprobe, queryFilter)
+  }
+
   // ===== Product quantization (PQ / ADC) =====
 
   /** Product-quantization codebooks: `codebooks(j)` holds subspace j's

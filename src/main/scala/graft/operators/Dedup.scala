@@ -80,6 +80,12 @@ object Dedup {
     * two orders of magnitude earlier than [[DefaultMaxShingleDf]]. */
   val DefaultMaxGramDf = 200
 
+  /** [[editDistancePairsExact]] candidate budget default: 10⁸ threshold-
+    * levenshtein verifications ≈ low minutes of cluster-wide work — past
+    * it the corpus shape, not the plan, is the problem, and the honest
+    * moves are the df-capped form or an explicit unguarded escalation. */
+  val DefaultExactCandidateBudget = 100000000L
+
   /** Skew guard for candidate self-joins: drop shingles present in more
     * than `maxDf` documents. A boilerplate shingle shared by millions of
     * docs would otherwise create a quadratic join bucket; ultra-frequent
@@ -290,9 +296,22 @@ object Dedup {
     * boilerplate (many documents sharing a full segment at the same slot)
     * makes hot buckets — the price of exactness; AQE skew-join handles
     * moderate skew, and corpora with pathological boilerplate should
-    * prefer [[editDistancePairs]]' declared-semantics df cap. */
+    * prefer [[editDistancePairs]]' declared-semantics df cap.
+    *
+    * GUARDED BY DEFAULT (VERDICT r9 #3): PassJoin's candidate volume is a
+    * property of the DATA — on a shared-vocabulary corpus (many strings
+    * sharing verbatim segments at the same slot) it degrades toward n²
+    * (measured: 102×, 780 s at the sf10 decade). Before the expensive
+    * join runs, the exact candidate count Σ |segs(key)|·|probes(key)| is
+    * computed by one narrow agg-join over the key frames (strings
+    * pruned); if it exceeds `candidateBudget` the operator FAILS FAST
+    * with the estimate and the df-capped [[editDistancePairs]] named as
+    * the escalation path — silently switching semantics is not what an
+    * "Exact" function may do. Pass `None` to run unguarded (oracle
+    * replay / deliberate bounded-subset escalation). */
   def editDistancePairsExact(
-      df: DataFrame, idCol: String, strCol: String, maxDist: Int): DataFrame = {
+      df: DataFrame, idCol: String, strCol: String, maxDist: Int,
+      candidateBudget: Option[Long] = Some(DefaultExactCandidateBudget)): DataFrame = {
     require(maxDist >= 0, "need maxDist >= 0")
     val k = maxDist
     val m = k + 1
@@ -356,6 +375,26 @@ object Dedup {
         explode(array_distinct(probeArr)).as("_p"))
       .select(col("id_y"), col("_sy"), col("_p._ls").as("_ls"),
         col("_p._i").as("_i"), col("_p._seg").as("_seg"))
+    // candidate-volume guard: the exact pre-join candidate count, from one
+    // narrow agg + equi-join over the (ls, i, seg) key frames (the string
+    // payload columns prune out of both aggregates) — cheap relative to
+    // the guarded join, and exact rather than a sampled guess
+    candidateBudget.foreach { budget =>
+      val segKeys = segs.groupBy(col("_ls"), col("_i"), col("_seg"))
+        .agg(count(lit(1)).as("_cs"))
+      val probeKeys = probes.groupBy(col("_ls"), col("_i"), col("_seg"))
+        .agg(count(lit(1)).as("_cp"))
+      val est = segKeys.join(probeKeys, Seq("_ls", "_i", "_seg"))
+        .agg(coalesce(sum(col("_cs") * col("_cp")), lit(0L)))
+        .head.getLong(0)
+      if (est > budget)
+        throw new IllegalStateException(
+          s"editDistancePairsExact: candidate estimate $est exceeds budget " +
+            s"$budget — this corpus' shared-vocabulary shape makes complete " +
+            "PassJoin candidate generation quadratic. Use editDistancePairs " +
+            "(df-capped q-gram candidates, declared semantics) or pass " +
+            "candidateBudget = None for a deliberate bounded-subset escalation.")
+    }
     // Verify IN the join stage, dedup after: boilerplate corpora make hot
     // segment buckets whose candidate fan-out is millions of rows, and the
     // original shape (candidates → distinct → join strings ×2 → verify)

@@ -226,6 +226,39 @@ final class Engine {
   def servingBackendName(keyspace: String, index: String): String =
     servingBackends.get(IndexKey(keyspace, index)).map(_.name).getOrElse("exact")
 
+  // ---- store fence (commit visibility) -------------------------------------
+  // The maintenance writers replace bucket directories / fold segments
+  // OUTSIDE any commit protocol (IndexMaintenance.overwriteBuckets,
+  // compact*Segments document the contract in prose). This fence makes the
+  // contract ENFORCEABLE at the serving layer: commits take the write
+  // side, serving ACTIONS take the read side — a mid-commit scan either
+  // ran entirely before the rewrite or waits for it, never observing a
+  // half-replaced directory. Fair mode: a waiting commit blocks NEW reads,
+  // so maintenance is not starved by a steady query stream.
+  private val storeFences =
+    new java.util.concurrent.ConcurrentHashMap[
+      IndexKey, java.util.concurrent.locks.ReentrantReadWriteLock]()
+  private def fence(key: IndexKey) =
+    storeFences.computeIfAbsent(key,
+      _ => new java.util.concurrent.locks.ReentrantReadWriteLock(true))
+
+  /** Run a maintenance commit (bucket rewrite, segment fold) against the
+    * index's store under the WRITE side of the store fence. */
+  def withMaintenance[T](keyspace: String, index: String)(commit: => T): T = {
+    val l = fence(IndexKey(keyspace, index)).writeLock()
+    l.lock(); try commit finally l.unlock()
+  }
+
+  /** Execute a serving ACTION under the READ side of the store fence.
+    * Spark plans are lazy — file listing and the scan happen at action
+    * time — so the fence must wrap the action (the collect inside the
+    * response serializer), not the plan construction. Reads run
+    * concurrently with each other and are excluded only from commits. */
+  def withQuiescedRead[T](keyspace: String, index: String)(action: => T): T = {
+    val l = fence(IndexKey(keyspace, index)).readLock()
+    l.lock(); try action finally l.unlock()
+  }
+
   def setStatus(key: IndexKey, status: IndexStatus, progressPct: Double = 100.0): Unit =
     catalog.setStatus(key, status, progressPct)
 

@@ -215,10 +215,49 @@ object IndexMaintenance {
   }
 
   /** Live segment-directory count (the `fts_segment_count` number a
-    * segment-maintained index reports): one filesystem listing. */
+    * segment-maintained index reports): one filesystem listing. The layout
+    * is kind-independent (`_seg=<id>` directories), so this counts ANY
+    * segment store's claims path. */
   def ftsSegmentCount(spark: SparkSession, docLensPath: String): Int =
     graft.sources.IndexStorage.listDirs(spark, docLensPath)
       .count(_.startsWith(s"$SegCol="))
+
+  /** Compaction cadence for segment stores (VERDICT r9 #4): fold history
+    * once the live segment count exceeds `maxSegments`. WHY a count
+    * threshold: the read-side reconcile is one groupBy over the claims
+    * union, whose input grows linearly with segment count — the threshold
+    * caps read amplification at a constant factor while keeping the
+    * amortized write cost O(store / maxSegments) per fold, the standard
+    * LSM trade (tantivy's merge policy is the reference shape,
+    * fts_index/tantivy.rs commit/merge loop). Tombstone retirement rides
+    * along: every fold drops superseded rows, so a tombstone lives at most
+    * one fold cycle. */
+  final case class CompactionPolicy(maxSegments: Int = 16) {
+    require(maxSegments >= 1, "maxSegments must be >= 1")
+  }
+
+  /** Wrap a segment-append writer with the auto-compaction cadence: after
+    * each commit, if the claims store's segment count exceeds the policy
+    * threshold, run the kind's `compact` function. foreachBatch serializes
+    * batches, so the fold always runs against a QUIESCED store (between
+    * micro-batches) — the commit-visibility contract the compactors
+    * document. One combinator serves all nine segment kinds: pass the
+    * kind's claims path (segment counting is layout-independent) and its
+    * compact* closure. The `fts_segment_count` gauge (wire it via
+    * `onCount`) shows the resulting sawtooth: rises to maxSegments+1,
+    * drops to 1 at each fold. */
+  def withCompaction(
+      spark: SparkSession, claimsPath: String, policy: CompactionPolicy,
+      compact: () => Unit, onCount: Int => Unit = _ => ())(
+      writer: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      writer(batch, batchId)
+      val n = ftsSegmentCount(spark, claimsPath)
+      if (n > policy.maxSegments) {
+        compact()
+        onCount(ftsSegmentCount(spark, claimsPath))
+      } else onCount(n)
+    }
 
   /** Fold all segments into one: materialize the reconciled live view, then
     * rewrite it as the CURRENT HIGHEST segment (reusing the ceiling keeps

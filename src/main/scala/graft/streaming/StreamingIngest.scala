@@ -230,7 +230,10 @@ object StreamingIngest {
             .agg(count(lit(1)).as("n"),
               max(col(tsCol).cast("timestamp").cast("double")).as("max_ts"))
             .head()
-          sink(cached, epoch)
+          // write side of the engine's store fence: serving actions on
+          // this index wait out the commit instead of scanning a
+          // half-replaced bucket (Engine.withMaintenance)
+          engine.withMaintenance(keyspace, index) { sink(cached, epoch) }
           // record only AFTER the sink commits: a failed batch must not
           // advance the checkpoint or count as indexed
           engine.recordModified(keyspace, index, operation, stats.getLong(0))

@@ -151,6 +151,55 @@ class ApproxAnnSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("knnJoinIvf: nprobe=all cells is exact; fewer probes = subset; auto == pinned") {
+    val emb = (0L until 30L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 1.7 + d).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val centroids = (0 until 4).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 7.3 + d).toFloat).toSeq))
+    def run(nprobe: Int) = ApproxAnn.knnJoinIvfPinned(
+        emb, "embedding", "vec_id", Euclidean, k = 2, centroids, nprobe)
+      .select("query_id", "vec_id", "distance", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    // probing EVERY cell covers the whole corpus ⇒ result is the exact kNN
+    val full = run(4)
+    val exact = Ann.searchBatch(
+        emb.select(col("vec_id").as("query_id"), col("embedding").as("query_vec")),
+        emb, "embedding", Seq("vec_id"), Euclidean, 3)
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("distance").asc, col("vec_id").asc)))
+      .filter(col("rank") <= 2)
+      .select("query_id", "vec_id", "distance", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(full.toSet == exact.toSet)
+    // recall is monotone in nprobe, distances stay exact, pairs unique
+    val p1 = run(1)
+    assert(p1.map(r => (r._1, r._2)).distinct.length == p1.length)
+    assert(p1.length <= full.length)
+    val exactD = exact.map(r => (r._1, r._2) -> r._3).toMap ++
+      full.map(r => (r._1, r._2) -> r._3)
+    p1.foreach { case (q, v, d, _) =>
+      assert(q != v); exactD.get((q, v)).foreach(e => assert(e == d)) }
+    // the trained-centroid default equals pinned over the same centroids
+    val trained = ApproxAnn.trainIvfCentroids(emb, "embedding", k = 4, seed = 9L)
+    val auto = ApproxAnn.knnJoinIvf(emb, "embedding", "vec_id", Euclidean,
+        k = 2, nprobe = 2, kCells = Some(4), seed = 9L)
+      .select("query_id", "vec_id", "distance")
+      .as[(Long, Long, Double)].collect().toSet
+    val pinned = ApproxAnn.knnJoinIvfPinned(emb, "embedding", "vec_id",
+        Euclidean, k = 2, trained, nprobe = 2)
+      .select("query_id", "vec_id", "distance")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(auto == pinned && auto.nonEmpty)
+    // plan shape: cell equi-join, never a cross product
+    val plan = ApproxAnn.knnJoinIvfPinned(emb, "embedding", "vec_id",
+      Euclidean, 2, centroids, 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("knnJoinLsh OR-amplification: tables=1 unchanged, candidates monotone, no dup pairs") {
     val emb = (0L until 60L).map { i =>
       (i, Array.tabulate(8)(d => math.sin(i * 1.7 + d).toFloat).toSeq)

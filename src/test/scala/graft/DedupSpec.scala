@@ -294,6 +294,29 @@ class DedupSpec extends SparkSpec {
     assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled", "true") == "true")
   }
 
+  test("editDistancePairsExact guard trips on a degenerate shared-vocab corpus") {
+    // every string IS the same 16-char token plus a one-char suffix: all
+    // segment keys collide across the whole corpus, so complete PassJoin
+    // candidate generation is ~n² — exactly the shape that measured 102×
+    // at the sf10 decade. The guard must pre-estimate and FAIL FAST, not
+    // run the quadratic join; the error must name the escalation paths.
+    val rows = (0 until 200).map(i =>
+      (i.toLong, "sharedvocabulary" + ('a' + i % 26).toChar)).toDF("id", "name")
+    val e = intercept[IllegalStateException] {
+      Dedup.editDistancePairsExact(rows, "id", "name", maxDist = 2,
+        candidateBudget = Some(10000L))
+    }
+    assert(e.getMessage.contains("candidate estimate") &&
+      e.getMessage.contains("editDistancePairs"), e.getMessage)
+    // the same corpus under an explicit None escalation still computes,
+    // and the DEFAULT budget (1e8) admits this tiny fixture
+    val unguarded = Dedup.editDistancePairsExact(rows, "id", "name",
+      maxDist = 2, candidateBudget = None).count()
+    val guarded = Dedup.editDistancePairsExact(rows, "id", "name",
+      maxDist = 2).count()
+    assert(unguarded == guarded && unguarded > 0)
+  }
+
   test("editDistancePairsExact == brute force for k=0..3 over mixed-length strings") {
     import org.apache.spark.sql.functions.{col, levenshtein, length, abs}
     // seeded generator: lengths 0..14 over a 3-letter alphabet — small

@@ -657,6 +657,57 @@ class IndexMaintenanceSpec extends SparkSpec {
     } finally FileUtils.deleteDirectory(dir)
   }
 
+  test("compaction policy: segment count sawtooths under the threshold, view stays exact") {
+    // the VERDICT r9 #4 cadence rule: withCompaction folds once the live
+    // segment count exceeds maxSegments, so the read-side reconcile input
+    // is bounded by a constant regardless of how many batches ever ran
+    import org.apache.commons.io.FileUtils
+    val dir = java.nio.file.Files.createTempDirectory("graft_fts_policy").toFile
+    val pPath = new java.io.File(dir, "postings").getAbsolutePath
+    val lPath = new java.io.File(dir, "doclens").getAbsolutePath
+    val counts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val append = IndexMaintenance.withCompaction(
+      spark, lPath, IndexMaintenance.CompactionPolicy(maxSegments = 4),
+      () => IndexMaintenance.compactFtsSegments(spark, pPath, lPath, "doc_id"),
+      onCount = counts += _)(
+      IndexMaintenance.appendFtsSegment(
+        spark, pPath, lPath, "doc_id", "text", opCol = Some("op")))
+    try {
+      // 12 batches: upserts, one delete, one doc rewritten across batches
+      val live = scala.collection.mutable.Map.empty[Long, String]
+      for (b <- 0 until 12) {
+        val id = b.toLong
+        val tx = s"batch $b body term$b shared corpus words"
+        val rows = if (b == 7)
+          Seq((3L, null.asInstanceOf[String], "DELETE")) // delete doc 3
+        else if (b == 9)
+          Seq((2L, s"rewritten two term$b", "UPSERT"), (id, tx, "UPSERT"))
+        else Seq((id, tx, "UPSERT"))
+        rows.foreach {
+          case (i, null, _) => live.remove(i)
+          case (i, t, _) => live(i) = t
+        }
+        append(rows.toDF("doc_id", "text", "op"), b.toLong)
+      }
+      // sawtooth: the count after every commit+policy step never exceeds
+      // maxSegments + 1 pre-fold, and at least one fold happened (count
+      // drops back to 1)
+      assert(counts.max <= 5, counts.mkString(","))
+      assert(counts.contains(1), s"no fold ever ran: ${counts.mkString(",")}")
+      assert(IndexMaintenance.ftsSegmentCount(spark, lPath) <= 5)
+      // the reconciled view equals a from-scratch rebuild of the live docs
+      val idx = IndexMaintenance.readFtsSegmentIndex(spark, pPath, lPath, "doc_id")
+      val rebuilt = Bm25.buildPositionalIndex(
+        live.toSeq.toDF("doc_id", "text"), "doc_id", "text")
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), col("term"), col("tf").cast("long"))
+        .collect().map(_.toSeq).toSet
+      assert(rows(idx.postings) == rows(rebuilt.postings))
+      assert(!idx.docLens.select("doc_id").as[Long].collect().contains(3L),
+        "deleted doc resurfaced across a fold")
+    } finally FileUtils.deleteDirectory(dir)
+  }
+
   test("segment dedup store: an upsert with zero shingles still claims its doc") {
     // ADVICE r9 regression: Dedup.shingles emits nothing for a doc with
     // fewer than shingleN tokens, so a shingle-less UPSERT used to write no
