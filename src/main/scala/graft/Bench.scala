@@ -101,6 +101,10 @@ object Bench {
     val qsMin = jmap(r => ms(r._3))
     val qsRebuilt = jmap(_._4.toString)
     val total = results.map(_._2).sum
+    // min-based total alongside the median-based one: on a contended host
+    // median >> min flags drift (r9's +24.5% artifact was exactly this);
+    // a reader comparing rounds should trust whichever pair agrees
+    val totalMin = results.map(_._3).sum
     val sfName = new java.io.File(sfDir).getName // "sf0.1", not the full path
     val detail = s"""{"detail":"3-decimal median + min + store-rebuilt",""" +
       s""""runs_per_query":$runs,"queries_min":$qsMin,""" +
@@ -240,6 +244,7 @@ object Bench {
       .mkString("{", ",", "}")
     val sf1Part = sf1Section.map("," + _).getOrElse("")
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
+      s""""value_min":${ms(totalMin)},""" +
       s""""n_queries":${results.length},""" +
       s""""queries_note":"the ${kept.length} slowest by median; full map in /tmp/graft-bench-detail.json + stderr",""" +
       s""""queries":$qsSlow$sf1Part,"sf":"$sfName"}""")

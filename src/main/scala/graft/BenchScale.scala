@@ -23,13 +23,16 @@ object BenchScale {
     * graph, candidate-explosion joins, signature stores, global merges. */
   val DefaultSubset: Seq[String] = Seq(
     "fuzzy_join", "fuzzy_join_exact", "knn_join_lsh", "knn_join_lsh_auto",
+    "knn_join_ivf", "knn_join_ivf_auto",
     "hits_scores", "pagerank", "dedup_clusters", "dedup_minhash",
     "semantic_dedup", "semantic_dedup_auto", "dedup_embedding_lsh",
     "dedup_embedding_lsh_auto", "bpe_merges", "decontamination_bloom")
 
-  // The `_auto` occupancy-constant variants are first-class SparkEntry
-  // queries since round 9 (rows-only driver checks — data-dependent
-  // parameters admit no static oracle SQL), so the sweep reads the one
+  // Since round 10 the `_auto` occupancy-constant forms ARE the API
+  // defaults (the un-suffixed entry points route to them); the pinned
+  // `knn_join_lsh`/`dedup_embedding_lsh`/`semantic_dedup` rows here time
+  // the deterministic oracle variants, kept in the sweep as the recorded
+  // cost of the quadratic fixed-parameter shape. The sweep reads the one
   // query map every other gate reads.
   private def allQueries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
     SparkEntry.queries

@@ -42,10 +42,24 @@ object SparkEntry {
     * IVF-family oracle queries (k-means' float iterations are not
     * SQL-replayable; the TRAINED path is pinned in ApproxAnnSpec). */
   private def selectionCentroids(emb: DataFrame): Seq[(Int, Seq[Float])] =
-    emb.filter(col("vec_id") < 16 && col("embedding").isNotNull)
+    selectionCentroidsK(emb, 16)
+
+  /** The first `k` vectors as pinned centroids — the deterministic,
+    * SQL-replayable centroid source (no float training). With
+    * k = [[sqrtCells]] this gives the SCALE SHAPE (cells O(√n)) a full
+    * hash oracle; only k-means TRAINING remains rows-only. */
+  private def selectionCentroidsK(emb: DataFrame, k: Int): Seq[(Int, Seq[Float])] =
+    emb.filter(col("vec_id") < k && col("embedding").isNotNull)
       .select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
       .sortBy(_._1).toSeq
+
+  /** k ≈ √n cell count from the corpus (pure function of the count —
+    * Verify inlines the same value into the oracle SQL, oracleSqlFor). */
+  private def sqrtCells(emb: DataFrame): Int = {
+    val n = emb.filter(col("embedding").isNotNull).count()
+    math.max(4, math.sqrt(n.toDouble).toInt)
+  }
 
   private def indexDir(dir: String, name: String): String =
     s"${sys.props("java.io.tmpdir")}/graft-indexes/${new java.io.File(dir).getName}/$name"
@@ -1184,6 +1198,15 @@ object SparkEntry {
       Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
         eps = 0.4)),
 
+    // √n SELECTION cells with a full hash oracle — the replayable scale
+    // shape (see knn_join_ivf_sqrt); only k-means TRAINING stays
+    // rows-only.
+    "semantic_dedup_sqrt" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Dedup.semanticDedupPinned(emb, "vec_id", "embedding",
+        selectionCentroidsK(emb, sqrtCells(emb)), eps = 0.4)
+    }),
+
     // Per-label centroid summary: mean vector per label — class prototypes
     // / per-domain drift report; the supervised twin of IVF training.
     // Flattened to (label, dim, m) for the compare (the driver's hash sorts
@@ -1221,6 +1244,30 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       ApproxAnn.knnJoinIvfPinned(emb, "embedding", "vec_id", Euclidean,
           k = 3, selectionCentroids(emb), nprobe = 2)
+        .withColumn("distance", round(col("distance"), 6) + lit(0.0))
+    }),
+
+    // THE DEFAULT IVF join form: k ≈ √n trained centroids keep cells
+    // O(√n) (the pinned 16-cell twin above is quadratic at scale for the
+    // same reason fixed-cell semantic_dedup is). k-means training is not
+    // SQL-replayable → rows-only check, like semantic_dedup_auto;
+    // auto==pinned equality over trained centroids is spec-pinned
+    // (ApproxAnnSpec).
+    "knn_join_ivf_auto" -> ((s, dir) =>
+      ApproxAnn.knnJoinIvf(t(s, dir, "embeddings"), "embedding", "vec_id",
+          Euclidean, k = 3, nprobe = 2)
+        .withColumn("distance", round(col("distance"), 6) + lit(0.0))),
+
+    // The SCALE SHAPE with a full hash oracle (VERDICT r9 #2's suggested
+    // replayable auto variant): k ≈ √n SELECTION centroids — cell count
+    // scales like the trained default (O(√n) cells ⇒ O(n^1.5) join), but
+    // the centroid source is the deterministic first-√n rule, so Verify
+    // inlines the count-derived k into static SQL (oracleSqlFor) and the
+    // driver hash-checks the scale shape end-to-end.
+    "knn_join_ivf_sqrt" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      ApproxAnn.knnJoinIvfPinned(emb, "embedding", "vec_id", Euclidean,
+          k = 3, selectionCentroidsK(emb, sqrtCells(emb)), nprobe = 2)
         .withColumn("distance", round(col("distance"), 6) + lit(0.0))
     }),
 
@@ -2397,6 +2444,57 @@ object SparkEntry {
        |FROM r WHERE rn <= 3""".stripMargin
   }
 
+  /** The semantic_dedup oracle at one pinned selection-centroid count —
+    * shared by the static cells=16 entry and [[oracleSqlFor]]'s √n-cell
+    * twin (the SCALE SHAPE with a full hash oracle). */
+  private def semanticDedupOracle(cells: Int): String = {
+    val distCE = duckDistCE
+    val dotAB = "list_sum(list_transform(list_zip(a.embedding, b.embedding), " +
+      "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    def nrm(t: String) =
+      s"sqrt(list_sum(list_transform($t.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    s"""WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
+       |           FROM embeddings WHERE vec_id < $cells AND embedding IS NOT NULL),
+       |a0 AS MATERIALIZED (SELECT e.vec_id, e.embedding, c.cid, $distCE AS d
+       |       FROM embeddings e, c WHERE e.embedding IS NOT NULL),
+       |asg AS MATERIALIZED (SELECT vec_id, embedding, cid, d FROM (
+       |          SELECT *, row_number() OVER
+       |            (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+       |          FROM a0) WHERE rn = 1),
+       |rem AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+       |        ON a.cid = b.cid AND a.vec_id <> b.vec_id
+       |        AND $dotAB / (${nrm("a")} * ${nrm("b")}) >= 0.4
+       |        AND (a.d < b.d OR (a.d = b.d AND a.vec_id < b.vec_id)))
+       |SELECT vec_id, cid AS cell FROM asg
+       |WHERE vec_id NOT IN (SELECT vec_id FROM rem)""".stripMargin
+  }
+
+  /** The knn_join_ivf oracle at one pinned selection-centroid count —
+    * shared by the static cells=16 entry and [[oracleSqlFor]]'s √n-cell
+    * twin. */
+  private def knnJoinIvfOracle(cells: Int): String = {
+    val l2QA = "list_sum(list_transform(list_zip(p.qv, a.embedding), " +
+      "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
+      "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+    s"""WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
+       |           FROM embeddings WHERE vec_id < $cells AND embedding IS NOT NULL),
+       |a0 AS MATERIALIZED (SELECT e.vec_id, e.embedding, c.cid, $duckDistCE AS d
+       |       FROM embeddings e, c WHERE e.embedding IS NOT NULL),
+       |ranked AS MATERIALIZED (SELECT *, row_number() OVER
+       |          (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn FROM a0),
+       |asg AS (SELECT vec_id, embedding, cid FROM ranked WHERE rn = 1),
+       |probe AS (SELECT vec_id AS query_id, embedding AS qv, cid
+       |          FROM ranked WHERE rn <= 2),
+       |p0 AS (SELECT p.query_id, a.vec_id, $l2QA AS dist
+       |       FROM probe p JOIN asg a USING (cid)
+       |       WHERE p.query_id <> a.vec_id),
+       |r AS (SELECT *, row_number() OVER
+       |        (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rn FROM p0)
+       |SELECT query_id, vec_id, round(dist, 6) + 0.0 AS distance,
+       |  CAST(rn AS INT) AS rank
+       |FROM r WHERE rn <= 3""".stripMargin
+  }
+
   /** MinHash signature + LSH band candidate CTEs mirroring
     * Dedup.minhashSignaturesFromShingles / Dedup.lshCandidates (16 hashes,
     * 4 bands) — shared by the dedup_minhash and dedup_clusters oracles. */
@@ -2468,11 +2566,14 @@ object SparkEntry {
     val n = t(spark, sfDir, "embeddings")
       .filter(col("embedding").isNotNull).count()
     val nb = ApproxAnn.autoNbits(n)
+    val cells = math.max(4, math.sqrt(n.toDouble).toInt)
     oracleSql ++ Map(
       "dedup_embedding_lsh_auto" ->
         s"""WITH ${duckEmbLshPairs(nb)}
            |SELECT id_a, id_b, round(cs, 6) AS cos_sim FROM p WHERE cs >= 0.4""".stripMargin,
-      "knn_join_lsh_auto" -> knnJoinLshOracle(nb))
+      "knn_join_lsh_auto" -> knnJoinLshOracle(nb),
+      "knn_join_ivf_sqrt" -> knnJoinIvfOracle(cells),
+      "semantic_dedup_sqrt" -> semanticDedupOracle(cells))
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -3869,28 +3970,7 @@ object SparkEntry {
     // IVF assignment (argmin by (l2², cid)), the 2-nearest probe cells per
     // query (same (d, cid) lexicographic order as the array_sort), the
     // cell equi-join and the (distance, vec_id) ranking window.
-    "knn_join_ivf" -> {
-      val l2QA = "list_sum(list_transform(list_zip(p.qv, a.embedding), " +
-        "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
-        "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
-      s"""WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
-         |           FROM embeddings WHERE vec_id < 16 AND embedding IS NOT NULL),
-         |a0 AS MATERIALIZED (SELECT e.vec_id, e.embedding, c.cid, $duckDistCE AS d
-         |       FROM embeddings e, c WHERE e.embedding IS NOT NULL),
-         |ranked AS MATERIALIZED (SELECT *, row_number() OVER
-         |          (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn FROM a0),
-         |asg AS (SELECT vec_id, embedding, cid FROM ranked WHERE rn = 1),
-         |probe AS (SELECT vec_id AS query_id, embedding AS qv, cid
-         |          FROM ranked WHERE rn <= 2),
-         |p0 AS (SELECT p.query_id, a.vec_id, $l2QA AS dist
-         |       FROM probe p JOIN asg a USING (cid)
-         |       WHERE p.query_id <> a.vec_id),
-         |r AS (SELECT *, row_number() OVER
-         |        (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rn FROM p0)
-         |SELECT query_id, vec_id, round(dist, 6) + 0.0 AS distance,
-         |  CAST(rn AS INT) AS rank
-         |FROM r WHERE rn <= 3""".stripMargin
-    },
+    "knn_join_ivf" -> knnJoinIvfOracle(cells = 16),
 
     // knn_join_lsh's replay plus the label-inequality pair prune.
     "hard_negatives" -> {
@@ -3979,27 +4059,7 @@ object SparkEntry {
     // Replays SemDeDup end-to-end: IVF assignment (argmin by (l2², cid) —
     // the ann_ivf rule over the same selection centroids), in-cell cosine
     // pairs, lexicographic (dc, id) removal, survivors.
-    "semantic_dedup" -> {
-      val distCE = duckDistCE
-      val dotAB = "list_sum(list_transform(list_zip(a.embedding, b.embedding), " +
-        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
-      def nrm(t: String) =
-        s"sqrt(list_sum(list_transform($t.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-      s"""WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
-         |           FROM embeddings WHERE vec_id < 16 AND embedding IS NOT NULL),
-         |a0 AS (SELECT e.vec_id, e.embedding, c.cid, $distCE AS d
-         |       FROM embeddings e, c WHERE e.embedding IS NOT NULL),
-         |asg AS (SELECT vec_id, embedding, cid, d FROM (
-         |          SELECT *, row_number() OVER
-         |            (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
-         |          FROM a0) WHERE rn = 1),
-         |rem AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
-         |        ON a.cid = b.cid AND a.vec_id <> b.vec_id
-         |        AND $dotAB / (${nrm("a")} * ${nrm("b")}) >= 0.4
-         |        AND (a.d < b.d OR (a.d = b.d AND a.vec_id < b.vec_id)))
-         |SELECT vec_id, cid AS cell FROM asg
-         |WHERE vec_id NOT IN (SELECT vec_id FROM rem)""".stripMargin
-    },
+    "semantic_dedup" -> semanticDedupOracle(cells = 16),
 
     // Per-(label, dim) mean reassembled dim-ordered; DuckDB's zipped
     // unnest(embedding)/unnest(range(len)) mirrors posexplode.
