@@ -108,12 +108,13 @@ object RecallScale {
       // centroid routing concentrates true neighbors by construction, so
       // nprobe lifts the floor where the LSH radius dial saturates. One
       // training job per corpus (k ≈ √n, seeded), shared by the variants.
-      val kCells = math.max(4, math.sqrt(n.toDouble).toInt)
+      val kCells = ApproxAnn.sqrtCells(n)
       val trained = ApproxAnn.trainIvfCentroids(emb, "embedding", kCells, 42L)
-      def ivfAt(nprobe: Int): Double =
+      def ivfAt(nprobe: Int): Double = // clamp: tiny smoke corpora may have kCells < 8
         meanRecall(exact,
           topkSets(ApproxAnn.knnJoinIvfPinned(emb, "embedding", "vec_id",
-            Euclidean, k = k, trained, nprobe, queryFilter = qFilter)))
+            Euclidean, k = k, trained, math.min(nprobe, kCells),
+            queryFilter = qFilter)))
 
       val variants = Seq(
         "fixed8_r2" -> approxAt(8, 2),

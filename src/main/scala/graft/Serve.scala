@@ -65,8 +65,7 @@ object Serve {
       // chosen value is index METADATA threaded into the serving config
       // and the store directory name, so a restart over a grown dataset
       // builds a fresh store instead of probing stale planes
-      val nb = ApproxAnn.autoNbits(
-        emb.filter(col("embedding").isNotNull).count())
+      val nb = ApproxAnn.autoNbitsFor(emb, "embedding")
       // cache key = full canonical path (two datasets sharing a basename
       // must not share — or clobber — one store directory)
       val dirKey = org.apache.commons.codec.digest.DigestUtils

@@ -55,11 +55,10 @@ object SparkEntry {
       .sortBy(_._1).toSeq
 
   /** k ≈ √n cell count from the corpus (pure function of the count —
-    * Verify inlines the same value into the oracle SQL, oracleSqlFor). */
-  private def sqrtCells(emb: DataFrame): Int = {
-    val n = emb.filter(col("embedding").isNotNull).count()
-    math.max(4, math.sqrt(n.toDouble).toInt)
-  }
+    * Verify inlines the same value into the oracle SQL, oracleSqlFor;
+    * the rule itself lives in ONE place, ApproxAnn.sqrtCells). */
+  private def sqrtCells(emb: DataFrame): Int =
+    ApproxAnn.sqrtCells(emb.filter(col("embedding").isNotNull).count())
 
   private def indexDir(dir: String, name: String): String =
     s"${sys.props("java.io.tmpdir")}/graft-indexes/${new java.io.File(dir).getName}/$name"
@@ -2561,12 +2560,18 @@ object SparkEntry {
     * authored per-fixture. `semantic_dedup_auto` stays rows-only — float
     * k-means TRAINING (iterative, data-dependent float state) has no SQL
     * replay, unlike parameter selection. */
+  /** The queries whose oracle SQL is authored at dump time (all derive
+    * parameters from the embeddings corpus count). */
+  val dynamicOracleQueries: Set[String] = Set(
+    "dedup_embedding_lsh_auto", "knn_join_lsh_auto",
+    "knn_join_ivf_sqrt", "semantic_dedup_sqrt")
+
   def oracleSqlFor(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): Map[String, String] = {
     val n = t(spark, sfDir, "embeddings")
       .filter(col("embedding").isNotNull).count()
     val nb = ApproxAnn.autoNbits(n)
-    val cells = math.max(4, math.sqrt(n.toDouble).toInt)
+    val cells = ApproxAnn.sqrtCells(n)
     oracleSql ++ Map(
       "dedup_embedding_lsh_auto" ->
         s"""WITH ${duckEmbLshPairs(nb)}

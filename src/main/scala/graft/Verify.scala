@@ -54,9 +54,15 @@ object Verify {
     } + "\""
     // oracle_sql.json mirrors the DUMPED subset — an entry without its
     // parquet dir would read as a failure to the compare step.
-    // oracleSqlFor: the LSH `_auto` oracles inline autoNbits(corpus count)
-    // computed against THIS data directory (deterministic replay).
-    val json = SparkEntry.oracleSqlFor(spark, sfDir)
+    // oracleSqlFor: the LSH `_auto` / `_sqrt` oracles inline parameters
+    // derived from THIS data directory's corpus count (deterministic
+    // replay) — invoked only when a dynamic-oracle query is in the dumped
+    // subset, so a subset dump against a fixture WITHOUT an embeddings
+    // table neither fails nor pays the count job.
+    val needsDynamic =
+      only.forall(o => (o & SparkEntry.dynamicOracleQueries).nonEmpty)
+    val json = (if (needsDynamic) SparkEntry.oracleSqlFor(spark, sfDir)
+                else SparkEntry.oracleSql)
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

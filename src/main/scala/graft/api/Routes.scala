@@ -167,7 +167,7 @@ object Routes {
     * cumulative `le` buckets + `_sum`/`_count`, with the reference's exact
     * bucket bounds. */
   private def prometheusText(engine: Engine): String = {
-    val rows = engine.metrics().collect()
+    val rows = engine.withQuiescedReadAll { engine.metrics().collect() }
     val snap = engine.promSnapshot()
     val sb = new StringBuilder
     def lbl(ks: String, idx: String, extra: (String, String)*): String =

@@ -78,7 +78,7 @@ object ApproxAnn {
   def buildLshIndexAuto(
       df: DataFrame, vecCol: String, dims: Int,
       targetOccupancy: Int = 8): (DataFrame, Int) = {
-    val nb = autoNbits(df.filter(col(vecCol).isNotNull).count(), targetOccupancy)
+    val nb = autoNbitsFor(df, vecCol, targetOccupancy)
     (buildLshIndex(df, vecCol, nb, dims), nb)
   }
 
@@ -451,6 +451,18 @@ object ApproxAnn {
     math.max(4, math.min(24, 63 - java.lang.Long.numberOfLeadingZeros(buckets)))
   }
 
+  /** [[autoNbits]] with the corpus count taken from the frame (the one
+    * count-and-filter rule every auto entry point and the serving store
+    * build share — Serve derives its plane count here). */
+  def autoNbitsFor(df: DataFrame, vecCol: String,
+      targetOccupancy: Int = 8): Int =
+    autoNbits(df.filter(col(vecCol).isNotNull).count(), targetOccupancy)
+
+  /** k ≈ √n cell count (SemDeDup's prescription, the IVF join default,
+    * and the `_sqrt` oracle twins) — ONE definition so the query side and
+    * the dump-time oracle SQL can never desynchronize. */
+  def sqrtCells(n: Long): Int = math.max(4, math.sqrt(n.toDouble).toInt)
+
   /** THE DEFAULT bulk kNN self-join — the plane count auto-tuned from the
     * corpus size (one count job), so the candidate volume stays
     * O(n · log²n) at ANY n. Result is EXACTLY [[knnJoinLshFixed]] at the
@@ -458,7 +470,14 @@ object ApproxAnn {
     * for the fixed form only when a deterministic replay needs a pinned
     * plane count (oracles, cross-run diffs). BENCH_sf10 measured the old
     * fixed-8-bit default at 175× per 10× decade vs 14.1× for this form —
-    * which is why auto IS the API default (VERDICT r9 #1). */
+    * which is why auto IS the API default (VERDICT r9 #1).
+    *
+    * MIGRATION NOTE (r10): the signature changed — `radius` is now the
+    * first Int after `k` (previously `nbits`). A pre-r10 POSITIONAL call
+    * passing `(…, k, 8, 2)` meant nbits=8, radius=2 and now compiles as
+    * radius=8, targetOccupancy=2; callers pinning a plane count must use
+    * [[knnJoinLshFixed]] (nbits is required there, so the fix is a
+    * compile error away). */
   def knnJoinLsh(
       df: DataFrame, vecCol: String, idCol: String, space: Space, k: Int,
       radius: Int = 2, targetOccupancy: Int = 8,
@@ -647,7 +666,7 @@ object ApproxAnn {
       nprobe: Int = 2, kCells: Option[Int] = None, seed: Long = 42L,
       queryFilter: Column = lit(true)): DataFrame = {
     val n = df.filter(col(vecCol).isNotNull).count()
-    val kk = kCells.getOrElse(math.max(4, math.sqrt(n.toDouble).toInt))
+    val kk = kCells.getOrElse(sqrtCells(n))
     knnJoinIvfPinned(df, vecCol, idCol, space, k,
       trainIvfCentroids(df, vecCol, kk, seed), nprobe, queryFilter)
   }

@@ -308,7 +308,14 @@ object Dedup {
     * with the estimate and the df-capped [[editDistancePairs]] named as
     * the escalation path — silently switching semantics is not what an
     * "Exact" function may do. Pass `None` to run unguarded (oracle
-    * replay / deliberate bounded-subset escalation). */
+    * replay / deliberate bounded-subset escalation).
+    *
+    * The guard is EAGER BY DESIGN — it runs two narrow aggregation jobs at
+    * call time so the failure lands where the operator was invoked, not
+    * minutes into the join. The key projections are recomputed (not
+    * cached) for the real join: pinning the exploded segment/probe frames
+    * would hold more storage than the one extra tokenize-and-substring
+    * pass costs. */
   def editDistancePairsExact(
       df: DataFrame, idCol: String, strCol: String, maxDist: Int,
       candidateBudget: Option[Long] = Some(DefaultExactCandidateBudget)): DataFrame = {
@@ -384,10 +391,14 @@ object Dedup {
         .agg(count(lit(1)).as("_cs"))
       val probeKeys = probes.groupBy(col("_ls"), col("_i"), col("_seg"))
         .agg(count(lit(1)).as("_cp"))
+      // double accumulation: a degenerate corpus can push Σ cs·cp past
+      // Long range, and a silent wrap would DISABLE the guard exactly on
+      // the corpus it exists for; double magnitudes are exact enough for
+      // a threshold comparison (the budget is ~1e8)
       val est = segKeys.join(probeKeys, Seq("_ls", "_i", "_seg"))
-        .agg(coalesce(sum(col("_cs") * col("_cp")), lit(0L)))
-        .head.getLong(0)
-      if (est > budget)
+        .agg(coalesce(sum(col("_cs").cast("double") * col("_cp")), lit(0.0)))
+        .head.getDouble(0)
+      if (est > budget.toDouble)
         throw new IllegalStateException(
           s"editDistancePairsExact: candidate estimate $est exceeds budget " +
             s"$budget — this corpus' shared-vocabulary shape makes complete " +
@@ -748,7 +759,12 @@ object Dedup {
     * drops as the code lengthens — the standard LSH trade; raise `radius`
     * to hold a recall target. Result is EXACTLY [[embeddingNearDupsFixed]]
     * at the chosen nbits; reach for the fixed form only when a
-    * deterministic replay needs a pinned plane count. */
+    * deterministic replay needs a pinned plane count.
+    *
+    * MIGRATION NOTE (r10): the signature changed — `radius` is now the
+    * first Int after `threshold` (previously `nbits`); pre-r10 positional
+    * callers pinning a plane count must move to
+    * [[embeddingNearDupsFixed]]. */
   def embeddingNearDups(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
       radius: Int = 2, targetOccupancy: Int = 8): DataFrame = {
@@ -873,7 +889,7 @@ object Dedup {
       df: DataFrame, idCol: String, vecCol: String, eps: Double,
       k: Option[Int] = None, seed: Long = 42L): DataFrame = {
     val n = df.filter(col(vecCol).isNotNull).count()
-    val kk = k.getOrElse(math.max(4, math.sqrt(n.toDouble).toInt))
+    val kk = k.getOrElse(ApproxAnn.sqrtCells(n))
     semanticDedupPinned(df, idCol, vecCol,
       ApproxAnn.trainIvfCentroids(df, vecCol, kk, seed), eps)
   }

@@ -259,6 +259,16 @@ final class Engine {
     l.lock(); try action finally l.unlock()
   }
 
+  /** Read-fence EVERY registered index around a cross-index action (the
+    * /metrics scrape unions all index frames). Locks acquire in sorted
+    * key order — readers never cycle with the single-key writers. */
+  def withQuiescedReadAll[T](action: => T): T = {
+    val locks = catalog.list.map(e => IndexKey(e.meta.keyspace, e.meta.index))
+      .sortBy(k => (k.keyspace, k.index)).map(fence(_).readLock())
+    locks.foreach(_.lock())
+    try action finally locks.reverse.foreach(_.unlock())
+  }
+
   def setStatus(key: IndexKey, status: IndexStatus, progressPct: Double = 100.0): Unit =
     catalog.setStatus(key, status, progressPct)
 
@@ -386,12 +396,16 @@ final class Engine {
     }.reduceOption(_ unionByName _).getOrElse(emptyFrame)
   }
 
-  /** Live row count of an index (A1; surfaced at httproutes.rs:437-456). */
+  /** Live row count of an index (A1; surfaced at httproutes.rs:437-456).
+    * Runs under the store fence read side — a count is a serving action
+    * like any other scan (the status route calls it). */
   def count(keyspace: String, index: String): Long = {
     val key = IndexKey(keyspace, index)
     val entry = catalog.get(key).getOrElse(
       throw new QueryException(404, s"index $keyspace/$index not found"))
-    frameOr404(key).filter(col(entry.meta.targetColumn).isNotNull).count()
+    withQuiescedRead(keyspace, index) {
+      frameOr404(key).filter(col(entry.meta.targetColumn).isNotNull).count()
+    }
   }
 }
 

@@ -212,9 +212,18 @@ object StreamingIngest {
     if (!query.isActive) engine.setCdcReaderUp(keyspace, index, reader, up = false)
   }
 
+  /** @param fenceCommits take the engine's per-index store fence (write
+    *        side) around each batch commit — the default, because the
+    *        bucket/segment maintainers replace directories outside any
+    *        commit protocol. The fence serializes serving reads against
+    *        the WHOLE batch commit; purely additive pipelines (segment
+    *        appends whose half-written segment readers tolerate, e.g. a
+    *        snapshot-pinned reader) may pass false to keep serving p99
+    *        decoupled from batch duration — the measured trade is yours. */
   def withCdcMetrics(
       engine: graft.operators.Engine, keyspace: String, index: String,
-      reader: String, tsCol: String, operation: String = "upsert")(
+      reader: String, tsCol: String, operation: String = "upsert",
+      fenceCommits: Boolean = true)(
       sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
     engine.setCdcReaderUp(keyspace, index, reader, up = true)
     // the checkpoint is a reader POSITION — monotone by definition; a late
@@ -233,7 +242,9 @@ object StreamingIngest {
           // write side of the engine's store fence: serving actions on
           // this index wait out the commit instead of scanning a
           // half-replaced bucket (Engine.withMaintenance)
-          engine.withMaintenance(keyspace, index) { sink(cached, epoch) }
+          if (fenceCommits)
+            engine.withMaintenance(keyspace, index) { sink(cached, epoch) }
+          else sink(cached, epoch)
           // record only AFTER the sink commits: a failed batch must not
           // advance the checkpoint or count as indexed
           engine.recordModified(keyspace, index, operation, stats.getLong(0))

@@ -304,9 +304,12 @@ class StreamingSpec extends SparkSpec {
     val streamed = spark.read.parquet(p("pairs"))
       .select("id_a", "id_b", "cos_sim").as[(Long, Long, Double)].collect().toSeq
     assert(streamed.map(x => (x._1, x._2)).distinct.length == streamed.length)
-    val batch = Dedup.embeddingNearDups(
+    // Fixed at the STORE's nbits (8): the batch baseline must replay the
+    // configuration the maintained store was built with, not the
+    // corpus-count default (auto would pick 4 bits for this 7-row fixture)
+    val batch = Dedup.embeddingNearDupsFixed(
         rows.toDF("vec_id", "embedding"), "vec_id", "embedding",
-        threshold = 0.99)
+        threshold = 0.99, nbits = 8)
       .as[(Long, Long, Double)].collect().toSeq
     assert(streamed.toSet == batch.toSet, s"streamed=$streamed batch=$batch")
     assert(streamed.map(x => (x._1, x._2)).toSet
