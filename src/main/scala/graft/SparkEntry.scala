@@ -1291,6 +1291,20 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id")
     }),
 
+    // Quality-keyed cluster resolution: keep the highest-quality member
+    // per near-dup cluster (longest doc by n_chars, id-tiebroken) — the
+    // rule production dedup actually applies; min-id keep (above) is the
+    // cheap deterministic variant. Same components, one narrow score
+    // join, a per-component argmax.
+    "dedup_clusters_best" -> ((s, dir) => {
+      val pairs = Dedup.minhashNearDupsFromStores(shingleStore(s, dir),
+        minhashSigStore(s, dir), "doc_id", bands = 4, threshold = 0.5,
+        maxShingleDf = None)
+      Curation.dedupClustersBest(pairs.select("id_a", "id_b"),
+          t(s, dir, "documents"), "doc_id", "n_chars")
+        .withColumn("score", round(col("score"), 6) + lit(0.0))
+    }),
+
     // Duplicate-cluster size distribution: how much of the corpus sits in
     // clusters of each size — the dedup monitoring report (a power-law
     // tail here is boilerplate/SEO farms; `dup_docs` = rows a
@@ -2668,6 +2682,32 @@ object SparkEntry {
          |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component_id,
          |  (min(b) = a) AS keep
          |FROM reach GROUP BY a""".stripMargin,
+
+    // the dedup_clusters replay + per-component argmax by (score desc,
+    // id asc) — the n_chars quality key attaches by one join
+    "dedup_clusters_best" ->
+      s"""WITH RECURSIVE $duckToks, ${duckShingles(5)}, $duckMinhashCand, $duckJaccardTail,
+         |pairs AS (SELECT id_a, id_b FROM cand JOIN inter USING (id_a, id_b)
+         |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+         |comp AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component_id
+         |         FROM reach GROUP BY a),
+         |scored AS (SELECT c.doc_id, c.component_id,
+         |             CAST(d.n_chars AS DOUBLE) AS score
+         |           FROM comp c JOIN documents d USING (doc_id)),
+         |win AS (SELECT component_id, doc_id AS keep_id FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY component_id
+         |            ORDER BY score DESC, doc_id ASC) AS rn FROM scored)
+         |        WHERE rn = 1)
+         |SELECT s.doc_id, s.component_id, round(s.score, 6) + 0.0 AS score,
+         |  (s.doc_id = w.keep_id) AS keep
+         |FROM scored s JOIN win w USING (component_id)""".stripMargin,
 
     // the dedup_clusters replay folded into the size histogram
     "cluster_size_report" ->

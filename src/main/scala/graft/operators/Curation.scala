@@ -141,6 +141,37 @@ object Curation {
       .withColumn("keep", col(idCol) === canon)
   }
 
+  /** Duplicate-cluster resolution keeping the BEST member per cluster —
+    * production dedup keeps the highest-QUALITY representative (longest
+    * document, best language/quality score, freshest crawl…), not the
+    * smallest id; [[dedupClusters]]' min-id rule exists for cheap
+    * deterministic replay, this is the curation-grade twin. Winner per
+    * component = argmax by (score DESC, id ASC) — the id tiebreak keeps
+    * equal-score clusters deterministic, so the operator stays fully
+    * oracle-replayable.
+    *
+    * Plan shape: component labels come from the same bounded
+    * [[connectedComponents]] (per-round shuffles sized by edge ENDPOINTS,
+    * not the corpus); the score attaches by one narrow (id, score)
+    * equi-join; the winner is a per-component `max_by` aggregate
+    * (partial-capable) joined back. Nothing wider than
+    * (id, component, score) ever shuffles. */
+  def dedupClustersBest(
+      pairs: DataFrame, docs: DataFrame, idCol: String, scoreCol: String,
+      maxIter: Int = 20,
+      policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
+    val comps = connectedComponents(pairs, docs, idCol, maxIter, policy)
+    val scored = comps.join(
+      docs.select(col(idCol), col(scoreCol).cast("double").as("score")),
+      Seq(idCol))
+    val winners = scored.groupBy(col("component_id"))
+      .agg(max_by(col(idCol), struct(col("score"),
+        (lit(-1L) * col(idCol).cast("long")).as("_negid"))).as("_keep_id"))
+    scored.join(winners, Seq("component_id"))
+      .select(col(idCol), col("component_id"), col("score"),
+        (col(idCol) === col("_keep_id")).as("keep"))
+  }
+
   /** Cross-source duplication matrix: near-dup pair counts cross-tabbed by
     * an attribute of each endpoint (source, domain, snapshot…). The corpus-
     * composition diagnostic behind mixture decisions — how much of source A

@@ -97,6 +97,25 @@ class CurationSpec extends SparkSpec {
     assert(out == Set((4L, 4L, true), (5L, 5L, true), (6L, 5L, false), (7L, 5L, false)))
   }
 
+  test("dedupClustersBest keeps the argmax-by-(score desc, id asc) member") {
+    // cluster {5,6,7}: doc 6 has the top score → keeper despite not being
+    // min-id; cluster {8,9}: equal scores → LOWER id 8 wins the tiebreak;
+    // singleton 4 keeps itself
+    val docs = Seq((4L, 10.0), (5L, 1.0), (6L, 9.0), (7L, 3.0),
+      (8L, 2.0), (9L, 2.0)).toDF("doc_id", "quality")
+    val out = Curation.dedupClustersBest(
+      pairsDf((5L, 6L), (6L, 7L), (8L, 9L)), docs, "doc_id", "quality")
+      .select("doc_id", "component_id", "keep")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(out == Set(
+      (4L, 4L, true),
+      (5L, 5L, false), (6L, 5L, true), (7L, 5L, false),
+      (8L, 8L, true), (9L, 8L, false)))
+    // exactly one keeper per component, always
+    val keepers = out.groupBy(_._2).view.mapValues(_.count(_._3)).toMap
+    assert(keepers.values.forall(_ == 1))
+  }
+
   test("stratified sample: deterministic, per-stratum rates, unlisted default") {
     val docs = (0L until 2000L).map(i =>
       (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "xx"))
