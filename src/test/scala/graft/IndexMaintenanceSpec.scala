@@ -708,6 +708,51 @@ class IndexMaintenanceSpec extends SparkSpec {
     } finally FileUtils.deleteDirectory(dir)
   }
 
+  test("compaction policy on a CELL store: vector segments sawtooth, probes stay exact") {
+    // the combinator is kind-independent — prove it on a second layout
+    // (nested _seg/_bucket vector store) with deletes crossing folds
+    import graft.operators.ApproxAnn
+    import org.apache.commons.io.FileUtils
+    val dir = java.nio.file.Files.createTempDirectory("graft_vs_policy").toFile
+    val iPath = new java.io.File(dir, "lsh").getAbsolutePath
+    val dims = 8
+    val counts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val append = IndexMaintenance.withCompaction(
+      spark, iPath, IndexMaintenance.CompactionPolicy(maxSegments = 3),
+      () => IndexMaintenance.compactVsSegments(spark, iPath, "vec_id"),
+      onCount = counts += _)(
+      IndexMaintenance.appendVsSegment(
+        spark, iPath, "vec_id", "embedding", opCol = Some("op"),
+        dims = dims, nbits = 4))
+    def vec(seed: Long): Seq[Float] =
+      Array.tabulate(dims)(d => math.sin(seed * 1.7 + d).toFloat).toSeq
+    try {
+      val live = scala.collection.mutable.Map.empty[Long, Seq[Float]]
+      for (b <- 0 until 10) {
+        val id = b.toLong
+        val rows = if (b == 6)
+          Seq((2L, null.asInstanceOf[Seq[Float]], "DELETE"))
+        else Seq((id, vec(id), "UPSERT"))
+        rows.foreach {
+          case (i, null, _) => live.remove(i)
+          case (i, v, _) => live(i) = v
+        }
+        append(rows.toDF("vec_id", "embedding", "op"), b.toLong)
+      }
+      assert(counts.max <= 4, counts.mkString(","))
+      assert(counts.contains(1), s"no fold ever ran: ${counts.mkString(",")}")
+      val got = IndexMaintenance.readVsSegmentIndex(spark, iPath, "vec_id")
+        .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+      assert(got == live.toMap, "reconciled view diverged from the live set across folds")
+      assert(!got.contains(2L), "deleted vector resurfaced across a fold")
+      // bucket pruning still works post-fold: every surviving row carries
+      // its recomputed _bucket partition value
+      val buckets = IndexMaintenance.readVsSegmentIndex(spark, iPath, "vec_id")
+        .select("_bucket").as[Long].collect()
+      assert(buckets.forall(b => b >= 0 && b < 16))
+    } finally FileUtils.deleteDirectory(dir)
+  }
+
   test("segment dedup store: an upsert with zero shingles still claims its doc") {
     // ADVICE r9 regression: Dedup.shingles emits nothing for a doc with
     // fewer than shingleN tokens, so a shingle-less UPSERT used to write no
