@@ -73,7 +73,8 @@ object SparkEntry {
   val indexBackedQueries: Seq[String] =
     Seq("ann_lsh", "ann_lsh_filtered", "ann_rescored", "ann_b1", "ann_pq",
       "ann_ivfpq", "bm25_single", "span_dedup",
-      "dedup_jaccard", "dedup_minhash", "dedup_clusters", "decontamination",
+      "dedup_jaccard", "dedup_minhash", "dedup_clusters",
+      "dedup_clusters_best", "decontamination",
       "decontamination_bloom",
       "doc_novelty", "source_overlap", "dedup_containment", "hybrid_rrf",
       "jsonl_roundtrip", "cluster_size_report", "warc_roundtrip",
