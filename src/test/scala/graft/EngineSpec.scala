@@ -393,4 +393,35 @@ class EngineSpec extends SparkSpec {
       "two reads failed to hold the fence concurrently")
     r1.countDown(); t1.join(); t2.join()
   }
+
+  test("store fence: the cross-index metrics read waits for any index's commit") {
+    // /metrics unions every registered frame — withQuiescedReadAll must
+    // block while ANY registered index is mid-commit
+    import graft.operators.Catalog.{IndexMetadata, Vs, IndexOptionsVs}
+    import graft.functions.VectorFunctions.Euclidean
+    val e = new Engine
+    val emb = Seq((1L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    e.addIndex(IndexMetadata("ks", "a", "t", "embedding",
+      primaryKeyColumns = Seq("vec_id"),
+      kind = Vs(IndexOptionsVs(2, Euclidean))), emb)
+    e.addIndex(IndexMetadata("ks", "b", "t", "embedding",
+      primaryKeyColumns = Seq("vec_id"),
+      kind = Vs(IndexOptionsVs(2, Euclidean))), emb)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val writer = new Thread(() => e.withMaintenance("ks", "b") {
+      started.countDown(); gate.await() })
+    writer.start(); started.await()
+    val readDone = new java.util.concurrent.CountDownLatch(1)
+    val reader = new Thread(() => {
+      e.withQuiescedReadAll { () }
+      readDone.countDown()
+    })
+    reader.start()
+    assert(!readDone.await(300, java.util.concurrent.TimeUnit.MILLISECONDS),
+      "cross-index read completed while index b was mid-commit")
+    gate.countDown()
+    assert(readDone.await(5, java.util.concurrent.TimeUnit.SECONDS))
+    writer.join(); reader.join()
+  }
 }
