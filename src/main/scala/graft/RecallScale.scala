@@ -110,10 +110,12 @@ object RecallScale {
       // training job per corpus (k ≈ √n, seeded), shared by the variants.
       val kCells = ApproxAnn.sqrtCells(n)
       val trained = ApproxAnn.trainIvfCentroids(emb, "embedding", kCells, 42L)
-      def ivfAt(nprobe: Int): Double = // clamp: tiny smoke corpora may have kCells < 8
+      // clamp to the TRAINED count, not kCells: k-means can return fewer
+      // than k centers on tiny/degenerate smoke corpora (ADVICE r10)
+      def ivfAt(nprobe: Int): Double =
         meanRecall(exact,
           topkSets(ApproxAnn.knnJoinIvfPinned(emb, "embedding", "vec_id",
-            Euclidean, k = k, trained, math.min(nprobe, kCells),
+            Euclidean, k = k, trained, math.min(nprobe, trained.size),
             queryFilter = qFilter)))
 
       val variants = Seq(

@@ -1263,10 +1263,15 @@ object SparkEntry {
     // scales like the trained default (O(√n) cells ⇒ O(n^1.5) join), but
     // the centroid source is the deterministic first-√n rule, so Verify
     // inlines the count-derived k into static SQL (oracleSqlFor) and the
-    // driver hash-checks the scale shape end-to-end.
+    // driver hash-checks the scale shape end-to-end. OCCUPANCY-CAPPED
+    // (r11): selection centroids inherit the data's density skew — the
+    // uncapped form measured 11.4× at the sf1→sf10 decade (bar ≤10×)
+    // because hot cells carry a super-√n pair term — so cells above
+    // 4·ceil(n/k) rows split into first-s-members sub-cells; every rule
+    // stays a row_number-replayable pure function of the data.
     "knn_join_ivf_sqrt" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      ApproxAnn.knnJoinIvfPinned(emb, "embedding", "vec_id", Euclidean,
+      ApproxAnn.knnJoinIvfPinnedCapped(emb, "embedding", "vec_id", Euclidean,
           k = 3, selectionCentroidsK(emb, sqrtCells(emb)), nprobe = 2)
         .withColumn("distance", round(col("distance"), 6) + lit(0.0))
     }),
@@ -2501,6 +2506,67 @@ object SparkEntry {
        |          FROM ranked WHERE rn <= 2),
        |p0 AS (SELECT p.query_id, a.vec_id, $l2QA AS dist
        |       FROM probe p JOIN asg a USING (cid)
+       |       WHERE p.query_id <> a.vec_id),
+       |r AS (SELECT *, row_number() OVER
+       |        (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rn FROM p0)
+       |SELECT query_id, vec_id, round(dist, 6) + 0.0 AS distance,
+       |  CAST(rn AS INT) AS rank
+       |FROM r WHERE rn <= 3""".stripMargin
+  }
+
+  /** The OCCUPANCY-CAPPED knn_join_ivf oracle
+    * ([[graft.operators.ApproxAnn.knnJoinIvfPinnedCapped]]'s replay):
+    * level-1 assignment/probing exactly as [[knnJoinIvfOracle]], then
+    * cells over capFactor·ceil(n/k) rows split into sub-cells whose
+    * sub-centroids are the cell's first-s members in id order
+    * (row_number), rows/probes take the nearest sub by (l2², sub), and
+    * the candidate join keys on (cid, sub). Integer `//` arithmetic on
+    * both sides so the cap and split count can never drift between
+    * engines. */
+  private def knnJoinIvfCappedOracle(cells: Int, capFactor: Int): String = {
+    val l2QA = "list_sum(list_transform(list_zip(p.qv, a.embedding), " +
+      "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
+      "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+    val distSubA = "list_sum(list_transform(list_zip(a.embedding, sb.sv), " +
+      "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
+      "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+    val distSubP = "list_sum(list_transform(list_zip(p.qv, sb.sv), " +
+      "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
+      "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+    s"""WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
+       |           FROM embeddings WHERE vec_id < $cells AND embedding IS NOT NULL),
+       |nn AS (SELECT count(*) AS n FROM embeddings WHERE embedding IS NOT NULL),
+       |caps AS (SELECT $capFactor * ((n + $cells - 1) // $cells) AS cap FROM nn),
+       |a0 AS MATERIALIZED (SELECT e.vec_id, e.embedding, c.cid, $duckDistCE AS d
+       |       FROM embeddings e, c WHERE e.embedding IS NOT NULL),
+       |ranked AS MATERIALIZED (SELECT *, row_number() OVER
+       |          (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn FROM a0),
+       |asg AS MATERIALIZED (SELECT vec_id, embedding, cid,
+       |       row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS crn
+       |       FROM ranked WHERE rn = 1),
+       |sc AS (SELECT cid, (count(*) + cap - 1) // cap AS s
+       |       FROM asg, caps GROUP BY cid, cap),
+       |subc AS MATERIALIZED (SELECT a.cid, CAST(a.crn AS INT) AS sub,
+       |        a.embedding AS sv
+       |        FROM asg a JOIN sc USING (cid) WHERE sc.s > 1 AND a.crn <= sc.s),
+       |subd AS (SELECT a.vec_id, sb.sub, row_number() OVER
+       |          (PARTITION BY a.vec_id ORDER BY $distSubA ASC, sb.sub ASC) AS srn
+       |        FROM asg a JOIN subc sb USING (cid)),
+       |asg2 AS (SELECT a.vec_id, a.embedding, a.cid, COALESCE(s.sub, 0) AS sub
+       |         FROM asg a LEFT JOIN (SELECT vec_id, sub FROM subd WHERE srn = 1) s
+       |         USING (vec_id)),
+       |probe0 AS (SELECT vec_id AS query_id, embedding AS qv, cid
+       |           FROM ranked WHERE rn <= 2),
+       |probed AS (SELECT p.query_id, sb.cid, sb.sub, row_number() OVER
+       |           (PARTITION BY p.query_id, sb.cid
+       |            ORDER BY $distSubP ASC, sb.sub ASC) AS prn
+       |          FROM probe0 p JOIN subc sb ON p.cid = sb.cid),
+       |probe AS (SELECT p.query_id, p.qv, p.cid, COALESCE(x.sub, 0) AS sub
+       |          FROM probe0 p LEFT JOIN
+       |            (SELECT query_id, cid, sub FROM probed WHERE prn = 1) x
+       |          ON p.query_id = x.query_id AND p.cid = x.cid),
+       |p0 AS (SELECT p.query_id, a.vec_id, $l2QA AS dist
+       |       FROM probe p JOIN asg2 a ON p.cid = a.cid AND p.sub = a.sub
        |       WHERE p.query_id <> a.vec_id),
        |r AS (SELECT *, row_number() OVER
        |        (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rn FROM p0)

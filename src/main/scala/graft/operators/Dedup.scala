@@ -761,24 +761,31 @@ object Dedup {
     * at the chosen nbits; reach for the fixed form only when a
     * deterministic replay needs a pinned plane count.
     *
-    * MIGRATION NOTE (r10): the signature changed — `radius` is now the
-    * first Int after `threshold` (previously `nbits`); pre-r10 positional
-    * callers pinning a plane count must move to
-    * [[embeddingNearDupsFixed]]. */
+    * MIGRATION NOTE (r10/r11): pre-r10 this took `nbits` positionally
+    * after `threshold`. Probe tuning now arrives as
+    * [[ApproxAnn.LshTuning]], so a stale positional call
+    * `(…, threshold, 8, 2)` is a COMPILE error instead of silently
+    * reinterpreting the plane count as a probe radius (ADVICE r10);
+    * callers pinning a plane count use [[embeddingNearDupsFixed]].
+    * `tables` OR-amplification is a [[graft.operators.ApproxAnn.knnJoinLsh]]
+    * dial — the pair form probes one table. */
   def embeddingNearDups(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      radius: Int = 2, targetOccupancy: Int = 8): DataFrame = {
+      tuning: ApproxAnn.LshTuning = ApproxAnn.LshTuning()): DataFrame = {
+    require(tuning.tables == 1,
+      "OR-amplification (tables > 1) is a knnJoinLsh dial; " +
+        "embeddingNearDups probes a single table")
     val n = df.filter(col(vecCol).isNotNull).count()
     embeddingNearDupsFixed(df, idCol, vecCol, threshold,
-      ApproxAnn.autoNbits(n, targetOccupancy), radius)
+      ApproxAnn.autoNbits(n, tuning.targetOccupancy), tuning.radius)
   }
 
   /** Back-compat alias for [[embeddingNearDups]] (the auto form became
     * the default entry point in round 10). */
   def embeddingNearDupsAuto(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      radius: Int = 2, targetOccupancy: Int = 8): DataFrame =
-    embeddingNearDups(df, idCol, vecCol, threshold, radius, targetOccupancy)
+      tuning: ApproxAnn.LshTuning = ApproxAnn.LshTuning()): DataFrame =
+    embeddingNearDups(df, idCol, vecCol, threshold, tuning)
 
   /** Probe NEW embeddings against a maintained LSH vector store — the
     * cross-modal twin of [[nearDupProbe]] (see
@@ -891,7 +898,7 @@ object Dedup {
     val n = df.filter(col(vecCol).isNotNull).count()
     val kk = k.getOrElse(ApproxAnn.sqrtCells(n))
     semanticDedupPinned(df, idCol, vecCol,
-      ApproxAnn.trainIvfCentroids(df, vecCol, kk, seed), eps)
+      ApproxAnn.trainIvfCentroids(df, vecCol, kk, seed, nHint = Some(n)), eps)
   }
 
   /** Back-compat alias for [[semanticDedup]] (the auto form became the

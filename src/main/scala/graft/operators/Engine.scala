@@ -259,15 +259,18 @@ final class Engine {
     l.lock(); try action finally l.unlock()
   }
 
-  /** Read-fence EVERY registered index around a cross-index action (the
-    * /metrics scrape unions all index frames). Locks acquire in sorted
-    * key order — readers never cycle with the single-key writers. */
-  def withQuiescedReadAll[T](action: => T): T = {
-    val locks = catalog.list.map(e => IndexKey(e.meta.keyspace, e.meta.index))
-      .sortBy(k => (k.keyspace, k.index)).map(fence(_).readLock())
-    locks.foreach(_.lock())
-    try action finally locks.reverse.foreach(_.unlock())
-  }
+  /** The /metrics scrape, collected PER INDEX under each index's own read
+    * fence: the union rows are independent single-row aggregates, so
+    * nothing is lost by fencing them separately — and a slow scrape plus
+    * one queued maintenance commit no longer blocks new serving reads on
+    * every OTHER index for the scrape duration, which is what the previous
+    * hold-all-read-locks design cost (ADVICE r10). An index registered
+    * mid-scrape simply lands in the next scrape (the catalog is
+    * snapshotted at entry, exactly like the frame map). */
+  def metricsRowsFenced(): Seq[org.apache.spark.sql.Row] =
+    metricsFrames().flatMap { case (key, df) =>
+      withQuiescedRead(key.keyspace, key.index)(df.collect().toSeq)
+    }
 
   def setStatus(key: IndexKey, status: IndexStatus, progressPct: Double = 100.0): Unit =
     catalog.setStatus(key, status, progressPct)
@@ -355,16 +358,24 @@ final class Engine {
     * metrics.rs:57-65). One aggregate job per index per scrape; the unions
     * are independent single-row aggregates, so the whole frame is one
     * collect of #indexes rows. */
-  def metrics(): DataFrame = {
+  def metrics(): DataFrame =
+    metricsFrames().map(_._2).reduceOption(_ unionByName _)
+      .getOrElse(metricsEmptyFrame)
+
+  private def metricsEmptyFrame: DataFrame = SparkSession.active.createDataFrame(
+    new java.util.ArrayList[org.apache.spark.sql.Row](),
+    org.apache.spark.sql.types.StructType(Seq(
+      f("keyspace", "string"), f("index_name", "string"), f("kind", "string"),
+      f("status", "string"), f("progress_pct", "double"),
+      f("live_rows", "bigint"), f("total_rows", "bigint"),
+      f("est_size_bytes", "bigint"), f("queries_total", "bigint"))))
+
+  /** One single-row aggregate frame per registered index, in sorted key
+    * order — the building block [[metrics]] unions and
+    * [[metricsRowsFenced]] collects per-fence. */
+  private def metricsFrames(): Seq[(IndexKey, DataFrame)] = {
     val entries = catalog.list.sortBy(e => (e.meta.keyspace, e.meta.index))
-    def emptyFrame: DataFrame = SparkSession.active.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](),
-      org.apache.spark.sql.types.StructType(Seq(
-        f("keyspace", "string"), f("index_name", "string"), f("kind", "string"),
-        f("status", "string"), f("progress_pct", "double"),
-        f("live_rows", "bigint"), f("total_rows", "bigint"),
-        f("est_size_bytes", "bigint"), f("queries_total", "bigint"))))
-    // flatMap + getOrElse: an empty engine scrapes to an empty frame with
+    // flatMap + get: an empty engine scrapes to an empty frame with
     // the metrics schema (the reference export simply emits no series;
     // erroring would kill a scrape loop that polls before the first index
     // registers), and an index dropped between the catalog read and the
@@ -380,7 +391,7 @@ final class Engine {
           .min(BigInt(Long.MaxValue)).toLong
         // Engine.count shadows functions.count
         val cnt = (c: org.apache.spark.sql.Column) => org.apache.spark.sql.functions.count(c)
-        df.agg(
+        e.meta.key -> df.agg(
             cnt(when(col(e.meta.targetColumn).isNotNull, lit(1))).as("live_rows"),
             cnt(lit(1)).as("total_rows"))
           .select(
@@ -393,7 +404,7 @@ final class Engine {
             lit(estBytes).as("est_size_bytes"),
             lit(queryCounts(e.meta.key)).as("queries_total"))
       }
-    }.reduceOption(_ unionByName _).getOrElse(emptyFrame)
+    }
   }
 
   /** Live row count of an index (A1; surfaced at httproutes.rs:437-456).

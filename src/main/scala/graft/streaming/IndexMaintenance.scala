@@ -182,10 +182,30 @@ object IndexMaintenance {
       val leaf = (s"$SegCol=$ceiling" +: cellCols.map(c => s"$c=-1")).mkString("/")
       out.drop(SegCol +: cellCols: _*).repartition(1)
         .write.mode("overwrite").parquet(s"$path/$leaf")
-    } else
+    } else {
       out.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(SegCol +: cellCols: _*).parquet(path)
+      // a dynamic overwrite only replaces cell dirs PRESENT in the folded
+      // frame: a ceiling-segment cell dir absent from it (e.g. the
+      // `_bucket=-1` tombstone dir the last pre-fold batch wrote) would
+      // otherwise survive the fold and stay on disk until a later batch
+      // happens to rewrite that cell — breaking the "a tombstone lives at
+      // most one fold cycle" contract for cell stores (ADVICE r10).
+      // Reads were already correct (winners filters stale claims); this
+      // keeps the STORAGE contract true too. Cell cardinality is the
+      // bucket count — a bounded driver-side set.
+      cellCols.foreach { cellCol =>
+        val spark = out.sparkSession
+        val keep = out.select(col(cellCol).cast("string")).distinct()
+          .collect().map(r => s"$cellCol=${r.getString(0)}").toSet
+        val segDir = s"$path/$SegCol=$ceiling"
+        graft.sources.IndexStorage.listDirs(spark, segDir)
+          .filter(n => n.startsWith(s"$cellCol=") && !keep(n))
+          .foreach(n =>
+            graft.sources.IndexStorage.deleteRecursive(spark, s"$segDir/$n"))
+      }
+    }
   }
 
   /** Remove every `_seg=<id>` directory with id below `ceiling` — the

@@ -394,9 +394,12 @@ class EngineSpec extends SparkSpec {
     r1.countDown(); t1.join(); t2.join()
   }
 
-  test("store fence: the cross-index metrics read waits for any index's commit") {
-    // /metrics unions every registered frame — withQuiescedReadAll must
-    // block while ANY registered index is mid-commit
+  test("store fence: the metrics scrape waits for a mid-commit index " +
+      "but never blocks serving reads on other indexes") {
+    // /metrics collects ONE row per index under THAT index's read fence
+    // (ADVICE r10): with index b mid-commit the scrape must block on b's
+    // row — but a serving read of index a must still proceed, which the
+    // old hold-every-read-lock design forbade for the scrape duration.
     import graft.operators.Catalog.{IndexMetadata, Vs, IndexOptionsVs}
     import graft.functions.VectorFunctions.Euclidean
     val e = new Engine
@@ -412,16 +415,25 @@ class EngineSpec extends SparkSpec {
     val writer = new Thread(() => e.withMaintenance("ks", "b") {
       started.countDown(); gate.await() })
     writer.start(); started.await()
-    val readDone = new java.util.concurrent.CountDownLatch(1)
-    val reader = new Thread(() => {
-      e.withQuiescedReadAll { () }
-      readDone.countDown()
+    val scrapeDone = new java.util.concurrent.CountDownLatch(1)
+    val scraper = new Thread(() => {
+      assert(e.metricsRowsFenced().size == 2)
+      scrapeDone.countDown()
     })
-    reader.start()
-    assert(!readDone.await(300, java.util.concurrent.TimeUnit.MILLISECONDS),
-      "cross-index read completed while index b was mid-commit")
+    scraper.start()
+    // while the scrape is queued behind b's commit, index a serves reads
+    val aReadDone = new java.util.concurrent.CountDownLatch(1)
+    val aReader = new Thread(() => {
+      e.withQuiescedRead("ks", "a") { () }
+      aReadDone.countDown()
+    })
+    aReader.start()
+    assert(aReadDone.await(5, java.util.concurrent.TimeUnit.SECONDS),
+      "serving read on index a blocked by a scrape queued on index b's commit")
+    assert(!scrapeDone.await(300, java.util.concurrent.TimeUnit.MILLISECONDS),
+      "scrape completed while index b was mid-commit")
     gate.countDown()
-    assert(readDone.await(5, java.util.concurrent.TimeUnit.SECONDS))
-    writer.join(); reader.join()
+    assert(scrapeDone.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    writer.join(); scraper.join(); aReader.join()
   }
 }
