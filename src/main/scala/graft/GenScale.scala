@@ -74,9 +74,33 @@ object GenScale {
     * e.g. "ab" vs "ac" — putting same-doc replicas 2 edits apart and
     * making cross-replica fuzzy pairs grow with the copy count.) */
   def replicaCode(c: Int): String = {
-    require(c >= 1 && c < 676, s"replica code supports 1..675, got $c")
-    val (x, y) = (c / 26, c % 26)
-    "" + ('a' + x).toChar + ('a' + y).toChar + ('a' + (x + y) % 26).toChar
+    require(c >= 1 && c < 15000, s"replica code supports 1..14999, got $c")
+    if (c < 676) { // the original 3-letter form, byte-identical — sf1/sf10
+      // corpora regenerate exactly as before the 4-letter extension
+      val (x, y) = (c / 26, c % 26)
+      "" + ('a' + x).toChar + ('a' + y).toChar + ('a' + (x + y) % 26).toChar
+    } else {
+      // 4-letter band for the sf100 decade (1000 copies of sf0.1):
+      // (x, y, z, (x+y+z+7) mod 26) with x,y,z ≠ 19 and z ≠ (x+y) mod 26.
+      // Within the band a single-digit change flips the check digit too
+      // (hamming ≥ 2, same parity argument as the 3-letter form). ACROSS
+      // bands the exclusions matter: deleting position i of a 4-code
+      // yields a valid 3-code (r = p+q) only when x, y, or z ≡ 19 ≡ −7
+      // (positions 1–3) or z ≡ (x+y) (position 4) — all excluded — so no
+      // 4-code sits one edit from any 3-code, and same-origin tokens stay
+      // ≥ 2 edits apart across EVERY replica pair, outside the fuzzy
+      // radius once a window holds two suffixed tokens. (A naive base-26
+      // extension fails this: its parity makes (y, z, w) always a valid
+      // 3-code, putting e.g. copy 676 one deletion from copy 26.)
+      val triples = for {
+        x <- (0 until 26).iterator if x != 19
+        y <- (0 until 26).iterator if y != 19
+        z <- (0 until 26).iterator if z != 19 && z != (x + y) % 26
+      } yield (x, y, z)
+      val (x, y, z) = triples.drop(c - 676).next()
+      "" + ('a' + x).toChar + ('a' + y).toChar + ('a' + z).toChar +
+        ('a' + (x + y + z + 7) % 26).toChar
+    }
   }
 
   /** Per-(copy, dim) deterministic sign flip — orthogonal (a diagonal ±1

@@ -115,6 +115,22 @@ object SparkEntry {
     "quantile_histogram", "writetime_projection", "q_join_agg", "q_topk",
     "bm25_single", "token_entropy", "decontamination")
 
+  /** The sf100 (1000×) spot-correctness subset (`Verify <dir> <out>
+    * @sf100`) — the FOURTH measured decade. Starts from the sf10 spot set
+    * minus the members whose DuckDB replay is linear but CONSTANT-heavy
+    * at 600M lineitems / 5M docs (the 5-iteration graph replays, the
+    * all-shingles decontamination explode, and the full-df BM25 stats:
+    * each fits a decade lower but blows the 900 s per-query budget at
+    * this one); membership stays measured, like the sf10 set's. */
+  val sf100SpotQueries: Set[String] = Set(
+    "q1_agg", "q_date_agg", "q5_region_revenue", "dedup_exact",
+    "dedup_simhash", "heavy_hitters", "hll_distinct", "partition_sizes",
+    "url_host_filter", "text_stats", "event_funnel",
+    "ann_euclidean", "ann_cosine", "lww_state", "asof_join",
+    "event_sessions", "text_quality", "stratified_sample",
+    "quantile_histogram", "writetime_projection", "q_join_agg", "q_topk",
+    "token_entropy")
+
   // ---- ANN helpers ---------------------------------------------------------
 
   /** Single-query exact ANN on the embeddings table; query vector = row
@@ -1264,11 +1280,13 @@ object SparkEntry {
     // the centroid source is the deterministic first-√n rule, so Verify
     // inlines the count-derived k into static SQL (oracleSqlFor) and the
     // driver hash-checks the scale shape end-to-end. OCCUPANCY-CAPPED
-    // (r11): selection centroids inherit the data's density skew — the
-    // uncapped form measured 11.4× at the sf1→sf10 decade (bar ≤10×)
-    // because hot cells carry a super-√n pair term — so cells above
-    // 4·ceil(n/k) rows split into first-s-members sub-cells; every rule
-    // stays a row_number-replayable pure function of the data.
+    // (r11): at k ≈ √n cells the MEAN occupancy is √n, so per-probe
+    // candidates grow √n per corpus — the uncapped form measured 11.4×
+    // at the sf1→sf10 decade (bar ≤10×; skew is mild, max/mean 1.3, so
+    // a relative cap would never engage). Cells above the constant
+    // 128-row cap split into first-s-members sub-cells, bounding
+    // candidates per probe; every rule stays a row_number-replayable
+    // pure function of the data.
     "knn_join_ivf_sqrt" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       ApproxAnn.knnJoinIvfPinnedCapped(emb, "embedding", "vec_id", Euclidean,
@@ -2180,7 +2198,7 @@ object SparkEntry {
 
   /** Materialized 5-gram shingle table (id, sh) over documents — the dedup
     * suite's index artifact. */
-  private def shingleStore(s: SparkSession, dir: String): DataFrame =
+  private[graft] def shingleStore(s: SparkSession, dir: String): DataFrame =
     graft.sources.IndexStorage.materializeCached(s, s"$dir/documents.parquet",
         indexDir(dir, "shingle5"), Nil) {
       Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", 5)
@@ -2191,7 +2209,7 @@ object SparkEntry {
     * benchmark suite does, so serving queries pay probe cost only. The
     * sketch rides the same build-once fingerprinting as every other
     * store. */
-  private def deconBloomStore(s: SparkSession, dir: String): Curation.Bloom = {
+  private[graft] def deconBloomStore(s: SparkSession, dir: String): Curation.Bloom = {
     val path = indexDir(dir, "deconbloom")
     graft.sources.IndexStorage.buildOnce(s"$dir/documents.parquet", path) {
       val bloom = Curation.benchBloom(shingleStore(s, dir), "doc_id",
@@ -2517,13 +2535,12 @@ object SparkEntry {
   /** The OCCUPANCY-CAPPED knn_join_ivf oracle
     * ([[graft.operators.ApproxAnn.knnJoinIvfPinnedCapped]]'s replay):
     * level-1 assignment/probing exactly as [[knnJoinIvfOracle]], then
-    * cells over capFactor·ceil(n/k) rows split into sub-cells whose
+    * cells over the constant `cap` rows split into sub-cells whose
     * sub-centroids are the cell's first-s members in id order
     * (row_number), rows/probes take the nearest sub by (l2², sub), and
     * the candidate join keys on (cid, sub). Integer `//` arithmetic on
-    * both sides so the cap and split count can never drift between
-    * engines. */
-  private def knnJoinIvfCappedOracle(cells: Int, capFactor: Int): String = {
+    * both sides so the split count can never drift between engines. */
+  private def knnJoinIvfCappedOracle(cells: Int, cap: Int): String = {
     val l2QA = "list_sum(list_transform(list_zip(p.qv, a.embedding), " +
       "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
       "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
@@ -2535,8 +2552,6 @@ object SparkEntry {
       "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
     s"""WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
        |           FROM embeddings WHERE vec_id < $cells AND embedding IS NOT NULL),
-       |nn AS (SELECT count(*) AS n FROM embeddings WHERE embedding IS NOT NULL),
-       |caps AS (SELECT $capFactor * ((n + $cells - 1) // $cells) AS cap FROM nn),
        |a0 AS MATERIALIZED (SELECT e.vec_id, e.embedding, c.cid, $duckDistCE AS d
        |       FROM embeddings e, c WHERE e.embedding IS NOT NULL),
        |ranked AS MATERIALIZED (SELECT *, row_number() OVER
@@ -2544,8 +2559,8 @@ object SparkEntry {
        |asg AS MATERIALIZED (SELECT vec_id, embedding, cid,
        |       row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS crn
        |       FROM ranked WHERE rn = 1),
-       |sc AS (SELECT cid, (count(*) + cap - 1) // cap AS s
-       |       FROM asg, caps GROUP BY cid, cap),
+       |sc AS (SELECT cid, (count(*) + $cap - 1) // $cap AS s
+       |       FROM asg GROUP BY cid),
        |subc AS MATERIALIZED (SELECT a.cid, CAST(a.crn AS INT) AS sub,
        |        a.embedding AS sv
        |        FROM asg a JOIN sc USING (cid) WHERE sc.s > 1 AND a.crn <= sc.s),
@@ -2658,7 +2673,8 @@ object SparkEntry {
         s"""WITH ${duckEmbLshPairs(nb)}
            |SELECT id_a, id_b, round(cs, 6) AS cos_sim FROM p WHERE cs >= 0.4""".stripMargin,
       "knn_join_lsh_auto" -> knnJoinLshOracle(nb),
-      "knn_join_ivf_sqrt" -> knnJoinIvfOracle(cells),
+      "knn_join_ivf_sqrt" ->
+        knnJoinIvfCappedOracle(cells, ApproxAnn.DefaultCellOccupancyCap),
       "semantic_dedup_sqrt" -> semanticDedupOracle(cells))
   }
 

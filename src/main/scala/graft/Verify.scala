@@ -15,6 +15,8 @@ object Verify {
       case "@sf1" => SparkEntry.queries.keySet -- SparkEntry.sf1OracleExclusions
       // the sf10 (100×) spot gate: linear-oracle family representatives
       case "@sf10" => SparkEntry.sf10SpotQueries
+      // the sf100 (1000×) spot gate: the fourth measured decade
+      case "@sf100" => SparkEntry.sf100SpotQueries
       case csv => csv.split(",").toSet
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -75,6 +77,26 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // quantitative gate for the rows-only k-means `_auto` queries
+    // (VERDICT r10 #2): exact-baseline agreement/recall with floors,
+    // merged into the correctness artifact by check_oracle.py. A floor
+    // violation is loud here too, not just in the artifact.
+    val dumpedSet = SparkEntry.queries.keySet
+      .filter(name => only.forall(_.contains(name)))
+    try {
+      val scores = VerifyAgreement.compute(spark, sfDir, outDir, dumpedSet)
+      if (scores.nonEmpty) {
+        Files.writeString(Paths.get(s"$outDir/agreement.json"),
+          VerifyAgreement.toJson(scores))
+        scores.foreach { case (qn, ms) => ms.foreach { case (m, s) =>
+          if (!s.pass)
+            System.err.println(
+              s"[verify] AGREEMENT FLOOR VIOLATED $qn/$m: ${s.value} < ${s.floor}")
+        } }
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] agreement gate failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

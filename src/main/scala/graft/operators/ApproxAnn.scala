@@ -698,50 +698,50 @@ object ApproxAnn {
       .select("query_id", "vec_id", "distance", "rank")
   }
 
-  /** Occupancy cap for [[knnJoinIvfPinnedCapped]]: a cell is split once it
-    * holds more than this × the mean occupancy n/k. WHY 4: selection
-    * centroids (first-k rows) inherit the data's density skew, and the
-    * probe-side pair term is Σ over probed cells of their occupancy —
-    * one super-√n hot cell is enough to push the whole join over the
-    * O(n^1.5) decade bar (BENCH_sf10 measured 11.4× at the 10× step,
-    * bar ≤10×). 4× mean tolerates ordinary imbalance without splitting
-    * everything, while bounding any single probed cell's contribution. */
-  val DefaultCellCapFactor = 4
+  /** Occupancy cap for [[knnJoinIvfPinnedCapped]]: a cell splits into
+    * `ceil(occ/this)` sub-cells once it holds more rows than this.
+    * ABSOLUTE, not relative to the n/k mean, because the measured
+    * super-linear term in the √n-cell join is the MEAN itself: at k ≈ √n
+    * cells the expected occupancy is √n, so the probe-side pair volume per
+    * query grows √n per corpus — the 11.4×-per-decade BENCH_sf10 row —
+    * while actual skew on the fixtures is mild (measured max/mean 1.33 at
+    * sf1, 1.29 at sf10: a 4×-mean cap would never once engage). A
+    * constant cap bounds candidates per probed cell at ANY corpus size,
+    * converting the pair term to O(n · nprobe · cap); 128 sits under the
+    * sf10 mean (447) so the decade measurement exercises the split path,
+    * and above the sf0.01 occupancies (~23) so fixture-scale results are
+    * bit-identical to the unsplit rule. */
+  val DefaultCellOccupancyCap = 128
 
   /** [[knnJoinIvfPinned]] with a deterministic occupancy cap on the cells
-    * (VERDICT r10 #3): any level-1 cell holding more than
-    * `capFactor · ceil(n/k)` rows is split into `s = ceil(occ/cap)`
-    * sub-cells whose sub-centroids are the cell's FIRST s members in id
-    * order — every rule here (assignment argmin, first-s selection,
-    * nearest-sub probe) is a pure function of the data replayable in ANSI
-    * SQL with row_number, so the hash oracle survives while the hot-cell
-    * pair term drops from occ² to ~occ·cap. Probing picks the single
+    * (VERDICT r10 #3): any level-1 cell holding more than `occupancyCap`
+    * rows is split into `s = ceil(occ/cap)` sub-cells whose sub-centroids
+    * are the cell's FIRST s members in id order — every rule here
+    * (assignment argmin, first-s selection, nearest-sub probe) is a pure
+    * function of the data replayable in ANSI SQL with row_number, so the
+    * hash oracle survives while the per-probed-cell pair term drops from
+    * occ (≈√n and growing) to ~cap (constant). Probing picks the single
     * nearest sub-cell inside each probed level-1 cell (sub-nprobe = 1):
-    * candidates per query stay ≈ nprobe · cap regardless of skew.
+    * candidates per query stay ≈ nprobe · cap regardless of corpus size.
     * Approximate by contract, exactly like the uncapped form — a split
     * cell's neighbors in a sibling sub-cell are missed; returned
     * distances stay exact. */
   def knnJoinIvfPinnedCapped(
       df: DataFrame, vecCol: String, idCol: String, space: Space, k: Int,
       centroids: Seq[(Int, Seq[Float])], nprobe: Int = 2,
-      capFactor: Int = DefaultCellCapFactor,
+      occupancyCap: Int = DefaultCellOccupancyCap,
       queryFilter: Column = lit(true)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(centroids.nonEmpty, "need at least one centroid")
     require(nprobe >= 1 && nprobe <= centroids.size,
       s"nprobe must be in [1, ${centroids.size}]")
-    require(capFactor >= 1, "capFactor must be >= 1")
+    require(occupancyCap >= 1, "occupancyCap must be >= 1")
     val base = df.filter(col(vecCol).isNotNull)
-    val kC = centroids.size
-    val n = base.count()
-    if (n == 0)
-      return knnJoinIvfPinned(df, vecCol, idCol, space, k, centroids,
-        nprobe, queryFilter)
-    val cap = capFactor.toLong * ((n + kC - 1) / kC) // capFactor · ceil(n/k)
-    val assigned = base.withColumn("_cell",
+    val cap = occupancyCap.toLong
+    val assigned0 = base.withColumn("_cell",
       centroidBest(vecCol, centroids).getField("cid"))
     // occupancy and split factor per cell — k driver rows
-    val subCounts: Map[Int, Int] = assigned.groupBy(col("_cell")).count()
+    val subCounts: Map[Int, Int] = assigned0.groupBy(col("_cell")).count()
       .collect().map { r =>
         val occ = r.getLong(1)
         r.getInt(0) -> (((occ + cap - 1) / cap).toInt)
@@ -749,9 +749,14 @@ object ApproxAnn {
     if (subCounts.isEmpty) // no cell over the cap: the plain pinned plan
       return knnJoinIvfPinned(df, vecCol, idCol, space, k, centroids,
         nprobe, queryFilter)
+    // the level-1 assignment feeds three consumers (sub-centroid
+    // selection, the candidate side, and its own argmin is the priciest
+    // projection in the plan) — materialize it once instead of paying the
+    // k-centroid scan per consumer
+    val assigned = assigned0.localCheckpoint(true)
     // sub-centroids: each split cell's FIRST s members in id order,
     // sub = 1..s (row_number — the SQL-replayable selection rule);
-    // Σs ≈ n/cap ≈ k/capFactor rows collect — bounded like the centroids
+    // Σs ≈ n/cap rows collect — bounded like the centroids
     val wCell = Window.partitionBy(col("_cell")).orderBy(col(idCol).asc)
     val sLimit = typedlit(subCounts)
     val subFlat: Seq[(Int, Int, Seq[Float])] = assigned
@@ -760,22 +765,32 @@ object ApproxAnn {
       .filter(col("_srn") <= element_at(sLimit, col("_cell")))
       .select(col("_cell"), col("_srn"), col(vecCol))
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2))).toSeq
-    val subArr = typedlit(subFlat)
-    // nearest sub-centroid WITHIN the row's cell (argmin by (l2², sub),
-    // lexicographic struct ordering — the centroidBest rule one level
-    // down); rows/probes in unsplit cells take the constant sub 0
-    def subBest(cellCol: Column): Column = {
-      val mine = filter(subArr, s => s.getField("_1") === cellCol)
-      when(size(mine) > 0,
-        array_min(transform(mine, s =>
-          struct(VectorFunctions.l2sq(col(vecCol), s.getField("_3")).as("d"),
-            s.getField("_2").as("sub")))).getField("sub"))
-        .otherwise(lit(1)).cast("int")
+    // nearest sub-centroid WITHIN a row's cell, via a BROADCAST equi-join
+    // on the cell id + one argmin window — NOT an array-literal lambda:
+    // higher-order functions evaluate interpreted, and projection collapse
+    // inlines the `_cell` definition (an array_min over k centroids) into
+    // the lambda body, re-evaluating the whole level-1 scan once PER
+    // ARRAY ELEMENT per row (measured: turned the sf10 sweep into hours).
+    // The join form keeps every distance in codegen and evaluates the
+    // level-1 assignment exactly once per row. Row growth is the split
+    // factor s ≈ occ/cap — the same O(n·√n/cap) term as assignment, far
+    // below the pair term this operator exists to bound. Unsplit cells
+    // have no sub-centroid rows: the left join yields one null row and
+    // the argmin keeps it (nulls last), so their sub stays 0.
+    val spark2 = df.sparkSession
+    import spark2.implicits._
+    val subDf = subFlat.toDF("_cell", "_sub", "_sv")
+    def nearestSub(df0: DataFrame, partCols: Seq[String]): DataFrame = {
+      val wSub = Window.partitionBy(partCols.map(col): _*)
+        .orderBy(col("_sd").asc_nulls_last, col("_sub").asc_nulls_last)
+      df0.join(broadcast(subDf), Seq("_cell"), "left")
+        .withColumn("_sd", VectorFunctions.l2sq(col(vecCol), col("_sv")))
+        .withColumn("_srn", row_number().over(wSub))
+        .filter(col("_srn") === 1)
+        .withColumn("_sub", coalesce(col("_sub"), lit(0)))
+        .drop("_sv", "_sd", "_srn")
     }
-    val cand = assigned
-      .withColumn("_sub",
-        when(col("_cell").isin(subCounts.keys.toSeq: _*), subBest(col("_cell")))
-          .otherwise(lit(0)))
+    val cand = nearestSub(assigned, Seq(idCol))
       .select(col(idCol).as("vec_id"), col(vecCol).as("_cv"),
         col("_cell"), col("_sub"))
     val carr = typedlit(centroids)
@@ -784,12 +799,10 @@ object ApproxAnn {
         struct(VectorFunctions.l2sq(col(vecCol), c.getField("_2")).as("d"),
           c.getField("_1").as("cid")))),
       1, nprobe)
-    val q = base.filter(queryFilter)
+    val q0 = base.filter(queryFilter)
       .select(col(idCol).as("query_id"), col(vecCol),
         explode(transform(probeCells, x => x.getField("cid"))).as("_cell"))
-      .withColumn("_sub",
-        when(col("_cell").isin(subCounts.keys.toSeq: _*), subBest(col("_cell")))
-          .otherwise(lit(0)))
+    val q = nearestSub(q0, Seq("query_id", "_cell"))
       .select(col("query_id"), col(vecCol).as("_qv"), col("_cell"), col("_sub"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("distance").asc, col("vec_id").asc)

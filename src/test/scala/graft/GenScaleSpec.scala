@@ -59,6 +59,34 @@ class GenScaleSpec extends SparkSpec {
     }
   }
 
+  test("replicaCode: 4-letter band (sf100's 1000 copies) keeps every pair " +
+      ">= 2 EDITS apart, 3-letter band unchanged") {
+    // the sf100 extension must not perturb the bands sf1/sf10 were
+    // generated with (regenerating those corpora must stay byte-identical)
+    assert(GenScale.replicaCode(1) == "abb" && GenScale.replicaCode(675) == "zzy")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val four = (Seq(999, 1000, 1300, 14999) ++ (676 until 800)).distinct
+      .map(GenScale.replicaCode)
+    assert(four.forall(_.length == 4) && four.distinct.size == four.size)
+    for (i <- four.indices; j <- (i + 1) until four.size)
+      assert(lev(four(i), four(j)) >= 2,
+        s"4-band codes ${four(i)}/${four(j)} within 1 edit")
+    // CROSS-band: no 4-code may sit one deletion from a valid 3-code —
+    // the property the x,y,z exclusions exist for (a naive base-26
+    // extension put copy 676 one edit from copy 26)
+    val three = (1 until 676).map(GenScale.replicaCode)
+    for (f <- four; t <- three)
+      assert(lev(f, t) >= 2, s"cross-band codes $f/$t within 1 edit")
+  }
+
   test("text transform: token bijection, replica-disjoint, df shape preserved") {
     val docs = Seq(
       (0L, "alpha beta alpha", "en", "s0", 16L),

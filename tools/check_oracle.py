@@ -97,6 +97,30 @@ for name, sql in sorted(oracle.items()):
     else:
         rec["hash_match"] = True
         print(f"OK   {name} ({len(g)} rows)")
+# merge the Verify-computed agreement scores for the rows-only `_auto`
+# queries (no oracle SQL -> no artifact row above): each gets a
+# driver-shaped rows-only record CARRYING its agreement metrics, and a
+# floor violation counts as a gate failure (VERDICT r10 #2).
+agreement_path = os.path.join(out_dir, "agreement.json")
+if os.path.exists(agreement_path):
+    for name, metrics in json.load(open(agreement_path)).items():
+        if name not in artifact:
+            spark_path = os.path.join(out_dir, name)
+            rows = None
+            if os.path.isdir(spark_path):
+                rows = sum(len(pd.read_parquet(f))
+                           for f in glob.glob(spark_path + "/*.parquet"))
+            artifact[name] = {"rows_match": None, "schema_match": None,
+                              "hash_match": None, "spark_rows": rows,
+                              "oracle_rows": None, "err": "no_oracle"}
+        artifact[name]["agreement"] = metrics
+        for m, s in metrics.items():
+            if s["pass"]:
+                print(f"OK   {name} agreement {m}={s['value']:.3f} (floor {s['floor']})")
+            else:
+                print(f"FAIL {name} agreement {m}={s['value']:.3f} < floor {s['floor']}")
+                fails += 1
+
 if json_out:
     with open(json_out, "w") as f:
         json.dump(artifact, f, indent=2, sort_keys=True)
