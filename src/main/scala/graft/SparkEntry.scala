@@ -75,7 +75,7 @@ object SparkEntry {
       "ann_ivfpq", "bm25_single", "span_dedup",
       "dedup_jaccard", "dedup_minhash", "dedup_clusters",
       "dedup_clusters_best", "decontamination",
-      "decontamination_bloom",
+      "decontamination_bloom", "decontamination_fixed_bench",
       "doc_novelty", "source_overlap", "dedup_containment", "hybrid_rrf",
       "jsonl_roundtrip", "cluster_size_report", "warc_roundtrip",
       "image_features", "image_resize", "audio_features", "video_frames",
@@ -1613,6 +1613,22 @@ object SparkEntry {
         minContainment = 0.2, maxShingleDf = None,
         prebuilt = Some(deconBloomStore(s, dir)))),
 
+    // The CORPUS-INDEPENDENT-benchmark twin (r11): the suite's other two
+    // decontamination rows draw the bench set as doc_id % 5 — a fixed
+    // 20% FRACTION of the corpus, so every stage (bench derivation,
+    // broadcast, bloom probe pass-rate) legitimately grows 10× per
+    // decade and the ratio reads as drift (ProfileDecon decomposition,
+    // PERF.md r11). Real eval suites are fixed-size; this row pins the
+    // bench at the first 1000 docs (ids are contiguous from 0 at every
+    // sf) so the decade sweep measures the TRUE serving shape: constant
+    // bloom, constant broadcast, a corpus scan whose filter passes
+    // almost nothing.
+    "decontamination_fixed_bench" -> ((s, dir) =>
+      Curation.decontaminateBloom(shingleStore(s, dir), "doc_id",
+        t(s, dir, "documents").filter(col("doc_id") < 1000)
+          .select(col("doc_id").as("bench_id")),
+        minContainment = 0.2, maxShingleDf = None)),
+
     // Z-order clustering key over (user bucket, time bucket) — the
     // write-time layout that lets parquet min/max stats prune scans on
     // EITHER predicate dimension; the operator range-partitions and
@@ -2607,11 +2623,11 @@ object SparkEntry {
        |  ON a.doc_id < b.doc_id AND ($bandConds))""".stripMargin
   }
 
-  /** Shared by decontamination and decontamination_bloom (the bloom
-    * prefilter is exact-lossless, so both pipelines answer this query). */
-  private lazy val duckDecontaminationSql: String =
+  /** The decontamination oracle at one bench-set predicate — shared by
+    * the %5 rows and the corpus-independent `doc_id < 1000` twin. */
+  private def duckDecontaminationSqlFor(benchPred: String): String =
     s"""WITH $duckToks, ${duckShingles(5)},
-       |bench AS (SELECT doc_id AS bench_id FROM documents WHERE doc_id % 5 = 0),
+       |bench AS (SELECT doc_id AS bench_id FROM documents WHERE $benchPred),
        |bsh AS (SELECT bench_id, h FROM sh JOIN bench ON sh.doc_id = bench.bench_id),
        |bsz AS (SELECT bench_id, count(*) AS bsz FROM bsh GROUP BY 1),
        |ov AS (SELECT s.doc_id, b.bench_id, count(*) AS ov FROM sh s JOIN bsh b USING (h)
@@ -2930,11 +2946,16 @@ object SparkEntry {
          |  ("offset" + n_tokens - 1) // 512 AS chunk_end
          |FROM o""".stripMargin,
 
-    "decontamination" -> duckDecontaminationSql,
+    "decontamination" -> duckDecontaminationSqlFor("doc_id % 5 = 0"),
 
     // The bloom prefilter is lossless (exact verify after; membership is
     // per shingle value) — the serving twin answers the SAME query.
-    "decontamination_bloom" -> duckDecontaminationSql,
+    "decontamination_bloom" -> duckDecontaminationSqlFor("doc_id % 5 = 0"),
+
+    // corpus-independent bench set (the true serving shape — see the
+    // query's comment): same pipeline, bench pinned to the first 1000 docs
+    "decontamination_fixed_bench" ->
+      duckDecontaminationSqlFor("doc_id < 1000"),
 
     "dedup_simhash" ->
       s"""WITH $duckToks,
