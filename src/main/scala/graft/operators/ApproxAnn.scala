@@ -341,19 +341,25 @@ object ApproxAnn {
 
   /** Nearest-centroid struct (d, cid) per row — argmin by (l2², cid),
     * lexicographic tiebreak (the IVF assignment rule every oracle
-    * replays). ONE array literal + transform + array_min, so the plan
-    * carries O(1) expression nodes regardless of k: the previous
-    * `least(struct(...k structs...))` form analyzed O(k) nodes, fine for
-    * the 16-centroid fixtures, pathological at the k ≈ √n counts
-    * SemDeDup-scale clustering needs (450 at sf10, thousands at 100 TB).
-    * array_min's struct ordering is lexicographic (d, cid) — identical
-    * values, identical tiebreak. */
-  def centroidBest(vecCol: String, centroids: Seq[(Int, Seq[Float])]): Column = {
-    val carr = typedlit(centroids)
-    array_min(transform(carr, c =>
-      struct(VectorFunctions.l2sq(col(vecCol), c.getField("_2")).as("d"),
-        c.getField("_1").as("cid"))))
-  }
+    * replays). Since r11 this is the native codegen
+    * [[graft.functions.CentroidTopK]] expression: the previous
+    * `array_min(transform(lit, …))` HOF form evaluated INTERPRETED —
+    * at k ≈ √n centroid counts the O(n·k·dims) assignment pass became
+    * the dominant term of every sf100 IVF row (~90% of
+    * semantic_dedup_auto's time) — while the expression keeps the loop
+    * inside whole-stage codegen with identical values and tiebreak
+    * (equality spec-pinned, ties included). */
+  def centroidBest(vecCol: String, centroids: Seq[(Int, Seq[Float])]): Column =
+    element_at(
+      graft.functions.CentroidTopKExpr.topK(col(vecCol), centroids, 1), 1)
+
+  /** The nprobe lexicographically-nearest cells per row — the probe-side
+    * twin of [[centroidBest]] (replaces the interpreted
+    * `slice(array_sort(transform(…)), 1, nprobe)` form; same values,
+    * same (d, cid) order). */
+  def centroidTopK(vecCol: String, centroids: Seq[(Int, Seq[Float])],
+      nprobe: Int): Column =
+    graft.functions.CentroidTopKExpr.topK(col(vecCol), centroids, nprobe)
 
   /** IVF assignment: nearest centroid id per vector (centroids broadcast). */
   def assignToCentroids(
@@ -679,12 +685,7 @@ object ApproxAnn {
     // nprobe nearest cells per query row: (d, cid) structs sort
     // lexicographically — the same (distance, cid) tiebreak the
     // assignment rule uses, so probe set 1 ⊇ the row's own cell
-    val carr = typedlit(centroids)
-    val probeCells = slice(
-      array_sort(transform(carr, c =>
-        struct(VectorFunctions.l2sq(col(vecCol), c.getField("_2")).as("d"),
-          c.getField("_1").as("cid")))),
-      1, nprobe)
+    val probeCells = centroidTopK(vecCol, centroids, nprobe)
     val q = base.filter(queryFilter)
       .select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
         explode(transform(probeCells, x => x.getField("cid"))).as("_cell"))
@@ -793,12 +794,7 @@ object ApproxAnn {
     val cand = nearestSub(assigned, Seq(idCol))
       .select(col(idCol).as("vec_id"), col(vecCol).as("_cv"),
         col("_cell"), col("_sub"))
-    val carr = typedlit(centroids)
-    val probeCells = slice(
-      array_sort(transform(carr, c =>
-        struct(VectorFunctions.l2sq(col(vecCol), c.getField("_2")).as("d"),
-          c.getField("_1").as("cid")))),
-      1, nprobe)
+    val probeCells = centroidTopK(vecCol, centroids, nprobe)
     val q0 = base.filter(queryFilter)
       .select(col(idCol).as("query_id"), col(vecCol),
         explode(transform(probeCells, x => x.getField("cid"))).as("_cell"))
