@@ -115,12 +115,19 @@ object StreamLag {
     def fmt(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
 
-    // the dedup store's searchable proof: each batch's marker is an exact
-    // duplicate of this reference text (planted with the FIRST batch), so
-    // a probe finding the (reference, marker) near-dup pair proves the
-    // fresh signature is live in the reconciled store
-    val dupRefId = 20000000L
-    val dupText = "zq marker alpha beta gamma delta epsilon zeta eta theta"
+    // the dedup store's searchable proof: each batch b writes its OWN
+    // (reference, marker) duplicate pair — batch-unique text, both ids in
+    // batch b — and the post-commit probe must find exactly that pair.
+    // A single batch-0 reference would make the proof vacuous for b>=1
+    // (the probe's hit could come from batch 0's long-committed signature
+    // while every later append is silently dropped — ADVICE r11); the
+    // per-batch reference can only be found through batch b's committed
+    // signatures. Texts share a tail but differ in the first shingles
+    // (cross-batch Jaccard ≈ 0.4 < the 0.9 threshold), so only the
+    // same-batch exact duplicate verifies.
+    val dupRefBase = 20000000L
+    def dupTextFor(b: Int): String =
+      s"zq marker batch b$b salt${b * 7919} alpha beta gamma delta epsilon zeta eta theta"
     val lags = Array.ofDim[Double](nBatches)
     val probes = Array.ofDim[Double](nBatches)
     try {
@@ -129,12 +136,13 @@ object StreamLag {
           if (b == nBatches - 1) docs.length else (b + 1) * perBatch)
         // the batch's unique marker doc proves SEARCHABLE, not just written
         val markerId = 10000000L + b
+        val refId = dupRefBase + b
         val markerText =
-          if (store == "dedup") dupText else s"freshmarker$b only here"
+          if (store == "dedup") dupTextFor(b) else s"freshmarker$b only here"
         val marker = DocEv(markerId, markerText,
           new java.sql.Timestamp(System.currentTimeMillis()))
-        val ref = if (store == "dedup" && b == 0)
-          Seq(DocEv(dupRefId, dupText,
+        val ref = if (store == "dedup")
+          Seq(DocEv(refId, dupTextFor(b),
             new java.sql.Timestamp(System.currentTimeMillis())))
         else Nil
         val t0 = System.currentTimeMillis()
@@ -151,14 +159,17 @@ object StreamLag {
           import graft.operators.Dedup
           val (sh, sigs) = IndexMaintenance.readDedupSegmentIndex(
             spark, p("shingles"), p("sigs"), "doc_id")
-          val probeDocs = Seq((markerId, dupText)).toDF("doc_id", "text")
+          val probeDocs = Seq((markerId, dupTextFor(b))).toDF("doc_id", "text")
           val pSh = Dedup.shingles(probeDocs, "doc_id", "text", 5)
           val pSigs = Dedup.minhashSignaturesFromShingles(pSh, "doc_id", 16)
           val hits = Dedup.nearDupProbe(pSh, pSigs, sh, sigs, "doc_id",
               bands = 4, threshold = 0.9)
             .select("id_a", "id_b").as[(Long, Long)].collect()
-          require(hits.exists(h => h._1 == dupRefId || h._2 == dupRefId),
-            s"batch $b marker's planted duplicate not found after commit")
+          // the hit must be THIS batch's planted pair — the store copy of
+          // refId=$refId was written in batch b, so the proof can only
+          // come from batch b's committed signatures
+          require(hits.contains((markerId, refId)),
+            s"batch $b planted duplicate pair ($markerId, $refId) not found after commit")
         } else {
           val pos =
             if (mode == "segment") IndexMaintenance.readFtsSegmentIndex(

@@ -95,7 +95,20 @@ object Verify {
         } }
       }
     } catch { case e: Throwable =>
+      // FAIL CLOSED (ADVICE r11): an exception must not silently revert
+      // the `_auto` rows to bare rows-only — write an agreement.json whose
+      // pass=false record check_oracle.py counts as a gate failure. (A
+      // compute() that legitimately decides the gate doesn't apply — no
+      // embeddings table dumped, corpus over MaxExactN — returns empty
+      // WITHOUT throwing and writes nothing; scale runs keep their
+      // documented skip.)
       System.err.println(s"[verify] agreement gate failed: ${e.getMessage}")
+      val targets = dumpedSet & Set("knn_join_ivf_auto", "semantic_dedup_auto")
+      if (targets.nonEmpty) {
+        val err = VerifyAgreement.toJson(targets.map(_ -> Map(
+          "gate_error" -> VerifyAgreement.Score(-1.0, 0.0))).toMap)
+        Files.writeString(Paths.get(s"$outDir/agreement.json"), err)
+      }
     }
     spark.stop()
   }

@@ -71,12 +71,18 @@ case class CentroidTopK(
   private def keep: Int = math.min(k, centroids.size)
 
   /** Insertion-select of the `keep` lexicographically-smallest (d, cid)
-    * pairs — shared by eval and (structurally) the generated code. */
+    * pairs — shared by eval and (structurally) the generated code.
+    * Ordering is `java.lang.Double.compare` (NaN greater than +Inf, NaN
+    * equal to NaN) — exactly Spark's struct/array_sort double ordering, so
+    * a NaN-bearing vector still selects real centroids by cid tiebreak
+    * instead of leaking the (Inf, Int.MaxValue) sentinel as a cell id
+    * (ADVICE r11). The unfilled sentinel is therefore NaN (nothing sorts
+    * after it), not +Inf (a legitimate overflow distance ties with it). */
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val vn = v.numElements()
     val m = keep
-    val bd = Array.fill(m)(Double.PositiveInfinity)
+    val bd = Array.fill(m)(Double.NaN)
     val bc = Array.fill(m)(Int.MaxValue)
     var j = 0
     while (j < cids.length) {
@@ -88,11 +94,15 @@ case class CentroidTopK(
         acc += d * d; i += 1
       }
       val cid = cids(j)
-      if (acc < bd(m - 1) || (acc == bd(m - 1) && cid < bc(m - 1))) {
+      val cLast = java.lang.Double.compare(acc, bd(m - 1))
+      if (cLast < 0 || (cLast == 0 && cid < bc(m - 1))) {
         var p = m - 1
-        while (p > 0 && (acc < bd(p - 1) ||
-          (acc == bd(p - 1) && cid < bc(p - 1)))) {
-          bd(p) = bd(p - 1); bc(p) = bc(p - 1); p -= 1
+        var cont = true
+        while (p > 0 && cont) {
+          val c = java.lang.Double.compare(acc, bd(p - 1))
+          if (c < 0 || (c == 0 && cid < bc(p - 1))) {
+            bd(p) = bd(p - 1); bc(p) = bc(p - 1); p -= 1
+          } else cont = false
         }
         bd(p) = acc; bc(p) = cid
       }
@@ -123,12 +133,14 @@ case class CentroidTopK(
       val out = ctx.freshName("out")
       val r = ctx.freshName("r")
       val vn = ctx.freshName("vn")
+      val cl = ctx.freshName("cl")
+      val cp = ctx.freshName("cp")
       s"""
          |int $vn = $v.numElements();
          |double[] $bd = new double[$m];
          |int[] $bc = new int[$m];
          |for (int $r = 0; $r < $m; $r++) {
-         |  $bd[$r] = Double.POSITIVE_INFINITY; $bc[$r] = Integer.MAX_VALUE;
+         |  $bd[$r] = Double.NaN; $bc[$r] = Integer.MAX_VALUE;
          |}
          |for (int $j = 0; $j < ${cids.length}; $j++) {
          |  int $n = java.lang.Math.min($vn, $lensRef[$j]);
@@ -139,11 +151,12 @@ case class CentroidTopK(
          |    $acc += d * d;
          |  }
          |  int $cid = $cidsRef[$j];
-         |  if ($acc < $bd[$m - 1]
-         |      || ($acc == $bd[$m - 1] && $cid < $bc[$m - 1])) {
+         |  int $cl = java.lang.Double.compare($acc, $bd[$m - 1]);
+         |  if ($cl < 0 || ($cl == 0 && $cid < $bc[$m - 1])) {
          |    int $p = $m - 1;
-         |    while ($p > 0 && ($acc < $bd[$p - 1]
-         |        || ($acc == $bd[$p - 1] && $cid < $bc[$p - 1]))) {
+         |    while ($p > 0) {
+         |      int $cp = java.lang.Double.compare($acc, $bd[$p - 1]);
+         |      if (!($cp < 0 || ($cp == 0 && $cid < $bc[$p - 1]))) break;
          |      $bd[$p] = $bd[$p - 1]; $bc[$p] = $bc[$p - 1]; $p--;
          |    }
          |    $bd[$p] = $acc; $bc[$p] = $cid;

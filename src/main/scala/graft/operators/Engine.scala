@@ -266,10 +266,16 @@ final class Engine {
     * every OTHER index for the scrape duration, which is what the previous
     * hold-all-read-locks design cost (ADVICE r10). An index registered
     * mid-scrape simply lands in the next scrape (the catalog is
-    * snapshotted at entry, exactly like the frame map). */
+    * snapshotted at entry, exactly like the frame map). The frame is
+    * RESOLVED inside the fence too — plan-time file listing and the
+    * collect must share one fenced window, or a maintenance commit landing
+    * between them deletes files a pre-fence snapshot still references and
+    * the scrape 500s on FileNotFound (ADVICE r11). */
   def metricsRowsFenced(): Seq[org.apache.spark.sql.Row] =
-    metricsFrames().flatMap { case (key, df) =>
-      withQuiescedRead(key.keyspace, key.index)(df.collect().toSeq)
+    catalog.list.sortBy(e => (e.meta.keyspace, e.meta.index)).flatMap { e =>
+      withQuiescedRead(e.meta.keyspace, e.meta.index) {
+        metricsFrameFor(e).map(_.collect().toSeq).getOrElse(Seq.empty)
+      }
     }
 
   def setStatus(key: IndexKey, status: IndexStatus, progressPct: Double = 100.0): Unit =
@@ -375,37 +381,40 @@ final class Engine {
     * [[metricsRowsFenced]] collects per-fence. */
   private def metricsFrames(): Seq[(IndexKey, DataFrame)] = {
     val entries = catalog.list.sortBy(e => (e.meta.keyspace, e.meta.index))
-    // flatMap + get: an empty engine scrapes to an empty frame with
-    // the metrics schema (the reference export simply emits no series;
-    // erroring would kill a scrape loop that polls before the first index
-    // registers), and an index dropped between the catalog read and the
-    // frames read simply falls out of this scrape (the next one won't
-    // list it) — catalog and frames are separate volatile reads.
-    entries.flatMap { e =>
-      frames.get(e.meta.key).map { df =>
-        val kindStr = e.meta.kind match {
-          case Vs(_) => "vector"
-          case Fts(_) => "fulltext"
-        }
-        val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-          .min(BigInt(Long.MaxValue)).toLong
-        // Engine.count shadows functions.count
-        val cnt = (c: org.apache.spark.sql.Column) => org.apache.spark.sql.functions.count(c)
-        e.meta.key -> df.agg(
-            cnt(when(col(e.meta.targetColumn).isNotNull, lit(1))).as("live_rows"),
-            cnt(lit(1)).as("total_rows"))
-          .select(
-            lit(e.meta.keyspace).as("keyspace"),
-            lit(e.meta.index).as("index_name"),
-            lit(kindStr).as("kind"),
-            lit(e.status.toString).as("status"),
-            lit(e.progressPct).as("progress_pct"),
-            col("live_rows"), col("total_rows"),
-            lit(estBytes).as("est_size_bytes"),
-            lit(queryCounts(e.meta.key)).as("queries_total"))
-      }
-    }
+    entries.flatMap(e => metricsFrameFor(e).map(e.meta.key -> _))
   }
+
+  /** One index's single-row metrics aggregate, resolved from the LIVE frame
+    * map at call time (so a fenced caller sees the post-commit frame, not a
+    * pre-fence snapshot). flatMap + get: an empty engine scrapes to an
+    * empty frame with the metrics schema (the reference export simply
+    * emits no series; erroring would kill a scrape loop that polls before
+    * the first index registers), and an index dropped between the catalog
+    * read and the frames read simply falls out of this scrape (the next
+    * one won't list it) — catalog and frames are separate volatile reads. */
+  private def metricsFrameFor(e: Catalog.Entry): Option[DataFrame] =
+    frames.get(e.meta.key).map { df =>
+      val kindStr = e.meta.kind match {
+        case Vs(_) => "vector"
+        case Fts(_) => "fulltext"
+      }
+      val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        .min(BigInt(Long.MaxValue)).toLong
+      // Engine.count shadows functions.count
+      val cnt = (c: org.apache.spark.sql.Column) => org.apache.spark.sql.functions.count(c)
+      df.agg(
+          cnt(when(col(e.meta.targetColumn).isNotNull, lit(1))).as("live_rows"),
+          cnt(lit(1)).as("total_rows"))
+        .select(
+          lit(e.meta.keyspace).as("keyspace"),
+          lit(e.meta.index).as("index_name"),
+          lit(kindStr).as("kind"),
+          lit(e.status.toString).as("status"),
+          lit(e.progressPct).as("progress_pct"),
+          col("live_rows"), col("total_rows"),
+          lit(estBytes).as("est_size_bytes"),
+          lit(queryCounts(e.meta.key)).as("queries_total"))
+    }
 
   /** Live row count of an index (A1; surfaced at httproutes.rs:437-456).
     * Runs under the store fence read side — a count is a serving action

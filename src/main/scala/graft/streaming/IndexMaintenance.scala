@@ -197,8 +197,20 @@ object IndexMaintenance {
       // bucket count — a bounded driver-side set.
       cellCols.foreach { cellCol =>
         val spark = out.sparkSession
-        val keep = out.select(col(cellCol).cast("string")).distinct()
-          .collect().map(r => s"$cellCol=${r.getString(0)}").toSet
+        // the keep set matches cast("string") values against PHYSICAL dir
+        // names: a null cell (dir __HIVE_DEFAULT_PARTITION__) or a value
+        // needing partition-path escaping (space, %, / …) would be absent
+        // from keep and its LIVE dir deleted. Today's cell columns are
+        // non-null longs; fail loudly if a future store breaks that
+        // invariant instead of deleting live data (ADVICE r11).
+        val cellVals = out.select(col(cellCol).cast("string")).distinct()
+          .collect().map(r => Option(r.getString(0)))
+        require(cellVals.forall(_.exists(_.matches("[A-Za-z0-9_.+-]+"))),
+          s"cell column $cellCol has a null or path-escaped value " +
+            s"(${cellVals.find(!_.exists(_.matches("[A-Za-z0-9_.+-]+")))}); " +
+            "stale-dir cleanup only supports plain non-null cell values — " +
+            "extend with ExternalCatalogUtils escaping before relaxing this")
+        val keep = cellVals.map(v => s"$cellCol=${v.get}").toSet
         val segDir = s"$path/$SegCol=$ceiling"
         graft.sources.IndexStorage.listDirs(spark, segDir)
           .filter(n => n.startsWith(s"$cellCol=") && !keep(n))

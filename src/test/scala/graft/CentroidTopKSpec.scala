@@ -58,4 +58,29 @@ class CentroidTopKSpec extends SparkSpec {
       CentroidTopKExpr.topK(col("v"), cents, 2).as("t")).collect()
     assert(gotNull.head.isNullAt(0))
   }
+
+  test("NaN vectors equal the HOF order (NaN-greatest, cid tiebreak) — no sentinel leak") {
+    val cents = (0 until 7).map(c => (c + 3, lcgVec(c + 50L, 8)))
+    // all-NaN, NaN-in-one-dim, and clean vectors in one frame: the NaN
+    // distance must sort AFTER every real distance but still select real
+    // centroid ids by cid (ADVICE r11: the old `<`/`==` compare dropped
+    // NaN rows to the (Inf, Int.MaxValue) sentinel, leaking Int.MaxValue
+    // as a cell id into assignment/probing)
+    val nan = Float.NaN
+    val rows = Seq(
+      (0L, Seq.fill(8)(nan)),
+      (1L, lcgVec(1L, 8).updated(3, nan)),
+      (2L, lcgVec(2L, 8))).toDF("vec_id", "v")
+    for (k <- Seq(1, 3, 7)) {
+      val got = rows.select(col("vec_id"),
+        CentroidTopKExpr.topK(col("v"), cents, k).as("t")).collect()
+      val want = rows.select(col("vec_id"), hof("v", cents, k).as("t")).collect()
+      assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq, s"k=$k diverged")
+      // and no Int.MaxValue cell id anywhere in the output
+      got.foreach { r =>
+        val arr = r.getSeq[org.apache.spark.sql.Row](1)
+        assert(arr.forall(_.getInt(1) != Int.MaxValue), s"sentinel cid leaked at k=$k")
+      }
+    }
+  }
 }
