@@ -131,7 +131,8 @@ object Bench {
         // one per operator family, biased toward the shuffle/join-heavy
         "q1_agg", "q5_region_revenue", "ann_cosine", "ann_lsh", "ann_ivfpq",
         "ann_rescored", "bm25_multi", "dedup_exact", "dedup_minhash",
-        "dedup_embedding_lsh", "semantic_dedup", "dedup_clusters",
+        "dedup_embedding_lsh", "semantic_dedup", "semantic_dedup_capped",
+        "dedup_clusters",
         "fuzzy_join", "fuzzy_join_exact", "decontamination_bloom",
         "span_dedup", "gopher_report", "lm_score", "bpe_merges", "token_ids",
         "stratified_sample", "pack_sequences", "pagerank", "hits_scores",

@@ -28,7 +28,8 @@ object BenchScale {
     "semantic_dedup", "semantic_dedup_auto", "dedup_embedding_lsh",
     "dedup_embedding_lsh_auto", "bpe_merges", "decontamination_bloom",
     "decontamination_fixed_bench",
-    "knn_join_ivf_sqrt", "semantic_dedup_sqrt", "dedup_clusters_best")
+    "knn_join_ivf_sqrt", "semantic_dedup_sqrt", "semantic_dedup_capped",
+    "dedup_clusters_best")
 
   // Since round 10 the `_auto` occupancy-constant forms ARE the API
   // defaults (the un-suffixed entry points route to them); the pinned

@@ -122,13 +122,13 @@ object SparkEntry {
     * all-shingles decontamination explode, and the full-df BM25 stats:
     * each fits a decade lower but blows the 900 s per-query budget at
     * this one); membership stays measured, like the sf10 set's.
-    * `dedup_simhash` was measured OUT at this decade: its oracle's
-    * per-token 64-bit-position explode over 5M docs spilled past the
-    * box's 55 GB of free temp space in DuckDB (IO error, not a result
-    * mismatch) — the Spark side completed; the query keeps its sf10
-    * hash verification. */
+    * `dedup_simhash` is BACK at this decade (r12): its oracle was
+    * rewritten from a 60-way per-term row explode (spilled past the
+    * box's 55 GB DuckDB scratch at 5M docs) to 60 per-bit aggregates in
+    * one GROUP BY — same fingerprint, term-table-sized intermediate. */
   val sf100SpotQueries: Set[String] = Set(
     "q1_agg", "q_date_agg", "q5_region_revenue", "dedup_exact",
+    "dedup_simhash",
     "heavy_hitters", "hll_distinct", "partition_sizes",
     "url_host_filter", "text_stats", "event_funnel",
     "ann_euclidean", "ann_cosine", "lww_state", "asof_join",
@@ -1226,6 +1226,32 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Dedup.semanticDedupPinned(emb, "vec_id", "embedding",
         selectionCentroidsK(emb, sqrtCells(emb)), eps = 0.4)
+    }),
+
+    // THE 100 TB SemDeDup shape (VERDICT r11 #1): √n selection cells +
+    // the constant occupancy cap — cells over 128 rows split into
+    // first-s-member sub-cells and the pair pass runs within (cell, sub),
+    // bounding pair work at O(n·cap) where the published rule keeps a
+    // bare O(n^1.5) term (measured 9.9×/decade at sf100). Every rule is
+    // row_number-replayable, so this is the capped twin WITH a full hash
+    // oracle (authored at dump time — cells derive from the corpus
+    // count); above Dedup.SemanticDedupCapThreshold the trained-centroid
+    // default (semantic_dedup_auto) routes to this same pass.
+    "semantic_dedup_capped" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Dedup.semanticDedupPinnedCapped(emb, "vec_id", "embedding",
+        selectionCentroidsK(emb, sqrtCells(emb)), eps = 0.4)
+    }),
+
+    // The SPLIT PATH pinned at driver scale: 16 cells + cap 16 forces
+    // sub-cell splits at the sf0.01 fixture (~31 rows/cell), so the
+    // driver's own gate hash-checks first-s selection, nearest-sub
+    // assignment and the within-(cell, sub) removal rule every round —
+    // not only when the √n form's splits engage at sf1+.
+    "semantic_dedup_capped_split" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Dedup.semanticDedupPinnedCapped(emb, "vec_id", "embedding",
+        selectionCentroids(emb), eps = 0.4, occupancyCap = 16)
     }),
 
     // Per-label centroid summary: mean vector per label — class prototypes
@@ -2527,6 +2553,52 @@ object SparkEntry {
        |WHERE vec_id NOT IN (SELECT vec_id FROM rem)""".stripMargin
   }
 
+  /** The OCCUPANCY-CAPPED semantic_dedup oracle
+    * ([[graft.operators.Dedup.semanticDedupPinnedCapped]]'s replay):
+    * level-1 assignment exactly as [[semanticDedupOracle]], the sub-cell
+    * CTEs exactly as [[knnJoinIvfCappedOracle]] (first-s members by
+    * row_number, nearest sub by (l2², sub), integer `//` split counts),
+    * and the lexicographic removal rule keyed on (cid, sub) with d still
+    * the LEVEL-1 centroid distance. Shared by the static cells=16/cap=16
+    * split-path entry and [[oracleSqlFor]]'s √n-cell twin. */
+  private def semanticDedupCappedOracle(cells: Int, cap: Int): String = {
+    val distCE = duckDistCE
+    val dotAB = "list_sum(list_transform(list_zip(a.embedding, b.embedding), " +
+      "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    def nrm(t: String) =
+      s"sqrt(list_sum(list_transform($t.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    val distSubA = "list_sum(list_transform(list_zip(a.embedding, sb.sv), " +
+      "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
+      "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+    s"""WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
+       |           FROM embeddings WHERE vec_id < $cells AND embedding IS NOT NULL),
+       |a0 AS MATERIALIZED (SELECT e.vec_id, e.embedding, c.cid, $distCE AS d
+       |       FROM embeddings e, c WHERE e.embedding IS NOT NULL),
+       |asg AS MATERIALIZED (SELECT vec_id, embedding, cid, d,
+       |       row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS crn
+       |       FROM (SELECT *, row_number() OVER
+       |         (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn FROM a0)
+       |       WHERE rn = 1),
+       |sc AS (SELECT cid, (count(*) + $cap - 1) // $cap AS s
+       |       FROM asg GROUP BY cid),
+       |subc AS MATERIALIZED (SELECT a.cid, CAST(a.crn AS INT) AS sub,
+       |        a.embedding AS sv
+       |        FROM asg a JOIN sc USING (cid) WHERE sc.s > 1 AND a.crn <= sc.s),
+       |subd AS (SELECT a.vec_id, sb.sub, row_number() OVER
+       |          (PARTITION BY a.vec_id ORDER BY $distSubA ASC, sb.sub ASC) AS srn
+       |        FROM asg a JOIN subc sb USING (cid)),
+       |asg2 AS MATERIALIZED (SELECT a.vec_id, a.embedding, a.cid, a.d,
+       |         COALESCE(s.sub, 0) AS sub
+       |         FROM asg a LEFT JOIN (SELECT vec_id, sub FROM subd WHERE srn = 1) s
+       |         USING (vec_id)),
+       |rem AS (SELECT DISTINCT b.vec_id FROM asg2 a JOIN asg2 b
+       |        ON a.cid = b.cid AND a.sub = b.sub AND a.vec_id <> b.vec_id
+       |        AND $dotAB / (${nrm("a")} * ${nrm("b")}) >= 0.4
+       |        AND (a.d < b.d OR (a.d = b.d AND a.vec_id < b.vec_id)))
+       |SELECT vec_id, cid AS cell FROM asg2
+       |WHERE vec_id NOT IN (SELECT vec_id FROM rem)""".stripMargin
+  }
+
   /** The knn_join_ivf oracle at one pinned selection-centroid count —
     * shared by the static cells=16 entry and [[oracleSqlFor]]'s √n-cell
     * twin. */
@@ -2681,7 +2753,7 @@ object SparkEntry {
     * parameters from the embeddings corpus count). */
   val dynamicOracleQueries: Set[String] = Set(
     "dedup_embedding_lsh_auto", "knn_join_lsh_auto",
-    "knn_join_ivf_sqrt", "semantic_dedup_sqrt")
+    "knn_join_ivf_sqrt", "semantic_dedup_sqrt", "semantic_dedup_capped")
 
   def oracleSqlFor(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): Map[String, String] = {
@@ -2696,7 +2768,9 @@ object SparkEntry {
       "knn_join_lsh_auto" -> knnJoinLshOracle(nb),
       "knn_join_ivf_sqrt" ->
         knnJoinIvfCappedOracle(cells, ApproxAnn.DefaultCellOccupancyCap),
-      "semantic_dedup_sqrt" -> semanticDedupOracle(cells))
+      "semantic_dedup_sqrt" -> semanticDedupOracle(cells),
+      "semantic_dedup_capped" ->
+        semanticDedupCappedOracle(cells, ApproxAnn.DefaultCellOccupancyCap))
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -2962,17 +3036,23 @@ object SparkEntry {
     "decontamination_fixed_bench" ->
       duckDecontaminationSqlFor("doc_id < 1000"),
 
+    // one GROUP BY with 60 per-bit aggregates instead of a 60-way row
+    // explode: the old `FROM th, range(60)` shape multiplied the term
+    // table 60× and spilled DuckDB past the box's 55 GB scratch at the
+    // sf100 decade (5M docs) — this form's intermediate is the term table
+    // itself, so the fourth-decade spot row is certifiable again
+    // (VERDICT r11 #5). Bit-identical semantics: per bit b, the signed tf
+    // sum's sign sets bit b of the fingerprint.
     "dedup_simhash" ->
       s"""WITH $duckToks,
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM (
          |  SELECT doc_id, unnest(ts) AS term FROM toks) GROUP BY doc_id, term),
-         |th AS (SELECT doc_id, tf, ${duckHash("term")} AS h FROM tf),
-         |bits AS (SELECT doc_id, bit,
-         |    sum(CASE WHEN (h >> bit) % 2 = 1 THEN tf ELSE -tf END) AS s
-         |  FROM th, (SELECT unnest(range(60)) AS bit) b GROUP BY doc_id, bit)
-         |SELECT doc_id,
-         |  CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS fingerprint
-         |FROM bits GROUP BY doc_id""".stripMargin,
+         |th AS (SELECT doc_id, tf, ${duckHash("term")} AS h FROM tf)
+         |SELECT doc_id, CAST(${(0 until 60).map(b =>
+             s"(CASE WHEN sum(CASE WHEN (h >> $b) % 2 = 1 THEN tf ELSE -tf END) > 0 " +
+               s"THEN (1::BIGINT << $b) ELSE 0::BIGINT END)").mkString(" + ")}
+         |  AS BIGINT) AS fingerprint
+         |FROM th GROUP BY doc_id""".stripMargin,
 
     "dedup_embedding" -> {
       val dotAB = "list_sum(list_transform(list_zip(a.embedding, b.embedding), " +
@@ -4214,6 +4294,10 @@ object SparkEntry {
     // the ann_ivf rule over the same selection centroids), in-cell cosine
     // pairs, lexicographic (dc, id) removal, survivors.
     "semantic_dedup" -> semanticDedupOracle(cells = 16),
+
+    // cap 16 < the fixture's ~31 rows/cell forces the sub-cell split path
+    // at driver scale (see the query comment)
+    "semantic_dedup_capped_split" -> semanticDedupCappedOracle(cells = 16, cap = 16),
 
     // Per-(label, dim) mean reassembled dim-ordered; DuckDB's zipped
     // unnest(embedding)/unnest(range(len)) mirrors posexplode.

@@ -512,6 +512,54 @@ object ApproxAnn {
   final case class LshTuning(
       radius: Int = 2, targetOccupancy: Int = 8, tables: Int = 1)
 
+  /** Peak probe-stage shuffle volume (bytes) above which the auto bulk-join
+    * entry points run PROBE-SIDE CHUNKED (VERDICT r11 #2): per-query top-k
+    * (and per-probe pair emission) depends only on that probe's own
+    * candidate rows, so splitting the probe side into disjoint id slices
+    * and running them sequentially returns the EXACT single-pass result
+    * while bounding peak shuffle/scratch at ~1/chunks — the sf100 auto
+    * joins need 66–136 GB single-pass probe/rank exchanges, routine
+    * per-stage volumes on a cluster but past a single box's scratch.
+    * Tune via the runtime conf key; set it high on a real cluster to keep
+    * the single-pass plan (chunking trades extra candidate-side scans for
+    * the bound). The 16 GiB default engages nothing below the sf100
+    * decade (sf10's largest estimate is ~9 GB), so every fixture-scale
+    * oracle plan is bit-for-bit the unchunked one. */
+  val ProbeShuffleBudgetKey = "spark.graft.probeShuffleBudget"
+  val DefaultProbeShuffleBudget: Long = 16L << 30
+
+  private[graft] def probeShuffleBudget(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    scala.util.Try(spark.conf.get(ProbeShuffleBudgetKey).toLong)
+      .getOrElse(DefaultProbeShuffleBudget)
+
+  /** ceil(est/budget), clamped to [1, 256] — 256 sequential passes is
+    * already a sign the budget is set far below the workload. */
+  private[graft] def probeChunksFor(estBytes: Double, budget: Long): Int =
+    math.min(256, math.max(1, math.ceil(estBytes / budget.toDouble).toInt))
+
+  /** Sequential probe-side chunk union: `plan(pred)` must apply `pred` to
+    * its PROBE side only (candidate side stays the full corpus). Each
+    * chunk is materialized EAGERLY (localCheckpoint) before the next
+    * starts, so at most one chunk's shuffles are live at a time; the GC
+    * nudge lets the ContextCleaner drop the finished chunk's shuffle
+    * files (they free only after their ShuffleDependency objects are
+    * collected — without it chunk scratch accumulates back to the
+    * single-pass volume). chunks == 1 returns the single-pass lazy plan
+    * verbatim. */
+  private[graft] def chunkedProbeUnion(idCol: String, chunks: Int)
+      (plan: Column => DataFrame): DataFrame =
+    if (chunks <= 1) plan(lit(true))
+    else {
+      val parts = (0 until chunks).map { c =>
+        val part = plan(pmod(col(idCol), lit(chunks.toLong)) === lit(c.toLong))
+          .localCheckpoint(true)
+        System.gc()
+        part
+      }
+      parts.reduce(_ unionByName _)
+    }
+
   /** THE DEFAULT bulk kNN self-join — the plane count auto-tuned from the
     * corpus size (one count job), so the candidate volume stays
     * O(n · log²n) at ANY n. Result is EXACTLY [[knnJoinLshFixed]] at the
@@ -519,7 +567,9 @@ object ApproxAnn {
     * for the fixed form only when a deterministic replay needs a pinned
     * plane count (oracles, cross-run diffs). BENCH_sf10 measured the old
     * fixed-8-bit default at 175× per 10× decade vs 14.1× for this form —
-    * which is why auto IS the API default (VERDICT r9 #1).
+    * which is why auto IS the API default (VERDICT r9 #1). Above
+    * [[ProbeShuffleBudgetKey]] the probe side runs chunked (exact-equal
+    * result — see the budget's scaladoc).
     *
     * MIGRATION NOTE (r10/r11): pre-r10 this signature took `nbits` as the
     * first Int after `k`. Probe tuning now arrives as [[LshTuning]], so a
@@ -533,10 +583,25 @@ object ApproxAnn {
       queryFilter: Column = lit(true),
       carry: Seq[String] = Nil,
       pairFilter: Column = lit(true)): DataFrame = {
-    val n = df.filter(col(vecCol).isNotNull).count()
-    knnJoinLshFixed(df, vecCol, idCol, space, k,
-      autoNbits(n, tuning.targetOccupancy),
-      tuning.radius, queryFilter, carry, pairFilter, tuning.tables)
+    val nonNull = df.filter(col(vecCol).isNotNull)
+    val n = nonNull.count()
+    val nbits = autoNbits(n, tuning.targetOccupancy)
+    // probe-stage volume estimate: the exploded probe exchange (n · masks
+    // rows carrying the vector) plus the rank-window exchange (candidate
+    // pairs, ids + distance). Sizing only — ±2× is fine for a chunk count.
+    val dims = nonNull.select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    val masks = hammingMasks(nbits, tuning.radius).size
+    val occ = n.toDouble / (1L << nbits).toDouble
+    val est = n.toDouble * masks * tuning.tables * (4.0 * dims + 24) +
+      n.toDouble * masks * occ * tuning.tables * tuning.tables * 32.0
+    val chunks = probeChunksFor(est, probeShuffleBudget(df.sparkSession))
+    if (chunks > 1) System.err.println(
+      f"[graft] knnJoinLsh: probe-chunking $chunks ways (est ${est / 1e9}%.1f GB)")
+    chunkedProbeUnion(idCol, chunks) { pred =>
+      knnJoinLshFixed(df, vecCol, idCol, space, k, nbits,
+        tuning.radius, queryFilter && pred, carry, pairFilter, tuning.tables)
+    }
   }
 
   /** Back-compat alias for [[knnJoinLsh]] (the auto form became the
@@ -727,6 +792,67 @@ object ApproxAnn {
     * Approximate by contract, exactly like the uncapped form — a split
     * cell's neighbors in a sibling sub-cell are missed; returned
     * distances stay exact. */
+  /** Split factor per over-cap cell: cid -> s = ceil(occ/cap), only cells
+    * with s > 1 (k driver rows — bounded like the centroids). Shared by
+    * [[knnJoinIvfPinnedCapped]] and
+    * [[graft.operators.Dedup.semanticDedupPinnedCapped]]. */
+  private[graft] def cellSplitFactors(
+      assigned: DataFrame, cap: Long): Map[Int, Int] =
+    assigned.groupBy(col("_cell")).count()
+      .collect().map { r =>
+        val occ = r.getLong(1)
+        r.getInt(0) -> (((occ + cap - 1) / cap).toInt)
+      }.toMap.filter(_._2 > 1)
+
+  /** Sub-centroid frame (_cell, _sub, _sv) of the split cells: each cell's
+    * FIRST s members in id order, sub = 1..s (row_number — the
+    * SQL-replayable selection rule); Σs ≈ n/cap rows collect — bounded
+    * like the centroids. `assigned` must carry `_cell`, the id and the
+    * vector, and be MATERIALIZED by the caller (it is scanned here and
+    * again by the consumers). */
+  private[graft] def subCellCentroids(
+      assigned: DataFrame, vecCol: String, idCol: String,
+      subCounts: Map[Int, Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark2 = assigned.sparkSession
+    import spark2.implicits._
+    val wCell = Window.partitionBy(col("_cell")).orderBy(col(idCol).asc)
+    val sLimit = typedlit(subCounts)
+    assigned
+      .filter(col("_cell").isin(subCounts.keys.toSeq: _*))
+      .withColumn("_srn", row_number().over(wCell))
+      .filter(col("_srn") <= element_at(sLimit, col("_cell")))
+      .select(col("_cell"), col("_srn"), col(vecCol))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2))).toSeq
+      .toDF("_cell", "_sub", "_sv")
+  }
+
+  /** Nearest sub-centroid WITHIN a row's cell, via a BROADCAST equi-join
+    * on the cell id + one argmin window — NOT an array-literal lambda:
+    * higher-order functions evaluate interpreted, and projection collapse
+    * inlines the `_cell` definition (an array_min over k centroids) into
+    * the lambda body, re-evaluating the whole level-1 scan once PER
+    * ARRAY ELEMENT per row (measured: turned the sf10 sweep into hours).
+    * The join form keeps every distance in codegen and evaluates the
+    * level-1 assignment exactly once per row. Row growth is the split
+    * factor s ≈ occ/cap — the same O(n·√n/cap) term as assignment, far
+    * below the pair term the cap exists to bound. Unsplit cells have no
+    * sub-centroid rows: the left join yields one null row and the argmin
+    * keeps it (nulls last), so their sub stays 0. */
+  private[graft] def nearestSubCell(
+      df0: DataFrame, vecCol: String, subDf: DataFrame,
+      partCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wSub = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(col("_sd").asc_nulls_last, col("_sub").asc_nulls_last)
+    df0.join(broadcast(subDf), Seq("_cell"), "left")
+      .withColumn("_sd", VectorFunctions.l2sq(col(vecCol), col("_sv")))
+      .withColumn("_srn", row_number().over(wSub))
+      .filter(col("_srn") === 1)
+      .withColumn("_sub", coalesce(col("_sub"), lit(0)))
+      .drop("_sv", "_sd", "_srn")
+  }
+
   def knnJoinIvfPinnedCapped(
       df: DataFrame, vecCol: String, idCol: String, space: Space, k: Int,
       centroids: Seq[(Int, Seq[Float])], nprobe: Int = 2,
@@ -741,12 +867,7 @@ object ApproxAnn {
     val cap = occupancyCap.toLong
     val assigned0 = base.withColumn("_cell",
       centroidBest(vecCol, centroids).getField("cid"))
-    // occupancy and split factor per cell — k driver rows
-    val subCounts: Map[Int, Int] = assigned0.groupBy(col("_cell")).count()
-      .collect().map { r =>
-        val occ = r.getLong(1)
-        r.getInt(0) -> (((occ + cap - 1) / cap).toInt)
-      }.toMap.filter(_._2 > 1)
+    val subCounts = cellSplitFactors(assigned0, cap)
     if (subCounts.isEmpty) // no cell over the cap: the plain pinned plan
       return knnJoinIvfPinned(df, vecCol, idCol, space, k, centroids,
         nprobe, queryFilter)
@@ -755,59 +876,40 @@ object ApproxAnn {
     // projection in the plan) — materialize it once instead of paying the
     // k-centroid scan per consumer
     val assigned = assigned0.localCheckpoint(true)
-    // sub-centroids: each split cell's FIRST s members in id order,
-    // sub = 1..s (row_number — the SQL-replayable selection rule);
-    // Σs ≈ n/cap rows collect — bounded like the centroids
-    val wCell = Window.partitionBy(col("_cell")).orderBy(col(idCol).asc)
-    val sLimit = typedlit(subCounts)
-    val subFlat: Seq[(Int, Int, Seq[Float])] = assigned
-      .filter(col("_cell").isin(subCounts.keys.toSeq: _*))
-      .withColumn("_srn", row_number().over(wCell))
-      .filter(col("_srn") <= element_at(sLimit, col("_cell")))
-      .select(col("_cell"), col("_srn"), col(vecCol))
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2))).toSeq
-    // nearest sub-centroid WITHIN a row's cell, via a BROADCAST equi-join
-    // on the cell id + one argmin window — NOT an array-literal lambda:
-    // higher-order functions evaluate interpreted, and projection collapse
-    // inlines the `_cell` definition (an array_min over k centroids) into
-    // the lambda body, re-evaluating the whole level-1 scan once PER
-    // ARRAY ELEMENT per row (measured: turned the sf10 sweep into hours).
-    // The join form keeps every distance in codegen and evaluates the
-    // level-1 assignment exactly once per row. Row growth is the split
-    // factor s ≈ occ/cap — the same O(n·√n/cap) term as assignment, far
-    // below the pair term this operator exists to bound. Unsplit cells
-    // have no sub-centroid rows: the left join yields one null row and
-    // the argmin keeps it (nulls last), so their sub stays 0.
-    val spark2 = df.sparkSession
-    import spark2.implicits._
-    val subDf = subFlat.toDF("_cell", "_sub", "_sv")
-    def nearestSub(df0: DataFrame, partCols: Seq[String]): DataFrame = {
-      val wSub = Window.partitionBy(partCols.map(col): _*)
-        .orderBy(col("_sd").asc_nulls_last, col("_sub").asc_nulls_last)
-      df0.join(broadcast(subDf), Seq("_cell"), "left")
-        .withColumn("_sd", VectorFunctions.l2sq(col(vecCol), col("_sv")))
-        .withColumn("_srn", row_number().over(wSub))
-        .filter(col("_srn") === 1)
-        .withColumn("_sub", coalesce(col("_sub"), lit(0)))
-        .drop("_sv", "_sd", "_srn")
-    }
+    val subDf = subCellCentroids(assigned, vecCol, idCol, subCounts)
+    def nearestSub(df0: DataFrame, partCols: Seq[String]): DataFrame =
+      nearestSubCell(df0, vecCol, subDf, partCols)
     val cand = nearestSub(assigned, Seq(idCol))
       .select(col(idCol).as("vec_id"), col(vecCol).as("_cv"),
         col("_cell"), col("_sub"))
     val probeCells = centroidTopK(vecCol, centroids, nprobe)
-    val q0 = base.filter(queryFilter)
-      .select(col(idCol).as("query_id"), col(vecCol),
-        explode(transform(probeCells, x => x.getField("cid"))).as("_cell"))
-    val q = nearestSub(q0, Seq("query_id", "_cell"))
-      .select(col("query_id"), col(vecCol).as("_qv"), col("_cell"), col("_sub"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("distance").asc, col("vec_id").asc)
-    q.join(cand, Seq("_cell", "_sub"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("distance", VectorFunctions.distance(space, col("_cv"), col("_qv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "vec_id", "distance", "rank")
+    // probe-side chunking past the shuffle budget (the sf100 sqrt row was
+    // spill-bound: ~26 GB of rank-exchange scratch on a 55 GB box). The
+    // shared level-1 assignment/sub-centroid work above is checkpointed
+    // once and reused by every chunk; only the probe/rank stage repeats.
+    val dims = centroids.head._2.length
+    val nRows = assigned.count() // checkpointed — a cheap local scan
+    val estBytes = nRows.toDouble * nprobe * (4.0 * dims + 24) +
+      nRows.toDouble * nprobe * occupancyCap * 32.0
+    val chunks = probeChunksFor(estBytes, probeShuffleBudget(df.sparkSession))
+    if (chunks > 1) System.err.println(
+      f"[graft] knnJoinIvfPinnedCapped: probe-chunking $chunks ways " +
+        f"(est ${estBytes / 1e9}%.1f GB)")
+    chunkedProbeUnion(idCol, chunks) { pred =>
+      val q0 = base.filter(queryFilter && pred)
+        .select(col(idCol).as("query_id"), col(vecCol),
+          explode(transform(probeCells, x => x.getField("cid"))).as("_cell"))
+      val q = nearestSub(q0, Seq("query_id", "_cell"))
+        .select(col("query_id"), col(vecCol).as("_qv"), col("_cell"), col("_sub"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("distance").asc, col("vec_id").asc)
+      q.join(cand, Seq("_cell", "_sub"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .withColumn("distance", VectorFunctions.distance(space, col("_cv"), col("_qv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "vec_id", "distance", "rank")
+    }
   }
 
   /** THE DEFAULT IVF bulk kNN join: centroids trained at k ≈ √n (one
@@ -822,11 +924,24 @@ object ApproxAnn {
       df: DataFrame, vecCol: String, idCol: String, space: Space, k: Int,
       nprobe: Int = 2, kCells: Option[Int] = None, seed: Long = 42L,
       queryFilter: Column = lit(true)): DataFrame = {
-    val n = df.filter(col(vecCol).isNotNull).count()
+    val nonNull = df.filter(col(vecCol).isNotNull)
+    val n = nonNull.count()
     val kk = kCells.getOrElse(sqrtCells(n))
-    knnJoinIvfPinned(df, vecCol, idCol, space, k,
-      trainIvfCentroids(df, vecCol, kk, seed, nHint = Some(n)),
-      nprobe, queryFilter)
+    val cents = trainIvfCentroids(df, vecCol, kk, seed, nHint = Some(n))
+    // probe explode (n · nprobe vector rows) + rank exchange (n · nprobe ·
+    // mean-occupancy pair rows, ids + distance); mean occupancy is the
+    // honest estimator here — fixture skew measured max/mean ≤ 1.33
+    val dims = nonNull.select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    val est = n.toDouble * nprobe * (4.0 * dims + 24) +
+      n.toDouble * nprobe * (n.toDouble / kk) * 32.0
+    val chunks = probeChunksFor(est, probeShuffleBudget(df.sparkSession))
+    if (chunks > 1) System.err.println(
+      f"[graft] knnJoinIvf: probe-chunking $chunks ways (est ${est / 1e9}%.1f GB)")
+    chunkedProbeUnion(idCol, chunks) { pred =>
+      knnJoinIvfPinned(df, vecCol, idCol, space, k, cents,
+        nprobe, queryFilter && pred)
+    }
   }
 
   // ===== Product quantization (PQ / ADC) =====

@@ -720,7 +720,8 @@ object Dedup {
     * with `nbits`); results ⊆ [[embeddingNearDupsExact]]. */
   def embeddingNearDupsFixed(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      nbits: Int, radius: Int = 2): DataFrame = {
+      nbits: Int, radius: Int = 2,
+      probeFilter: Column = lit(true)): DataFrame = {
     import graft.functions.VectorFunctions.{dot, norm}
     val dimsOpt = df.filter(col(vecCol).isNotNull)
       .select(size(col(vecCol))).limit(1).collect().headOption.map(_.getInt(0))
@@ -738,7 +739,12 @@ object Dedup {
         ApproxAnn.lshBucket(col(vecCol), planes).as("_b"),
         norm(col(vecCol)).as("_n"))
     val masks = ApproxAnn.hammingMasks(nbits, radius)
-    val a = base.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+    // probeFilter is the chunking hook (ApproxAnn.chunkedProbeUnion): a
+    // pair (x, y), x < y, is emitted from probe row x ONLY (the id_a <
+    // id_b filter plus the symmetric Hamming ball), so probe slices
+    // partition the pair set — disjoint, complete, no cross-chunk dedup
+    val a = base.filter(probeFilter)
+      .select(col(idCol).as("id_a"), col(vecCol).as("va"),
       col("_n").as("na"),
       explode(array(masks.map(m => col("_b").bitwiseXOR(lit(m))): _*)).as("_b"))
     val b = base.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
@@ -775,9 +781,27 @@ object Dedup {
     require(tuning.tables == 1,
       "OR-amplification (tables > 1) is a knnJoinLsh dial; " +
         "embeddingNearDups probes a single table")
-    val n = df.filter(col(vecCol).isNotNull).count()
-    embeddingNearDupsFixed(df, idCol, vecCol, threshold,
-      ApproxAnn.autoNbits(n, tuning.targetOccupancy), tuning.radius)
+    val nonNull = df.filter(col(vecCol).isNotNull)
+    val n = nonNull.count()
+    val nbits = ApproxAnn.autoNbits(n, tuning.targetOccupancy)
+    // probe-side chunking past the shuffle budget (VERDICT r11 #2): the
+    // dominant exchange is the exploded probe side — n · masks rows each
+    // carrying the vector + norm (~96 GB at the sf100 decade); the pair
+    // verify runs inside the join stage, so bounding the probe bounds the
+    // pass. Result is EXACTLY the single-pass set (see the probeFilter
+    // note in [[embeddingNearDupsFixed]]).
+    val dims = nonNull.select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    val masks = ApproxAnn.hammingMasks(nbits, tuning.radius).size
+    val est = n.toDouble * masks * (4.0 * dims + 32)
+    val chunks = ApproxAnn.probeChunksFor(
+      est, ApproxAnn.probeShuffleBudget(df.sparkSession))
+    if (chunks > 1) System.err.println(
+      f"[graft] embeddingNearDups: probe-chunking $chunks ways (est ${est / 1e9}%.1f GB)")
+    ApproxAnn.chunkedProbeUnion(idCol, chunks) { pred =>
+      embeddingNearDupsFixed(df, idCol, vecCol, threshold, nbits,
+        tuning.radius, probeFilter = pred)
+    }
   }
 
   /** Back-compat alias for [[embeddingNearDups]] (the auto form became
@@ -883,22 +907,93 @@ object Dedup {
       .select(col(idCol), col("_cell").as("cell"))
   }
 
+  /** [[semanticDedupPinned]] with the deterministic occupancy cap of
+    * [[ApproxAnn.knnJoinIvfPinnedCapped]] (VERDICT r11 #1): any cell
+    * holding more than `occupancyCap` rows splits into s = ceil(occ/cap)
+    * sub-cells whose sub-centroids are the cell's FIRST s members in id
+    * order; each member takes its nearest sub by (l2², sub), and the
+    * SemDeDup removal rule then runs WITHIN (cell, sub) — v is removed
+    * iff a same-sub-cell u has cos(u,v) >= eps and (dc(u), id(u)) <
+    * (dc(v), id(v)), where dc stays the LEVEL-1 centroid distance (the
+    * published rule's "closer to the shared centroid" keeper).
+    *
+    * Why: the published √n-cell SemDeDup keeps a bare O(n^1.5) in-cell
+    * pair term (mean occupancy √n at k ≈ √n cells — measured 9.9× per
+    * decade at sf100, over the ≤10× bar by sf1000). The cap bounds pair
+    * work per cell at cap² rows, so the pass is O(n · cap) — linear per
+    * decade. DELIBERATE DEVIATION from Abbas et al.'s pair set: near-dups
+    * straddling a sub-cell boundary are not compared (the same contract
+    * as the capped join's missed sibling-sub neighbors); below the cap the
+    * result is BIT-IDENTICAL to [[semanticDedupPinned]]. Every rule
+    * (argmin assignment, first-s selection, nearest-sub, lexicographic
+    * removal) is a pure row_number-replayable function of the data, so
+    * the hash oracle survives (`semantic_dedup_capped`). Keep-set
+    * agreement vs the uncapped rule is measured in DedupSpec and recorded
+    * per fixture in PERF.md. */
+  def semanticDedupPinnedCapped(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Seq[Float])], eps: Double,
+      occupancyCap: Int = ApproxAnn.DefaultCellOccupancyCap): DataFrame = {
+    import graft.functions.VectorFunctions.{dot, norm}
+    require(occupancyCap >= 1, "occupancyCap must be >= 1")
+    val best = ApproxAnn.centroidBest(vecCol, centroids)
+    val assigned0 = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol),
+        best.getField("cid").as("_cell"), best.getField("d").as("_dc"))
+    val subCounts = ApproxAnn.cellSplitFactors(assigned0, occupancyCap.toLong)
+    if (subCounts.isEmpty) // no cell over the cap: the published rule
+      return semanticDedupPinned(df, idCol, vecCol, centroids, eps)
+    // one materialization feeds sub-centroid selection + both join sides
+    val assigned = assigned0.localCheckpoint(true)
+    val subDf = ApproxAnn.subCellCentroids(assigned, vecCol, idCol, subCounts)
+    val withSub = ApproxAnn.nearestSubCell(assigned, vecCol, subDf, Seq(idCol))
+      .withColumn("_n", norm(col(vecCol)))
+    val a = withSub.select(col(idCol).as("_ia"), col(vecCol).as("_va"),
+      col("_cell"), col("_sub"), col("_dc").as("_dca"), col("_n").as("_na"))
+    val b = withSub.select(col(idCol).as("_ib"), col(vecCol).as("_vb"),
+      col("_cell"), col("_sub"), col("_dc").as("_dcb"), col("_n").as("_nb"))
+    val removed = a.join(b, Seq("_cell", "_sub"))
+      .filter(col("_ia") =!= col("_ib") &&
+        dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")) >= eps &&
+        (col("_dca") < col("_dcb") ||
+          (col("_dca") === col("_dcb") && col("_ia") < col("_ib"))))
+      .select(col("_ib").as(idCol)).distinct()
+    withSub.join(removed, Seq(idCol), "left_anti")
+      .select(col(idCol), col("_cell").as("cell"))
+  }
+
+  /** Corpus size above which [[semanticDedup]] routes to the
+    * occupancy-capped pair pass. At k ≈ √n cells the published in-cell
+    * pair term is O(n^1.5); at n = 10⁶ that is ~10⁹ pair distances —
+    * the last corpus size where the exact published pair set is worth
+    * its cost as a DEFAULT. Above it the capped twin bounds pair work at
+    * O(n · cap) while keeping every other rule identical; callers that
+    * need the exact published pair set at any size call
+    * [[semanticDedupPinned]] explicitly. */
+  val SemanticDedupCapThreshold: Long = 1000000L
+
   /** THE DEFAULT SemDeDup entry point — centroids trained at k ≈ √n
     * (SemDeDup's own prescription, and the scaladoc's stated 100 TB
     * contract): cell population stays O(√n), so the in-cell pairwise pass
     * is O(n^1.5) overall instead of the quadratic a FIXED centroid count
     * gives (measured: 72× per 10× decade with 16 cells vs 3.4× for this
-    * form, BENCH_sf10). Float k-means is not oracle-replayable, so the
-    * pinned-centroid [[semanticDedupPinned]] stays the deterministic
-    * oracle variant; equality over the trained centroids is spec-pinned
-    * (DedupSpec). */
+    * form, BENCH_sf10). Above [[SemanticDedupCapThreshold]] vectors the
+    * in-cell pass itself routes to the occupancy-capped twin
+    * ([[semanticDedupPinnedCapped]]) — the bare O(n^1.5) pair term
+    * measured 9.9×/decade at the sf100 decade and crosses the 10× bar one
+    * decade later, so the serving default must not carry it to 100 TB.
+    * Float k-means is not oracle-replayable, so the pinned-centroid
+    * [[semanticDedupPinned]] stays the deterministic oracle variant;
+    * equality over the trained centroids is spec-pinned (DedupSpec). */
   def semanticDedup(
       df: DataFrame, idCol: String, vecCol: String, eps: Double,
       k: Option[Int] = None, seed: Long = 42L): DataFrame = {
     val n = df.filter(col(vecCol).isNotNull).count()
     val kk = k.getOrElse(ApproxAnn.sqrtCells(n))
-    semanticDedupPinned(df, idCol, vecCol,
-      ApproxAnn.trainIvfCentroids(df, vecCol, kk, seed, nHint = Some(n)), eps)
+    val cents = ApproxAnn.trainIvfCentroids(df, vecCol, kk, seed, nHint = Some(n))
+    if (n > SemanticDedupCapThreshold)
+      semanticDedupPinnedCapped(df, idCol, vecCol, cents, eps)
+    else semanticDedupPinned(df, idCol, vecCol, cents, eps)
   }
 
   /** Back-compat alias for [[semanticDedup]] (the auto form became the
@@ -907,6 +1002,21 @@ object Dedup {
       df: DataFrame, idCol: String, vecCol: String, eps: Double,
       k: Option[Int] = None, seed: Long = 42L): DataFrame =
     semanticDedup(df, idCol, vecCol, eps, k, seed)
+
+  /** The always-capped auto form: trained √n centroids + the occupancy
+    * cap at ANY corpus size (callers benchmarking the capped pass below
+    * [[SemanticDedupCapThreshold]], or pinning serving behavior across a
+    * growing corpus so keep sets never jump at the routing threshold). */
+  def semanticDedupCapped(
+      df: DataFrame, idCol: String, vecCol: String, eps: Double,
+      k: Option[Int] = None, seed: Long = 42L,
+      occupancyCap: Int = ApproxAnn.DefaultCellOccupancyCap): DataFrame = {
+    val n = df.filter(col(vecCol).isNotNull).count()
+    val kk = k.getOrElse(ApproxAnn.sqrtCells(n))
+    semanticDedupPinnedCapped(df, idCol, vecCol,
+      ApproxAnn.trainIvfCentroids(df, vecCol, kk, seed, nHint = Some(n)),
+      eps, occupancyCap)
+  }
 
   /** Exact all-pairs cosine near-dup — O(n²) BroadcastNestedLoopJoin. The
     * oracle baseline ONLY; use [[embeddingNearDups]] (LSH-bucketed) as the

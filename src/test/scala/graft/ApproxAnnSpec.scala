@@ -264,6 +264,39 @@ class ApproxAnnSpec extends SparkSpec {
     assert(auto == fixed)
   }
 
+  test("probe-side chunking returns the exact single-pass result on every auto join") {
+    // force chunking by dropping the shuffle budget to 1 byte: every auto
+    // entry point must return the SAME rows it returns single-pass (the
+    // sf100 feasibility path must never change answers — VERDICT r11 #2)
+    val tiny = (0L until 48L).map { i =>
+      (i, Array.tabulate(8)(d => math.cos(i * 2.3 + d).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    val singleLsh = rows(ApproxAnn.knnJoinLsh(tiny, "embedding", "vec_id", Euclidean, 3))
+    val singleIvf = rows(ApproxAnn.knnJoinIvf(tiny, "embedding", "vec_id", Euclidean, 3,
+      kCells = Some(6)))
+    val cents = tiny.limit(6).as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => (id.toInt, v) }.toSeq
+    val singleCapped = rows(ApproxAnn.knnJoinIvfPinnedCapped(
+      tiny, "embedding", "vec_id", Euclidean, 3, cents, nprobe = 2, occupancyCap = 4))
+    val singleDups = rows(graft.operators.Dedup.embeddingNearDups(
+      tiny, "vec_id", "embedding", 0.5))
+    spark.conf.set(ApproxAnn.ProbeShuffleBudgetKey, "1")
+    try {
+      assert(rows(ApproxAnn.knnJoinLsh(tiny, "embedding", "vec_id", Euclidean, 3))
+        == singleLsh, "knnJoinLsh diverged under chunking")
+      assert(rows(ApproxAnn.knnJoinIvf(tiny, "embedding", "vec_id", Euclidean, 3,
+        kCells = Some(6))) == singleIvf, "knnJoinIvf diverged under chunking")
+      assert(rows(ApproxAnn.knnJoinIvfPinnedCapped(tiny, "embedding", "vec_id",
+        Euclidean, 3, cents, nprobe = 2, occupancyCap = 4))
+        == singleCapped, "knnJoinIvfPinnedCapped diverged under chunking")
+      assert(rows(graft.operators.Dedup.embeddingNearDups(
+        tiny, "vec_id", "embedding", 0.5)) == singleDups,
+        "embeddingNearDups diverged under chunking")
+    } finally spark.conf.unset(ApproxAnn.ProbeShuffleBudgetKey)
+    assert(singleLsh.nonEmpty && singleIvf.nonEmpty && singleCapped.nonEmpty)
+  }
+
   test("pq encode: one code per subspace, dense 0..k-1, deterministic") {
     val cb = ApproxAnn.selectPqCodebooks(emb, "embedding", "vec_id", m = 8, k = 16)
     assert(cb.length == 8 && cb.forall(_.length == 16))
