@@ -20,6 +20,8 @@ import org.apache.spark.sql.functions._
   *
   * Usage: StreamLag [sfDir] [nBatches] [outFile] [nBuckets=64] [mode=bucket]
   *                  [maxSegments=0] [store=fts]
+  * store=vs drives the vector/LSH segment store (the serving-critical
+  * kind) over the embeddings table — see [[runVs]].
   * store=dedup (segment mode only) drives the MinHash dedup segment store
   * instead: same CDC replay, same compaction policy, and the per-batch
   * SEARCHABLE proof is a [[graft.operators.Dedup.nearDupProbe]] of the
@@ -46,6 +48,97 @@ import org.apache.spark.sql.functions._
 object StreamLag {
 
   final case class DocEv(doc_id: Long, text: String, ts: java.sql.Timestamp)
+  final case class VecEv(vec_id: Long, embedding: Seq[Float], ts: java.sql.Timestamp)
+
+  /** store=vs: the SERVING-CRITICAL vector/LSH segment store driven live
+    * (VERDICT r11 #7) — same CDC replay + compaction cadence shape as the
+    * fts/dedup stores, over [[IndexMaintenance.appendVsSegment]]. The
+    * per-batch SEARCHABLE proof follows the dedup store's per-batch rule:
+    * batch b plants a batch-unique REFERENCE vector (refId = 20000000+b,
+    * written IN batch b) and the post-commit probe is an ANN search
+    * ([[graft.operators.ApproxAnn.searchLsh]] over the reconciled store)
+    * for exactly that vector — the hit can only come from batch b's
+    * committed rows, so a regression that drops appends after batch 0
+    * fails the require, not just the metric. */
+  private def runVs(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      nBatches: Int, outFile: Option[String], maxSegments: Int): Unit = {
+    import graft.operators.{ApproxAnn, Ann}
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+    require(vecs.nonEmpty, "embeddings table is empty")
+    val dims = vecs.head._2.length
+    val nbits = ApproxAnn.autoNbits(vecs.length.toLong)
+    val perBatch = math.max(1, vecs.length / nBatches)
+    System.err.println(
+      s"[streamlag] vs store: ${vecs.length} vectors, $nBatches batches of ~$perBatch, nbits=$nbits")
+    val dir = java.nio.file.Files.createTempDirectory("graft_streamlag_vs").toFile
+    def p(n: String) = new java.io.File(dir, n).getAbsolutePath
+    val eng = new graft.operators.Engine
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[VecEv](spark)
+    val append = IndexMaintenance.appendVsSegment(
+      spark, p("vs"), "vec_id", "embedding", opCol = None, dims, nbits)
+    val merge = if (maxSegments > 0)
+      IndexMaintenance.withCompaction(
+        spark, p("vs"), IndexMaintenance.CompactionPolicy(maxSegments),
+        () => IndexMaintenance.compactVsSegments(spark, p("vs"), "vec_id"))(append)
+    else append
+    val q = mem.toDF().writeStream
+      .foreachBatch(StreamingIngest.withCdcMetrics(
+        eng, "ks", "vs", "realtime", tsCol = "ts")(merge))
+      .option("checkpointLocation", p("ckpt"))
+      .start()
+    StreamingIngest.bindReaderLiveness(eng, q, "ks", "vs", "realtime")
+    def fmt(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    def refVecFor(b: Int): Seq[Float] =
+      (0 until dims).map(d => (math.sin(b * 13.7 + d * 0.91) * 2.0).toFloat)
+    val lags = Array.ofDim[Double](nBatches)
+    val probes = Array.ofDim[Double](nBatches)
+    val segCounts = Array.ofDim[Int](nBatches)
+    try {
+      for (b <- 0 until nBatches) {
+        val slice = vecs.slice(b * perBatch,
+          if (b == nBatches - 1) vecs.length else (b + 1) * perBatch)
+        val refId = 20000000L + b
+        val t0 = System.currentTimeMillis()
+        mem.addData(slice.map { case (id, v) =>
+          VecEv(id, v, new java.sql.Timestamp(t0)) }.toSeq :+
+          VecEv(refId, refVecFor(b), new java.sql.Timestamp(t0)))
+        q.processAllAvailable()
+        lags(b) = (System.currentTimeMillis() - t0) / 1000.0
+        segCounts(b) = IndexMaintenance.ftsSegmentCount(spark, p("vs"))
+        eng.setSegmentCount("ks", "vs", segCounts(b))
+        val tp = System.currentTimeMillis()
+        val idx = IndexMaintenance.readVsSegmentIndex(spark, p("vs"), "vec_id")
+        val hits = ApproxAnn.searchLsh(idx, "embedding", Seq("vec_id"),
+            graft.functions.VectorFunctions.Euclidean,
+            Ann.AnnRequest(refVecFor(b), limit = 5), nbits, radius = 1)
+          .select("vec_id").as[Long].collect()
+        require(hits.contains(refId),
+          s"batch $b planted reference vector $refId not searchable after commit")
+        probes(b) = (System.currentTimeMillis() - tp) / 1000.0
+        System.err.println(f"[streamlag] vs batch $b: indexed ${lags(b)}%.2f s")
+      }
+    } finally q.stop()
+    val sorted = lags.sorted
+    def pct(qq: Double) = sorted(math.min(sorted.length - 1, (qq * sorted.length).toInt))
+    val json =
+      s"""{"metric":"vs_write_to_searchable","unit":"sec","mode":"segment",""" +
+        s""""batches":$nBatches,"docs_per_batch":$perBatch,"nbits":$nbits,""" +
+        s""""p50":${fmt(pct(0.5))},"p95":${fmt(pct(0.95))},"max":${fmt(sorted.last)},""" +
+        s""""per_batch":[${lags.map(fmt).mkString(",")}],""" +
+        s""""probe_sec":[${probes.map(fmt).mkString(",")}],""" +
+        s""""max_segments":$maxSegments,"segments":[${segCounts.mkString(",")}]}"""
+    println(json)
+    outFile.foreach { f =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(f), json.getBytes("UTF-8"))
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    spark.stop()
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/repo/testdata-sf1")
@@ -76,8 +169,13 @@ object StreamLag {
     val mode = args.lift(4).getOrElse("bucket")
     val maxSegments = args.lift(5).map(_.toInt).getOrElse(0)
     val store = args.lift(6).getOrElse("fts")
-    require(store == "fts" || (store == "dedup" && mode == "segment"),
-      "store=dedup is segment-mode only")
+    require(store == "fts" || store == "vs" ||
+      (store == "dedup" && mode == "segment"),
+      "store=dedup is segment-mode only; stores: fts | dedup | vs")
+    if (store == "vs") { // vector-store replay has its own event schema
+      runVs(spark, sfDir, nBatches, outFile, maxSegments)
+      return
+    }
     val segCounts = Array.ofDim[Int](nBatches)
     val claimsPath = if (store == "dedup") p("sigs") else p("doclens")
     val merge = (mode, store) match {
