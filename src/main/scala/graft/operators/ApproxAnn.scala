@@ -740,13 +740,25 @@ object ApproxAnn {
       df: DataFrame, vecCol: String, idCol: String, space: Space, k: Int,
       centroids: Seq[(Int, Seq[Float])], nprobe: Int = 2,
       queryFilter: Column = lit(true)): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(centroids.nonEmpty, "need at least one centroid")
     require(nprobe >= 1 && nprobe <= centroids.size,
       s"nprobe must be in [1, ${centroids.size}]")
     val base = df.filter(col(vecCol).isNotNull)
     val cand = base.select(col(idCol).as("vec_id"), col(vecCol).as("_cv"),
       centroidBest(vecCol, centroids).getField("cid").as("_cell"))
+    ivfProbeRank(base, cand, vecCol, idCol, space, k, centroids, nprobe,
+      queryFilter)
+  }
+
+  /** The probe/rank tail of the IVF join over an already-built candidate
+    * assignment — factored out so the chunked auto path can materialize
+    * the candidate-side argmin ONCE (the k ≈ √n-centroid scan is the
+    * dominant IVF term at scale) and replay only this stage per chunk. */
+  private def ivfProbeRank(
+      base: DataFrame, cand: DataFrame, vecCol: String, idCol: String,
+      space: Space, k: Int, centroids: Seq[(Int, Seq[Float])], nprobe: Int,
+      queryFilter: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // nprobe nearest cells per query row: (d, cid) structs sort
     // lexicographically — the same (distance, cid) tiebreak the
     // assignment rule uses, so probe set 1 ⊇ the row's own cell
@@ -879,10 +891,6 @@ object ApproxAnn {
     val subDf = subCellCentroids(assigned, vecCol, idCol, subCounts)
     def nearestSub(df0: DataFrame, partCols: Seq[String]): DataFrame =
       nearestSubCell(df0, vecCol, subDf, partCols)
-    val cand = nearestSub(assigned, Seq(idCol))
-      .select(col(idCol).as("vec_id"), col(vecCol).as("_cv"),
-        col("_cell"), col("_sub"))
-    val probeCells = centroidTopK(vecCol, centroids, nprobe)
     // probe-side chunking past the shuffle budget (the sf100 sqrt row was
     // spill-bound: ~26 GB of rank-exchange scratch on a 55 GB box). The
     // shared level-1 assignment/sub-centroid work above is checkpointed
@@ -895,6 +903,13 @@ object ApproxAnn {
     if (chunks > 1) System.err.println(
       f"[graft] knnJoinIvfPinnedCapped: probe-chunking $chunks ways " +
         f"(est ${estBytes / 1e9}%.1f GB)")
+    val cand0 = nearestSub(assigned, Seq(idCol))
+      .select(col(idCol).as("vec_id"), col(vecCol).as("_cv"),
+        col("_cell"), col("_sub"))
+    // under chunking the candidate sub-assignment (broadcast join + argmin
+    // window over the corpus) would otherwise replay once per chunk
+    val cand = if (chunks > 1) cand0.localCheckpoint(true) else cand0
+    val probeCells = centroidTopK(vecCol, centroids, nprobe)
     chunkedProbeUnion(idCol, chunks) { pred =>
       val q0 = base.filter(queryFilter && pred)
         .select(col(idCol).as("query_id"), col(vecCol),
@@ -936,11 +951,21 @@ object ApproxAnn {
     val est = n.toDouble * nprobe * (4.0 * dims + 24) +
       n.toDouble * nprobe * (n.toDouble / kk) * 32.0
     val chunks = probeChunksFor(est, probeShuffleBudget(df.sparkSession))
-    if (chunks > 1) System.err.println(
+    if (chunks == 1)
+      return knnJoinIvfPinned(df, vecCol, idCol, space, k, cents,
+        nprobe, queryFilter)
+    System.err.println(
       f"[graft] knnJoinIvf: probe-chunking $chunks ways (est ${est / 1e9}%.1f GB)")
+    // materialize the candidate-side argmin ONCE — the k ≈ √n-centroid
+    // scan is the dominant IVF term at scale (PERF.md round 11); only the
+    // probe/rank stage replays per chunk
+    val base = nonNull
+    val cand = base.select(col(idCol).as("vec_id"), col(vecCol).as("_cv"),
+      centroidBest(vecCol, cents).getField("cid").as("_cell"))
+      .localCheckpoint(true)
     chunkedProbeUnion(idCol, chunks) { pred =>
-      knnJoinIvfPinned(df, vecCol, idCol, space, k, cents,
-        nprobe, queryFilter && pred)
+      ivfProbeRank(base, cand, vecCol, idCol, space, k, cents, nprobe,
+        queryFilter && pred)
     }
   }
 
