@@ -52,36 +52,60 @@ object Graph {
     require(iterations >= 1, "iterations must be >= 1")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val nodes = policy.materialize(e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()) // scanned every round
+      .union(e.select(col("dst").as("id"))).distinct()) // scanned at the end
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
-    // n as a broadcast 1-row aggregate: the node count stays in the plan
-    // (no driver action), and `base` folds to the same constant everywhere
-    val nDf = nodes.agg(count(lit(1)).as("n"))
+    // n as ONE count over the just-materialized node frame: `base` and the
+    // teleport term become plan LITERALS. The r11 shape kept n in-plan as
+    // a broadcast 1-row aggregate to avoid the driver action, but that
+    // re-built the broadcast (and re-aggregated nodes) once per round —
+    // per-round work for a value that never changes; one narrow count on
+    // the checkpointed frame is strictly cheaper at every scale.
+    val n = nodes.count()
+    if (n == 0) return nodes.select(col("id"), lit(0L).as("rank"))
+    val base = scale / n // integer division — identical to SQL `div`
     // (src, dst, od): static across iterations
     val eo = policy.materialize(e.join(outdeg, "src"))
-    var ranks = nodes.crossJoin(broadcast(nDf))
-      .select(col("id"), expr(s"${scale}L div n").as("rank"))
+    // SPARSE rank iteration (r12): the rank frame carries only nodes that
+    // received inlink mass this round; a node absent from it holds the
+    // round's CONSTANT default — `scale div n` before round 1, the
+    // teleport-only rank `(15·base) div 100` after — which the edge join
+    // re-attaches by coalesce. Bit-identical to the dense recurrence
+    // (absent ⇔ s = 0 ⇔ rank = the same constant) while removing the
+    // node-universe left join the r11 shape paid EVERY round just to
+    // materialize those constants; the dense frame is rebuilt once at the
+    // end. Per round: ONE equi-join + one partial-aggregating groupBy.
+    var inc: DataFrame = null
     for (i <- 1 to iterations) {
-      val inc = eo.join(ranks.withColumnRenamed("id", "src"), "src")
+      val defaultRank =
+        if (i == 1) lit(base) else lit((15L * base) / 100L)
+      val joined =
+        if (inc == null) eo.select(col("dst"), col("od"),
+          defaultRank.as("rank"))
+        else {
+          val ranks = inc.select(col("id").as("src"),
+            expr(s"(${15L * base}L + 85L * s) div 100").as("rank"))
+          eo.join(ranks, Seq("src"), "left")
+            .select(col("dst"), col("od"),
+              coalesce(col("rank"), defaultRank).as("rank"))
+        }
+      val next = joined
         .select(col("dst").as("id"), expr("rank div od").as("c"))
         .groupBy("id").agg(sum("c").as("s"))
-      val next = ranks.join(inc, Seq("id"), "left")
-        .crossJoin(broadcast(nDf))
-        .select(col("id"),
-          expr(s"(15L * (${scale}L div n) + 85L * coalesce(s, 0L)) div 100")
-            .as("rank"))
       // lineage truncation per round (the connectedComponents discipline):
-      // `ranks` appears twice per iteration, so without the checkpoint the
-      // logical plan DOUBLES per round — at 5 iterations that is 32 copies
-      // of the base scan, and AQE's per-stage logical-plan update walks the
-      // whole tree (measured: the sf0.01 verify write spun >9 min of
-      // driver CPU in TreeNode traversal before this truncation). The LAST
-      // round stays untruncated so the served plan exposes one round's
-      // join/aggregate shape to the PlanQualitySpec gate. Truncation mode
-      // (executor-local vs durable-every-N) is the caller's `policy`.
-      ranks = if (i == iterations) next else policy.truncate(next, i)
+      // without the checkpoint the logical plan grows per round and AQE's
+      // per-stage logical-plan update walks the whole tree (measured: the
+      // sf0.01 verify write spun >9 min of driver CPU in TreeNode
+      // traversal before this truncation). The LAST round stays
+      // untruncated so the served plan exposes one round's join/aggregate
+      // shape to the PlanQualitySpec gate. Truncation mode (executor-local
+      // vs durable-every-N) is the caller's `policy`.
+      inc = if (i == iterations) next else policy.truncate(next, i)
     }
-    ranks
+    // dense output: nodes with no inlink mass hold the teleport-only rank
+    nodes.join(inc, Seq("id"), "left")
+      .select(col("id"),
+        expr(s"(${15L * base}L + 85L * coalesce(s, 0L)) div 100")
+          .as("rank"))
   }
 
   /** Scale for HITS scores: 1e6 keeps the running sums far from Long
@@ -110,35 +134,50 @@ object Graph {
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
     val nodes = policy.materialize(e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct())
-    var auth = nodes.withColumn("auth", lit(scale))
-    var hub = nodes.withColumn("hub", lit(scale))
+    // SPARSE score iteration (r12): a node absent from the auth/hub frame
+    // has score 0 — dropping zero rows is exact because every consumer is
+    // a SUM of contributions (an absent row contributes exactly what a 0
+    // row does) or a MAX over nonnegative scores whose renormalized
+    // maximum (= scale, strictly positive while the graph has an edge)
+    // always survives in the sparse frame. The dense frame is rebuilt ONCE
+    // at the end (node-universe left join + coalesce 0); the r11 shape
+    // paid that node join after EVERY half-step — two node-cardinality
+    // shuffle joins per round that provably changed no value.
+    var auth: DataFrame = null
+    var hub = e.select(col("src").as("id")).distinct()
+      .withColumn("hub", lit(scale))
     // lineage truncation per half-step: each raw-score frame is referenced
-    // TWICE (the score join and its own max attach), so hub(k+1) ≈ 4·auth(k)
-    // in plan size without the checkpoints — exponential by round (the
-    // worst of the three iterative operators here; see pageRank's note).
+    // TWICE (its own max attach + the normalized projection), so without
+    // the midRound checkpoint the plan quadruples per round — exponential
+    // (the worst of the three iterative operators here; see pageRank's
+    // note). The normalized frames are pure narrow projections of the
+    // checkpointed aggregates, so they need no truncation of their own.
     for (i <- 1 to iterations) {
       val a = policy.midRound(
         e.join(hub.select(col("id").as("src"), col("hub")), "src")
           .select(col("dst").as("id"), col("hub"))
           .groupBy("id").agg(sum("hub").as("araw")))
       val amax = a.agg(max("araw").as("amax"))
-      val nextAuth = nodes.join(a, Seq("id"), "left").crossJoin(broadcast(amax))
-        .select(col("id"),
-          expr(s"(coalesce(araw, 0L) * ${scale}L) div amax").as("auth"))
-      // the hub half-step consumes auth twice — keep the final round's
-      // auth untruncated only where it feeds the returned join directly
+      val nextAuth = a.crossJoin(broadcast(amax))
+        .select(col("id"), expr(s"(araw * ${scale}L) div amax").as("auth"))
+      // truncate keeps the Reliable policy's durable-snapshot cadence (and
+      // its plan-growth bound); under Local it is a LAZY localCheckpoint
+      // materialized inside the next half-step's midRound job — no extra
+      // job. The final round stays untruncated for the served plan.
       auth = if (i == iterations) nextAuth else policy.truncate(nextAuth, i)
       val h = policy.midRound(
         e.join(auth.select(col("id").as("dst"), col("auth")), "dst")
           .select(col("src").as("id"), col("auth"))
           .groupBy("id").agg(sum("auth").as("hraw")))
       val hmax = h.agg(max("hraw").as("hmax"))
-      val nextHub = nodes.join(h, Seq("id"), "left").crossJoin(broadcast(hmax))
-        .select(col("id"),
-          expr(s"(coalesce(hraw, 0L) * ${scale}L) div hmax").as("hub"))
+      val nextHub = h.crossJoin(broadcast(hmax))
+        .select(col("id"), expr(s"(hraw * ${scale}L) div hmax").as("hub"))
       hub = if (i == iterations) nextHub else policy.truncate(nextHub, i)
     }
-    auth.join(hub, "id")
+    // dense output: zero-score nodes (no inlinks / no outlinks) re-enter
+    nodes.join(auth, Seq("id"), "left").join(hub, Seq("id"), "left")
+      .select(col("id"), coalesce(col("auth"), lit(0L)).as("auth"),
+        coalesce(col("hub"), lit(0L)).as("hub"))
   }
 
   /** Deterministic synchronous label propagation (Raghavan et al. 2007)
@@ -179,15 +218,20 @@ object Graph {
         .join(labels.select(col("id").as("b"), col("label")), "b")
         .groupBy(col("a").as("id"), col("label"))
         .agg(count(lit(1)).as("c"))
-      val pick = freq.groupBy("id")
+      // the label universe is und's endpoints, and und is the symmetric
+      // closure — every node has ≥1 neighbor, so `pick` covers EVERY node
+      // each round and the r11 carry-forward left join (labels ⟕ pick,
+      // coalesce to the old label) could never fire: `pick` IS the next
+      // label frame. Removing it saves one node-cardinality shuffle join
+      // per round; nodes with no neighbors don't exist in this universe
+      // (callers wanting corpus singletons join them back downstream, as
+      // connectedComponents does).
+      val next = freq.groupBy("id")
         .agg(min(struct((-col("c")).as("nc"), col("label").as("l")))
           .as("_best"))
-        .select(col("id"), col("_best.l").as("next"))
-      // per-round lineage truncation — `labels` appears twice per round
-      // (neighbor join + carry-forward), see pageRank's note; the last
+        .select(col("id"), col("_best.l").as("label"))
+      // per-round lineage truncation — see pageRank's note; the last
       // round stays untruncated for the plan gate
-      val next = labels.join(pick, Seq("id"), "left")
-        .select(col("id"), coalesce(col("next"), col("label")).as("label"))
       labels = if (i == iterations) next else policy.truncate(next, i)
     }
     labels
