@@ -834,8 +834,13 @@ object Curation {
         explode(concat(toks, filter(bigrams, g => g.isNotNull))).as("_f"))
       .select(col(idCol), col("_t"),
         (Dedup.stableHash(col("_f")) % numBuckets).as("bucket"))
+    // perDoc feeds BOTH the model build and the final scoring join —
+    // without the checkpoint the tokenize → bigram → explode → hash
+    // lineage (the widest pass) executes twice; the materialized frame is
+    // ≤ numBuckets rows per doc (r12, guide §2.4)
     val perDoc = feats.groupBy(col(idCol), col("_t"), col("bucket"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     // Both model distributions and their totals come from ONE pass over the
     // per-doc counts (raw + target sums in the same aggregate; totals as a
     // window over the ≤numBuckets-row frame) — the tokenize→explode lineage

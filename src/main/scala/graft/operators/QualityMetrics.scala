@@ -118,9 +118,14 @@ object QualityMetrics {
     require(nBins > 0, "nBins must be positive")
     def fdiv(x: Column, w: Column): Column =
       ((x - pmod(x, w)).cast("decimal(38,0)") / w).cast("long")
+    // base feeds BOTH the min/max scalar and the binning aggregate; the
+    // checkpoint stops the caller's scoring pipeline (for the NB
+    // classifier: tokenize → explode → model joins) from executing twice
+    // — the materialized frame is two longs per row (r12, guide §2.4)
     val base = scored.select(
       round(col(scoreCol) * 10000).cast("long").as("_si"),
       col(labelCol).cast("boolean").as("_y"))
+      .localCheckpoint(true)
     val mm = base.agg(min(col("_si")).as("_mn"), max(col("_si")).as("_mx"))
     base.crossJoin(broadcast(mm))
       .withColumn("_w",

@@ -46,7 +46,10 @@ object Sketches {
     // Exact per-key counts first: the raw occurrence stream collapses to
     // (key, cnt) with map-side partial aggregation before anything fans out
     // by depth — the ×depth explosion happens on the collapsed frame.
+    // Checkpointed: tf feeds the sketch build AND the exact top-k — one
+    // occurrence-stream aggregation instead of two (r12, guide §2.4).
     val tf = keys.groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     // (row j, bucket h_j(key)) per sketch row: h_j = stableHash("j:" ++ key)
     // mod width — stableHash is nonnegative (60-bit), so % is the same
     // operation in both engines.
@@ -88,7 +91,11 @@ object Sketches {
   def cmsJoinSize(
       a: DataFrame, b: DataFrame, depth: Int = 4, width: Int = 256): DataFrame = {
     require(depth >= 1 && width >= 2, s"bad sketch shape ${depth}x$width")
+    // each side's (key, cnt) frame feeds its sketch AND the exact-size
+    // audit join — checkpointed so each input scans+aggregates once, not
+    // twice (r12, guide §2.4)
     def tf(x: DataFrame) = x.groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     def sketch(t: DataFrame) = t.select(col("cnt"), explode(array(
         (0 until depth).map { j =>
           struct(lit(j).as("row"),

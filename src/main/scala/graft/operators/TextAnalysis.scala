@@ -388,8 +388,14 @@ object TextAnalysis {
       df: DataFrame, idCol: String, textCol: String, labelCol: Column): DataFrame = {
     val toks = df.select(col(idCol), labelCol.cast("boolean").as("_y"),
       explode(Dedup.tokens(col(textCol))).as("term"))
+    // tf feeds BOTH the class-count model and the scoring join — without
+    // the checkpoint the tokenize→explode→aggregate lineage (the widest
+    // pass in the query) executes twice; the materialized frame is the
+    // per-doc distinct-term table, far narrower than the token stream
+    // (r12, guide §2.4: one exchange shared instead of recomputed)
     val tf = toks.groupBy(col(idCol), col("_y"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val cls = tf.groupBy(col("term")).agg(
       sum(when(col("_y"), col("tf")).otherwise(0L)).as("cp"),
       sum(when(!col("_y"), col("tf")).otherwise(0L)).as("cn"))
