@@ -63,9 +63,16 @@ object Curation {
       pairs: DataFrame, nodes: DataFrame, idCol: String,
       maxIter: Int = 20,
       policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
+    // symmetric closure via explode, NOT union-of-two-selects: the union
+    // referenced `pairs` twice, so the caller's whole candidate pipeline
+    // (minhash band join, LSH bucket join…) executed twice inside this one
+    // materialize job (r12, guide §2.4 — same rows, one pass)
     val edges = policy.materialize(pairs // scanned every round
-      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
-      .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst"))))
+      .select(explode(array(
+        struct(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst")),
+        struct(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst"))))
+        .as("_e"))
+      .select(col("_e.src").as("src"), col("_e.dst").as("dst")))
     val nodeIds = policy.materialize(
       nodes.select(col(idCol).cast("long").as("id")).distinct())
     // the label universe is FIXED up front as nodes ∪ edge endpoints: over

@@ -50,9 +50,14 @@ object Graph {
       iterations: Int, scale: Long = RankScale,
       policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val nodes = policy.materialize(e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()) // scanned at the end
+    // materialize the edge list once: nodes, outdeg and eo each re-scan it
+    // (the r11 shape re-ran the caller's edge pipeline four times); the
+    // node universe explodes both endpoints in one pass over the
+    // checkpointed frame instead of a union of two selects (r12)
+    val e = policy.materialize(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+    val nodes = policy.materialize(
+      e.select(explode(array(col("src"), col("dst"))).as("id")).distinct())
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
     // n as ONE count over the just-materialized node frame: `base` and the
     // teleport term become plan LITERALS. The r11 shape kept n in-plan as
@@ -132,8 +137,8 @@ object Graph {
     require(iterations >= 1, "iterations must be >= 1")
     val e = policy.materialize( // scanned twice every round
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
-    val nodes = policy.materialize(e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct())
+    val nodes = policy.materialize(
+      e.select(explode(array(col("src"), col("dst"))).as("id")).distinct())
     // SPARSE score iteration (r12): a node absent from the auth/hub frame
     // has score 0 — dropping zero rows is exact because every consumer is
     // a SUM of contributions (an absent row contributes exactly what a 0
@@ -206,10 +211,14 @@ object Graph {
     require(iterations >= 1, "iterations must be >= 1")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     // undirected neighbor relation, one row per distinct (node, neighbor);
-    // scanned every round — materialize once
+    // scanned every round — materialize once. Symmetric closure via
+    // explode, not union-of-two-selects: the union referenced `e` twice,
+    // executing the edge pipeline twice in this job (r12, guide §2.4)
     val und = policy.materialize(
-      e.select(col("src").as("a"), col("dst").as("b"))
-        .union(e.select(col("dst").as("a"), col("src").as("b")))
+      e.select(explode(array(
+          struct(col("src").as("a"), col("dst").as("b")),
+          struct(col("dst").as("a"), col("src").as("b")))).as("_u"))
+        .select(col("_u.a").as("a"), col("_u.b").as("b"))
         .distinct())
     val nodes = und.select(col("a").as("id")).distinct()
     var labels = nodes.withColumn("label", col("id"))
