@@ -38,7 +38,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // so a smaller dev machine degrades to GC pressure instead of OS
   // swap/OOM-kill. Override with SPARK_DRIVER_MEM.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
-)
+) ++
+  // dev aid: extra forked-JVM flags (e.g. -Dspark.eventLog.enabled=true for
+  // stage-level profiling, or a spark conf A/B) without editing the build —
+  // space-separated in SPARK_GRAFT_EXTRA_JAVA_OPTS
+  sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS")
+    .map(_.trim.split("\\s+").toSeq).getOrElse(Nil)
 
 def defaultHeap: String = {
   val physGb =

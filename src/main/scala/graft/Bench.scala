@@ -73,9 +73,14 @@ object Bench {
           // query; release before timing so queries don't inherit GC pressure
           spark.catalog.clearCache()
           System.err.println(s"[graft] bench start: $name run $i/$runs")
+          // label every job with its query (guide §1.5) so event-log/UI
+          // profiling attributes the run's jobs — timing is unchanged
+          spark.sparkContext.setJobDescription(s"bench:$name:$i")
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.sparkContext.setJobDescription(null)
+          dt
         }.sorted
         val rebuilt = graft.sources.IndexStorage.rebuilds.get() > rebuildsBefore
         (name, times(times.length / 2), times.head, rebuilt)

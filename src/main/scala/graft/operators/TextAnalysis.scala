@@ -482,8 +482,12 @@ object TextAnalysis {
   def tfidfTopTermsFromTf(
       tf: DataFrame, nDocs: DataFrame, idCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    tf.join(dfreq, "term")
+    // tf feeds BOTH the document-frequency model and the scoring join —
+    // checkpointed so the (tokenize→)aggregate lineage runs once, not
+    // twice (r12, guide §2.4)
+    val tfOnce = tf.localCheckpoint(true)
+    val dfreq = tfOnce.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tfOnce.join(dfreq, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4) + lit(0.0))
