@@ -96,6 +96,10 @@ object Sketches {
     // twice (r12, guide §2.4)
     def tf(x: DataFrame) = x.groupBy(col("key")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true)
+    // the two sides' collapse jobs are independent — submit them from two
+    // driver threads so the second side's scan back-fills cores the first
+    // leaves idle (guide §2.6); single-row-group fixture files scan as one
+    // task each, so serially these stages cannot overlap at all
     def sketch(t: DataFrame) = t.select(col("cnt"), explode(array(
         (0 until depth).map { j =>
           struct(lit(j).as("row"),
@@ -104,7 +108,14 @@ object Sketches {
         }: _*)).as("_rb"))
       .groupBy(col("_rb.row").as("row"), col("_rb.bucket").as("bucket"))
       .agg(sum(col("cnt")).as("bcnt"))
-    val (ta, tb) = (tf(a), tf(b))
+    val (taF, tbF) = {
+      import scala.concurrent.{ExecutionContext, Future}
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      (Future(tf(a)), Future(tf(b)))
+    }
+    val (ta, tb) = (
+      scala.concurrent.Await.result(taF, scala.concurrent.duration.Duration.Inf),
+      scala.concurrent.Await.result(tbF, scala.concurrent.duration.Duration.Inf))
     val est = sketch(ta).as("sa")
       .join(sketch(tb).as("sb"), Seq("row", "bucket"))
       .groupBy(col("row"))
