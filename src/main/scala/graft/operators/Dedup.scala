@@ -580,22 +580,29 @@ object Dedup {
       excludeIds: Option[DataFrame] = None): DataFrame = {
     val numHashes = probeSigs.columns.count(_.startsWith("sig_"))
     require(numHashes > 0, "probeSigs has no sig_* columns")
+    // the probe-side frames are micro-batch/delta-sized by contract but
+    // referenced several times below (exclusion ids + both bucket sides;
+    // shingles on both verify sides) — checkpoint once so the caller's
+    // tokenize→shingle→minhash derivation runs once per batch, not 3×
+    // (r12, guide §2.4; bounded: the PROBE, never the store)
+    val pSh = probeSh.localCheckpoint(true)
+    val pSigs = probeSigs.localCheckpoint(true)
     // one anti-join owns the store-side exclusion; callers with a broader
     // latest-state id set (same-batch deletes) pass it via excludeIds
-    val probeIds = excludeIds.getOrElse(probeSigs.select(col(idCol)).distinct())
+    val probeIds = excludeIds.getOrElse(pSigs.select(col(idCol)).distinct())
     val sSh = storeSh.join(probeIds, Seq(idCol), "left_anti")
     val sSigs = storeSigs.join(probeIds, Seq(idCol), "left_anti")
-    val pb = bandBuckets(probeSigs, idCol, numHashes, bands)
+    val pb = bandBuckets(pSigs, idCol, numHashes, bands)
       .select(col(idCol).as("_pid"), col("bucket"))
-    val ab = bandBuckets(sSigs.unionByName(probeSigs), idCol, numHashes, bands)
+    val ab = bandBuckets(sSigs.unionByName(pSigs), idCol, numHashes, bands)
       .select(col(idCol).as("_cid"), col("bucket"))
     val cand = pb.join(ab, Seq("bucket"))
       .filter(col("_pid") =!= col("_cid"))
       .select(least(col("_pid"), col("_cid")).as("id_a"),
         greatest(col("_pid"), col("_cid")).as("id_b"))
       .distinct()
-    jaccardVerify(sSh.unionByName(probeSh), sSh.unionByName(probeSh),
-      idCol, threshold, Some(cand))
+    val allSh = sSh.unionByName(pSh)
+    jaccardVerify(allSh, allSh, idCol, threshold, Some(cand))
   }
 
   /** Full MinHash-LSH near-dup pipeline: LSH candidates, then exact Jaccard
