@@ -11,6 +11,26 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// ExtensionsSpec calls SparkSession.clearActiveSession/clearDefaultSession to
+// build its extensions-bearing session; with the default single forked test
+// JVM, sbt schedules suites in parallel and a sibling suite whose in-flight
+// plan resolves its session through the cleared JVM-wide default dies with
+// "SparkPlan.session() is null" (the r12 gate failure — a coin-flip race, not
+// a code bug). Isolate that one suite into its OWN forked JVM; every other
+// suite keeps the shared-JVM parallel schedule.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val forkOpts = ForkOptions()
+    .withOutputStrategy((Test / outputStrategy).value)
+    .withRunJVMOptions((Test / javaOptions).value.toVector)
+    .withWorkingDirectory(Option((Test / baseDirectory).value))
+    .withEnvVars(sys.env.toMap)
+  val (ext, rest) = tests.partition(_.name == "graft.ExtensionsSpec")
+  Seq(
+    Tests.Group("graft.ExtensionsSpec", ext, Tests.SubProcess(forkOpts)),
+    Tests.Group("rest", rest, Tests.SubProcess(forkOpts)),
+  ).filter(_.tests.nonEmpty)
+}
 // Raw stdout passthrough for the forked run: the driver's bench recorder
 // parses Bench's single JSON line from stdout, and sbt's default
 // LoggedOutput strategy prefixes every line with "[info] ", which breaks
@@ -42,8 +62,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // dev aid: extra forked-JVM flags (e.g. -Dspark.eventLog.enabled=true for
   // stage-level profiling, or a spark conf A/B) without editing the build —
   // space-separated in SPARK_GRAFT_EXTRA_JAVA_OPTS
+  // filter(_.nonEmpty): a set-but-blank env var would otherwise pass a
+  // single empty-string argument, which the java launcher reads as the
+  // main class and fails to launch (ADVICE r12)
   sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS")
-    .map(_.trim.split("\\s+").toSeq).getOrElse(Nil)
+    .map(_.trim.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
 
 def defaultHeap: String = {
   val physGb =
