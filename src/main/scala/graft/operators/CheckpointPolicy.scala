@@ -50,9 +50,40 @@ sealed trait CheckpointPolicy {
     * universes) — scanned every iteration, so computed once up front. */
   def materialize(df: DataFrame): DataFrame
 
+  /** Like [[materialize]], but LAZY: lineage is truncated immediately
+    * (the returned frame is a leaf over the compiled RDD) while the blocks
+    * materialize inside the FIRST downstream action instead of an eager
+    * job at call time. Use only where every consumer is strictly ordered
+    * after that first materializing action (a driver count, the iteration's
+    * first round, a broadcast the other consumers depend on): the r12
+    * pagerank regression was three eager materialize jobs + a count
+    * serializing on the driver at query-build time before any timed
+    * parallel work (VERDICT r12 #3) — deferring them folds the whole
+    * chain into the action that needed them anyway, strictly fewer jobs
+    * at every scale. Correctness never depends on the ordering (the frame
+    * is deterministic; a block computed twice yields identical rows, and
+    * the BlockManager registers cached blocks cluster-wide so later reads
+    * fetch rather than recompute). The cost model does: if the FIRST
+    * consumers can run as concurrent stages on a cluster, two executors
+    * may each compute an unmaterialized partition once — acceptable when
+    * the deferred frame is a narrow pass (hits' edge select), wrong when
+    * it is the expensive pipeline being shared (those sites keep the
+    * eager [[materialize]]/[[midRound]]). */
+  def defer(df: DataFrame): DataFrame
+
   /** Handle a transient frame referenced more than once WITHIN a round
     * (e.g. a raw-score aggregate feeding both its own max and a join). */
   def midRound(df: DataFrame): DataFrame
+
+  /** [[midRound]] for a frame whose FIRST consumer is strictly ordered
+    * before every other consumer (e.g. it feeds a broadcast scalar that
+    * the remaining consumers all depend on, as hits' per-half-step max
+    * attach does). Lazy under Local — the ordered first consumer's job
+    * materializes the blocks, so each half-step stays inside one job
+    * instead of paying an eager driver-blocking checkpoint action;
+    * identical to [[midRound]] under Reliable (persist keeps the
+    * recompute path either way). */
+  def midRoundSeq(df: DataFrame): DataFrame
 }
 
 object CheckpointPolicy {
@@ -61,7 +92,9 @@ object CheckpointPolicy {
   case object Local extends CheckpointPolicy {
     def truncate(df: DataFrame, round: Int): DataFrame = df.localCheckpoint(false)
     def materialize(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    def defer(df: DataFrame): DataFrame = df.localCheckpoint(false)
     def midRound(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    def midRoundSeq(df: DataFrame): DataFrame = df.localCheckpoint(false)
   }
 
   /** Durable truncation for cluster runs (see trait doc). `checkpointDir`,
@@ -111,6 +144,14 @@ object CheckpointPolicy {
       df.checkpoint(true)
     }
 
+    def defer(df: DataFrame): DataFrame = {
+      ensureDir(df)
+      // still durable, just written after the first action computes it —
+      // the fault-tolerance window is the same as eager (nothing depends
+      // on the snapshot before that first action completes)
+      df.checkpoint(false)
+    }
+
     // persist, NOT checkpoint: keeps the lineage (fault tolerance intact —
     // a lost cached block recomputes from the last durable snapshot) while
     // the two within-round references share one materialization instead of
@@ -121,5 +162,8 @@ object CheckpointPolicy {
       synchronized { curGen ::= p }
       p
     }
+
+    // persist is already lazy and keeps lineage — ordering changes nothing
+    def midRoundSeq(df: DataFrame): DataFrame = midRound(df)
   }
 }

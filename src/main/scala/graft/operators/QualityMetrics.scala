@@ -114,18 +114,20 @@ object QualityMetrics {
     * bin id. */
   def calibrationCurve(
       scored: DataFrame, idCol: String, scoreCol: String,
-      labelCol: String, nBins: Int = 10): DataFrame = {
+      labelCol: String, nBins: Int = 10,
+      policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
     require(nBins > 0, "nBins must be positive")
     def fdiv(x: Column, w: Column): Column =
       ((x - pmod(x, w)).cast("decimal(38,0)") / w).cast("long")
     // base feeds BOTH the min/max scalar and the binning aggregate; the
     // checkpoint stops the caller's scoring pipeline (for the NB
     // classifier: tokenize → explode → model joins) from executing twice
-    // — the materialized frame is two longs per row (r12, guide §2.4)
-    val base = scored.select(
+    // — the materialized frame is two longs per row (r12, guide §2.4).
+    // Policy-routed (r13, VERDICT r12 #4): Local keeps the eager
+    // localCheckpoint; Reliable persists with the recompute path intact.
+    val base = policy.midRound(scored.select(
       round(col(scoreCol) * 10000).cast("long").as("_si"),
-      col(labelCol).cast("boolean").as("_y"))
-      .localCheckpoint(true)
+      col(labelCol).cast("boolean").as("_y")))
     val mm = base.agg(min(col("_si")).as("_mn"), max(col("_si")).as("_mx"))
     base.crossJoin(broadcast(mm))
       .withColumn("_w",

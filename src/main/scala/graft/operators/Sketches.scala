@@ -41,15 +41,17 @@ object Sketches {
     */
   def cmsHeavyHitters(
       keys: DataFrame, depth: Int = 4, width: Int = 256,
-      k: Int = 20): DataFrame = {
+      k: Int = 20,
+      policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
     require(depth >= 1 && width >= 2, s"bad sketch shape ${depth}x$width")
     // Exact per-key counts first: the raw occurrence stream collapses to
     // (key, cnt) with map-side partial aggregation before anything fans out
     // by depth — the ×depth explosion happens on the collapsed frame.
     // Checkpointed: tf feeds the sketch build AND the exact top-k — one
     // occurrence-stream aggregation instead of two (r12, guide §2.4).
-    val tf = keys.groupBy(col("key")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+    // Policy-routed (r13, VERDICT r12 #4).
+    val tf = policy.midRound(
+      keys.groupBy(col("key")).agg(count(lit(1)).as("cnt")))
     // (row j, bucket h_j(key)) per sketch row: h_j = stableHash("j:" ++ key)
     // mod width — stableHash is nonnegative (60-bit), so % is the same
     // operation in both engines.
@@ -89,13 +91,14 @@ object Sketches {
     * only the exact-size audit term joins the (key, cnt) frames. Integer
     * end to end. */
   def cmsJoinSize(
-      a: DataFrame, b: DataFrame, depth: Int = 4, width: Int = 256): DataFrame = {
+      a: DataFrame, b: DataFrame, depth: Int = 4, width: Int = 256,
+      policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
     require(depth >= 1 && width >= 2, s"bad sketch shape ${depth}x$width")
     // each side's (key, cnt) frame feeds its sketch AND the exact-size
     // audit join — checkpointed so each input scans+aggregates once, not
-    // twice (r12, guide §2.4)
-    def tf(x: DataFrame) = x.groupBy(col("key")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+    // twice (r12, guide §2.4); policy-routed (r13, VERDICT r12 #4)
+    def tf(x: DataFrame) = policy.midRound(
+      x.groupBy(col("key")).agg(count(lit(1)).as("cnt")))
     // the two sides' collapse jobs are independent — submit them from two
     // driver threads so the second side's scan back-fills cores the first
     // leaves idle (guide §2.6); single-row-group fixture files scan as one
@@ -108,25 +111,36 @@ object Sketches {
         }: _*)).as("_rb"))
       .groupBy(col("_rb.row").as("row"), col("_rb.bucket").as("bucket"))
       .agg(sum(col("cnt")).as("bcnt"))
-    val (taF, tbF) = {
+    // a FRESH two-thread pool per call, not ExecutionContext.global
+    // (ADVICE r12): threads created HERE inherit the caller's Spark local
+    // properties (job description/group — InheritableThreadLocal), so the
+    // bench's setJobDescription labels and any setJobGroup cancellation
+    // cover both side jobs; and the blocking Awaits never park a shared
+    // global-pool thread some co-tenant query is waiting on. Bounded
+    // timeout instead of Duration.Inf so a wedged side job surfaces as an
+    // exception rather than a driver thread blocked forever.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
       import scala.concurrent.{ExecutionContext, Future}
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      (Future(tf(a)), Future(tf(b)))
-    }
-    val (ta, tb) = (
-      scala.concurrent.Await.result(taF, scala.concurrent.duration.Duration.Inf),
-      scala.concurrent.Await.result(tbF, scala.concurrent.duration.Duration.Inf))
-    val est = sketch(ta).as("sa")
-      .join(sketch(tb).as("sb"), Seq("row", "bucket"))
-      .groupBy(col("row"))
-      .agg(sum(col("sa.bcnt") * col("sb.bcnt")).as("ip"))
-      .agg(min(col("ip")).as("cms_estimate"))
-    val exact = ta.as("a").join(tb.as("b"), "key")
-      .agg(coalesce(sum(col("a.cnt") * col("b.cnt")), lit(0L))
-        .as("exact_join_size"))
-    exact.crossJoin(est)
-      .select(col("exact_join_size"), col("cms_estimate"),
-        (col("cms_estimate") - col("exact_join_size")).as("overcount"))
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      val (taF, tbF) = (Future(tf(a)), Future(tf(b)))
+      val timeout = scala.concurrent.duration.Duration(1, "day")
+      val (ta, tb) = (
+        scala.concurrent.Await.result(taF, timeout),
+        scala.concurrent.Await.result(tbF, timeout))
+      val est = sketch(ta).as("sa")
+        .join(sketch(tb).as("sb"), Seq("row", "bucket"))
+        .groupBy(col("row"))
+        .agg(sum(col("sa.bcnt") * col("sb.bcnt")).as("ip"))
+        .agg(min(col("ip")).as("cms_estimate"))
+      val exact = ta.as("a").join(tb.as("b"), "key")
+        .agg(coalesce(sum(col("a.cnt") * col("b.cnt")), lit(0L))
+          .as("exact_join_size"))
+      exact.crossJoin(est)
+        .select(col("exact_join_size"), col("cms_estimate"),
+          (col("cms_estimate") - col("exact_join_size")).as("overcount"))
+    } finally pool.shutdown()
   }
 
   /** Per-group HyperLogLog distinct estimate next to the exact count

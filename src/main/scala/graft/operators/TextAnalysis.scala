@@ -385,17 +385,22 @@ object TextAnalysis {
     * the model "weights" never leave the cluster, and every stage is
     * partial-aggregatable. Train on a labeled sample, serve the corpus. */
   def nbQualityScore(
-      df: DataFrame, idCol: String, textCol: String, labelCol: Column): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String, labelCol: Column,
+      policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
     val toks = df.select(col(idCol), labelCol.cast("boolean").as("_y"),
       explode(Dedup.tokens(col(textCol))).as("term"))
     // tf feeds BOTH the class-count model and the scoring join — without
     // the checkpoint the tokenize→explode→aggregate lineage (the widest
     // pass in the query) executes twice; the materialized frame is the
     // per-doc distinct-term table, far narrower than the token stream
-    // (r12, guide §2.4: one exchange shared instead of recomputed)
-    val tf = toks.groupBy(col(idCol), col("_y"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+    // (r12, guide §2.4: one exchange shared instead of recomputed).
+    // Routed through CheckpointPolicy (r13, VERDICT r12 #4): under Local
+    // this is the same eager localCheckpoint as before; cluster callers
+    // pass Reliable so the O(corpus) frame is a persisted block WITH a
+    // recompute path instead of lineage-free executor state an executor
+    // loss would kill the job over.
+    val tf = policy.midRound(toks.groupBy(col(idCol), col("_y"), col("term"))
+      .agg(count(lit(1)).as("tf")))
     val cls = tf.groupBy(col("term")).agg(
       sum(when(col("_y"), col("tf")).otherwise(0L)).as("cp"),
       sum(when(!col("_y"), col("tf")).otherwise(0L)).as("cn"))
@@ -478,14 +483,22 @@ object TextAnalysis {
       df.agg(count(lit(1)).as("n_docs")), idCol, k)
 
   /** [[tfidfTopTerms]] over a prebuilt (id, term, tf) table + a one-row
-    * n_docs frame (both index-store artifacts at corpus scale). */
+    * n_docs frame (both index-store artifacts at corpus scale).
+    *
+    * NOTE the `policy.midRound` call EAGERLY materializes `tf` at call
+    * time under the default Local policy (an immediate Spark job): callers
+    * that already checkpointed/cached their tf frame pay a second (cheap,
+    * block-to-block) materialization — pass a policy whose midRound is
+    * persist-based (Reliable) or hand in the raw lineage (ADVICE r12). */
   def tfidfTopTermsFromTf(
-      tf: DataFrame, nDocs: DataFrame, idCol: String, k: Int): DataFrame = {
+      tf: DataFrame, nDocs: DataFrame, idCol: String, k: Int,
+      policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // tf feeds BOTH the document-frequency model and the scoring join —
     // checkpointed so the (tokenize→)aggregate lineage runs once, not
-    // twice (r12, guide §2.4)
-    val tfOnce = tf.localCheckpoint(true)
+    // twice (r12, guide §2.4); policy-routed (r13, VERDICT r12 #4) so
+    // cluster callers keep a recompute path for the O(corpus) frame
+    val tfOnce = policy.midRound(tf)
     val dfreq = tfOnce.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tfOnce.join(dfreq, "term")
       .crossJoin(broadcast(nDocs))
@@ -1033,65 +1046,97 @@ object TextAnalysis {
     val spark = df.sparkSession
     // " a b c " symbol strings: sentinel spaces make ` A B ` matches
     // symbol-exact (a pattern can never match inside a longer symbol)
-    var words = df
+    var words: DataFrame = df
       .select(explode(Dedup.tokens(col(textCol))).as("_w"))
       .groupBy(col("_w")).agg(count(lit(1)).as("_f"))
       .select(concat(lit(" "),
         regexp_replace(col("_w"), "(.)", "$1 ")).as("_s"), col("_f"))
       .cache()
-    val syms = filter(split(col("_s"), " "), t => length(t) > 0)
-    val pairsExpr = when(size(syms) >= 2, transform(
-        sequence(lit(1), size(syms) - 1),
-        i => concat_ws(" ", element_at(syms, i), element_at(syms, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    def pairRows(w: DataFrame, weight: Column): DataFrame =
-      w.select(explode(pairsExpr).as("_p"), weight.as("_c"))
+    def pairsOf(s: Column): Column = {
+      val syms = filter(split(s, " "), t => length(t) > 0)
+      when(size(syms) >= 2, transform(
+          sequence(lit(1), size(syms) - 1),
+          i => concat_ws(" ", element_at(syms, i), element_at(syms, i + 1))))
+        .otherwise(array().cast("array<string>"))
+    }
     // standing pair-count table: built once, delta-updated per round.
     // Zero counts are filtered so the table holds live pairs only — the
     // same relation a from-scratch recount would produce.
-    var pairCounts = pairRows(words, col("_f"))
+    var pairCounts = words
+      .select(explode(pairsOf(col("_s"))).as("_p"), col("_f").as("_c"))
       .groupBy(col("_p")).agg(sum(col("_c")).as("_cnt"))
       .cache()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    // ONE Spark action per round (the argmax): each round's word/pair
-    // caches are LAZY and materialize as a side effect of the NEXT round's
-    // argmax reading through them; the round-(r−1) caches are unpersisted
-    // only after that action proves round r's are materialized (an eager
-    // unpersist would cascade a full recompute through the dropped chain —
-    // the reason the earlier shape paid two extra count() jobs per round).
-    var prevWords, prevPairs: Option[DataFrame] = None
+    // ONE Spark action per round (the argmax); everything else is lazy and
+    // materializes as a side effect of a LATER round's argmax reading
+    // through it. Cache/release discipline (r13, VERDICT r12 #5):
+    //  - pairCounts (the standing table) re-caches every round; the
+    //    round-(r−1) pair cache is released after round r's argmax proves
+    //    round r's is materialized — its only future reader.
+    //  - words re-caches every `cacheEvery` rounds, NOT every round: the
+    //    in-between rounds chain ≤cacheEvery narrow replace()s onto the
+    //    last cache, which costs microseconds over a vocabulary-sized
+    //    frame, where a per-round cache costs a full block write. A words
+    //    cache created at round r is first READ (hence materialized) by
+    //    round r+2's argmax (its reader, delta_{r+1}, is only executed by
+    //    the pairCounts cache built in round r+1), so the PREVIOUS words
+    //    cache must outlive it by two rounds — the r12 shape unpersisted
+    //    it one round early, and every words-cache rebuild cascaded
+    //    recompute through the dropped chain back to the corpus-wide
+    //    distinct-words aggregation. A 3-deep generation queue makes the
+    //    release provably safe at any nMerges while keeping ≤3
+    //    vocabulary-sized frames in storage.
+    val cacheEvery = 3
+    val wordCaches = scala.collection.mutable.Queue[DataFrame](words)
+    var chain = 0
+    var prevPairs: Option[DataFrame] = None
     try {
       for (rank <- 1 to nMerges) {
         val top = pairCounts.orderBy(col("_cnt").desc, col("_p").asc).head(1)
-        prevWords.foreach(_.unpersist()); prevWords = None
         prevPairs.foreach(_.unpersist()); prevPairs = None
         if (top.nonEmpty) {
           val pair = top(0).getString(0)
           val Array(l, r) = pair.split(" ", 2)
           merges += ((rank, l, r, top(0).getLong(1)))
-          def rewrite(w: DataFrame): DataFrame = w.select(
-            replace(col("_s"), lit(s" $pair "), lit(s" $l$r ")).as("_s"),
-            col("_f"))
+          def rewritten(s: Column): Column =
+            replace(s, lit(s" $pair "), lit(s" $l$r "))
           // delta recount: contains() matches exactly the rows replace()
           // would change (same sentinel-delimited pattern), so new-minus-old
-          // pair rows over the affected subset is the full count change
+          // pair rows over the affected subset is the full count change.
+          // ONE scan of the words frame per round: the post-rewrite pairs
+          // (+f) and pre-rewrite pairs (−f) explode from the same
+          // projection — the r12 union-of-two-pairRows referenced
+          // `affected` twice, two map stages over the words cache per round
           val affected = words.filter(col("_s").contains(s" $pair "))
-          val delta = pairRows(rewrite(affected), col("_f"))
-            .union(pairRows(affected, -col("_f")))
+          val delta = affected.select(explode(concat(
+              transform(pairsOf(rewritten(col("_s"))),
+                p => struct(p.as("_p"), col("_f").as("_c"))),
+              transform(pairsOf(col("_s")),
+                p => struct(p.as("_p"), (-col("_f")).as("_c")))))
+            .as("_pc"))
+            .select(col("_pc._p").as("_p"), col("_pc._c").as("_c"))
           val nextCounts = pairCounts.select(col("_p"), col("_cnt").as("_c"))
             .union(delta)
             .groupBy(col("_p")).agg(sum(col("_c")).as("_cnt"))
             .filter(col("_cnt") > 0)
             .cache()
           prevPairs = Some(pairCounts)
-          prevWords = Some(words)
           pairCounts = nextCounts
-          words = rewrite(words).cache()
+          words = words.select(rewritten(col("_s")).as("_s"), col("_f"))
+          chain += 1
+          if (chain >= cacheEvery && rank < nMerges) {
+            words = words.cache()
+            wordCaches.enqueue(words)
+            chain = 0
+            // oldest-of-4 was superseded ≥2 cache generations ago — its
+            // successor is provably materialized, release is recompute-free
+            if (wordCaches.length > 3) wordCaches.dequeue().unpersist()
+          }
         }
       }
     } finally {
-      words.unpersist(); pairCounts.unpersist()
-      prevWords.foreach(_.unpersist()); prevPairs.foreach(_.unpersist())
+      pairCounts.unpersist(); prevPairs.foreach(_.unpersist())
+      wordCaches.foreach(_.unpersist())
     }
     import spark.implicits._
     merges.toSeq.toDF("rank", "left", "right", "freq")
