@@ -789,7 +789,11 @@ object Dedup {
       "OR-amplification (tables > 1) is a knnJoinLsh dial; " +
         "embeddingNearDups probes a single table")
     val nonNull = df.filter(col(vecCol).isNotNull)
-    val n = nonNull.count()
+    // one aggregate job for n + dims instead of two serialized actions
+    // (r13, VERDICT r12 #6); dims feeds only the chunk-count estimate —
+    // the hyperplane dims stay embeddingNearDupsFixed's own inference
+    val nd = nonNull.agg(count(lit(1)), max(size(col(vecCol)))).head
+    val n = nd.getLong(0)
     val nbits = ApproxAnn.autoNbits(n, tuning.targetOccupancy)
     // probe-side chunking past the shuffle budget (VERDICT r11 #2): the
     // dominant exchange is the exploded probe side — n · masks rows each
@@ -797,8 +801,7 @@ object Dedup {
     // verify runs inside the join stage, so bounding the probe bounds the
     // pass. Result is EXACTLY the single-pass set (see the probeFilter
     // note in [[embeddingNearDupsFixed]]).
-    val dims = nonNull.select(size(col(vecCol))).limit(1).collect()
-      .headOption.map(_.getInt(0)).getOrElse(0)
+    val dims = if (nd.isNullAt(1)) 0 else nd.getInt(1)
     val masks = ApproxAnn.hammingMasks(nbits, tuning.radius).size
     val est = n.toDouble * masks * (4.0 * dims + 32)
     val chunks = ApproxAnn.probeChunksFor(
