@@ -47,6 +47,32 @@ object Bench {
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
     }
+    // ---- host canary (VERDICT r12 #2) --------------------------------
+    // A fixed pure-CPU loop and a fixed one-table scan, timed after warmup
+    // and before the query loop, emitted in the headline JSON. 23 of the
+    // 27 r12 "regressions" were untouched code wearing a uniform ~1.4×
+    // host factor nobody could prove from the JSON alone; these two
+    // numbers let a reader normalize round-over-round medians for host
+    // drift (cpu ≈ single-core speed; scan ≈ storage+parquet-decode
+    // speed). Single-threaded by construction so executor count cannot
+    // change what they measure. Additive key — the contract line still
+    // starts {"metric":"total",...}.
+    val canary = {
+      System.gc()
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < 400000000) { x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; i += 1 }
+      val cpuSec = (System.nanoTime() - t0) / 1e9
+      if (x == 42L) System.err.println("[graft] canary fixed point") // defeat DCE
+      val t1 = System.nanoTime()
+      try Tables.load(spark, sfDir, "documents")
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      val scanSec = (System.nanoTime() - t1) / 1e9
+      System.err.println(f"[graft] canary: cpu=$cpuSec%.3f scan=$scanSec%.3f")
+      (cpuSec, scanSec)
+    }
     // local dev aid: SPARK_GRAFT_ONLY=comma,separated,names times a subset;
     // SPARK_GRAFT_RUNS overrides the per-query repeat count
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -234,7 +260,10 @@ object Bench {
     // The ONE stdout line must fit the driver's ~2000-char recorded tail,
     // so when the sf1 section is present it gets the chars the sf0.1 map
     // gives up.
-    val budget = if (sf1Section.isDefined) 700 else 1600
+    // budget shaved 700→610 / 1600→1510 for the r13 additive keys (canary
+    // + map-honesty counts, ~90 chars) so the ONE line still fits the
+    // driver's recorded tail
+    val budget = if (sf1Section.isDefined) 610 else 1510
     val bySlow = results.sortBy(-_._2)
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var used = 0
@@ -249,9 +278,17 @@ object Bench {
       .map { case (n, v) => "\"" + n + "\":" + fmt(2)(v) }
       .mkString("{", ",", "}")
     val sf1Part = sf1Section.map("," + _).getOrElse("")
+    // n_queries_in_map / dropped_from_map (VERDICT r12 #9): the slowest-N
+    // stdout prefix reshuffles membership as queries speed up or slow
+    // down; these counts let the driver's comparator distinguish "left
+    // the headline because it got faster" from an actual removal (r12's
+    // two phantom 'dropped' rows), and point it at the committed full map.
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
       s""""value_min":${ms(totalMin)},""" +
       s""""n_queries":${results.length},""" +
+      s""""n_queries_in_map":${kept.length},""" +
+      s""""dropped_from_map":${results.length - kept.length},""" +
+      s""""canary":{"cpu":${fmt(2)(canary._1)},"scan":${fmt(2)(canary._2)}},""" +
       s""""queries_note":"the ${kept.length} slowest by median; full map in /tmp/graft-bench-detail.json + stderr",""" +
       s""""queries":$qsSlow$sf1Part,"sf":"$sfName"}""")
     spark.stop()
